@@ -1,0 +1,108 @@
+"""Metastore persistence round-trips (reference semantics:
+MetastorePersistenceParquet.scala:55-207, MetastoreImpl.scala:92-129,
+TransientTableManager.scala:26-90)."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from pramen_spark.config.models import CachePolicy, DataFormat, PartitionInfo, TableConfig
+from pramen_spark.metastore.metastore import Metastore
+
+D = dt.date
+
+
+def mk_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+@pytest.fixture()
+def ms(spark, tmp_path):
+    t1 = TableConfig(name="table1", format=DataFormat.parquet(str(tmp_path / "table1")))
+    t2 = TableConfig(name="trans1", format=DataFormat.transient(CachePolicy.NO_CACHE))
+    return Metastore(spark, [t1, t2], temp_dir=str(tmp_path / "tmp"))
+
+
+class TestParquetRoundTrip:
+    def test_write_read_one_date(self, spark, ms):
+        res = ms.save_table("table1", mk_df(spark, [(1, "a"), (2, "b")]), D(2022, 1, 1))
+        assert res.records == 2
+        out = ms.get_table("table1", D(2022, 1, 1), D(2022, 1, 1))
+        assert out.count() == 2
+        assert "pramen_info_date" in out.columns
+        assert {r["pramen_info_date"] for r in out.collect()} == {D(2022, 1, 1)}
+
+    def test_partition_dir_layout(self, spark, ms, tmp_path):
+        ms.save_table("table1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        assert os.path.isdir(str(tmp_path / "table1" / "pramen_info_date=2022-01-01"))
+
+    def test_overwrite_partition_is_idempotent(self, spark, ms):
+        ms.save_table("table1", mk_df(spark, [(1, "a"), (2, "b")]), D(2022, 1, 1))
+        ms.save_table("table1", mk_df(spark, [(3, "c")]), D(2022, 1, 1))
+        out = ms.get_table("table1", D(2022, 1, 1), D(2022, 1, 1))
+        assert [r["id"] for r in out.collect()] == [3]
+
+    def test_range_read(self, spark, ms):
+        ms.save_table("table1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        ms.save_table("table1", mk_df(spark, [(2, "b")]), D(2022, 1, 2))
+        ms.save_table("table1", mk_df(spark, [(3, "c")]), D(2022, 1, 3))
+        out = ms.get_table("table1", D(2022, 1, 1), D(2022, 1, 2))
+        assert sorted(r["id"] for r in out.collect()) == [1, 2]
+        assert ms.get_table("table1").count() == 3
+
+    def test_get_latest(self, spark, ms):
+        ms.save_table("table1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        ms.save_table("table1", mk_df(spark, [(2, "b")]), D(2022, 1, 5))
+        assert ms.get_latest_available_date("table1") == D(2022, 1, 5)
+        assert ms.get_latest_available_date("table1", until=D(2022, 1, 4)) == D(2022, 1, 1)
+        out = ms.get_latest("table1", until=D(2022, 1, 4))
+        assert [r["id"] for r in out.collect()] == [1]
+
+    def test_info_date_column_replaced_not_duplicated(self, spark, ms):
+        df = mk_df(spark, [(1, "a")]).withColumn("pramen_info_date", __import__("pyspark").sql.functions.lit("1990-01-01").cast("date"))
+        ms.save_table("table1", df, D(2022, 1, 1))
+        out = ms.get_table("table1", D(2022, 1, 1), D(2022, 1, 1))
+        assert out.columns.count("pramen_info_date") == 1
+        assert {r["pramen_info_date"] for r in out.collect()} == {D(2022, 1, 1)}
+
+    def test_explicit_repartition(self, spark, tmp_path):
+        cfg = TableConfig(
+            name="t",
+            format=DataFormat.parquet(
+                str(tmp_path / "t"), partition_info=PartitionInfo.explicit(3)
+            ),
+        )
+        ms2 = Metastore(spark, [cfg])
+        ms2.save_table("t", mk_df(spark, [(i, str(i)) for i in range(100)]), D(2022, 1, 1))
+        part_dir = str(tmp_path / "t" / "pramen_info_date=2022-01-01")
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        assert len(files) == 3
+
+
+class TestTransient:
+    def test_round_trip(self, spark, ms):
+        ms.save_table("trans1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        out = ms.get_table("trans1", D(2022, 1, 1), D(2022, 1, 1))
+        assert out.count() == 1
+
+    def test_range_union(self, spark, ms):
+        ms.save_table("trans1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        ms.save_table("trans1", mk_df(spark, [(2, "b")]), D(2022, 1, 2))
+        out = ms.get_table("trans1", D(2022, 1, 1), D(2022, 1, 2))
+        assert out.count() == 2
+
+
+class TestReaderScoping:
+    def test_scope_enforced(self, spark, ms):
+        ms.save_table("table1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        reader = ms.get_reader(["table1"], D(2022, 1, 2))
+        assert reader.get_table("table1").count() == 1
+        with pytest.raises(PermissionError):
+            reader.get_table("trans1")
+
+    def test_no_future_peek_by_default(self, spark, ms):
+        ms.save_table("table1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        ms.save_table("table1", mk_df(spark, [(2, "b")]), D(2022, 1, 5))
+        reader = ms.get_reader(["table1"], D(2022, 1, 2))
+        assert reader.get_table("table1").count() == 1
