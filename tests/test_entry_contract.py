@@ -1,0 +1,42 @@
+"""Driver-contract smoke tests: entry/queries/oracle_sql shapes."""
+
+import importlib.util
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_queries_and_oracles_align(entry_mod):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 20
+    for name in oracles:
+        assert name in qs
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_entry_runs(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_each_query_runs_at_smallest_sf(spark, entry_mod, sf_dir):
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
