@@ -1,0 +1,242 @@
+"""Bookkeeping: which (table, info_date) chunks were processed, when, and
+with how many records; plus the schema registry used for drift detection.
+
+Reference surface (core/.../bookkeeper/Bookkeeper.scala and backends):
+- ``getLatestProcessedDate(table, until)``
+- ``getLatestDataChunk(table, info_date)`` / ``getDataChunks``
+- ``getDataChunksCount(table, from, to)``
+- ``getDataAvailability``
+- ``setRecordCount`` on successful save
+- schema get/save with drift history
+
+The default backend here is a JSON-lines file (append-only journal +
+compacted state), suitable for a single driver; the interface is small so
+a Delta-backed ledger can replace it on a cluster (the reference similarly
+ships JDBC/Delta/Hadoop-path backends).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import threading
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclass
+class DataChunk:
+    table_name: str
+    info_date: str  # ISO yyyy-MM-dd
+    input_record_count: int
+    output_record_count: int
+    job_started: float
+    job_finished: float
+    batch_id: int = 0
+
+    @property
+    def info_date_obj(self) -> _dt.date:
+        return _dt.date.fromisoformat(self.info_date)
+
+
+class Bookkeeper:
+    """In-memory bookkeeper; base class for persistent backends."""
+
+    def __init__(self) -> None:
+        self._chunks: List[DataChunk] = []
+        self._schemas: Dict[str, List[Tuple[str, str]]] = {}  # table -> [(date, schema_json)]
+        self._lock = threading.Lock()
+
+    # --- chunks ---
+
+    def get_latest_processed_date(
+        self, table: str, until: Optional[_dt.date] = None
+    ) -> Optional[_dt.date]:
+        dates = [
+            c.info_date_obj
+            for c in self._chunks
+            if c.table_name == table and (until is None or c.info_date_obj <= until)
+        ]
+        return max(dates) if dates else None
+
+    def get_latest_data_chunk(self, table: str, info_date: _dt.date) -> Optional[DataChunk]:
+        chunks = self.get_data_chunks(table, info_date, info_date)
+        return chunks[-1] if chunks else None
+
+    def get_data_chunks(
+        self,
+        table: str,
+        date_from: Optional[_dt.date] = None,
+        date_to: Optional[_dt.date] = None,
+    ) -> List[DataChunk]:
+        out = [
+            c
+            for c in self._chunks
+            if c.table_name == table
+            and (date_from is None or c.info_date_obj >= date_from)
+            and (date_to is None or c.info_date_obj <= date_to)
+        ]
+        out.sort(key=lambda c: (c.info_date, c.job_finished))
+        return out
+
+    def get_data_chunks_count(
+        self, table: str, date_from: Optional[_dt.date], date_to: Optional[_dt.date]
+    ) -> int:
+        return len(self.get_data_chunks(table, date_from, date_to))
+
+    def get_data_availability(
+        self, table: str, date_from: _dt.date, date_to: _dt.date
+    ) -> Dict[_dt.date, int]:
+        """info_date -> number of chunks recorded."""
+        out: Dict[_dt.date, int] = {}
+        for c in self.get_data_chunks(table, date_from, date_to):
+            out[c.info_date_obj] = out.get(c.info_date_obj, 0) + 1
+        return out
+
+    def set_record_count(
+        self,
+        table: str,
+        info_date: _dt.date,
+        input_record_count: int,
+        output_record_count: int,
+        job_started: float,
+        job_finished: float,
+        batch_id: int = 0,
+    ) -> DataChunk:
+        chunk = DataChunk(
+            table_name=table,
+            info_date=info_date.isoformat(),
+            input_record_count=input_record_count,
+            output_record_count=output_record_count,
+            job_started=job_started,
+            job_finished=job_finished,
+            batch_id=batch_id,
+        )
+        with self._lock:
+            self._chunks.append(chunk)
+            self._persist_chunk(chunk)
+        return chunk
+
+    # --- schemas ---
+
+    def get_latest_schema(self, table: str, until: Optional[_dt.date] = None) -> Optional[dict]:
+        entries = self._schemas.get(table, [])
+        if until is not None:
+            entries = [e for e in entries if _dt.date.fromisoformat(e[0]) <= until]
+        if not entries:
+            return None
+        return json.loads(entries[-1][1])
+
+    def save_schema(self, table: str, info_date: _dt.date, schema_json: str) -> None:
+        with self._lock:
+            self._schemas.setdefault(table, []).append((info_date.isoformat(), schema_json))
+            self._schemas[table].sort(key=lambda e: e[0])
+            self._persist_schema(table, info_date, schema_json)
+
+    # --- persistence hooks ---
+
+    def _persist_chunk(self, chunk: DataChunk) -> None:
+        pass
+
+    def _persist_schema(self, table: str, info_date: _dt.date, schema_json: str) -> None:
+        pass
+
+
+class JsonBookkeeper(Bookkeeper):
+    """Append-only JSON-lines file backend; replays on open."""
+
+    def __init__(self, path: str):
+        super().__init__()
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if os.path.exists(path):
+            self._replay()
+
+    def _replay(self) -> None:
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                kind = rec.pop("kind", "chunk")
+                if kind == "chunk":
+                    self._chunks.append(DataChunk(**rec))
+                elif kind == "schema":
+                    self._schemas.setdefault(rec["table"], []).append(
+                        (rec["info_date"], rec["schema"])
+                    )
+
+    def _append(self, rec: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def _persist_chunk(self, chunk: DataChunk) -> None:
+        rec = asdict(chunk)
+        rec["kind"] = "chunk"
+        self._append(rec)
+
+    def _persist_schema(self, table: str, info_date: _dt.date, schema_json: str) -> None:
+        self._append(
+            {"kind": "schema", "table": table, "info_date": info_date.isoformat(), "schema": schema_json}
+        )
+
+
+@dataclass
+class JournalEntry:
+    table_name: str
+    info_date: str
+    status: str
+    started: float
+    finished: float
+    records: int = 0
+    reason: str = ""
+    error: str = ""
+
+
+class Journal:
+    """Run journal (core/.../journal/*): one entry per task attempt."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.entries: List[JournalEntry] = []
+        self._lock = threading.Lock()
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def add(self, entry: JournalEntry) -> None:
+        with self._lock:
+            self.entries.append(entry)
+            if self.path:
+                with open(self.path, "a") as f:
+                    f.write(json.dumps(asdict(entry)) + "\n")
+
+
+class TokenLock:
+    """In-process lock registry keyed on (table, info_date)
+    (reference: core/.../lock/TokenLockHadoopPath.scala et al. — here a
+    process-local registry; multi-driver deployments would use a
+    path-based lock)."""
+
+    _locks: Dict[str, threading.Lock] = {}
+    _registry_lock = threading.Lock()
+
+    @classmethod
+    def acquire(cls, token: str, timeout: float = 600.0) -> bool:
+        with cls._registry_lock:
+            lock = cls._locks.setdefault(token, threading.Lock())
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if lock.acquire(blocking=False):
+                return True
+            time.sleep(0.05)
+        return False
+
+    @classmethod
+    def release(cls, token: str) -> None:
+        with cls._registry_lock:
+            lock = cls._locks.get(token)
+        if lock is not None and lock.locked():
+            lock.release()

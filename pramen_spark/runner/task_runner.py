@@ -1,0 +1,205 @@
+"""Task runner: executes one (job, info_date) task through the reference's
+state machine and decoration order.
+
+Reference (core/.../runner/task/TaskRunnerBase.scala:137-490):
+
+    acquire lock(table, infoDate) -> preRunCheck -> validate -> run ->
+    [schema-check, processing-timestamp, info-date column, batch-id column,
+     transformations, filters, projection] -> save -> bookkeeping
+    (record count, schema drift) -> journal -> release lock
+
+Statuses follow api/.../status/RunStatus.scala.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import time
+import traceback
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import List, Optional
+
+from pramen_spark.config.models import FieldChange
+from pramen_spark.operators.rowlevel import apply_decorations, compare_schemas
+from pramen_spark.runner.bookkeeper import Bookkeeper, Journal, JournalEntry, TokenLock
+from pramen_spark.runner.jobs import Job, JobPreRunStatus
+from pramen_spark.scheduling.strategies import TaskPreDef, TaskRunReason
+
+
+class RunStatus(str, Enum):
+    SUCCEEDED = "succeeded"
+    FAILED = "failed"
+    SKIPPED = "skipped"
+    NO_DATA = "no_data"
+    INSUFFICIENT_DATA = "insufficient_data"
+    VALIDATION_FAILED = "validation_failed"
+    NOT_RAN = "not_ran"
+
+
+@dataclass
+class TaskResult:
+    job_name: str
+    table_name: str
+    info_date: _dt.date
+    status: RunStatus
+    reason: TaskRunReason
+    records: int = 0
+    elapsed_sec: float = 0.0
+    error: str = ""
+    warnings: List[str] = field(default_factory=list)
+    schema_changes: List[FieldChange] = field(default_factory=list)
+
+    @property
+    def is_failure(self) -> bool:
+        return self.status in (
+            RunStatus.FAILED,
+            RunStatus.NO_DATA,
+            RunStatus.INSUFFICIENT_DATA,
+            RunStatus.VALIDATION_FAILED,
+        )
+
+
+class TaskRunner:
+    def __init__(
+        self,
+        bookkeeper: Bookkeeper,
+        journal: Optional[Journal] = None,
+        batch_id: Optional[int] = None,
+        lock_timeout_sec: float = 600.0,
+    ):
+        self.bookkeeper = bookkeeper
+        self.journal = journal or Journal()
+        self.batch_id = batch_id if batch_id is not None else int(time.time() * 1000)
+        self.lock_timeout_sec = lock_timeout_sec
+
+    def run_task(self, job: Job, task: TaskPreDef) -> TaskResult:
+        info_date = task.info_date
+        table = job.output_table.name
+        started = time.time()
+
+        def result(status: RunStatus, **kw) -> TaskResult:
+            res = TaskResult(
+                job_name=job.name,
+                table_name=table,
+                info_date=info_date,
+                status=status,
+                reason=task.reason,
+                elapsed_sec=time.time() - started,
+                **kw,
+            )
+            self.journal.add(
+                JournalEntry(
+                    table_name=table,
+                    info_date=info_date.isoformat(),
+                    status=status.value,
+                    started=started,
+                    finished=time.time(),
+                    records=res.records,
+                    reason=task.reason.value,
+                    error=res.error,
+                )
+            )
+            return res
+
+        if task.reason == TaskRunReason.SKIP:
+            return result(RunStatus.SKIPPED, error=task.skip_note)
+
+        token = f"{table}:{info_date.isoformat()}"
+        if not TokenLock.acquire(token, self.lock_timeout_sec):
+            return result(RunStatus.FAILED, error=f"Could not acquire lock for {token}")
+        try:
+            return self._run_locked(job, task, started, result)
+        finally:
+            TokenLock.release(token)
+
+    def _run_locked(self, job: Job, task: TaskPreDef, started: float, result) -> TaskResult:
+        info_date = task.info_date
+        table = job.output_table.name
+
+        # 1. pre-run check (IngestionJob.scala:71-140)
+        try:
+            pre = job.pre_run_check(info_date)
+        except Exception as e:
+            return result(RunStatus.FAILED, error=f"Pre-run check failed: {e}")
+        if pre.status == JobPreRunStatus.ALREADY_RAN and task.reason not in (
+            TaskRunReason.RERUN,
+            TaskRunReason.UPDATE,
+        ):
+            return result(RunStatus.SKIPPED, error="Data has not changed since the last run")
+        if pre.status == JobPreRunStatus.SKIP:
+            return result(RunStatus.SKIPPED, error=pre.message)
+        if pre.status == JobPreRunStatus.NO_DATA:
+            return result(RunStatus.NO_DATA, error=pre.message)
+        if pre.status == JobPreRunStatus.INSUFFICIENT_DATA:
+            return result(RunStatus.INSUFFICIENT_DATA, error=pre.message)
+
+        # 2. validate
+        try:
+            reason = job.validate(info_date)
+        except Exception as e:
+            return result(RunStatus.VALIDATION_FAILED, error=str(e))
+        if reason.kind == "skip":
+            return result(RunStatus.SKIPPED, error=reason.message)
+        if not reason.is_ready:
+            return result(RunStatus.VALIDATION_FAILED, error=reason.message)
+        warnings = list(reason.warnings)
+
+        # 3. run + decorate + save
+        try:
+            df = job.run(info_date)
+
+            op = job.operation
+            incremental = op.schedule.kind.value == "incremental"
+            df = apply_decorations(
+                df,
+                info_date=info_date,
+                info_date_column=(
+                    job.output_table.info_date_column
+                    if job.output_table.info_date_column not in ("", None)
+                    else None
+                ),
+                batch_id_column=(job.output_table.batch_id_column if incremental else None),
+                batch_id=self.batch_id,
+                processing_timestamp_column=op.processing_timestamp_column,
+                transformations=op.transformations,
+                filters=op.filters,
+                columns=op.columns,
+                sanitize_columns=True,
+            )
+
+            # 4. schema drift tracking (TaskRunnerBase.scala:601-625)
+            schema_changes: List[FieldChange] = []
+            old_schema_json = self.bookkeeper.get_latest_schema(table, info_date)
+            new_schema = df.schema
+            if old_schema_json is not None:
+                from pyspark.sql import types as T
+
+                old_schema = T.StructType.fromJson(old_schema_json)
+                schema_changes = compare_schemas(old_schema, new_schema)
+                if schema_changes:
+                    self.bookkeeper.save_schema(table, info_date, json.dumps(new_schema.jsonValue()))
+            else:
+                self.bookkeeper.save_schema(table, info_date, json.dumps(new_schema.jsonValue()))
+
+            # 5. save (the Spark action happens here)
+            write_result = job.save(df, info_date)
+
+            self.bookkeeper.set_record_count(
+                table,
+                info_date,
+                input_record_count=pre.input_record_count or write_result.records,
+                output_record_count=write_result.records,
+                job_started=started,
+                job_finished=time.time(),
+                batch_id=self.batch_id,
+            )
+            return result(
+                RunStatus.SUCCEEDED,
+                records=write_result.records,
+                warnings=warnings,
+                schema_changes=schema_changes,
+            )
+        except Exception:
+            return result(RunStatus.FAILED, error=traceback.format_exc(limit=20))

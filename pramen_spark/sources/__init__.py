@@ -1,0 +1,5 @@
+from pramen_spark.sources.spark_source import SparkSource
+from pramen_spark.sources.raw_file_source import RawFileSource
+from pramen_spark.sources.jdbc_source import JdbcSource
+
+__all__ = ["SparkSource", "RawFileSource", "JdbcSource"]

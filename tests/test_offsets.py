@@ -1,0 +1,80 @@
+"""Offset ledger protocol tests (reference: OffsetManager.scala:36-91,
+IncrementalIngestionJob.scala:242-297)."""
+
+import datetime as dt
+
+import pytest
+
+from pramen_spark.offsets.ledger import OffsetLedger, decode_offset, encode_offset
+from pramen_spark.sql.generators import OffsetType, OffsetValue
+
+D = dt.date(2024, 1, 10)
+
+
+class TestProtocol:
+    def test_start_commit(self, tmp_path):
+        ledger = OffsetLedger(str(tmp_path / "offsets.jsonl"))
+        tx = ledger.start_write("t", D, 100, OffsetType.INTEGRAL)
+        assert len(ledger.get_uncommitted("t")) == 1
+        ledger.commit(tx, OffsetValue.integral(1), OffsetValue.integral(500))
+        assert ledger.get_uncommitted("t") == []
+        latest = ledger.get_max_info_date_and_offset("t")
+        assert latest is not None
+        assert latest[0] == D
+        assert latest[2].value == 500
+
+    def test_rollback(self, tmp_path):
+        ledger = OffsetLedger(str(tmp_path / "offsets.jsonl"))
+        tx = ledger.start_write("t", D, 100, OffsetType.INTEGRAL)
+        ledger.rollback(tx)
+        assert ledger.get_offsets("t") == []
+
+    def test_replay_from_disk(self, tmp_path):
+        path = str(tmp_path / "offsets.jsonl")
+        ledger = OffsetLedger(path)
+        tx1 = ledger.start_write("t", D, 1, OffsetType.INTEGRAL)
+        ledger.commit(tx1, OffsetValue.integral(1), OffsetValue.integral(100))
+        tx2 = ledger.start_write("t", D, 2, OffsetType.INTEGRAL)  # uncommitted (crash)
+        assert tx2 is not None
+
+        recovered = OffsetLedger(path)
+        assert len(recovered.get_offsets("t")) == 2
+        unc = recovered.get_uncommitted("t")
+        assert len(unc) == 1 and unc[0].batch_id == 2
+        latest = recovered.get_max_info_date_and_offset("t")
+        assert latest[2].value == 100  # only committed offsets count
+
+    def test_multiple_commits_same_date(self, tmp_path):
+        ledger = OffsetLedger(str(tmp_path / "o.jsonl"))
+        for i, (lo, hi) in enumerate([(1, 100), (101, 250), (251, 300)]):
+            tx = ledger.start_write("t", D, i, OffsetType.INTEGRAL)
+            ledger.commit(tx, OffsetValue.integral(lo), OffsetValue.integral(hi))
+        latest = ledger.get_max_info_date_and_offset("t")
+        assert (latest[1].value, latest[2].value) == (1, 300)
+
+    def test_max_per_later_date(self, tmp_path):
+        ledger = OffsetLedger(str(tmp_path / "o.jsonl"))
+        tx = ledger.start_write("t", D, 1, OffsetType.INTEGRAL)
+        ledger.commit(tx, OffsetValue.integral(1), OffsetValue.integral(100))
+        tx = ledger.start_write("t", D + dt.timedelta(days=1), 2, OffsetType.INTEGRAL)
+        ledger.commit(tx, OffsetValue.integral(101), OffsetValue.integral(180))
+        latest = ledger.get_max_info_date_and_offset("t")
+        assert latest[0] == D + dt.timedelta(days=1)
+        assert latest[2].value == 180
+
+    def test_datetime_offsets_roundtrip(self):
+        ts = dt.datetime(2024, 1, 10, 12, 30, 45, 123000, tzinfo=dt.timezone.utc)
+        enc = encode_offset(OffsetValue.datetime(ts))
+        dec = decode_offset(OffsetType.DATETIME, enc)
+        assert dec.value == ts
+
+    def test_commit_unknown_tx(self, tmp_path):
+        ledger = OffsetLedger(str(tmp_path / "o.jsonl"))
+        from pramen_spark.offsets.ledger import OffsetTransaction
+
+        with pytest.raises(KeyError):
+            ledger.commit(
+                OffsetTransaction("t", "2024-01-10", 99),
+                OffsetValue.integral(1),
+                OffsetValue.integral(2),
+            )

@@ -1,0 +1,247 @@
+"""End-to-end pipeline runs on local Spark + real testdata, mirroring the
+reference's integration suites (IncrementalPipelineLongFixture et al.)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pramen_spark.api import IdentityTransformer, Reason, Transformer
+from pramen_spark.config.models import (
+    DataFormat,
+    MetastoreDependency,
+    OperationDef,
+    Schedule,
+    TableConfig,
+    TransformExpr,
+)
+from pramen_spark.metastore.metastore import Metastore
+from pramen_spark.runner.bookkeeper import Bookkeeper, Journal
+from pramen_spark.runner.jobs import IngestionJob, SinkJob, TransformationJob
+from pramen_spark.runner.runner import DependencyResolver, PipelineRunner
+from pramen_spark.runner.task_runner import RunStatus, TaskRunner
+from pramen_spark.scheduling.strategies import ScheduleParams, TaskPreDef, TaskRunReason
+from pramen_spark.sinks.local_csv_sink import LocalCsvSink
+from pramen_spark.sources.spark_source import SparkSource
+
+D = dt.date
+RUN_DATE = D(2024, 3, 10)
+
+
+class OrdersDailyRevenue(Transformer):
+    """Joins orders x customer, aggregates revenue per mktsegment."""
+
+    def validate(self, metastore, info_date, options):
+        if not metastore.is_data_available("orders_bronze"):
+            return Reason.not_ready("orders_bronze has no data")
+        return Reason.ready()
+
+    def run(self, metastore, info_date, options):
+        orders = metastore.get_table("orders_bronze", info_date, info_date)
+        customers = metastore.get_table("customer_bronze", info_date, info_date)
+        return (
+            orders.join(F.broadcast(customers), orders.o_custkey == customers.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            )
+        )
+
+
+@pytest.fixture()
+def pipeline_env(spark, tmp_path, sf_dir):
+    ms = Metastore(
+        spark,
+        [
+            TableConfig(name="orders_bronze", format=DataFormat.parquet(str(tmp_path / "orders")),
+                        info_date_start=D(2024, 3, 1)),
+            TableConfig(name="customer_bronze", format=DataFormat.parquet(str(tmp_path / "customer")),
+                        info_date_start=D(2024, 3, 1)),
+            TableConfig(name="revenue_gold", format=DataFormat.parquet(str(tmp_path / "revenue")),
+                        info_date_start=D(2024, 3, 1)),
+            TableConfig(name="csv_out", format=DataFormat.null(), info_date_start=D(2024, 3, 1)),
+        ],
+        temp_dir=str(tmp_path / "tmp"),
+    )
+    bk = Bookkeeper()
+    return ms, bk, tmp_path
+
+
+def make_jobs(spark, ms, bk, sf_dir, tmp_path):
+    src = SparkSource(spark, {"format": "parquet"})
+    ingest_orders = IngestionJob(
+        OperationDef(name="ingest_orders", kind="ingestion", output_table="orders_bronze"),
+        ms, bk, ms.table_config("orders_bronze"),
+        src, {"path": f"{sf_dir}/orders.parquet"},
+    )
+    ingest_customer = IngestionJob(
+        OperationDef(name="ingest_customer", kind="ingestion", output_table="customer_bronze"),
+        ms, bk, ms.table_config("customer_bronze"),
+        src, {"path": f"{sf_dir}/customer.parquet"},
+    )
+    transform = TransformationJob(
+        OperationDef(
+            name="revenue",
+            kind="transformation",
+            output_table="revenue_gold",
+            input_tables=["orders_bronze", "customer_bronze"],
+            dependencies=[MetastoreDependency(tables=["orders_bronze", "customer_bronze"])],
+        ),
+        ms, bk, ms.table_config("revenue_gold"),
+        OrdersDailyRevenue(),
+    )
+    sink = SinkJob(
+        OperationDef(
+            name="csv_export",
+            kind="sink",
+            output_table="csv_out",
+            input_tables=["revenue_gold"],
+            dependencies=[MetastoreDependency(tables=["revenue_gold"])],
+        ),
+        ms, bk, ms.table_config("csv_out"),
+        LocalCsvSink(spark, {"path": str(tmp_path / "csv"), "csv.header": "true"}),
+        "revenue_gold",
+    )
+    return [ingest_orders, ingest_customer, transform, sink]
+
+
+class TestPipelineEndToEnd:
+    def test_full_pipeline(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        jobs = make_jobs(spark, ms, bk, sf_dir, tmp_path)
+        runner = PipelineRunner(ms, bk, parallel_tasks=4)
+        result = runner.run(jobs, ScheduleParams.normal(RUN_DATE))
+
+        assert result.failed == 0, [(r.table_name, r.status, r.error) for r in result.results]
+        assert result.exit_code == 0
+
+        # metastore content is correct
+        gold = ms.get_table("revenue_gold", RUN_DATE, RUN_DATE)
+        rows = {r["c_mktsegment"]: r["n_orders"] for r in gold.collect()}
+        assert len(rows) == 5
+        assert sum(rows.values()) == 1500  # sf0.001 orders
+
+        # CSV sink produced a file
+        csv_files = os.listdir(str(tmp_path / "csv"))
+        assert len(csv_files) == 1
+        assert csv_files[0].startswith("revenue_gold_2024-03-10_")
+
+        # bookkeeping has chunks for all tables
+        assert bk.get_latest_processed_date("orders_bronze") == RUN_DATE
+        assert bk.get_latest_processed_date("revenue_gold") == RUN_DATE
+
+    def test_rerun_is_idempotent(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        jobs = make_jobs(spark, ms, bk, sf_dir, tmp_path)
+        runner = PipelineRunner(ms, bk, parallel_tasks=2)
+        r1 = runner.run(jobs, ScheduleParams.normal(RUN_DATE))
+        assert r1.failed == 0
+        r2 = runner.run(jobs[:3], ScheduleParams.rerun(RUN_DATE))
+        assert r2.failed == 0
+        gold = ms.get_table("revenue_gold", RUN_DATE, RUN_DATE)
+        assert gold.groupBy("c_mktsegment").count().count() == 5  # no duplicates
+
+    def test_dependency_order_and_failure_propagation(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+
+        class Exploding(Transformer):
+            def run(self, metastore, info_date, options):
+                raise RuntimeError("boom")
+
+        jobs = make_jobs(spark, ms, bk, sf_dir, tmp_path)
+        jobs[2] = TransformationJob(
+            jobs[2].operation, ms, bk, ms.table_config("revenue_gold"), Exploding()
+        )
+        runner = PipelineRunner(ms, bk, parallel_tasks=4)
+        result = runner.run(jobs, ScheduleParams.normal(RUN_DATE))
+        by_table = {r.table_name: r.status for r in result.results}
+        assert by_table["revenue_gold"] == RunStatus.FAILED
+        assert by_table["csv_out"] == RunStatus.NOT_RAN  # downstream skipped
+        assert by_table["orders_bronze"] == RunStatus.SUCCEEDED
+
+    def test_cycle_detection(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        op_a = OperationDef(name="a", kind="transformation", output_table="orders_bronze",
+                            input_tables=["revenue_gold"])
+        op_b = OperationDef(name="b", kind="transformation", output_table="revenue_gold",
+                            input_tables=["orders_bronze"])
+        job_a = TransformationJob(op_a, ms, bk, ms.table_config("orders_bronze"), IdentityTransformer())
+        job_b = TransformationJob(op_b, ms, bk, ms.table_config("revenue_gold"), IdentityTransformer())
+        with pytest.raises(ValueError, match="cycle"):
+            DependencyResolver([job_a, job_b])
+
+
+class TestTaskRunnerStateMachine:
+    def test_skip_if_unchanged(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        jobs = make_jobs(spark, ms, bk, sf_dir, tmp_path)
+        tr = TaskRunner(bk)
+        t = TaskPreDef(RUN_DATE, TaskRunReason.NEW)
+        r1 = tr.run_task(jobs[0], t)
+        assert r1.status == RunStatus.SUCCEEDED
+        # same source count -> ALREADY_RAN -> skipped
+        r2 = tr.run_task(jobs[0], t)
+        assert r2.status == RunStatus.SKIPPED
+        # but a rerun forces it
+        r3 = tr.run_task(jobs[0], TaskPreDef(RUN_DATE, TaskRunReason.RERUN))
+        assert r3.status == RunStatus.SUCCEEDED
+
+    def test_validation_failure(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+
+        class NeverReady(Transformer):
+            def validate(self, metastore, info_date, options):
+                return Reason.not_ready("nope")
+
+            def run(self, metastore, info_date, options):
+                raise AssertionError("must not run")
+
+        job = TransformationJob(
+            OperationDef(name="x", kind="transformation", output_table="revenue_gold"),
+            ms, bk, ms.table_config("revenue_gold"), NeverReady(),
+        )
+        r = TaskRunner(bk).run_task(job, TaskPreDef(RUN_DATE, TaskRunReason.NEW))
+        assert r.status == RunStatus.VALIDATION_FAILED
+        assert "nope" in r.error
+
+    def test_decorations_applied(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        src = SparkSource(spark, {"format": "parquet"})
+        job = IngestionJob(
+            OperationDef(
+                name="ing", kind="ingestion", output_table="orders_bronze",
+                transformations=[TransformExpr("price_band", "CASE WHEN o_totalprice > 200000 THEN 'HIGH' ELSE 'LOW' END")],
+                filters=["o_orderstatus = 'O'"],
+                columns=["o_orderkey", "price_band", "pramen_info_date"],
+            ),
+            ms, bk, ms.table_config("orders_bronze"),
+            src, {"path": f"{sf_dir}/orders.parquet"},
+        )
+        r = TaskRunner(bk).run_task(job, TaskPreDef(RUN_DATE, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED
+        df = ms.get_table("orders_bronze", RUN_DATE, RUN_DATE)
+        assert set(df.columns) == {"o_orderkey", "price_band", "pramen_info_date"}
+        assert df.filter(F.col("price_band") == "HIGH").count() > 0
+
+    def test_schema_drift_detected(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        src = SparkSource(spark, {"format": "parquet"})
+
+        def mk_job(cols):
+            return IngestionJob(
+                OperationDef(name="ing", kind="ingestion", output_table="orders_bronze",
+                             columns=cols),
+                ms, bk, ms.table_config("orders_bronze"),
+                src, {"path": f"{sf_dir}/orders.parquet"},
+            )
+
+        tr = TaskRunner(bk)
+        r1 = tr.run_task(mk_job(["o_orderkey", "o_custkey"]), TaskPreDef(D(2024, 3, 10), TaskRunReason.NEW))
+        assert r1.status == RunStatus.SUCCEEDED and r1.schema_changes == []
+        r2 = tr.run_task(mk_job(["o_orderkey", "o_totalprice"]), TaskPreDef(D(2024, 3, 11), TaskRunReason.NEW))
+        assert r2.status == RunStatus.SUCCEEDED
+        kinds = {(c.kind.value, c.column.lower()) for c in r2.schema_changes}
+        assert ("new", "o_totalprice") in kinds
+        assert ("deleted", "o_custkey") in kinds
