@@ -28,9 +28,13 @@ HEADLINE = [
     "agg_events_daily",
     "incremental_offset",
     "dedup_exact",
+    "minhash_dedup",
+    "ngram_jaccard_pairs",
+    "lang_id",
     "text_quality",
     "doc_fingerprint",
     "similarity_cosine_topk",
+    "similarity_lsh_topk",
 ]
 
 

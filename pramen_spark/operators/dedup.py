@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale text corpora.
+
+All operators are pure DataFrame compositions (JVM-side, codegen-friendly);
+no Python UDFs in any hot path. Hashes are xxhash64 with fixed integer
+seeds, so results are deterministic across runs and cluster sizes.
+
+Scale design (100 TB corpus):
+- exact dedup groups by a 64-bit/256-bit content hash, never by raw text —
+  the shuffle carries hashes.
+- MinHash: explode-to-shingles is the widest stage; the per-id signature
+  agg is a map-side-combinable min, so the shuffle is (id x num_hashes)
+  longs. LSH banding turns all-pairs comparison into equality joins on
+  (band_idx, band_hash) — only same-bucket candidates are paired, and the
+  final Jaccard verification runs on candidate pairs only.
+- SimHash: one shuffle (groupBy id) with 64 small integer sums.
+- Skewed buckets (boilerplate shingles) are handled by dropping
+  over-frequent shingles (``max_shingle_freq``) before banding.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact duplicate removal by content hash. Returns one row per
+    distinct content: (id, dup_count, text_hash)."""
+    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .agg(keeper.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "dup_count", "text_hash")
+    )
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """Word shingles: (id, shingle) distinct pairs.
+
+    Built with transform over a token array (no explode of raw text), then
+    one explode — the minimal-width wide stage."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """MinHash signature per document: (id, signature array<long>).
+
+    Each of the ``num_hashes`` functions is xxhash64(shingle, seed=i); the
+    signature element i is the min over the document's shingles. The min
+    aggregation is partially applied map-side, so the shuffle volume is
+    rows x num_hashes longs, independent of document length."""
+    sh = shingles(df, id_col, text_col, shingle_size)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)), "shingle", "left_anti")
+        )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: documents whose signature agrees on all rows of at
+    least one band become candidate pairs (id_a < id_b)."""
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH, verified by signature-level
+    Jaccard estimate: (id_a, id_b, est_jaccard >= threshold)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    candidates = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle:
+    (id_a, id_b, jaccard).
+
+    Instead of a shingle self-join (which computes the shingle pipeline
+    twice and shuffles raw strings), shingles are hashed to 64-bit keys,
+    grouped once, and same-shingle pairs are generated from each group's
+    sorted id list — one shuffle, one pass. ``max_shingle_freq`` drops
+    boilerplate shingles whose group would explode quadratically (skew
+    guard for the 100 TB case)."""
+    # (id, shingle_h) exploded once and cached: both the per-doc sizes and
+    # the per-shingle groups read it, and caching prevents Catalyst from
+    # inlining the expensive shingle-array expression past the explode
+    # (which would re-evaluate it per exploded row). At 100 TB this would
+    # be a persisted intermediate table instead of an in-memory cache.
+    base = (
+        shingles(df, id_col, text_col, shingle_size)
+        .select(F.col(id_col).alias("id"), F.xxhash64("shingle").alias("shingle_h"))
+        .cache()
+    )
+    sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    groups = base.groupBy("shingle_h").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    groups = groups.filter(F.size("ids") > 1)
+    if max_shingle_freq is not None:
+        groups = groups.filter(F.size("ids") <= max_shingle_freq)
+    # all ordered pairs (ids[i], ids[j]) with i < j, generated JVM-side
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    common = (
+        groups.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprint per document: (id, simhash long).
+
+    Per token, each output bit votes +1/-1 by the token hash's bit; the
+    fingerprint takes the sign of each bit's sum. One shuffle: groupBy id
+    with ``bits`` small integer sums (map-side combined)."""
+    tok = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    h = F.xxhash64("token")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the 64-bit fingerprint into
+    ``num_blocks`` chunks (pigeonhole: a pair within ``max_hamming``
+    differs in at most max_hamming blocks, so it matches on >= 1 block when
+    num_blocks > max_hamming), join on (block_idx, block_value), verify
+    Hamming distance exactly."""
+    assert num_blocks > max_hamming, "pigeonhole requires num_blocks > max_hamming"
+    fp = simhash(df, id_col, text_col)
+    block_bits = 64 // num_blocks
+    mask = (1 << block_bits) - 1
+    blocks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned("simhash", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+- ``cosine_topk``: exact brute-force — the correctness baseline. The dot
+  product is a JVM-side ``aggregate(zip_with(...))`` (no Python), and the
+  query set is broadcast, so the big side streams once.
+- ``lsh_topk``: random-hyperplane LSH — the 100 TB path. Vectors are
+  bucketed by the sign pattern of dot products with ``num_planes`` fixed
+  random hyperplanes (seeded, deterministic); only same-bucket (or
+  multi-probe neighboring-bucket) candidates get exact scoring.
+
+Scale: brute force is O(N) per query with a broadcast query set; LSH cuts
+the candidate set by ~2^num_planes. For billions of vectors, partition by
+bucket and keep per-bucket shards under executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_double_embedding(df: DataFrame, embedding_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_emb_d", F.col(embedding_col).cast("array<double>"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` rows for every row of ``query``.
+
+    ``query`` must have (query_id_col, embedding_col); it is broadcast.
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k per query."""
+    from pyspark.sql import Window as W
+
+    base = with_double_embedding(df, embedding_col)
+    q = with_double_embedding(query, embedding_col).select(
+        F.col(query_id_col), F.col("_emb_d").alias("_q_d")
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (_dot(F.col("_emb_d"), F.col("_q_d")) / (_norm(F.col("_emb_d")) * _norm(F.col("_q_d")))).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic unit hyperplanes (fixed seed -> same buckets on every
+    run and every cluster)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return planes.tolist()
+
+
+def lsh_bucket(df: DataFrame, planes: Sequence[Sequence[float]], embedding_col: str = "embedding"):
+    """Add a ``bucket`` column: bit i = sign(v . plane_i)."""
+    base = with_double_embedding(df, embedding_col)
+    bucket = None
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(F.col("_emb_d"), plane_col) > 0).cast("long")
+        term = bit * F.lit(1 << i).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return base.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates are vectors in the query's LSH
+    bucket (plus buckets at Hamming distance <= multi_probe), scored
+    exactly. Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql import Window as W
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    base = lsh_bucket(df, planes, embedding_col)
+    q = lsh_bucket(query, planes, embedding_col).select(
+        F.col(query_id_col), F.col("_emb_d").alias("_q_d"), F.col("bucket").alias("q_bucket")
+    )
+    # multi-probe: explode query buckets to all buckets within hamming<=p
+    probes = [0]
+    if multi_probe >= 1:
+        probes += [1 << i for i in range(num_planes)]
+    if multi_probe >= 2:
+        probes += [
+            (1 << i) | (1 << j) for i in range(num_planes) for j in range(i + 1, num_planes)
+        ]
+    q = q.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(p)) for p in probes])),
+    )
+    scored = base.join(F.broadcast(q), "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (_dot(F.col("_emb_d"), F.col("_q_d")) / (_norm(F.col("_emb_d")) * _norm(F.col("_q_d")))).alias(
+            "cosine"
+        ),
+    ).dropDuplicates([query_id_col, id_col])
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

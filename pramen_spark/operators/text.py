@@ -1,0 +1,113 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+fingerprinting. All built-in Spark expressions — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed marker-word lists per language (n-gram/stopword heuristic).
+LANG_MARKERS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "una"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+    "it": ("il", "la", "di", "che", "e", "per", "una"),
+}
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        id_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def bpe_ish_token_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sub-word-ish token estimate: splits on whitespace AND punctuation
+    boundaries and counts ~4-char chunks of long words (a cheap, vocabulary-
+    free proxy for BPE token counts)."""
+    pieces = F.split(
+        F.regexp_replace(F.col(text_col), r"([^\w\s])", r" $1 "), r"\s+"
+    )
+    est = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.when(F.length(w) == 0, 0).otherwise(
+            F.floor((F.length(w) + 3) / 4).cast("long")
+        ),
+    )
+    return df.select(id_col, est.alias("est_bpe_tokens"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_token_len = F.length(F.regexp_replace(text_col, " ", "")).cast("double") / n_tokens
+    stopword_ratio = n_stop.cast("double") / n_tokens
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    # composite: reasonable length + healthy stopword rate + lexical variety
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(stopword_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + distinct_ratio * 0.4
+    )
+    return df.select(
+        id_col,
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        avg_token_len.alias("avg_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: per language, count marker-word hits in
+    the token array; pick the argmax (ties broken by language code order,
+    'unknown' when no marker hits)."""
+    toks = _tokens(text_col)
+    langs = sorted(LANG_MARKERS)
+
+    def marker_count(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    counts = {lang: marker_count(LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*[counts[lang] for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        id_col,
+        *[counts[lang].cast("long").alias(f"votes_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalized md5 fingerprint + a 64-bit rolling-style content hash."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        id_col,
+        F.md5(normalized).alias("fingerprint"),
+        F.xxhash64(normalized).alias("content_hash64"),
+    )

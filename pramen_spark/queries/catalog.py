@@ -629,3 +629,302 @@ def q_similarity_cosine_topk(spark, sf_dir):
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data operators, second batch + extended SQL surface
+# --------------------------------------------------------------------------
+
+_NGRAM_SHINGLE_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    _NGRAM_SHINGLE_ORACLE,
+    "exact n-gram Jaccard similarity over co-shingled pairs",
+    tags=("dedup",),
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from pramen_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05)
+
+
+@query(
+    "minhash_dedup",
+    None,  # xxhash64 seeds are Spark-specific; driver records rows-only
+    "MinHash + LSH near-duplicate pairs (shingle->minhash->band->bucket-join)",
+    tags=("dedup",),
+)
+def q_minhash_dedup(spark, sf_dir):
+    from pramen_spark.operators.dedup import minhash_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(d, num_hashes=64, num_bands=16, threshold=0.5)
+
+
+@query(
+    "simhash_fingerprints",
+    None,  # xxhash64-based; rows-only
+    "SimHash 64-bit fingerprints per document",
+    tags=("dedup",),
+)
+def q_simhash_fingerprints(spark, sf_dir):
+    from pramen_spark.operators.dedup import simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+@query(
+    "similarity_lsh_topk",
+    None,  # LSH-bucketed scale path; brute-force twin has the oracle
+    "ANN top-k via random-hyperplane LSH buckets + exact rescoring",
+    tags=("similarity",),
+)
+def q_similarity_lsh_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pramen_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query_df = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, query_df, k=10, num_planes=4, dim=64, multi_probe=2)
+
+
+@query(
+    "lang_id",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+            CAST(len(list_filter(t, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS BIGINT) AS votes_de,
+            CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS votes_en,
+            CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS BIGINT) AS votes_es,
+            CAST(len(list_filter(t, x -> list_contains(['le','la','et','les','des','une','est'], x))) AS BIGINT) AS votes_fr,
+            CAST(len(list_filter(t, x -> list_contains(['il','la','di','che','e','per','una'], x))) AS BIGINT) AS votes_it
+        FROM toks
+    )
+    SELECT doc_id, votes_de, votes_en, votes_es, votes_fr, votes_it,
+        CASE
+            WHEN votes_de > 0 AND votes_de = greatest(votes_de, votes_en, votes_es, votes_fr, votes_it) THEN 'de'
+            WHEN votes_en > 0 AND votes_en = greatest(votes_de, votes_en, votes_es, votes_fr, votes_it) THEN 'en'
+            WHEN votes_es > 0 AND votes_es = greatest(votes_de, votes_en, votes_es, votes_fr, votes_it) THEN 'es'
+            WHEN votes_fr > 0 AND votes_fr = greatest(votes_de, votes_en, votes_es, votes_fr, votes_it) THEN 'fr'
+            WHEN votes_it > 0 AND votes_it = greatest(votes_de, votes_en, votes_es, votes_fr, votes_it) THEN 'it'
+            ELSE 'unknown'
+        END AS lang_pred
+    FROM votes
+    """,
+    "stopword-vote language identification",
+    tags=("text",),
+)
+def q_lang_id(spark, sf_dir):
+    from pramen_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d)
+
+
+@query(
+    "bpe_token_estimate",
+    r"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+               string_split_regex(regexp_replace(text, '([^\w\s])', ' \1 ', 'g'), '\s+'),
+               w -> CASE WHEN length(w) = 0 THEN 0
+                         ELSE CAST(floor((length(w) + 3) / 4) AS BIGINT) END)) AS BIGINT)
+             AS est_bpe_tokens
+    FROM documents
+    """,
+    "BPE-ish sub-word token count estimate",
+    tags=("text",),
+)
+def q_bpe_token_estimate(spark, sf_dir):
+    from pramen_spark.operators.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_ish_token_count(d)
+
+
+@query(
+    "json_extract_events",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    "JSON field extraction from the events props column",
+)
+def q_json_extract_events(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    ).filter(F.col("prop_k").isNotNull())
+
+
+@query(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "ROLLUP aggregation (subtotal hierarchy)",
+)
+def q_rollup_orders(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "pivot: order-status counts per market segment",
+)
+def q_pivot_status_by_segment(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10-like: top customers by returned-item revenue",
+)
+def q10_returned_items(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "union_all_keys",
+    """
+    SELECT k FROM (
+        SELECT o_custkey AS k FROM orders
+        UNION ALL
+        SELECT c_custkey AS k FROM customer
+    ) GROUP BY k HAVING COUNT(*) > 1
+    """,
+    "UNION ALL + HAVING",
+)
+def q_union_all_keys(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.unionAll(c).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    ).select("k")
+
+
+@query(
+    "like_filter_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    WHERE p_name LIKE '%green%' AND p_size >= 10
+    """,
+    "LIKE predicate + comparison pushdown",
+)
+def q_like_filter_parts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%green%") & (F.col("p_size") >= 10)).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )

@@ -1,0 +1,201 @@
+"""Training-data operator tests: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pramen_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_dups,
+)
+from pramen_spark.operators.similarity import cosine_topk, lsh_topk, random_hyperplanes
+from pramen_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from pramen_spark.operators.multimodal import (
+    extract_features,
+    make_fake_media_df,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark engines and data"),
+        (5, "el perro corre por el parque y la casa es grande"),
+        (6, "der hund läuft durch den park und das haus ist nicht klein"),
+        (7, "le chien court dans le parc et les maisons est une belle"),
+        (8, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = exact_dedup(docs).collect()
+        # 1 and 3 collapse
+        by_count = {r["doc_id"]: r["dup_count"] for r in out}
+        assert by_count[1] == 2
+        assert len(out) == 7
+
+
+class TestShinglesAndMinhash:
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        out = {r["shingle"] for r in shingles(df, "doc_id", "text", 3).collect()}
+        assert out == {"a b c", "b c d"}
+
+    def test_signature_shape_and_determinism(self, docs):
+        sigs1 = minhash_signatures(docs, num_hashes=16).collect()
+        sigs2 = minhash_signatures(docs, num_hashes=16).collect()
+        assert {len(r["signature"]) for r in sigs1} == {16}
+        assert sorted((r["doc_id"], tuple(r["signature"])) for r in sigs1) == sorted(
+            (r["doc_id"], tuple(r["signature"])) for r in sigs2
+        )
+
+    def test_exact_dups_have_identical_signatures(self, docs):
+        sigs = {r["doc_id"]: tuple(r["signature"]) for r in minhash_signatures(docs).collect()}
+        assert sigs[1] == sigs[3]
+
+    def test_minhash_dedup_finds_near_dups(self, docs):
+        pairs = minhash_dedup(docs, num_hashes=64, num_bands=16, threshold=0.5).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 3) in found  # exact dup: est_jaccard = 1.0
+        assert (1, 2) in found or (2, 3) in found  # near dup
+        assert not any({a, b} == {1, 4} for a, b in found)
+
+    def test_lsh_candidates_bucket_join(self, docs):
+        sigs = minhash_signatures(docs, num_hashes=16)
+        cand = minhash_lsh_candidates(sigs, num_bands=4, rows_per_band=4).collect()
+        assert any({r["id_a"], r["id_b"]} == {1, 3} for r in cand)
+
+
+class TestNgramJaccard:
+    def test_exact_pairs(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.1).collect()
+        }
+        assert pairs[(1, 3)] == 1.0
+        assert 0.4 < pairs[(1, 2)] < 1.0
+
+    def test_threshold_filters(self, docs):
+        pairs = ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.99).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+
+class TestSimhash:
+    def test_exact_dups_same_fingerprint(self, docs):
+        fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        assert fps[1] == fps[3]
+
+    def test_near_dups_close_hamming(self, docs):
+        pairs = simhash_near_dups(docs, max_hamming=16, num_blocks=32).collect()
+        by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert by_pair.get((1, 3)) == 0
+        assert (1, 2) in by_pair
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def embeddings(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_bruteforce_topk(self, embeddings):
+        query = embeddings.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = cosine_topk(embeddings, query, k=5)
+        rows = out.collect()
+        assert len(rows) == 10  # 2 queries x 5
+        # self-similarity rank 1
+        top = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+        assert top == {0: 0, 1: 1}
+
+    def test_lsh_recall_against_bruteforce(self, embeddings):
+        query = embeddings.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {r["vec_id"] for r in cosine_topk(embeddings, query, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in lsh_topk(
+                embeddings, query, k=10, num_planes=4, dim=64, multi_probe=2
+            ).collect()
+        }
+        recall = len(exact & approx) / 10
+        assert recall >= 0.6, f"LSH recall too low: {recall} ({exact} vs {approx})"
+
+    def test_hyperplanes_deterministic(self):
+        assert random_hyperplanes(8, 4, seed=7) == random_hyperplanes(8, 4, seed=7)
+
+
+class TestTextOps:
+    def test_token_count(self, docs):
+        out = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+        assert out[1] == 9
+
+    def test_bpe_ish(self, docs):
+        out = {r["doc_id"]: r["est_bpe_tokens"] for r in bpe_ish_token_count(docs).collect()}
+        assert out[1] >= 9  # at least one chunk per word
+
+    def test_quality_score_range(self, docs):
+        for r in quality_score(docs.filter("doc_id < 8")).collect():
+            assert 0.0 <= r["quality_score"] <= 1.0
+            assert r["stopword_ratio"] >= 0.0
+
+    def test_language_id(self, docs):
+        out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+        assert out[1] == "en"
+        assert out[5] == "es"
+        assert out[6] == "de"
+        assert out[7] == "fr"
+
+    def test_fingerprint_stability(self, docs):
+        a = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+        assert a[1] == a[3]
+        assert a[1] != a[2]
+
+
+class TestMultimodalPlumbing:
+    def test_feature_extraction_fake(self, spark):
+        media = make_fake_media_df(spark, n=8)
+        feats = extract_features(media, dim=16, deterministic_fake=True).collect()
+        assert len(feats) == 8
+        assert {len(r["feature"]) for r in feats} == {16}
+        # deterministic across runs
+        feats2 = extract_features(make_fake_media_df(spark, n=8), dim=16, deterministic_fake=True).collect()
+        assert sorted(r["content_sha256"] for r in feats) == sorted(
+            r["content_sha256"] for r in feats2
+        )
+
+    def test_real_decode_is_stubbed(self, spark):
+        media = make_fake_media_df(spark, n=2)
+        with pytest.raises(Exception, match="NotImplementedError|media"):
+            extract_features(media, dim=8, deterministic_fake=False).collect()
+
+    def test_resize_plumbing(self, spark):
+        media = make_fake_media_df(spark, n=4)
+        out = resize_images(media, 8, 8, deterministic_fake=True).collect()
+        assert {len(r["content"]) for r in out} == {64}
+
+    def test_frame_sampling_flatmap(self, spark):
+        media = make_fake_media_df(spark, n=3, media_type="video")
+        out = sample_frames(media, every_n_ms=1000, deterministic_fake=True).collect()
+        assert len(out) == 15  # 5000ms / 1000ms x 3 videos
+        assert {r["frame_idx"] for r in out} == {0, 1, 2, 3, 4}
