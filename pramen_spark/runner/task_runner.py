@@ -148,6 +148,9 @@ class TaskRunner:
 
         # 3. run + decorate + save
         try:
+            # context for jobs that need it (incremental ingestion)
+            job.current_batch_id = self.batch_id
+            job._rerun = task.reason == TaskRunReason.RERUN
             df = job.run(info_date)
 
             op = job.operation

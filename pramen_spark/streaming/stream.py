@@ -1,0 +1,203 @@
+"""Structured Streaming support.
+
+The reference is strictly batch (SURVEY §1.5) — its "incremental mode" is
+offset-tracked batch. This module is the Spark-native extension of the
+same data model to continuous sources: a stream writes into the metastore
+as info-date-partitioned micro-batches via ``foreachBatch``, so downstream
+batch transformers see exactly the same table layout either way.
+
+Components:
+- ``read_file_stream``: file-based streaming source (schema required, as
+  Structured Streaming demands).
+- ``windowed_aggregation``: watermarked tumbling/sliding-window agg for
+  late data.
+- ``sessionize``: custom stateful operator via ``applyInPandasWithState``
+  (session windows with a gap timeout) — the pattern for operators Spark's
+  built-ins can't express.
+- ``metastore_foreach_batch_sink``: writes each micro-batch into a
+  metastore table partition derived from event time, stamped with the
+  micro-batch id as the batch id.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "parquet",
+    options: Optional[dict] = None,
+) -> DataFrame:
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_aggregation(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str = "10 minutes",
+    slide_duration: Optional[str] = None,
+    watermark: str = "30 minutes",
+    group_cols: Tuple[str, ...] = (),
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Watermarked windowed aggregation: counts (+ sum of value_col when
+    given) per (window, group_cols). Late rows beyond the watermark are
+    dropped by Spark's state store."""
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            *[a_name for a_name in (["cnt"] + ([f"sum_{value_col}"] if value_col else []))],
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# start/last are epoch MICROSECONDS (ints): float seconds would lose
+# sub-microsecond precision and trip Arrow's safe timestamp cast on output
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("count", T.LongType()),
+    ]
+)
+
+
+def _session_frame(user_id, sessions):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+            "n_events": [int(c) for _, _, c in sessions],
+        }
+    )
+
+
+def _sessionize_fn(gap_seconds: float):
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, count = state.get
+            state.remove()
+            yield _session_frame(user_id, [(start, last, count)])
+            return
+        ts_values: List[int] = []
+        for pdf in pdfs:
+            # tz-aware or naive -> UTC epoch micros
+            ts_values.extend(
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+            )
+        if not ts_values:
+            return
+        ts_values.sort()
+        # sessions found so far: [start, last, count]; seed with open state
+        sessions: List[List[int]] = []
+        if state.exists:
+            start, last, count = state.get
+            sessions.append([start, last, count])
+        for t in ts_values:
+            if sessions and t - sessions[-1][1] <= gap_us:
+                sessions[-1][1] = max(sessions[-1][1], t)
+                sessions[-1][2] += 1
+            else:
+                sessions.append([int(t), int(t), 1])
+        # all but the last are closed by an in-batch gap; last stays open
+        *closed, open_s = sessions
+        state.update((int(open_s[0]), int(open_s[1]), int(open_s[2])))
+        state.setTimeoutDuration(int(gap_seconds * 1000))
+        if closed:
+            yield _session_frame(user_id, closed)
+
+    return fn
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows with an inactivity gap via applyInPandasWithState —
+    the custom-stateful-operator pattern (state: per-user open session;
+    output: closed sessions)."""
+    gap_seconds = _parse_duration_seconds(gap)
+    events = df.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _parse_duration_seconds(s: str) -> float:
+    num, _, unit = s.strip().partition(" ")
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }[unit.lower()]
+    return float(num) * mult
+
+
+def metastore_foreach_batch_sink(
+    metastore,
+    table_name: str,
+    ts_col: str = "ts",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: route each micro-batch's rows to metastore
+    partitions by their event date. Use with
+    ``stream.writeStream.foreachBatch(...)``; the metastore table should
+    use ``save_mode='append'`` so concurrent micro-batches accumulate."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dates = [
+            r["d"]
+            for r in batch_df.select(F.to_date(ts_col).alias("d")).distinct().collect()
+        ]
+        for d in dates:
+            slice_df = batch_df.filter(F.to_date(ts_col) == F.lit(d))
+            slice_df = slice_df.withColumn(
+                metastore.table_config(table_name).batch_id_column, F.lit(batch_id)
+            )
+            metastore.save_table(table_name, slice_df, d)
+
+    return write_batch
