@@ -48,10 +48,12 @@ def _tokens(text_col: str):
 def shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
 ) -> DataFrame:
-    """Word shingles: (id, shingle) distinct pairs.
+    """Word shingles as strings: (id, shingle) distinct pairs.
 
     Built with transform over a token array (no explode of raw text), then
-    one explode — the minimal-width wide stage."""
+    one explode — the minimal-width wide stage. Prefer
+    ``hashed_shingles`` in compute paths: it skips building shingle
+    strings entirely."""
     toks = _tokens(text_col)
     n = F.size(toks)
     sh = F.transform(
@@ -61,6 +63,33 @@ def shingles(
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.col("shingle") != "")
+    )
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """Distinct 64-bit shingle hashes: (id, shingle_h long).
+
+    Two-step construction: (1) project the per-token xxhash64 array as a
+    real column, (2) build each shingle hash by hashing ``shingle_size``
+    consecutive token hashes (fixed-width long hashing — no shingle string
+    is ever materialized). The intermediate projection matters: inlining
+    the token-hash array into the shingle lambda makes Catalyst re-evaluate
+    it per element_at (O(n^2) per document)."""
+    hashed = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("th")
+    )
+    th = F.col("th")
+    # try_element_at: documents shorter than shingle_size yield one short
+    # shingle (xxhash64 skips null args), matching the string form's
+    # slice() semantics; element_at would raise under ANSI mode
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_size, F.lit(0))),
+        lambda i: F.xxhash64(*[F.try_element_at(th, i + j + 1) for j in range(shingle_size)]),
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle_h")
     )
 
 
@@ -74,18 +103,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: (id, signature array<long>).
 
-    Each of the ``num_hashes`` functions is xxhash64(shingle, seed=i); the
-    signature element i is the min over the document's shingles. The min
-    aggregation is partially applied map-side, so the shuffle volume is
-    rows x num_hashes longs, independent of document length."""
-    sh = shingles(df, id_col, text_col, shingle_size)
+    Hash function i is xxhash64(shingle_h, i) — a fixed-width long hash of
+    the 64-bit shingle hash, so only ONE variable-length string hash per
+    token is ever computed (in ``hashed_shingles``) no matter how many
+    minhash functions are requested. The min aggregation is partially
+    applied map-side, so the shuffle volume is rows x num_hashes longs,
+    independent of document length."""
+    sh = hashed_shingles(df, id_col, text_col, shingle_size)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        freq = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
         sh = (
-            sh.join(F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)), "shingle", "left_anti")
+            sh.join(F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)), "shingle_h", "left_anti")
         )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("shingle_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
@@ -145,9 +176,14 @@ def minhash_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH, verified by signature-level
-    Jaccard estimate: (id_a, id_b, est_jaccard >= threshold)."""
+    Jaccard estimate: (id_a, id_b, est_jaccard >= threshold).
+
+    Signatures are cached: the LSH banding self-join and both sides of the
+    verification join re-read them, and without the cache the full
+    shingle+minhash pipeline would run four times. At 100 TB the cache
+    becomes a persisted signatures table shared across runs."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size).cache()
     candidates = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -191,8 +227,8 @@ def ngram_jaccard_pairs(
     # (which would re-evaluate it per exploded row). At 100 TB this would
     # be a persisted intermediate table instead of an in-memory cache.
     base = (
-        shingles(df, id_col, text_col, shingle_size)
-        .select(F.col(id_col).alias("id"), F.xxhash64("shingle").alias("shingle_h"))
+        hashed_shingles(df, id_col, text_col, shingle_size)
+        .select(F.col(id_col).alias("id"), "shingle_h")
         .cache()
     )
     sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
