@@ -67,6 +67,64 @@ def cosine_topk(
     )
 
 
+def unit_embeddings(
+    df: DataFrame, id_col: str = "vec_id", embedding_col: str = "embedding"
+) -> DataFrame:
+    """(id, u): L2-normalized double embedding. The norm is projected as a
+    real column before the per-element divide — inlining it into the
+    transform lambda would recompute the norm once per element."""
+    base = with_double_embedding(df, embedding_col).select(id_col, "_emb_d")
+    with_norm = base.select(id_col, "_emb_d", _norm(F.col("_emb_d")).alias("_nrm"))
+    return with_norm.where(F.col("_nrm") > 0).select(
+        F.col(id_col),
+        F.transform("_emb_d", lambda x: x / F.col("_nrm")).alias("u"),
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    num_planes: Optional[int] = None,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine)
+    with id_a < id_b and cosine >= threshold.
+
+    ``num_planes=None`` is the exact all-pairs baseline (O(N^2) — the
+    correctness oracle). With ``num_planes`` set, candidates are restricted
+    to pairs sharing a random-hyperplane LSH bucket before exact cosine
+    verification — the 100 TB path: the self-join shuffles on the bucket
+    key, so only same-bucket shards are ever paired. Recall for a pair at
+    angle theta is (1 - theta/pi)^num_planes; pick num_planes from the
+    target threshold (near-dup thresholds ~0.95 keep theta small)."""
+    if num_planes is None:
+        units = unit_embeddings(df, id_col, embedding_col)
+        a = units.select(F.col(id_col).alias("id_a"), F.col("u").alias("u_a"))
+        b = units.select(F.col(id_col).alias("id_b"), F.col("u").alias("u_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = random_hyperplanes(dim, num_planes, seed)
+        bucketed = lsh_bucket(df, planes, embedding_col)
+        units = (
+            bucketed.select(id_col, "_emb_d", "bucket", _norm(F.col("_emb_d")).alias("_nrm"))
+            .where(F.col("_nrm") > 0)
+            .select(
+                F.col(id_col),
+                F.col("bucket"),
+                F.transform("_emb_d", lambda x: x / F.col("_nrm")).alias("u"),
+            )
+        )
+        a = units.select(F.col(id_col).alias("id_a"), F.col("u").alias("u_a"), "bucket")
+        b = units.select(F.col(id_col).alias("id_b"), F.col("u").alias("u_b"), "bucket")
+        pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b")).drop("bucket")
+    return pairs.select(
+        "id_a", "id_b", _dot(F.col("u_a"), F.col("u_b")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:
     """Deterministic unit hyperplanes (fixed seed -> same buckets on every
     run and every cluster)."""

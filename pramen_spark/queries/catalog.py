@@ -928,3 +928,46 @@ def q_like_filter_parts(spark, sf_dir):
     return p.filter(F.col("p_name").like("%green%") & (F.col("p_size") >= 10)).select(
         "p_partkey", "p_name", "p_retailprice"
     )
+
+
+@query(
+    "embedding_near_dups",
+    """
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                               CAST(embedding AS DOUBLE[])))) AS uv
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_inner_product(a.uv, b.uv), 6) AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.uv, b.uv) >= 0.4
+    """,
+    "embedding-cosine near-duplicate pairs (exact all-pairs baseline)",
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dups(spark, sf_dir):
+    """Scale: the exact variant is the oracle baseline; production uses
+    embedding_near_dups(num_planes=p) which shuffles on the LSH bucket key
+    so only same-bucket shards are paired (see similarity.py docstring)."""
+    from pramen_spark.operators.similarity import embedding_near_dups
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(e, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "embedding_near_dups_lsh",
+    None,  # LSH-bucketed scale path; the exact twin has the oracle
+    "embedding-cosine near-dups via hyperplane-LSH bucketed self-join",
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    from pramen_spark.operators.similarity import embedding_near_dups
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(e, threshold=0.4, num_planes=2, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -14,7 +14,12 @@ from pramen_spark.operators.dedup import (
     simhash,
     simhash_near_dups,
 )
-from pramen_spark.operators.similarity import cosine_topk, lsh_topk, random_hyperplanes
+from pramen_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_topk,
+    random_hyperplanes,
+)
 from pramen_spark.operators.text import (
     bpe_ish_token_count,
     fingerprint,
@@ -199,3 +204,44 @@ class TestMultimodalPlumbing:
         out = sample_frames(media, every_n_ms=1000, deterministic_fake=True).collect()
         assert len(out) == 15  # 5000ms / 1000ms x 3 videos
         assert {r["frame_idx"] for r in out} == {0, 1, 2, 3, 4}
+
+
+class TestEmbeddingNearDups:
+    @pytest.fixture(scope="class")
+    def embeddings(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_exact_pairs_symmetric_threshold(self, embeddings):
+        pairs = embedding_near_dups(embeddings, threshold=0.4).collect()
+        assert len(pairs) > 0
+        for r in pairs:
+            assert r["id_a"] < r["id_b"]
+            assert r["cosine"] >= 0.4
+
+    def test_identical_vectors_are_found(self, spark, embeddings):
+        # duplicate vec 0 under a new id: cosine 1.0 must surface
+        dup = embeddings.filter(F.col("vec_id") == 0).withColumn(
+            "vec_id", F.lit(100000).cast("long")
+        )
+        out = embedding_near_dups(embeddings.unionByName(dup), threshold=0.999)
+        rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+        assert (0, 100000) in rows
+
+    def test_lsh_subset_of_exact(self, embeddings):
+        exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(embeddings, threshold=0.4).collect()}
+        lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+            embeddings, threshold=0.4, num_planes=2, dim=64).collect()}
+        assert lsh <= exact
+        assert len(lsh) > 0
+
+    def test_lsh_high_threshold_recall(self, spark, embeddings):
+        # identical vectors always share every LSH bucket -> recall 1.0 at
+        # cosine ~1 regardless of num_planes
+        dup = embeddings.filter(F.col("vec_id") < 3).withColumn(
+            "vec_id", (F.col("vec_id") + 200000).cast("long")
+        )
+        out = embedding_near_dups(
+            embeddings.unionByName(dup), threshold=0.999, num_planes=8, dim=64
+        )
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert {(0, 200000), (1, 200001), (2, 200002)} <= got
