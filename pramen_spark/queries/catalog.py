@@ -971,3 +971,43 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dups(e, threshold=0.4, num_planes=2, dim=64)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+    ),
+    marked AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess AS (
+        SELECT user_id, tus,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    "session windows (30 min gap) over events via lag/cumsum window funcs",
+    tags=("sessionization",),
+)
+def q_sessionize_events(spark, sf_dir):
+    """Batch twin of the streaming sessionize operator (streaming/stream.py
+    runs the same semantics incrementally via applyInPandasWithState)."""
+    from pramen_spark.streaming.stream import sessionize_batch
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize_batch(e, "user_id", "ts", gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )

@@ -168,6 +168,43 @@ def sessionize(
     )
 
 
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Batch twin of ``sessionize``: session windows over a static
+    DataFrame via window functions (lag -> gap flag -> cumulative session
+    id -> per-session agg). Returns ALL sessions (batch has no notion of
+    an open session): (user_id, session_start, session_end, n_events).
+
+    Scale: two window passes and one aggregation, all partitioned by
+    user — a single shuffle on the user key; no Python."""
+    from pyspark.sql import Window as W
+
+    gap_us = int(_parse_duration_seconds(gap) * 1_000_000)
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    prev_us = F.unix_micros(F.lag(ts_col).over(w))
+    marked = df.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts")).withColumn(
+        "_new_sess",
+        (
+            prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us)
+        ).cast("int"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    with_sid = marked.withColumn("_sid", F.sum("_new_sess").over(w2))
+    return (
+        with_sid.groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sid")
+    )
+
+
 def _parse_duration_seconds(s: str) -> float:
     num, _, unit = s.strip().partition(" ")
     mult = {

@@ -132,3 +132,24 @@ class TestMetastoreForeachBatch:
         assert n1 == 30 and n2 == 30
         df = ms.get_table("stream_events", d1, d2)
         assert "pramen_batchid" in df.columns
+
+
+class TestSessionizeBatch:
+    def test_batch_sessions(self, spark):
+        from pramen_spark.streaming.stream import sessionize_batch
+
+        base = dt.datetime(2024, 1, 10, 12, 0, 0)
+        rows = []
+        for i in range(5):
+            rows.append((i, base + dt.timedelta(minutes=i), 1, 0.0))
+        for i in range(5):
+            rows.append((100 + i, base + dt.timedelta(hours=2, minutes=i), 1, 0.0))
+        rows.append((200, base, 2, 0.0))
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        out = {(r["user_id"], r["session_start"], r["n_events"])
+               for r in sessionize_batch(df, "user_id", "ts", "30 minutes").collect()}
+        assert out == {
+            (1, base, 5),
+            (1, base + dt.timedelta(hours=2), 5),
+            (2, base, 1),
+        }
