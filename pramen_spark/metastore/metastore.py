@@ -31,9 +31,12 @@ from pramen_spark.metastore.persistence import (
 
 class Metastore:
     def __init__(self, spark: SparkSession, tables: Sequence[TableConfig], temp_dir: str | None = None):
+        from pramen_spark.metastore.transient_jobs import TransientJobManager
+
         self.spark = spark
         self.tables: Dict[str, TableConfig] = {t.name.lower(): t for t in tables}
         self.transient = TransientTableManager(spark, temp_dir)
+        self.transient_jobs = TransientJobManager(self)
         self._persistence: Dict[str, MetastorePersistence] = {}
 
     def add_table(self, table: TableConfig) -> None:
@@ -62,6 +65,10 @@ class Metastore:
         cfg = self.table_config(name)
         if cfg.format.is_transient:
             df = self.transient.get_range(name, info_date_from, info_date_to)
+            if df is None and cfg.format.is_lazy and self.transient_jobs.has_job(name):
+                # lazy transient: run the producing job on demand
+                self.transient_jobs.materialize_range(name, info_date_from, info_date_to)
+                df = self.transient.get_range(name, info_date_from, info_date_to)
             if df is None:
                 raise KeyError(f"Transient table '{name}' has no data in range")
             return df

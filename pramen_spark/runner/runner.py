@@ -179,6 +179,16 @@ class PipelineRunner:
         return results
 
     def run(self, jobs: Sequence[Job], params: ScheduleParams) -> PipelineResult:
+        # lazy transient outputs are not scheduled: their jobs register with
+        # the TransientJobManager and run on first consumer read
+        # (reference: TransientJobManager / OperationSplitter lazy handling)
+        eager_jobs: List[Job] = []
+        for job in jobs:
+            if job.output_table.format.is_lazy:
+                self.metastore.transient_jobs.register_job(job)
+            else:
+                eager_jobs.append(job)
+        jobs = eager_jobs
         resolver = DependencyResolver(jobs)
         pending: List[Job] = list(jobs)
         done: Dict[int, bool] = {}  # id(job) -> had_failures

@@ -1,0 +1,220 @@
+"""Operational machinery tests: lazy transient jobs, notifications,
+hive/catalog sync, kafka offset rendering + serialization, enceladus-style
+data-lake sink."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pramen_spark.config.models import (
+    CachePolicy,
+    DataFormat,
+    OperationDef,
+    Schedule,
+    TableConfig,
+)
+from pramen_spark.metastore.metastore import Metastore
+from pramen_spark.runner.bookkeeper import Bookkeeper
+from pramen_spark.runner.jobs import PythonFunctionJob
+from pramen_spark.runner.task_runner import RunStatus, TaskResult
+from pramen_spark.scheduling.strategies import TaskRunReason
+
+D = dt.date(2024, 1, 10)
+
+
+class TestLazyTransientJobs:
+    def test_lazy_job_runs_on_first_read_only(self, spark, tmp_path):
+        runs = []
+
+        def produce(reader, info_date):
+            runs.append(info_date)
+            return spark.range(5).select(F.col("id"), F.lit(str(info_date)).alias("d"))
+
+        ms = Metastore(
+            spark,
+            [TableConfig(name="lazy_t", format=DataFormat.transient(lazy=True),
+                         info_date_column="")],
+        )
+        job = PythonFunctionJob(
+            OperationDef(name="lazy", kind="transformation", output_table="lazy_t"),
+            ms, Bookkeeper(), ms.table_config("lazy_t"), produce,
+        )
+        ms.transient_jobs.register_job(job)
+
+        assert runs == []  # nothing ran yet
+        df1 = ms.get_table("lazy_t", D, D)
+        assert df1.count() == 5
+        assert runs == [D]
+        df2 = ms.get_table("lazy_t", D, D)  # shared, not re-run
+        assert df2.count() == 5
+        assert runs == [D]
+
+    def test_lazy_requires_closed_range(self, spark):
+        ms = Metastore(
+            spark,
+            [TableConfig(name="lazy_t2", format=DataFormat.transient(lazy=True),
+                         info_date_column="")],
+        )
+        job = PythonFunctionJob(
+            OperationDef(name="lazy2", kind="transformation", output_table="lazy_t2"),
+            ms, Bookkeeper(), ms.table_config("lazy_t2"),
+            lambda r, d: None,
+        )
+        ms.transient_jobs.register_job(job)
+        with pytest.raises(ValueError, match="closed date range"):
+            ms.get_table("lazy_t2", None, D)
+
+    def test_runner_registers_lazy_jobs_instead_of_scheduling(self, spark):
+        from pramen_spark.runner.runner import PipelineRunner
+        from pramen_spark.scheduling.strategies import ScheduleParams
+
+        ms = Metastore(
+            spark,
+            [TableConfig(name="lazy_t3", format=DataFormat.transient(lazy=True),
+                         info_date_column="")],
+        )
+        bk = Bookkeeper()
+        runs = []
+        job = PythonFunctionJob(
+            OperationDef(name="lazy3", kind="transformation", output_table="lazy_t3"),
+            ms, bk, ms.table_config("lazy_t3"),
+            lambda r, d: (runs.append(d), spark.range(1))[1],
+        )
+        runner = PipelineRunner(ms, bk)
+        result = runner.run([job], ScheduleParams(run_date=D))
+        assert result.results == []  # lazy job not executed eagerly
+        assert runs == []
+        assert ms.transient_jobs.has_job("lazy_t3")
+
+
+class TestNotificationBuilder:
+    def _results(self):
+        return [
+            TaskResult("job_a", "table_a", D, RunStatus.SUCCEEDED,
+                       TaskRunReason.NEW, records=100000, elapsed_sec=10.0),
+            TaskResult("job_b", "table_b", D, RunStatus.FAILED,
+                       TaskRunReason.NEW, error="boom <tag>"),
+        ]
+
+    def test_throughput_and_text(self):
+        from pramen_spark.notify import NotificationConfig, PipelineNotificationBuilder
+
+        b = PipelineNotificationBuilder(NotificationConfig(pipeline_name="p1"))
+        results = self._results()
+        assert b.throughput_rps(results[0]) == 10000
+        assert b.throughput_rps(results[1]) is None
+        text = b.build_text(results)
+        assert "1 succeeded, 1 failed, 2 total" in text
+        assert "rps=10000" in text
+
+    def test_html_report_escapes_and_colors(self, tmp_path):
+        from pramen_spark.notify import NotificationConfig, PipelineNotificationBuilder
+
+        b = PipelineNotificationBuilder(
+            NotificationConfig(warn_throughput_rps=20000, good_throughput_rps=50000)
+        )
+        html_out = b.build_html(self._results())
+        assert "boom &lt;tag&gt;" in html_out  # escaped
+        assert "#9c5700" in html_out  # 10000 rps < warn threshold
+        path = b.write_html(self._results(), str(tmp_path / "report.html"))
+        assert os.path.getsize(path) > 0
+
+
+class TestHiveSync:
+    def test_sync_catalog_roundtrip(self, spark, tmp_path):
+        from pramen_spark.metastore.hive import create_table_ddl, sync_catalog
+
+        path = str(tmp_path / "hive_t")
+        cfg = TableConfig(name="hive_t", format=DataFormat.parquet(path))
+        ms = Metastore(spark, [cfg])
+        df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        ms.save_table("hive_t", df, D)
+        ms.save_table("hive_t", df, D + dt.timedelta(days=1))
+
+        name = sync_catalog(spark, cfg)
+        try:
+            got = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0]["n"]
+            assert got == 20
+            parts = spark.sql(f"SHOW PARTITIONS {name}").collect()
+            assert len(parts) == 2
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+        ddl = create_table_ddl(cfg, df.schema)
+        assert ddl[0].startswith("DROP TABLE IF EXISTS")
+        assert "CREATE EXTERNAL TABLE" in ddl[1]
+        assert "PARTITIONED BY (`pramen_info_date` DATE)" in ddl[1]
+        assert ddl[2].startswith("MSCK REPAIR TABLE")
+
+
+class TestKafka:
+    def test_offsets_json_rendering(self):
+        from pramen_spark.sources.kafka_source import (
+            EARLIEST,
+            LATEST,
+            kafka_offsets_json,
+            next_offsets,
+        )
+
+        j = kafka_offsets_json("topic1", {0: 100, 1: 250})
+        assert json.loads(j) == {"topic1": {"0": 100, "1": 250}}
+        assert kafka_offsets_json("t", {0: EARLIEST}) == '{"t":{"0":-2}}'
+        assert kafka_offsets_json("t", {0: LATEST}) == '{"t":{"0":-1}}'
+        assert next_offsets({0: 100, 1: 250}) == {0: 101, 1: 251}
+        assert next_offsets(None) == {}
+
+    def test_serialize_for_kafka_json(self, spark):
+        from pramen_spark.sinks.kafka_sink import serialize_for_kafka
+
+        df = spark.range(3).select(F.col("id"), F.lit("x").alias("s"))
+        out = serialize_for_kafka(df, "json", key_column="id")
+        assert out.columns == ["key", "value"]
+        rows = out.collect()
+        v = json.loads(bytes(rows[0]["value"]).decode())
+        assert v == {"id": 0, "s": "x"}
+        assert bytes(rows[0]["key"]).decode() == "0"
+
+    def test_kafka_read_gated_without_connector(self, spark):
+        from pramen_spark.sources.kafka_source import KafkaSource, kafka_available
+
+        src = KafkaSource(spark, {"kafka.bootstrap.servers": "none:9092",
+                                  "topic": "t", "schema": "id long"})
+        if not kafka_available(spark):
+            with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+                src.get_data({}, D, D)
+
+
+class TestEnceladusSink:
+    def test_layout_version_and_info_file(self, spark, tmp_path):
+        from pramen_spark.sinks.enceladus_sink import EnceladusSink
+
+        base = str(tmp_path / "lake")
+        sink = EnceladusSink(spark, {"path": base, "format": "parquet"})
+        df = spark.range(7).select(F.col("id"))
+
+        n = sink.send(df, "tbl", D, {})
+        assert n == 7
+        v1 = os.path.join(base, "2024/01/10/v1")
+        assert os.path.isdir(v1)
+        info = json.load(open(os.path.join(v1, "_INFO")))
+        assert info["metadata"]["version"] == 1
+        assert info["metadata"]["informationDate"] == "10-01-2024"
+        assert info["checkpoints"][0]["controls"][0]["controlValue"] == "7"
+        assert spark.read.parquet(v1).count() == 7
+
+        # second send for the same date auto-bumps to v2
+        sink.send(df, "tbl", D, {})
+        assert os.path.isdir(os.path.join(base, "2024/01/10/v2"))
+
+    def test_publish_copy(self, spark, tmp_path):
+        from pramen_spark.sinks.enceladus_sink import EnceladusSink
+
+        base, pub = str(tmp_path / "raw"), str(tmp_path / "publish")
+        sink = EnceladusSink(
+            spark, {"path": base, "format": "parquet", "publish.base.path": pub}
+        )
+        sink.send(spark.range(3), "tbl", D, {})
+        assert spark.read.parquet(os.path.join(pub, "2024/01/10/v1")).count() == 3
