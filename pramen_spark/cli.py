@@ -1,0 +1,108 @@
+"""Command-line pipeline runner.
+
+Reference: the Runner main + CmdLineConfig
+(core/.../cmd/CmdLineConfig.scala:150-265) with the same flags:
+``--workflow, --date, --rerun, --date-from/--date-to, --run-mode
+fill_gaps|check_updates|force, --ops, --dry-run, --parallel-tasks``.
+
+Run: ``python -m pramen_spark --workflow pipeline.conf --date 2024-01-10``
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import sys
+import time
+from typing import List, Optional, Sequence
+
+from pramen_spark.config.loader import build_jobs, load_workflow
+from pramen_spark.metastore.metastore import Metastore
+from pramen_spark.notify import NotificationConfig, PipelineNotificationBuilder
+from pramen_spark.runner.bookkeeper import Bookkeeper, Journal, JsonBookkeeper
+from pramen_spark.runner.runner import PipelineRunner
+from pramen_spark.scheduling.strategies import RunMode, ScheduleParams
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="pramen_spark", description="Run a pipeline workflow")
+    p.add_argument("--workflow", required=True, help="workflow config file (HOCON/JSON)")
+    p.add_argument("--date", help="run date yyyy-MM-dd (default: today)")
+    p.add_argument("--rerun", action="store_true", help="force rerun for --date")
+    p.add_argument("--date-from", dest="date_from", help="historical run start date")
+    p.add_argument("--date-to", dest="date_to", help="historical run end date")
+    p.add_argument(
+        "--run-mode",
+        dest="run_mode",
+        choices=[m.value for m in RunMode],
+        default=RunMode.CHECK_UPDATES.value,
+        help="historical mode: fill_gaps | check_updates | force",
+    )
+    p.add_argument("--ops", nargs="*", help="run only these operation names")
+    p.add_argument("--dry-run", dest="dry_run", action="store_true")
+    p.add_argument("--parallel-tasks", dest="parallel_tasks", type=int)
+    p.add_argument("--check-late-only", dest="late_only", action="store_true")
+    p.add_argument("--check-new-only", dest="new_only", action="store_true")
+    p.add_argument("--notification-file", dest="notification_file",
+                   help="write the HTML run report here")
+    return p.parse_args(argv)
+
+
+def schedule_params(args: argparse.Namespace) -> ScheduleParams:
+    run_date = _dt.date.fromisoformat(args.date) if args.date else _dt.date.today()
+    if args.date_from and args.date_to:
+        return ScheduleParams.historical(
+            _dt.date.fromisoformat(args.date_from),
+            _dt.date.fromisoformat(args.date_to),
+            mode=RunMode(args.run_mode),
+        )
+    if args.rerun:
+        return ScheduleParams.rerun(run_date)
+    return ScheduleParams.normal(
+        run_date, new_only=args.new_only, late_only=args.late_only
+    )
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = parse_args(argv)
+    wf = load_workflow(args.workflow)
+
+    from pramen_spark.session import build_session
+
+    spark = build_session(app_name=wf.pipeline_name, extra_conf=wf.spark_conf)
+    bookkeeper: Bookkeeper = (
+        JsonBookkeeper(wf.bookkeeping_path) if wf.bookkeeping_path else Bookkeeper()
+    )
+    metastore = Metastore(spark, wf.tables, temp_dir=wf.temp_dir)
+    jobs = build_jobs(spark, wf, metastore, bookkeeper)
+    if args.ops:
+        wanted = {o.lower() for o in args.ops}
+        jobs = [j for j in jobs if j.operation.name.split(":")[0].lower() in wanted]
+    params = schedule_params(args)
+
+    if args.dry_run:
+        for job in jobs:
+            print(f"DRY RUN: would consider {job.name} -> {job.output_table.name}")
+        return 0
+
+    batch_id = int(time.time())
+    runner = PipelineRunner(
+        metastore,
+        bookkeeper,
+        Journal(),
+        parallel_tasks=args.parallel_tasks or wf.parallel_tasks,
+        batch_id=batch_id,
+    )
+    result = runner.run(jobs, params)
+
+    builder = PipelineNotificationBuilder(
+        NotificationConfig(pipeline_name=wf.pipeline_name, environment=wf.environment)
+    )
+    print(builder.build_text(result.results))
+    if args.notification_file:
+        builder.write_html(result.results, args.notification_file)
+    return result.exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())
