@@ -1011,3 +1011,39 @@ def q_sessionize_events(spark, sf_dir):
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     )
+
+
+@query(
+    "asof_join_purchases",
+    """
+    SELECT v.event_id,
+           v.user_id,
+           epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_ts_us,
+           p.event_id AS purchase_event_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+    "as-of join: latest purchase at or before each view, per user",
+    tags=("asof",),
+)
+def q_asof_join_purchases(spark, sf_dir):
+    """Union+window as-of join (operators/asof.py): one shuffle on the
+    key, no range-join candidate explosion — the point-in-time feature
+    join shape for 100 TB training pipelines."""
+    from pramen_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(views, purchases, on="ts", by=["user_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("view_ts_us"),
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+    )

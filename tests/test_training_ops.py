@@ -245,3 +245,63 @@ class TestEmbeddingNearDups:
         )
         got = {(r["id_a"], r["id_b"]) for r in out.collect()}
         assert {(0, 200000), (1, 200001), (2, 200002)} <= got
+
+
+class TestAsofJoin:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        left = spark.createDataFrame(
+            [(1, 1, ts(10)), (2, 1, ts(20)), (3, 2, ts(5))],
+            "lid long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, 1, ts(10)), (101, 1, ts(15)), (102, 2, ts(7))],
+            "rid long, k long, ts timestamp",
+        )
+        return left, right
+
+    def test_backward_matches_latest_at_or_before(self, frames):
+        from pramen_spark.operators.asof import asof_join
+
+        left, right = frames
+        out = {r["lid"]: r["rid"] for r in asof_join(left, right, by=["k"]).collect()}
+        # lid 1 @10 matches rid 100 @10 (ties included); lid 2 @20 -> rid 101 @15
+        # lid 3 @5 has no earlier purchase -> null
+        assert out == {1: 100, 2: 101, 3: None}
+
+    def test_forward_matches_earliest_at_or_after(self, frames):
+        from pramen_spark.operators.asof import asof_join
+
+        left, right = frames
+        out = {
+            r["lid"]: r["rid"]
+            for r in asof_join(left, right, by=["k"], direction="forward").collect()
+        }
+        assert out == {1: 100, 2: None, 3: 102}
+
+    def test_tolerance_nulls_distant_matches(self, frames):
+        from pramen_spark.operators.asof import asof_join
+
+        left, right = frames
+        out = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, by=["k"], tolerance_seconds=120
+            ).collect()
+        }
+        # lid 2 @20 matched rid 101 @15: 5 min > 2 min tolerance -> nulled
+        assert out == {1: 100, 2: None, 3: None}
+
+    def test_no_by_key_global_asof(self, spark, frames):
+        from pramen_spark.operators.asof import asof_join
+
+        left, right = frames
+        out = asof_join(left, right).collect()
+        assert all(r["ts_right"] is not None for r in out if r["lid"] != 3)
