@@ -1047,3 +1047,50 @@ def q_asof_join_purchases(spark, sf_dir):
         F.col("event_id_right").alias("purchase_event_id"),
         F.unix_micros("ts_right").alias("purchase_ts_us"),
     )
+
+
+@query(
+    "range_join_error_windows",
+    """
+    WITH errors AS (
+        SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS w_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id, e.error_id,
+           epoch_us(c.cts) AS click_ts_us
+    FROM clicks c JOIN errors e
+      ON c.user_id = e.user_id AND c.cts BETWEEN e.w_start AND e.w_end
+    """,
+    "interval containment join: clicks within 10 min after an error",
+    tags=("rangejoin",),
+)
+def q_range_join_error_windows(spark, sf_dir):
+    """Binned interval join (operators/rangejoin.py): intervals explode to
+    overlapped time bins, points map to one bin, equi-join on (user, bin)
+    — no per-key quadratic pairing (the naive BETWEEN join's failure mode
+    on hot keys at 100 TB)."""
+    from pramen_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.timestamp_micros(F.unix_micros("ts") + 600 * 1_000_000)).alias("w_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    joined = range_join(
+        clicks, errors,
+        point_col="cts", start_col="w_start", end_col="w_end",
+        by=["user_id"], bin_seconds=600,
+    )
+    return joined.select(
+        "click_id", "user_id", "error_id", F.unix_micros("cts").alias("click_ts_us")
+    )

@@ -305,3 +305,60 @@ class TestAsofJoin:
         left, right = frames
         out = asof_join(left, right).collect()
         assert all(r["ts_right"] is not None for r in out if r["lid"] != 3)
+
+
+class TestRangeJoin:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ts(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        points = spark.createDataFrame(
+            [(1, 1, ts(5)), (2, 1, ts(65)), (3, 1, ts(200)), (4, 2, ts(5))],
+            "pid long, k long, ts timestamp",
+        )
+        # interval 10 spans two 1-hour bins (minutes 0..70)
+        intervals = spark.createDataFrame(
+            [(10, 1, ts(0), ts(70)), (11, 2, ts(100), ts(110))],
+            "ivid long, k long, start timestamp, end timestamp",
+        )
+        return points, intervals
+
+    def test_inner_containment(self, frames):
+        from pramen_spark.operators.rangejoin import range_join
+
+        points, intervals = frames
+        out = {(r["pid"], r["ivid"]) for r in range_join(
+            points, intervals, by=["k"], bin_seconds=3600).collect()}
+        assert out == {(1, 10), (2, 10)}  # pid 2 in the interval's 2nd bin
+
+    def test_left_keeps_unmatched(self, frames):
+        from pramen_spark.operators.rangejoin import range_join
+
+        points, intervals = frames
+        rows = range_join(points, intervals, by=["k"], bin_seconds=3600,
+                          how="left", point_id_col="pid").collect()
+        got = {r["pid"]: r["ivid"] for r in rows}
+        assert got == {1: 10, 2: 10, 3: None, 4: None}
+        assert len(rows) == 4  # no duplicate null rows
+
+    def test_left_requires_id(self, frames):
+        from pramen_spark.operators.rangejoin import range_join
+
+        points, intervals = frames
+        with pytest.raises(ValueError, match="point_id_col"):
+            range_join(points, intervals, how="left")
+
+    def test_small_bins_same_result(self, frames):
+        from pramen_spark.operators.rangejoin import range_join
+
+        points, intervals = frames
+        big = {(r["pid"], r["ivid"]) for r in range_join(
+            points, intervals, by=["k"], bin_seconds=3600).collect()}
+        small = {(r["pid"], r["ivid"]) for r in range_join(
+            points, intervals, by=["k"], bin_seconds=60).collect()}
+        assert big == small
