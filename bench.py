@@ -35,6 +35,10 @@ HEADLINE = [
     "doc_fingerprint",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
+    "embedding_near_dups_lsh",
+    "sessionize_events",
+    "asof_join_purchases",
+    "range_join_error_windows",
 ]
 
 

@@ -81,6 +81,42 @@ def unit_embeddings(
     )
 
 
+def _bucketed_pairs_blockwise(units: DataFrame, threshold: float) -> DataFrame:
+    """Per-bucket all-pairs cosine via one numpy matmul per bucket
+    (applyInPandas). Each vector lives in exactly one bucket (its sign
+    pattern), so pairs are unique across buckets — no dedup pass.
+
+    Transfer cost is |vectors| once (Arrow), NOT |pairs|: scoring 780k
+    candidate pairs by shipping both arrays per pair moves ~1000x more
+    bytes than shipping each bucket's vectors once and multiplying
+    in-block. Memory per task is O(bucket^2) doubles — pick num_planes so
+    the largest bucket's pair matrix fits the executor (salt or split
+    oversized buckets upstream for skewed corpora)."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["u"].to_numpy())
+        c = m @ m.T
+        ia, ib = np.where(np.triu(c >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": c[ia, ib],
+            }
+        )
+
+    return units.groupBy("bucket").applyInPandas(
+        fn, "id_a long, id_b long, cosine double"
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.9,
@@ -101,28 +137,27 @@ def embedding_near_dups(
     angle theta is (1 - theta/pi)^num_planes; pick num_planes from the
     target threshold (near-dup thresholds ~0.95 keep theta small)."""
     if num_planes is None:
+        # exact all-pairs: JVM expression scoring — bit-deterministic
+        # sequential sums whose evaluation order matches the SQL oracle
         units = unit_embeddings(df, id_col, embedding_col)
         a = units.select(F.col(id_col).alias("id_a"), F.col("u").alias("u_a"))
         b = units.select(F.col(id_col).alias("id_b"), F.col("u").alias("u_b"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        planes = random_hyperplanes(dim, num_planes, seed)
-        bucketed = lsh_bucket(df, planes, embedding_col)
-        units = (
-            bucketed.select(id_col, "_emb_d", "bucket", _norm(F.col("_emb_d")).alias("_nrm"))
-            .where(F.col("_nrm") > 0)
-            .select(
-                F.col(id_col),
-                F.col("bucket"),
-                F.transform("_emb_d", lambda x: x / F.col("_nrm")).alias("u"),
-            )
+        return pairs.select(
+            "id_a", "id_b", _dot(F.col("u_a"), F.col("u_b")).alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bucketed = lsh_bucket(df, planes, embedding_col)
+    units = (
+        bucketed.select(id_col, "_emb_d", "bucket", _norm(F.col("_emb_d")).alias("_nrm"))
+        .where(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("bucket"),
+            F.transform("_emb_d", lambda x: x / F.col("_nrm")).alias("u"),
         )
-        a = units.select(F.col(id_col).alias("id_a"), F.col("u").alias("u_a"), "bucket")
-        b = units.select(F.col(id_col).alias("id_b"), F.col("u").alias("u_b"), "bucket")
-        pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b")).drop("bucket")
-    return pairs.select(
-        "id_a", "id_b", _dot(F.col("u_a"), F.col("u_b")).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    )
+    return _bucketed_pairs_blockwise(units, threshold)
 
 
 def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:

@@ -1094,3 +1094,34 @@ def q_range_join_error_windows(spark, sf_dir):
     return joined.select(
         "click_id", "user_id", "error_id", F.unix_micros("cts").alias("click_ts_us")
     )
+
+
+@query(
+    "simhash_near_dups",
+    None,  # xxhash64-based fingerprints are Spark-specific; rows-only
+    "SimHash near-dup pairs: pigeonhole block join + exact Hamming verify",
+    tags=("dedup",),
+)
+def q_simhash_near_dups(spark, sf_dir):
+    from pramen_spark.operators.dedup import simhash_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=6, num_blocks=8)
+
+
+@query(
+    "multimodal_features",
+    None,  # binary media decode is stubbed (no codec libs); rows-only
+    "multimodal plumbing: binary media -> feature vectors via mapInPandas",
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark, sf_dir):
+    """Spark-side plumbing is real (schema, Arrow batching, partitioning);
+    the decode step is a deterministic fake because no image/audio codecs
+    ship in this environment (operators/multimodal.py gates the real
+    path behind NotImplementedError)."""
+    from pramen_spark.operators.multimodal import extract_features, make_fake_media_df
+
+    media = make_fake_media_df(spark, n=64, media_type="image")
+    feats = extract_features(media, dim=16, deterministic_fake=True)
+    return feats.select("media_id", "content_sha256", F.col("feature_dim").alias("dim"))
