@@ -216,3 +216,53 @@ class PythonFunctionJob(Job):
     def run(self, info_date: _dt.date) -> DataFrame:
         reader = self.metastore.get_reader(self.operation.input_tables, info_date)
         return self.fn(reader, info_date)
+
+
+class TransferJob(Job):
+    """Source -> sink directly, without persisting in the metastore
+    (core/.../pipeline/TransferJob.scala). The output table is a virtual
+    name used only for bookkeeping/locking."""
+
+    def __init__(
+        self,
+        operation: OperationDef,
+        metastore: Metastore,
+        bookkeeper: Bookkeeper,
+        output_table: TableConfig,
+        source: Source,
+        source_query: Any,
+        sink: Sink,
+    ):
+        super().__init__(operation, metastore, bookkeeper, output_table)
+        self.source = source
+        self.source_query = source_query
+        self.sink = sink
+
+    def pre_run_check(self, info_date: _dt.date) -> JobPreRunResult:
+        date_from, date_to = self.get_info_date_range(info_date)
+        try:
+            count = self.source.get_record_count(self.source_query, date_from, date_to)
+        except NotImplementedError:
+            return JobPreRunResult(JobPreRunStatus.READY)
+        if count == 0:
+            fail = str(self.operation.options.get("fail.if.no.data", "false")).lower() == "true"
+            return JobPreRunResult(
+                JobPreRunStatus.NO_DATA if fail else JobPreRunStatus.SKIP, 0,
+                "No data at the source",
+            )
+        return JobPreRunResult(JobPreRunStatus.READY, count)
+
+    def run(self, info_date: _dt.date) -> DataFrame:
+        date_from, date_to = self.get_info_date_range(info_date)
+        return self.source.get_data(self.source_query, date_from, date_to)
+
+    def save(self, df: DataFrame, info_date: _dt.date):
+        self.sink.connect()
+        try:
+            sent = self.sink.send(df, self.output_table.name, info_date, self.operation.options)
+        finally:
+            self.sink.close()
+
+        from pramen_spark.metastore.persistence import WriteResult
+
+        return WriteResult(records=sent)

@@ -83,6 +83,32 @@ class DependencyResolver:
                 visit(j, [j.output_table.name])
 
 
+class ResourcePool:
+    """Weighted thread-resource semaphore
+    (core/.../runner/task/TaskRunnerMultithreaded.scala:41-75): a job
+    declaring ``consume.threads = n`` holds n of the pool's
+    ``parallel.tasks`` permits while it runs; ``allow.parallel = false``
+    jobs take the whole pool (exclusive run)."""
+
+    def __init__(self, total: int):
+        self.total = max(1, total)
+        self._avail = self.total
+        self._cv = threading.Condition()
+
+    def acquire(self, n: int) -> int:
+        n = min(max(1, n), self.total)
+        with self._cv:
+            while self._avail < n:
+                self._cv.wait()
+            self._avail -= n
+        return n
+
+    def release(self, n: int) -> None:
+        with self._cv:
+            self._avail += n
+            self._cv.notify_all()
+
+
 @dataclass
 class PipelineResult:
     results: List[TaskResult] = field(default_factory=list)
@@ -113,6 +139,7 @@ class PipelineRunner:
         self.bookkeeper = bookkeeper
         self.journal = journal or Journal()
         self.parallel_tasks = parallel_tasks
+        self._pool_resources = ResourcePool(parallel_tasks)
         self.task_runner = TaskRunner(bookkeeper, self.journal, batch_id=batch_id)
 
     # --- dependency availability (JobBase.scala:62-130) ---
@@ -147,6 +174,18 @@ class PipelineRunner:
         return ScheduleStrategySourcing(True)
 
     def _run_job(self, job: Job, params: ScheduleParams) -> List[TaskResult]:
+        weight = (
+            self._pool_resources.total
+            if not job.operation.allow_parallel
+            else job.operation.consume_threads
+        )
+        held = self._pool_resources.acquire(weight)
+        try:
+            return self._run_job_tasks(job, params)
+        finally:
+            self._pool_resources.release(held)
+
+    def _run_job_tasks(self, job: Job, params: ScheduleParams) -> List[TaskResult]:
         strategy = self._strategy_for(job)
         days = strategy.get_days_to_run(
             job.output_table.name,

@@ -146,7 +146,20 @@ class TaskRunner:
             return result(RunStatus.VALIDATION_FAILED, error=reason.message)
         warnings = list(reason.warnings)
 
-        # 3. run + decorate + save
+        # 3. run + decorate + save, with retries
+        # (pramen.runtime.max.attempts, core/.../RuntimeConfig.scala:80)
+        max_attempts = max(1, int(job.operation.options.get("max.attempts", 1)))
+        for attempt in range(1, max_attempts + 1):
+            res = self._attempt(job, task, started, result, pre, warnings)
+            if res.status != RunStatus.FAILED or attempt == max_attempts:
+                if attempt > 1 and res.status == RunStatus.SUCCEEDED:
+                    res.warnings.append(f"Succeeded on attempt {attempt}/{max_attempts}")
+                return res
+        return res  # unreachable
+
+    def _attempt(self, job: Job, task: TaskPreDef, started, result, pre, warnings) -> TaskResult:
+        info_date = task.info_date
+        table = job.output_table.name
         try:
             # context for jobs that need it (incremental ingestion)
             job.current_batch_id = self.batch_id

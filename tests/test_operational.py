@@ -218,3 +218,118 @@ class TestEnceladusSink:
         )
         sink.send(spark.range(3), "tbl", D, {})
         assert spark.read.parquet(os.path.join(pub, "2024/01/10/v1")).count() == 3
+
+
+class TestTransferJob:
+    def test_source_to_sink_direct(self, spark, tmp_path):
+        from pramen_spark.runner.jobs import TransferJob
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+        from pramen_spark.sinks.enceladus_sink import EnceladusSink
+        from pramen_spark.sources.spark_source import SparkSource
+
+        src_path = str(tmp_path / "src")
+        spark.range(9).write.parquet(src_path)
+        ms = Metastore(spark, [TableConfig(
+            name="src->lake", format=DataFormat.null(), info_date_column="")])
+        sink = EnceladusSink(spark, {"path": str(tmp_path / "lake"), "format": "parquet"})
+        source = SparkSource(spark, {"format": "parquet",
+                                     "has.information.date.column": False})
+        job = TransferJob(
+            OperationDef(name="xfer", kind="transfer", output_table="src->lake"),
+            ms, Bookkeeper(), ms.table_config("src->lake"),
+            source, {"path": src_path}, sink,
+        )
+        r = TaskRunner(Bookkeeper()).run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+        assert r.records == 9
+        assert spark.read.parquet(str(tmp_path / "lake/2024/01/10/v1")).count() == 9
+
+
+class TestTaskRetries:
+    def test_retries_until_success(self, spark):
+        from pramen_spark.runner.jobs import PythonFunctionJob
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        ms = Metastore(spark, [TableConfig(
+            name="retry_t", format=DataFormat.transient(), info_date_column="")])
+        attempts = []
+
+        def flaky(reader, info_date):
+            attempts.append(1)
+            if len(attempts) < 3:
+                raise RuntimeError("transient failure")
+            return spark.range(2)
+
+        job = PythonFunctionJob(
+            OperationDef(name="flaky", kind="transformation", output_table="retry_t",
+                         options={"max.attempts": 3}),
+            ms, Bookkeeper(), ms.table_config("retry_t"), flaky,
+        )
+        r = TaskRunner(Bookkeeper()).run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+        assert len(attempts) == 3
+        assert any("attempt 3/3" in w for w in r.warnings)
+
+    def test_fails_after_max_attempts(self, spark):
+        from pramen_spark.runner.jobs import PythonFunctionJob
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        ms = Metastore(spark, [TableConfig(
+            name="retry_f", format=DataFormat.transient(), info_date_column="")])
+        attempts = []
+
+        def always_fails(reader, info_date):
+            attempts.append(1)
+            raise RuntimeError("permanent failure")
+
+        job = PythonFunctionJob(
+            OperationDef(name="dead", kind="transformation", output_table="retry_f",
+                         options={"max.attempts": 2}),
+            ms, Bookkeeper(), ms.table_config("retry_f"), always_fails,
+        )
+        r = TaskRunner(Bookkeeper()).run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r.status == RunStatus.FAILED
+        assert len(attempts) == 2
+
+
+class TestResourcePool:
+    def test_weighted_acquire_release(self):
+        import threading
+        import time as _time
+
+        from pramen_spark.runner.runner import ResourcePool
+
+        pool = ResourcePool(4)
+        order = []
+
+        def heavy():
+            n = pool.acquire(4)
+            order.append("heavy_in")
+            _time.sleep(0.05)
+            order.append("heavy_out")
+            pool.release(n)
+
+        def light():
+            n = pool.acquire(1)
+            order.append("light")
+            pool.release(n)
+
+        t1 = threading.Thread(target=heavy)
+        t1.start()
+        _time.sleep(0.01)
+        t2 = threading.Thread(target=light)
+        t2.start()
+        t1.join(); t2.join()
+        # the exclusive job finished before the light one could enter
+        assert order.index("heavy_out") < order.index("light")
+
+    def test_weight_clamped_to_total(self):
+        from pramen_spark.runner.runner import ResourcePool
+
+        pool = ResourcePool(2)
+        held = pool.acquire(100)
+        assert held == 2
+        pool.release(held)
