@@ -1125,3 +1125,112 @@ def q_multimodal_features(spark, sf_dir):
     media = make_fake_media_df(spark, n=64, media_type="image")
     feats = extract_features(media, dim=16, deterministic_fake=True)
     return feats.select("media_id", "content_sha256", F.col("feature_dim").alias("dim"))
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "TPC-H Q14-style promo revenue share: broadcast join + conditional agg",
+)
+def q_q14_promo_revenue(spark, sf_dir):
+    """Scale: part is the small side -> broadcast hash join, no shuffle of
+    lineitem; the conditional sums combine map-side into 2 doubles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "event_gaps_leadlag",
+    """
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+    FROM events
+    """,
+    "lead/lag window functions: per-user inter-event gaps",
+)
+def q_event_gaps_leadlag(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        tus.alias("ts_us"),
+        (tus - F.lag(tus).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@query(
+    "median_price_by_priority",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact percentiles (median, p90) per group",
+)
+def q_median_price_by_priority(spark, sf_dir):
+    """Spark `percentile` (exact, linear interpolation — same as DuckDB
+    quantile_cont). At 100 TB swap for approx_percentile: exact
+    percentiles need the full sorted group; the approximate sketch
+    merges map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "above_segment_avg_customers",
+    """
+    WITH seg AS (
+        SELECT c_mktsegment, AVG(c_acctbal) AS seg_avg FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal, 2) AS acctbal,
+           ROUND(seg_avg, 4) AS seg_avg
+    FROM customer JOIN seg USING (c_mktsegment)
+    WHERE c_acctbal > seg_avg
+    """,
+    "customers above their segment's average balance (decorrelated subquery)",
+)
+def q_above_segment_avg_customers(spark, sf_dir):
+    """The correlated-subquery shape, decorrelated to an aggregate +
+    broadcast join (what Catalyst rewrites EXISTS/IN-avg subqueries to)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(F.avg("c_acctbal").alias("seg_avg"))
+    return (
+        c.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("seg_avg", 4).alias("seg_avg"),
+        )
+    )
