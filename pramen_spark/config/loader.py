@@ -117,6 +117,8 @@ def parse_table_config(spec: Dict[str, Any]) -> TableConfig:
         fmt = DataFormat.parquet(_get(spec, "path"))
     elif fmt_name == "delta":
         fmt = DataFormat.delta(path=_get(spec, "path"), table=_get(spec, "table"))
+    elif fmt_name == "iceberg":
+        fmt = DataFormat.iceberg(_get(spec, "table"), _get(spec, "location", "path"))
     elif fmt_name == "raw":
         fmt = DataFormat.raw(_get(spec, "path"))
     elif fmt_name == "transient":

@@ -121,6 +121,10 @@ class DataFormat:
         )
 
     @staticmethod
+    def iceberg(table: str, location: str | None = None) -> "DataFormat":
+        return DataFormat(FormatKind.ICEBERG, table=table, path=location)
+
+    @staticmethod
     def raw(path: str) -> "DataFormat":
         return DataFormat(FormatKind.RAW, path=path)
 

@@ -246,6 +246,67 @@ class DeltaPersistence(MetastorePersistence):
         return sorted(r[0] for r in rows if r[0] is not None)
 
 
+class IcebergPersistence(MetastorePersistence):
+    """Iceberg catalog-table persistence via DataFrameWriterV2
+    (MetastorePersistenceIceberg.scala:52-100): create-if-absent with a
+    partition transform on the info date, then append /
+    overwritePartitions / full overwrite per save mode. Requires an
+    Iceberg catalog on the session (iceberg-spark-runtime + catalog
+    conf); ``iceberg_available`` gates it."""
+
+    @property
+    def table_name(self) -> str:
+        assert self.table.format.table, f"Table {self.table.name} has no catalog table"
+        return self.table.format.table
+
+    def _ensure_table(self, df: DataFrame) -> None:
+        col = self.table.info_date_column
+        writer = df.writeTo(self.table_name)
+        for k, v in self.table.table_properties.items():
+            writer = writer.tableProperty(k, str(v))
+        if self.table.partition_scheme == PartitionScheme.BY_MONTH:
+            writer = writer.partitionedBy(F.months(F.col(col)))
+        elif self.table.partition_scheme == PartitionScheme.BY_YEAR:
+            writer = writer.partitionedBy(F.years(F.col(col)))
+        elif self.table.partition_scheme not in (
+            PartitionScheme.NOT_PARTITIONED,
+            PartitionScheme.OVERWRITE,
+        ):
+            writer = writer.partitionedBy(F.days(F.col(col)))
+        writer.createOrReplace() if self.table.save_mode == "overwrite_table" else writer.create()
+
+    def load_table(
+        self, info_date_from: Optional[_dt.date], info_date_to: Optional[_dt.date]
+    ) -> DataFrame:
+        df = self.spark.table(self.table_name)
+        return self._range_filter(df, info_date_from, info_date_to)
+
+    def save_table(self, df: DataFrame, info_date: _dt.date) -> WriteResult:
+        col = self.table.info_date_column
+        df = df.withColumn(col, F.lit(info_date.isoformat()).cast(T.DateType()))
+        count = df.count()
+        df = apply_repartitioning(df, self.table.format.partition_info, count)
+        exists = self.spark.catalog.tableExists(self.table_name)
+        if not exists:
+            self._ensure_table(df)
+            return WriteResult(records=count, records_appended=count)
+        if self.table.save_mode == "append":
+            df.writeTo(self.table_name).append()
+        elif self.table.partition_scheme == PartitionScheme.OVERWRITE:
+            df.writeTo(self.table_name).replace()
+        else:
+            # overwrite exactly this info date's partition
+            df.writeTo(self.table_name).overwrite(
+                F.col(col) == F.lit(info_date.isoformat()).cast(T.DateType())
+            )
+        return WriteResult(records=count, records_appended=count)
+
+    def get_available_dates(self) -> List[_dt.date]:
+        col = self.table.info_date_column
+        rows = self.spark.table(self.table_name).select(col).distinct().collect()
+        return sorted(r[0] for r in rows if r[0] is not None)
+
+
 class RawPersistence(MetastorePersistence):
     """Files copied verbatim into per-date dirs; reads return a DataFrame of
     ``[path, file_name]`` (MetastorePersistenceRaw.scala:57-134)."""
@@ -387,12 +448,33 @@ def _delta_available(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
 def persistence_for(spark: SparkSession, table: TableConfig) -> MetastorePersistence:
     kind = table.format.kind
     if kind == FormatKind.PARQUET:
         return ParquetPersistence(spark, table)
     if kind == FormatKind.DELTA:
+        if not _delta_available(spark):
+            raise RuntimeError(
+                f"Table '{table.name}' uses the delta format but delta-spark is not "
+                "on the classpath (add io.delta:delta-spark to spark.jars.packages)"
+            )
         return DeltaPersistence(spark, table)
+    if kind == FormatKind.ICEBERG:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"Table '{table.name}' uses the iceberg format but the Iceberg "
+                "runtime is not on the classpath (add "
+                "org.apache.iceberg:iceberg-spark-runtime and a catalog config)"
+            )
+        return IcebergPersistence(spark, table)
     if kind == FormatKind.RAW:
         return RawPersistence(spark, table)
     raise ValueError(f"No persistence for format {kind} (table {table.name})")

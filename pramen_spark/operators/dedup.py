@@ -131,24 +131,27 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """LSH banding: documents whose signature agrees on all rows of at
-    least one band become candidate pairs (id_a < id_b)."""
+    least one band become candidate pairs (id_a < id_b).
+
+    Band hashes are fixed-width hashes of the band's signature elements
+    (no string concatenation — hashing longs directly both runs faster
+    and generates far less whole-stage code to JIT-compile)."""
     bands = signatures.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")

@@ -106,3 +106,31 @@ class TestReaderScoping:
         ms.save_table("table1", mk_df(spark, [(2, "b")]), D(2022, 1, 5))
         reader = ms.get_reader(["table1"], D(2022, 1, 2))
         assert reader.get_table("table1").count() == 1
+
+
+class TestFormatGating:
+    def test_delta_gated_when_unavailable(self, spark, tmp_path):
+        from pramen_spark.metastore.persistence import (
+            _delta_available,
+            persistence_for,
+        )
+
+        cfg = TableConfig(name="d", format=DataFormat.delta(str(tmp_path / "d")))
+        if _delta_available(spark):
+            assert persistence_for(spark, cfg) is not None
+        else:
+            with pytest.raises(RuntimeError, match="delta-spark"):
+                persistence_for(spark, cfg)
+
+    def test_iceberg_gated_when_unavailable(self, spark):
+        from pramen_spark.metastore.persistence import (
+            iceberg_available,
+            persistence_for,
+        )
+
+        cfg = TableConfig(name="i", format=DataFormat.iceberg("local.db.t"))
+        if iceberg_available(spark):
+            assert persistence_for(spark, cfg) is not None
+        else:
+            with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+                persistence_for(spark, cfg)
