@@ -240,3 +240,46 @@ class TokenLock:
             lock = cls._locks.get(token)
         if lock is not None and lock.locked():
             lock.release()
+
+
+class FileTokenLock:
+    """Cross-process token lock via atomic lock-file creation
+    (reference: core/.../lock/TokenLockHadoopPath.scala — there a Hadoop
+    path created atomically; here O_CREAT|O_EXCL on a shared filesystem).
+    Stale locks older than ``ttl_sec`` are broken (crashed owner)."""
+
+    def __init__(self, lock_dir: str, ttl_sec: float = 3600.0):
+        self.lock_dir = lock_dir
+        self.ttl_sec = ttl_sec
+        os.makedirs(lock_dir, exist_ok=True)
+
+    def _path(self, token: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in token)
+        return os.path.join(self.lock_dir, f"{safe}.lock")
+
+    def acquire(self, token: str, timeout: float = 600.0) -> bool:
+        path = self._path(token)
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                    if age > self.ttl_sec:
+                        os.unlink(path)  # break stale lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() >= deadline:
+                    return False
+                time.sleep(0.1)
+
+    def release(self, token: str) -> None:
+        try:
+            os.unlink(self._path(token))
+        except FileNotFoundError:
+            pass

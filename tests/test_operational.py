@@ -333,3 +333,34 @@ class TestResourcePool:
         held = pool.acquire(100)
         assert held == 2
         pool.release(held)
+
+
+class TestFileTokenLock:
+    def test_exclusive_acquire_and_release(self, tmp_path):
+        from pramen_spark.runner.bookkeeper import FileTokenLock
+
+        lock = FileTokenLock(str(tmp_path / "locks"))
+        assert lock.acquire("tbl:2024-01-10", timeout=1)
+        assert not lock.acquire("tbl:2024-01-10", timeout=0.3)
+        lock.release("tbl:2024-01-10")
+        assert lock.acquire("tbl:2024-01-10", timeout=1)
+        lock.release("tbl:2024-01-10")
+
+    def test_stale_lock_broken(self, tmp_path):
+        import os
+        import time as _time
+
+        from pramen_spark.runner.bookkeeper import FileTokenLock
+
+        lock = FileTokenLock(str(tmp_path / "locks"), ttl_sec=0.2)
+        assert lock.acquire("t:d", timeout=1)
+        _time.sleep(0.3)
+        # a second owner breaks the stale lock
+        assert lock.acquire("t:d", timeout=1)
+
+    def test_token_sanitized_to_filename(self, tmp_path):
+        from pramen_spark.runner.bookkeeper import FileTokenLock
+
+        lock = FileTokenLock(str(tmp_path / "locks"))
+        assert lock.acquire("weird/token with:stuff", timeout=1)
+        lock.release("weird/token with:stuff")
