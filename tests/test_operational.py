@@ -364,3 +364,38 @@ class TestFileTokenLock:
         lock = FileTokenLock(str(tmp_path / "locks"))
         assert lock.acquire("weird/token with:stuff", timeout=1)
         lock.release("weird/token with:stuff")
+
+
+class TestRawFileSource:
+    def test_date_token_glob(self, spark, tmp_path):
+        from pramen_spark.sources.raw_file_source import RawFileSource, render_date_pattern
+
+        for day in ("2024-01-10", "2024-01-11", "2024-01-12"):
+            d = tmp_path / f"in_{day}"
+            d.mkdir()
+            (d / "a.csv").write_text("x")
+            (d / "b.csv").write_text("y")
+        assert render_date_pattern("/x/in_{{yyyy-MM-dd}}/*.csv", D) == "/x/in_2024-01-10/*.csv"
+
+        src = RawFileSource(spark, {})
+        out = src.get_data(
+            {"path": str(tmp_path / "in_{{yyyy-MM-dd}}" / "*.csv")},
+            D, D + dt.timedelta(days=1),
+        )
+        rows = out.collect()
+        assert out.columns == ["path", "file_name"]
+        assert len(rows) == 4  # 2 files x 2 days in range, 3rd day excluded
+        assert src.get_record_count(
+            {"path": str(tmp_path / "in_{{yyyy-MM-dd}}" / "*.csv")}, D, D
+        ) == 2
+
+    def test_plain_directory_listing(self, spark, tmp_path):
+        from pramen_spark.sources.raw_file_source import RawFileSource
+
+        d = tmp_path / "plain"
+        d.mkdir()
+        (d / "f1.bin").write_text("1")
+        (d / "f2.bin").write_text("2")
+        src = RawFileSource(spark, {})
+        rows = src.get_data(str(d), D, D).collect()
+        assert {r["file_name"] for r in rows} == {"f1.bin", "f2.bin"}
