@@ -1,0 +1,108 @@
+"""Sampling and distribution operators for training-data pipelines.
+
+- Deterministic hash sampling: sample membership is a pure function of a
+  key (md5 prefix), so the same rows are selected on every run, every
+  cluster size, and every engine — the property training-data splits
+  need (train/val/test must not drift between pipeline runs). Plain
+  ``df.sample`` is seed-dependent on partitioning and not reproducible
+  across engines.
+- Stratified sampling: per-stratum fractions via the same hash trick.
+- Sequence-length histogram: fixed-width bucket counts of token lengths —
+  the length-distribution report run before choosing packing/truncation
+  parameters.
+
+All pure DataFrame ops; a single shuffle only where an aggregation needs
+one.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_unit(key_col: str) -> F.Column:
+    """Uniform [0, 1) from the md5 of the key's string form: the first 8
+    hex chars as an integer / 16^8. md5 is available in every engine
+    (reproducible oracle), uniform enough for sampling."""
+    return F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sample: keeps rows whose hash-unit < fraction.
+    ``salt`` derives independent samples from the same keys (e.g. 'val'
+    vs 'test' splits)."""
+    col = key_col
+    if salt:
+        df = df.withColumn("_salted", F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+        col = "_salted"
+    out = df.filter(_hash_unit(col) < fraction)
+    return out.drop("_salted") if salt else out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Disjoint named splits covering the whole input: adds a ``split``
+    column by cumulative fraction ranges of the hash unit."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"Split fractions must sum to 1, got {total}")
+    df = df.withColumn("_salted", F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    u = _hash_unit("_salted")
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float edge: u == 1.0 impossible, but guard with the last name
+    expr = expr.otherwise(F.lit(list(fractions)[-1]))
+    return df.withColumn("split", expr).drop("_salted")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (sampleBy, reproducibly)."""
+    u = _hash_unit(key_col)
+    frac = None
+    for value, f_ in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        frac = F.when(cond, F.lit(f_)) if frac is None else frac.when(cond, F.lit(f_))
+    frac = frac.otherwise(F.lit(default_fraction))
+    return df.filter(u < frac)
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_width: int = 50,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Token-length histogram: (group..., bucket_lo, n_docs). Token count
+    is whitespace-split size; buckets are [k*w, (k+1)*w). Partial counts
+    combine map-side — the shuffle carries one row per (group, bucket)."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bucket_lo = (F.floor(n_tokens / bucket_width) * bucket_width).cast("long")
+    return (
+        df.select(*group_cols, bucket_lo.alias("bucket_lo"))
+        .groupBy(*group_cols, "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1234,3 +1234,72 @@ def q_above_segment_avg_customers(spark, sf_dir):
             F.round("seg_avg", 4).alias("seg_avg"),
         )
     )
+
+
+@query(
+    "hash_sample_documents",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < 0.25
+    """,
+    "deterministic md5-hash sampling (reproducible train/val splits)",
+    tags=("sampling",),
+)
+def q_hash_sample_documents(spark, sf_dir):
+    """Membership is a pure function of the key — identical samples on
+    every run, cluster size, and engine (plain df.sample is not
+    reproducible across engines or repartitions)."""
+    from pramen_spark.operators.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, 0.25, "doc_id").select("doc_id", "lang")
+
+
+@query(
+    "hash_split_documents",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN u < 0.8 THEN 'train'
+             WHEN u < 0.9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+        FROM documents
+    )
+    """,
+    "disjoint deterministic train/val/test split assignment",
+    tags=("sampling",),
+)
+def q_hash_split_documents(spark, sf_dir):
+    from pramen_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@query(
+    "doc_length_histogram",
+    r"""
+    SELECT lang,
+           CAST(FLOOR(len(string_split_regex(trim(text), '\s+')) / 50) * 50 AS BIGINT)
+             AS bucket_lo,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    "token-length histogram per language (50-token buckets)",
+    tags=("sampling", "text"),
+)
+def q_doc_length_histogram(spark, sf_dir):
+    from pramen_spark.operators.sampling import length_histogram
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_histogram(d, "text", bucket_width=50, group_cols=("lang",))

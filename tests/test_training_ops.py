@@ -362,3 +362,68 @@ class TestRangeJoin:
         small = {(r["pid"], r["ivid"]) for r in range_join(
             points, intervals, by=["k"], bin_seconds=60).collect()}
         assert big == small
+
+
+class TestSampling:
+    @pytest.fixture(scope="class")
+    def docs_df(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def test_hash_sample_deterministic(self, docs_df):
+        from pramen_spark.operators.sampling import hash_sample
+
+        a = {r["doc_id"] for r in hash_sample(docs_df, 0.3, "doc_id").collect()}
+        b = {r["doc_id"] for r in hash_sample(
+            docs_df.repartition(7), 0.3, "doc_id").collect()}
+        assert a == b  # invariant to partitioning
+        n = docs_df.count()
+        assert 0.2 * n < len(a) < 0.4 * n
+
+    def test_salt_gives_independent_samples(self, docs_df):
+        from pramen_spark.operators.sampling import hash_sample
+
+        a = {r["doc_id"] for r in hash_sample(docs_df, 0.3, "doc_id", salt="x").collect()}
+        b = {r["doc_id"] for r in hash_sample(docs_df, 0.3, "doc_id", salt="y").collect()}
+        assert a != b
+        # independence: overlap ~ 0.3 * 0.3 of the corpus, not ~0.3
+        assert len(a & b) < 0.2 * docs_df.count()
+
+    def test_hash_split_disjoint_and_total(self, docs_df):
+        from pramen_spark.operators.sampling import hash_split
+
+        out = hash_split(docs_df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n = docs_df.count()
+        assert sum(counts.values()) == n  # total coverage, disjoint by CASE
+        assert counts["train"] > counts["val"]
+        assert counts["train"] > 0.7 * n
+
+    def test_split_fractions_must_sum_to_one(self, docs_df):
+        from pramen_spark.operators.sampling import hash_split
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(docs_df, "doc_id", {"a": 0.5, "b": 0.4})
+
+    def test_stratified_fractions(self, spark):
+        from pramen_spark.operators.sampling import stratified_hash_sample
+
+        df = spark.range(2000).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS s"
+        )
+        out = stratified_hash_sample(df, "s", {"a": 0.5, "b": 0.1}, "id")
+        counts = {r["s"]: r["n"] for r in
+                  out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert 400 < counts["a"] < 600
+        assert 50 < counts["b"] < 150
+
+    def test_length_histogram_buckets(self, spark):
+        from pramen_spark.operators.sampling import length_histogram
+
+        df = spark.createDataFrame(
+            [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 60)), (3, "w")],
+            "doc_id long, text string",
+        )
+        out = {(r["bucket_lo"], r["n_docs"])
+               for r in length_histogram(df, "text", bucket_width=50).collect()}
+        assert out == {(0, 2), (50, 1)}
