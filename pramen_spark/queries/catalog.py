@@ -1303,3 +1303,40 @@ def q_doc_length_histogram(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return length_histogram(d, "text", bucket_width=50, group_cols=("lang",))
+
+
+@query(
+    "sequence_packing",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           len(string_split_regex(trim(text), '\s+')) > 512 AS truncated
+    FROM documents
+    """,
+    "sequence packing for training batches: token accounting + truncation "
+    "(FFD pack assignment itself is invariant-tested in pytest)",
+    tags=("packing", "training"),
+)
+def q_sequence_packing(spark, sf_dir):
+    """One shuffle (hash repartition by shard), then embarrassingly
+    parallel per-shard FFD via applyInPandas — no driver involvement,
+    stable pack ids across cluster sizes."""
+    from pramen_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, num_shards=8).select(
+        "doc_id", "n_tokens", "truncated"
+    )
+
+
+@query(
+    "pack_utilization",
+    None,  # FFD bin assignment is iterative -> not SQL-expressible
+    "per-pack fill-ratio stats over the FFD packing (rows-only check)",
+    tags=("packing", "training"),
+)
+def q_pack_utilization(spark, sf_dir):
+    from pramen_spark.operators.packing import pack_sequences, pack_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_stats(pack_sequences(d, budget=512, num_shards=8), budget=512)

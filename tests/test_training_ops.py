@@ -427,3 +427,59 @@ class TestSampling:
         out = {(r["bucket_lo"], r["n_docs"])
                for r in length_histogram(df, "text", bucket_width=50).collect()}
         assert out == {(0, 2), (50, 1)}
+
+
+class TestSequencePacking:
+    @pytest.fixture(scope="class")
+    def packed(self, spark, sf_dir):
+        from pramen_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pack_sequences(docs, budget=512, num_shards=8), docs
+
+    def test_every_doc_assigned_once(self, packed):
+        assignments, docs = packed
+        assert assignments.count() == docs.count()
+        assert assignments.select("doc_id").distinct().count() == docs.count()
+
+    def test_no_pack_exceeds_budget(self, packed):
+        from pyspark.sql import functions as F
+
+        assignments, _ = packed
+        over = (
+            assignments.filter(~F.col("truncated"))
+            .groupBy("pack_id").agg(F.sum("n_tokens").alias("tokens"))
+            .filter(F.col("tokens") > 512)
+        )
+        assert over.count() == 0
+
+    def test_truncated_iff_oversized(self, packed):
+        from pyspark.sql import functions as F
+
+        assignments, _ = packed
+        bad = assignments.filter(
+            F.col("truncated") != (F.col("n_tokens") > 512)
+        )
+        assert bad.count() == 0
+
+    def test_deterministic_across_partitioning(self, spark, sf_dir):
+        from pramen_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {(r["doc_id"], r["pack_id"])
+             for r in pack_sequences(docs, budget=512, num_shards=8).collect()}
+        b = {(r["doc_id"], r["pack_id"])
+             for r in pack_sequences(
+                 docs.repartition(13), budget=512, num_shards=8).collect()}
+        assert a == b
+
+    def test_fill_ratio_reasonable(self, spark, packed):
+        from pramen_spark.operators.packing import pack_stats
+        from pyspark.sql import functions as F
+
+        assignments, _ = packed
+        stats = pack_stats(assignments, budget=512)
+        # FFD on many docs per shard should fill packs well; all but the
+        # tail pack of each shard should be >50% full on average.
+        avg = stats.agg(F.avg("fill_ratio")).collect()[0][0]
+        assert avg > 0.5
