@@ -155,3 +155,46 @@ class IdentityTransformer(Transformer):
         if not empty_ok and len(df.take(1)) == 0:
             raise RuntimeError(f"Input table '{table}' is empty for {info_date}")
         return df
+
+
+class ConversionTransformer(Transformer):
+    """Converts a 'raw'-format metastore table (a DataFrame of file paths)
+    into a tabular DataFrame by Spark-reading the listed files, so a
+    downstream parquet/delta metastore table can persist it
+    (core/.../transformers/ConversionTransformer.scala).
+
+    Options:
+    - ``input.table`` (mandatory): raw-format table with [path, file_name]
+    - ``input.format`` (mandatory): csv/json/... for the listed files
+    - ``use.file.list``: read exact files (default true) vs their parent dirs
+    - any other option (e.g. ``header``, ``delimiter``) goes to the reader
+
+    Scale: only the file *list* (metadata, not data) is collected to the
+    driver; the read itself is a distributed multi-file Spark scan."""
+
+    RESERVED = {"input.table", "input.format", "use.file.list"}
+
+    def validate(self, metastore, info_date, options) -> Reason:
+        missing = [k for k in ("input.table", "input.format") if k not in options]
+        if missing:
+            raise ValueError(
+                f"Missing mandatory keys for ConversionTransformer: {', '.join(missing)}"
+            )
+        files = metastore.get_table(options["input.table"], info_date, info_date)
+        if len(files.take(1)) == 0:
+            return Reason.skip(f"No new files to convert for {info_date}")
+        return Reason.ready()
+
+    def run(self, metastore, info_date, options) -> DataFrame:
+        files = metastore.get_table(options["input.table"], info_date, info_date)
+        paths = [r["path"] for r in files.select("path").collect()]
+        use_file_list = str(options.get("use.file.list", "true")).lower() == "true"
+        if not use_file_list:
+            import os as _os
+
+            paths = sorted({_os.path.dirname(p) for p in paths})
+        reader = metastore.spark.read.format(options["input.format"])
+        for k, v in options.items():
+            if k not in self.RESERVED:
+                reader = reader.option(k, v)
+        return reader.load(paths)

@@ -44,6 +44,8 @@ _SOURCE_FACTORIES = {
     "kafkaavrosource": "pramen_spark.sources.kafka_source.KafkaSource",
     "kafkasource": "pramen_spark.sources.kafka_source.KafkaSource",
     "kafka": "pramen_spark.sources.kafka_source.KafkaSource",
+    "localsparksource": "pramen_spark.sources.local_spark_source.LocalSparkSource",
+    "local_spark": "pramen_spark.sources.local_spark_source.LocalSparkSource",
 }
 _SINK_FACTORIES = {
     "sparksink": "pramen_spark.sinks.spark_sink.SparkSink",
@@ -61,6 +63,7 @@ _SINK_FACTORIES = {
 }
 _TRANSFORMER_ALIASES = {
     "identitytransformer": "pramen_spark.api.IdentityTransformer",
+    "conversiontransformer": "pramen_spark.api.ConversionTransformer",
 }
 
 

@@ -138,6 +138,10 @@ class MetastoreReader:
         self.info_date = info_date
         self.batch_id = batch_id
 
+    @property
+    def spark(self) -> SparkSession:
+        return self._metastore.spark
+
     def _check(self, name: str) -> None:
         if name.lower() not in self._allowed:
             raise PermissionError(

@@ -399,3 +399,140 @@ class TestRawFileSource:
         src = RawFileSource(spark, {})
         rows = src.get_data(str(d), D, D).collect()
         assert {r["file_name"] for r in rows} == {"f1.bin", "f2.bin"}
+
+
+class TestLocalSparkSource:
+    def _mk_files(self, tmp_path):
+        src = tmp_path / "landing"
+        src.mkdir()
+        (src / "a.csv").write_text("id,name\n1,x\n2,y\n")
+        (src / "b.csv").write_text("id,name\n3,z\n")
+        (src / "skip.txt").write_text("not,csv\n")
+        (src / ".hidden.csv").write_text("id,name\n9,h\n")
+        sub = src / "sub"
+        sub.mkdir()
+        (sub / "c.csv").write_text("id,name\n4,w\n")
+        return src
+
+    def test_copies_matching_files_and_reads(self, spark, tmp_path):
+        import datetime as dt
+
+        from pramen_spark.sources.local_spark_source import LocalSparkSource
+
+        src = self._mk_files(tmp_path)
+        source = LocalSparkSource(
+            spark,
+            {
+                "temp.hadoop.path": str(tmp_path / "staging"),
+                "file.name.pattern": "*.csv",
+                "format": "csv",
+                "option.header": "true",
+                "option.inferSchema": "true",
+            },
+        )
+        df = source.get_data(str(src), dt.date(2024, 1, 1), dt.date(2024, 1, 1))
+        # non-recursive: a.csv + b.csv only; hidden + .txt + sub/ excluded
+        assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+        assert not source.has_info_date_column()
+        source.close()
+        import os
+
+        assert not os.path.isdir(source.temp_hadoop_path) or not os.listdir(
+            source.temp_hadoop_path
+        )
+
+    def test_recursive_pattern(self, spark, tmp_path):
+        import datetime as dt
+
+        from pramen_spark.sources.local_spark_source import LocalSparkSource
+
+        src = self._mk_files(tmp_path)
+        source = LocalSparkSource(
+            spark,
+            {
+                "temp.hadoop.path": str(tmp_path / "staging"),
+                "file.name.pattern": "*.csv",
+                "recursive": "true",
+                "format": "csv",
+                "option.header": "true",
+                "option.inferSchema": "true",
+            },
+        )
+        df = source.get_data(str(src), dt.date(2024, 1, 1), dt.date(2024, 1, 1))
+        assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 4]
+        source.close()
+
+    def test_incremental_unsupported(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pramen_spark.sources.local_spark_source import LocalSparkSource
+
+        source = LocalSparkSource(spark, {"temp.hadoop.path": str(tmp_path / "st")})
+        with _pytest.raises(NotImplementedError):
+            source.get_data_incremental("x", None, None, None)
+
+
+class TestConversionTransformer:
+    def _metastore(self, spark, tmp_path):
+        from pramen_spark.config.models import DataFormat, TableConfig
+        from pramen_spark.metastore.metastore import Metastore
+
+        raw = TableConfig(name="files_raw", format=DataFormat.raw(str(tmp_path / "raw")))
+        return Metastore(spark, [raw], temp_dir=str(tmp_path / "tmp"))
+
+    def test_converts_raw_csv_listing(self, spark, tmp_path):
+        import datetime as dt
+
+        from pramen_spark.api import ConversionTransformer
+
+        day = dt.date(2024, 1, 5)
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "p1.csv").write_text("id,val\n1,10\n2,20\n")
+        (src / "p2.csv").write_text("id,val\n3,30\n")
+        ms = self._metastore(spark, tmp_path)
+        listing = spark.createDataFrame(
+            [(str(src / "p1.csv"), "p1.csv"), (str(src / "p2.csv"), "p2.csv")],
+            "path string, file_name string",
+        )
+        ms.save_table("files_raw", listing, day)
+
+        reader = ms.get_reader(["files_raw"], day)
+        tr = ConversionTransformer()
+        opts = {
+            "input.table": "files_raw",
+            "input.format": "csv",
+            "header": "true",
+            "inferSchema": "true",
+        }
+        assert tr.validate(reader, day, opts).is_ready
+        out = tr.run(reader, day, opts)
+        assert sorted((r["id"], r["val"]) for r in out.collect()) == [
+            (1, 10),
+            (2, 20),
+            (3, 30),
+        ]
+
+    def test_skips_when_no_files(self, spark, tmp_path):
+        import datetime as dt
+
+        from pramen_spark.api import ConversionTransformer
+
+        ms = self._metastore(spark, tmp_path)
+        reader = ms.get_reader(["files_raw"], dt.date(2024, 1, 6))
+        reason = ConversionTransformer().validate(
+            reader, dt.date(2024, 1, 6), {"input.table": "files_raw", "input.format": "csv"}
+        )
+        assert reason.kind == "skip"
+
+    def test_missing_options_raise(self, spark, tmp_path):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from pramen_spark.api import ConversionTransformer
+
+        ms = self._metastore(spark, tmp_path)
+        reader = ms.get_reader(["files_raw"], dt.date(2024, 1, 6))
+        with _pytest.raises(ValueError, match="input.format"):
+            ConversionTransformer().validate(reader, dt.date(2024, 1, 6), {"input.table": "t"})
