@@ -24,6 +24,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "cube_events_type_day",
+    "moving_avg_user_value",
     "window_topn_orders",
     "agg_events_daily",
     "incremental_offset",
