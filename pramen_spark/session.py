@@ -30,6 +30,14 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split small files across cores at scan time (no shuffle): the
+        # default 4 MiB openCostInBytes makes Spark lump a sub-128MB file
+        # into ONE scan partition, serializing CPU-heavy per-row work
+        # (shingling, tokenization) on a single core. maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)), so
+        # a small openCost lets the per-core math win; at cluster scale the
+        # many-files case dominates and this setting is neutral.
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
