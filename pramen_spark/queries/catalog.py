@@ -1696,3 +1696,100 @@ def q_daily_revenue_running_total(spark, sf_dir):
         F.col("day_rev").cast("double").alias("day_revenue"),
         F.sum("day_rev").over(w).cast("double").alias("running_revenue"),
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT token, COUNT(*) AS doc_freq
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+    "top-50 tokens by document frequency (corpus heavy hitters)",
+    tags=("text",),
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Scale: per-document distinct tokens are deduplicated BEFORE the
+    global count (array_distinct inside the row — no shuffle), so the count
+    shuffle carries (token, partial count) pairs that combine map-side. The
+    top-50 is a TakeOrderedAndProject, not a full sort. At 100 TB the same
+    shape works; for a first cheap pass swap the exact count for a
+    count-min sketch and verify survivors exactly."""
+    d = load_table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, SUM(c) AS n_tok FROM tf GROUP BY 1),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+    SELECT doc_id, token AS top_term,
+           ROUND((CAST(c AS DOUBLE) / n_tok)
+                 * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.token, tf.c, dl.n_tok, df.df, nd.n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (CAST(c AS DOUBLE) / n_tok)
+                            * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) DESC,
+                            tf.token
+               ) AS rn
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN nd
+    )
+    WHERE rn = 1
+    """,
+    "most characteristic term per document (smoothed TF-IDF, top-1)",
+    tags=("text",),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Scale: term frequencies shuffle on (doc_id, token) once and every
+    later stage reads that aggregate. Document frequency is a second agg of
+    the SAME (doc,token) set (far smaller than raw tokens) and is broadcast
+    back; the corpus size n_docs is a scalar. The top-1-per-doc window
+    shuffles by doc_id only. No raw-text shuffles anywhere."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    tfidf = (F.col("c").cast("double") / F.col("n_tok")) * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("token"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_raw", tfidf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), F.round("tfidf_raw", 6).alias("tfidf"))
+    )
