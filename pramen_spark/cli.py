@@ -45,6 +45,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--check-new-only", dest="new_only", action="store_true")
     p.add_argument("--notification-file", dest="notification_file",
                    help="write the HTML run report here")
+    p.add_argument("--skip-locked", dest="skip_locked", action="store_true",
+                   help="skip tasks whose (table, infoDate) lock is held by another run")
+    p.add_argument("--undercover", action="store_true",
+                   help="run without updating bookkeeping or the journal")
     return p.parse_args(argv)
 
 
@@ -92,6 +96,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         Journal(),
         parallel_tasks=args.parallel_tasks or wf.parallel_tasks,
         batch_id=batch_id,
+        skip_locked=args.skip_locked,
+        undercover=args.undercover,
     )
     result = runner.run(jobs, params)
 

@@ -228,11 +228,14 @@ class TokenLock:
         with cls._registry_lock:
             lock = cls._locks.setdefault(token, threading.Lock())
         deadline = time.time() + timeout
-        while time.time() < deadline:
+        # always make at least one attempt so timeout=0 means "try once,
+        # don't wait" (used by --skip-locked) rather than "never acquire"
+        while True:
             if lock.acquire(blocking=False):
                 return True
+            if time.time() >= deadline:
+                return False
             time.sleep(0.05)
-        return False
 
     @classmethod
     def release(cls, token: str) -> None:

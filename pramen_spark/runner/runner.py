@@ -134,13 +134,21 @@ class PipelineRunner:
         journal: Optional[Journal] = None,
         parallel_tasks: int = 4,
         batch_id: Optional[int] = None,
+        skip_locked: bool = False,
+        undercover: bool = False,
     ):
         self.metastore = metastore
         self.bookkeeper = bookkeeper
         self.journal = journal or Journal()
         self.parallel_tasks = parallel_tasks
         self._pool_resources = ResourcePool(parallel_tasks)
-        self.task_runner = TaskRunner(bookkeeper, self.journal, batch_id=batch_id)
+        self.task_runner = TaskRunner(
+            bookkeeper,
+            self.journal,
+            batch_id=batch_id,
+            skip_locked=skip_locked,
+            undercover=undercover,
+        )
 
     # --- dependency availability (JobBase.scala:62-130) ---
 

@@ -68,11 +68,19 @@ class TaskRunner:
         journal: Optional[Journal] = None,
         batch_id: Optional[int] = None,
         lock_timeout_sec: float = 600.0,
+        skip_locked: bool = False,
+        undercover: bool = False,
     ):
         self.bookkeeper = bookkeeper
         self.journal = journal or Journal()
         self.batch_id = batch_id if batch_id is not None else int(time.time() * 1000)
         self.lock_timeout_sec = lock_timeout_sec
+        # --skip-locked: a held lock means another process is already working
+        # on (table, infoDate) -> skip instead of fail (CmdLineConfig.scala)
+        self.skip_locked = skip_locked
+        # --undercover: run without recording to bookkeeping/journal
+        # (RuntimeConfig.isUndercover)
+        self.undercover = undercover
 
     def run_task(self, job: Job, task: TaskPreDef) -> TaskResult:
         info_date = task.info_date
@@ -89,25 +97,30 @@ class TaskRunner:
                 elapsed_sec=time.time() - started,
                 **kw,
             )
-            self.journal.add(
-                JournalEntry(
-                    table_name=table,
-                    info_date=info_date.isoformat(),
-                    status=status.value,
-                    started=started,
-                    finished=time.time(),
-                    records=res.records,
-                    reason=task.reason.value,
-                    error=res.error,
+            if not self.undercover:
+                self.journal.add(
+                    JournalEntry(
+                        table_name=table,
+                        info_date=info_date.isoformat(),
+                        status=status.value,
+                        started=started,
+                        finished=time.time(),
+                        records=res.records,
+                        reason=task.reason.value,
+                        error=res.error,
+                    )
                 )
-            )
             return res
 
         if task.reason == TaskRunReason.SKIP:
             return result(RunStatus.SKIPPED, error=task.skip_note)
 
         token = f"{table}:{info_date.isoformat()}"
-        if not TokenLock.acquire(token, self.lock_timeout_sec):
+        if not TokenLock.acquire(token, 0.0 if self.skip_locked else self.lock_timeout_sec):
+            if self.skip_locked:
+                return result(
+                    RunStatus.SKIPPED, error=f"Skipped: {token} is locked by another run"
+                )
             return result(RunStatus.FAILED, error=f"Could not acquire lock for {token}")
         try:
             return self._run_locked(job, task, started, result)
@@ -194,23 +207,24 @@ class TaskRunner:
 
                 old_schema = T.StructType.fromJson(old_schema_json)
                 schema_changes = compare_schemas(old_schema, new_schema)
-                if schema_changes:
+                if schema_changes and not self.undercover:
                     self.bookkeeper.save_schema(table, info_date, json.dumps(new_schema.jsonValue()))
-            else:
+            elif not self.undercover:
                 self.bookkeeper.save_schema(table, info_date, json.dumps(new_schema.jsonValue()))
 
             # 5. save (the Spark action happens here)
             write_result = job.save(df, info_date)
 
-            self.bookkeeper.set_record_count(
-                table,
-                info_date,
-                input_record_count=pre.input_record_count or write_result.records,
-                output_record_count=write_result.records,
-                job_started=started,
-                job_finished=time.time(),
-                batch_id=self.batch_id,
-            )
+            if not self.undercover:
+                self.bookkeeper.set_record_count(
+                    table,
+                    info_date,
+                    input_record_count=pre.input_record_count or write_result.records,
+                    output_record_count=write_result.records,
+                    job_started=started,
+                    job_finished=time.time(),
+                    batch_id=self.batch_id,
+                )
             return result(
                 RunStatus.SUCCEEDED,
                 records=write_result.records,

@@ -536,3 +536,71 @@ class TestConversionTransformer:
         reader = ms.get_reader(["files_raw"], dt.date(2024, 1, 6))
         with _pytest.raises(ValueError, match="input.format"):
             ConversionTransformer().validate(reader, dt.date(2024, 1, 6), {"input.table": "t"})
+
+
+class TestSkipLockedAndUndercover:
+    def _job(self, spark, name="lk_t"):
+        from pramen_spark.runner.jobs import PythonFunctionJob
+
+        ms = Metastore(
+            spark,
+            [TableConfig(name=name, format=DataFormat.transient(), info_date_column="")],
+        )
+        return PythonFunctionJob(
+            OperationDef(name="op_" + name, kind="transformation", output_table=name),
+            ms,
+            Bookkeeper(),
+            ms.table_config(name),
+            lambda reader, info_date: spark.range(5),
+        )
+
+    def test_skip_locked_skips_held_lock(self, spark):
+        from pramen_spark.runner.bookkeeper import TokenLock
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        job = self._job(spark, "lk_skip")
+        token = f"lk_skip:{D.isoformat()}"
+        assert TokenLock.acquire(token, 1)
+        try:
+            r = TaskRunner(Bookkeeper(), skip_locked=True).run_task(
+                job, TaskPreDef(D, TaskRunReason.NEW)
+            )
+            assert r.status == RunStatus.SKIPPED
+            assert "locked" in (r.error or "")
+        finally:
+            TokenLock.release(token)
+        # without skip_locked a held lock is a failure (after timeout)
+        assert TokenLock.acquire(token, 1)
+        try:
+            r = TaskRunner(Bookkeeper(), lock_timeout_sec=0.2).run_task(
+                job, TaskPreDef(D, TaskRunReason.NEW)
+            )
+            assert r.status == RunStatus.FAILED
+        finally:
+            TokenLock.release(token)
+
+    def test_undercover_leaves_no_records(self, spark):
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        job = self._job(spark, "lk_under")
+        bk = Bookkeeper()
+        runner = TaskRunner(bk, undercover=True)
+        r = runner.run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+        assert bk.get_latest_processed_date("lk_under") is None
+        assert bk.get_latest_schema("lk_under", D) is None
+        assert runner.journal.entries == []
+
+    def test_normal_mode_records(self, spark):
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        job = self._job(spark, "lk_norm")
+        bk = Bookkeeper()
+        runner = TaskRunner(bk)
+        r = runner.run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+        assert bk.get_latest_processed_date("lk_norm") == D
+        assert len(runner.journal.entries) == 1
