@@ -3,7 +3,8 @@
 Reference: the Runner main + CmdLineConfig
 (core/.../cmd/CmdLineConfig.scala:150-265) with the same flags:
 ``--workflow, --date, --rerun, --date-from/--date-to, --run-mode
-fill_gaps|check_updates|force, --ops, --dry-run, --parallel-tasks``.
+fill_gaps|check_updates|force, --ops, --dry-run, --parallel-tasks,
+--skip-locked, --undercover``.
 
 Run: ``python -m pramen_spark --workflow pipeline.conf --date 2024-01-10``
 """
