@@ -59,6 +59,8 @@ _SINK_FACTORIES = {
     "kafka": "pramen_spark.sinks.kafka_sink.KafkaSink",
     "enceladussink": "pramen_spark.sinks.enceladus_sink.EnceladusSink",
     "enceladus": "pramen_spark.sinks.enceladus_sink.EnceladusSink",
+    "standardizationsink": "pramen_spark.sinks.standardization_sink.StandardizationSink",
+    "standardization": "pramen_spark.sinks.standardization_sink.StandardizationSink",
     "dataframesink": "pramen_spark.sinks.spark_sink.SparkSink",
 }
 _TRANSFORMER_ALIASES = {

@@ -220,6 +220,55 @@ class TestEnceladusSink:
         assert spark.read.parquet(os.path.join(pub, "2024/01/10/v1")).count() == 3
 
 
+class TestStandardizationSink:
+    def test_raw_and_publish_layers(self, spark, tmp_path):
+        from pramen_spark.sinks.standardization_sink import StandardizationSink
+
+        raw, pub = str(tmp_path / "raw"), str(tmp_path / "publish")
+        sink = StandardizationSink(spark, {"raw.format": "json"})
+        df = spark.range(5).select(F.col("id"))
+
+        n = sink.send(df, "tbl", D, {
+            "raw.base.path": raw, "publish.base.path": pub, "info.version": 2,
+        })
+        assert n == 5
+        raw_dir = os.path.join(raw, "2024/01/10/v2")
+        pub_dir = os.path.join(
+            pub, "enceladus_info_date=2024-01-10/enceladus_info_version=2")
+        assert os.path.isdir(raw_dir) and os.path.isdir(pub_dir)
+        # raw layer keeps source columns only (partition cols dropped)
+        raw_df = spark.read.json(raw_dir)
+        assert set(raw_df.columns) == {"id", "enceladus_info_date_string"}
+        # publish layer: standardization columns minus the partition-path cols
+        pub_df = spark.read.parquet(pub_dir)
+        assert "enceladus_info_date_string" in pub_df.columns
+        assert pub_df.count() == 5
+        info = json.load(open(os.path.join(pub_dir, "_INFO")))
+        names = [c["name"] for c in info["checkpoints"]]
+        assert "Standardization Finish" in names
+        assert json.load(open(os.path.join(raw_dir, "_INFO")))["metadata"]["version"] == 2
+
+    def test_publish_only_unversioned_pattern(self, spark, tmp_path):
+        from pramen_spark.sinks.standardization_sink import StandardizationSink
+
+        pub = str(tmp_path / "publish")
+        sink = StandardizationSink(spark, {
+            "publish.partition.pattern": "{info_date_column}={year}-{month}-{day}",
+        })
+        n = sink.send(spark.range(4), "tbl", D, {"publish.base.path": pub})
+        assert n == 4
+        pub_dir = os.path.join(pub, "enceladus_info_date=2024-01-10")
+        pub_df = spark.read.parquet(pub_dir)
+        # version column kept in data when the layout is not versioned
+        assert "enceladus_info_version" in pub_df.columns
+        assert pub_df.select("enceladus_info_version").distinct().collect()[0][0] == 1
+
+    def test_config_loader_alias(self):
+        from pramen_spark.config.loader import _SINK_FACTORIES
+
+        assert "standardization" in _SINK_FACTORIES
+
+
 class TestTransferJob:
     def test_source_to_sink_direct(self, spark, tmp_path):
         from pramen_spark.runner.jobs import TransferJob
