@@ -91,6 +91,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 0
 
     batch_id = int(time.time())
+    from pramen_spark.notify.targets import (
+        HookConfig,
+        PipelineInfo,
+        load_notification_targets,
+    )
+
     runner = PipelineRunner(
         metastore,
         bookkeeper,
@@ -99,6 +105,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         batch_id=batch_id,
         skip_locked=args.skip_locked,
         undercover=args.undercover,
+        notification_targets=load_notification_targets(wf.notification_targets),
+        hook_config=HookConfig(wf.startup_hook_class, wf.shutdown_hook_class),
+        pipeline_info=PipelineInfo(
+            pipeline_name=wf.pipeline_name,
+            environment=wf.environment,
+            run_date=params.run_date,
+        ),
     )
     result = runner.run(jobs, params)
 

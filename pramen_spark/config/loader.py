@@ -94,6 +94,9 @@ class WorkflowDef:
     sinks: Dict[str, ChannelDef] = field(default_factory=dict)
     operations: List[Dict[str, Any]] = field(default_factory=list)
     spark_conf: Dict[str, str] = field(default_factory=dict)
+    notification_targets: List[Dict[str, Any]] = field(default_factory=list)
+    startup_hook_class: Optional[str] = None
+    shutdown_hook_class: Optional[str] = None
 
 
 def _get(d: Dict[str, Any], *keys: str, default: Any = None) -> Any:
@@ -218,6 +221,11 @@ def load_workflow(source: str | Dict[str, Any]) -> WorkflowDef:
     wf.spark_conf = {
         str(k): str(v) for k, v in _flatten(_get(p, "spark.conf", default={}) or {}).items()
     }
+    # pramen.notification.targets + pramen.hook.{startup,shutdown}.class
+    # (HookConfig.scala STARTUP_HOOK_CLASS_KEY / SHUTDOWN_HOOK_CLASS_KEY)
+    wf.notification_targets = list(_get(p, "notification.targets", default=[]) or [])
+    wf.startup_hook_class = _get(p, "hook.startup.class")
+    wf.shutdown_hook_class = _get(p, "hook.shutdown.class")
     return wf
 
 

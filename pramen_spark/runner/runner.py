@@ -17,7 +17,9 @@ finished; tasks (info dates) of one job run sequentially in date order
 from __future__ import annotations
 
 import datetime as _dt
+import logging
 import threading
+import time
 from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set
@@ -35,6 +37,9 @@ from pramen_spark.scheduling.strategies import (
     TaskRunReason,
     evaluate_from_info_date,
 )
+
+
+log = logging.getLogger(__name__)
 
 
 class DependencyResolver:
@@ -136,11 +141,17 @@ class PipelineRunner:
         batch_id: Optional[int] = None,
         skip_locked: bool = False,
         undercover: bool = False,
+        notification_targets: Optional[Sequence] = None,
+        hook_config=None,
+        pipeline_info=None,
     ):
         self.metastore = metastore
         self.bookkeeper = bookkeeper
         self.journal = journal or Journal()
         self.parallel_tasks = parallel_tasks
+        self.notification_targets = list(notification_targets or [])
+        self.hook_config = hook_config
+        self.pipeline_info = pipeline_info
         self._pool_resources = ResourcePool(parallel_tasks)
         self.task_runner = TaskRunner(
             bookkeeper,
@@ -225,7 +236,49 @@ class PipelineRunner:
             results.append(self.task_runner.run_task(job, task))
         return results
 
+    def _notify_tasks(self, results: Sequence["TaskResult"]) -> None:
+        """Per-task notification targets (api/.../NotificationTarget.scala);
+        target errors are warnings, never task failures (reference:
+        TaskRunnerBase notification dispatch)."""
+        from pramen_spark.notify.targets import NotificationTarget, PipelineInfo
+
+        info = self.pipeline_info or PipelineInfo()
+        for target in self.notification_targets:
+            if not isinstance(target, NotificationTarget):
+                continue
+            for r in results:
+                try:
+                    target.send_notification(info, r)
+                except Exception as e:  # noqa: BLE001
+                    log.warning("Notification target %s failed: %s", target, e)
+
+    def _notify_pipeline(self, out: PipelineResult) -> None:
+        from pramen_spark.notify.targets import PipelineInfo, PipelineNotificationTarget
+
+        info = self.pipeline_info or PipelineInfo()
+        info.finished_at = time.time()
+        info.exit_code = out.exit_code
+        for target in self.notification_targets:
+            if not isinstance(target, PipelineNotificationTarget):
+                continue
+            try:
+                target.send_notification(info, out.results)
+            except Exception as e:  # noqa: BLE001
+                log.warning("Pipeline notification target %s failed: %s", target, e)
+
     def run(self, jobs: Sequence[Job], params: ScheduleParams) -> PipelineResult:
+        if self.hook_config is not None:
+            # AppRunner.scala:80: startup hook failure aborts the pipeline
+            self.hook_config.run_startup_hook()
+        try:
+            out = self._run_dag(jobs, params)
+        finally:
+            if self.hook_config is not None:
+                self.hook_config.run_shutdown_hook()
+        self._notify_pipeline(out)
+        return out
+
+    def _run_dag(self, jobs: Sequence[Job], params: ScheduleParams) -> PipelineResult:
         # lazy transient outputs are not scheduled: their jobs register with
         # the TransientJobManager and run on first consumer read
         # (reference: TransientJobManager / OperationSplitter lazy handling)
@@ -298,4 +351,5 @@ class PipelineRunner:
                     with lock:
                         out.results.extend(results)
                         done[id(job)] = any(r.is_failure for r in results)
+                    self._notify_tasks(results)
         return out

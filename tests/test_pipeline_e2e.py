@@ -132,6 +132,71 @@ class TestPipelineEndToEnd:
         assert bk.get_latest_processed_date("orders_bronze") == RUN_DATE
         assert bk.get_latest_processed_date("revenue_gold") == RUN_DATE
 
+    def test_notification_targets_and_hooks(self, spark, pipeline_env, sf_dir, tmp_path):
+        import json as _json
+        import sys
+
+        from pramen_spark.notify.targets import (
+            FileNotificationTarget,
+            HookConfig,
+            PipelineInfo,
+        )
+
+        ms, bk, env_tmp = pipeline_env
+        jobs = make_jobs(spark, ms, bk, sf_dir, env_tmp)
+        notif_path = str(tmp_path / "notifications.jsonl")
+        marker = tmp_path / "hooks.out"
+        (tmp_path / "hookmod.py").write_text(
+            "class StartHook:\n"
+            f"    def run(self): open({str(marker)!r}, 'a').write('start\\n')\n"
+            "class StopHook:\n"
+            f"    def run(self): open({str(marker)!r}, 'a').write('stop\\n')\n"
+        )
+        sys.path.insert(0, str(tmp_path))
+        try:
+            runner = PipelineRunner(
+                ms, bk, parallel_tasks=4,
+                notification_targets=[FileNotificationTarget({"path": notif_path})],
+                hook_config=HookConfig("hookmod.StartHook", "hookmod.StopHook"),
+                pipeline_info=PipelineInfo(pipeline_name="e2e", run_date=RUN_DATE),
+            )
+            result = runner.run(jobs, ScheduleParams.normal(RUN_DATE))
+        finally:
+            sys.path.remove(str(tmp_path))
+
+        assert result.failed == 0
+        assert marker.read_text() == "start\nstop\n"
+        recs = [_json.loads(l) for l in open(notif_path)]
+        kinds = [r["kind"] for r in recs]
+        assert kinds.count("task") == len(result.results)
+        assert kinds[-1] == "pipeline"
+        pipe = recs[-1]
+        assert pipe["pipeline"] == "e2e" and pipe["exit_code"] == 0
+        assert len(pipe["tasks"]) == len(result.results)
+        assert all(t["status"] == "succeeded" for t in pipe["tasks"])
+
+    def test_notification_target_config_loading(self, tmp_path):
+        from pramen_spark.config.loader import load_workflow
+        from pramen_spark.notify.targets import (
+            FileNotificationTarget,
+            load_notification_targets,
+        )
+
+        wf = load_workflow({"pramen": {
+            "pipeline": {"name": "p"},
+            "hook": {"startup": {"class": "a.B"}, "shutdown": {"class": "c.D"}},
+            "notification": {"targets": [{
+                "factory.class":
+                    "pramen_spark.notify.targets.FileNotificationTarget",
+                "path": str(tmp_path / "n.jsonl"),
+            }]},
+        }})
+        assert wf.startup_hook_class == "a.B"
+        assert wf.shutdown_hook_class == "c.D"
+        targets = load_notification_targets(wf.notification_targets)
+        assert len(targets) == 1 and isinstance(targets[0], FileNotificationTarget)
+        assert targets[0].options["path"].endswith("n.jsonl")
+
     def test_rerun_is_idempotent(self, spark, pipeline_env, sf_dir):
         ms, bk, tmp_path = pipeline_env
         jobs = make_jobs(spark, ms, bk, sf_dir, tmp_path)
