@@ -30,13 +30,21 @@ from pramen_spark.metastore.persistence import (
 
 
 class Metastore:
-    def __init__(self, spark: SparkSession, tables: Sequence[TableConfig], temp_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: Sequence[TableConfig],
+        temp_dir: str | None = None,
+        metadata_manager=None,
+    ):
+        from pramen_spark.metastore.metadata import MetadataManager
         from pramen_spark.metastore.transient_jobs import TransientJobManager
 
         self.spark = spark
         self.tables: Dict[str, TableConfig] = {t.name.lower(): t for t in tables}
         self.transient = TransientTableManager(spark, temp_dir)
         self.transient_jobs = TransientJobManager(self)
+        self.metadata_manager = metadata_manager or MetadataManager()
         self._persistence: Dict[str, MetastorePersistence] = {}
 
     def add_table(self, table: TableConfig) -> None:
@@ -141,6 +149,13 @@ class MetastoreReader:
     @property
     def spark(self) -> SparkSession:
         return self._metastore.spark
+
+    @property
+    def metadata_manager(self):
+        """Key-value metadata store scoped to (table, info_date) — the
+        reference exposes this on MetastoreReader
+        (api/.../MetastoreReader.scala ``metadataManager``)."""
+        return self._metastore.metadata_manager
 
     def _check(self, name: str) -> None:
         if name.lower() not in self._allowed:

@@ -108,6 +108,44 @@ class TestReaderScoping:
         assert reader.get_table("table1").count() == 1
 
 
+class TestMetadataManager:
+    def test_get_set_delete(self):
+        from pramen_spark.metastore.metadata import MetadataManager
+
+        mm = MetadataManager()
+        assert not mm.is_persistent
+        assert mm.get_metadata("t", D(2022, 1, 1), "k") is None
+        mm.set_metadata("t", D(2022, 1, 1), "k", "v1")
+        mm.set_metadata("T", D(2022, 1, 1), "k2", "v2")  # case-insensitive table
+        assert mm.get_metadata("t", D(2022, 1, 1), "k").value == "v1"
+        all_kv = mm.get_metadata("t", D(2022, 1, 1))
+        assert {k: v.value for k, v in all_kv.items()} == {"k": "v1", "k2": "v2"}
+        # other dates are isolated partitions
+        assert mm.get_metadata("t", D(2022, 1, 2)) == {}
+        mm.delete_metadata("t", D(2022, 1, 1), "k")
+        assert mm.get_metadata("t", D(2022, 1, 1), "k") is None
+        mm.delete_metadata("t", D(2022, 1, 1))
+        assert mm.get_metadata("t", D(2022, 1, 1)) == {}
+
+    def test_json_persistence_roundtrip(self, tmp_path):
+        from pramen_spark.metastore.metadata import MetadataManager
+
+        path = str(tmp_path / "meta.json")
+        mm = MetadataManager(path)
+        assert mm.is_persistent
+        mm.set_metadata("tbl", D(2022, 3, 1), "source_count", "123")
+        mm2 = MetadataManager(path)
+        got = mm2.get_metadata("tbl", D(2022, 3, 1), "source_count")
+        assert got.value == "123" and got.last_updated > 0
+
+    def test_exposed_on_reader(self, spark, ms):
+        ms.save_table("table1", mk_df(spark, [(1, "a")]), D(2022, 1, 1))
+        reader = ms.get_reader(["table1"], D(2022, 1, 1))
+        reader.metadata_manager.set_metadata("table1", D(2022, 1, 1), "note", "x")
+        assert ms.metadata_manager.get_metadata(
+            "table1", D(2022, 1, 1), "note").value == "x"
+
+
 class TestFormatGating:
     def test_delta_gated_when_unavailable(self, spark, tmp_path):
         from pramen_spark.metastore.persistence import (
