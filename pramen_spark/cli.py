@@ -91,12 +91,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 0
 
     batch_id = int(time.time())
-    from pramen_spark.notify.targets import (
-        HookConfig,
-        PipelineInfo,
-        load_notification_targets,
-    )
+    from pramen_spark.notify.targets import HookConfig, PipelineInfo, split_targets
 
+    unnamed_targets, named_targets = split_targets(wf.notification_targets)
     runner = PipelineRunner(
         metastore,
         bookkeeper,
@@ -105,7 +102,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         batch_id=batch_id,
         skip_locked=args.skip_locked,
         undercover=args.undercover,
-        notification_targets=load_notification_targets(wf.notification_targets),
+        notification_targets=unnamed_targets,
+        named_targets=named_targets,
         hook_config=HookConfig(wf.startup_hook_class, wf.shutdown_hook_class),
         pipeline_info=PipelineInfo(
             pipeline_name=wf.pipeline_name,

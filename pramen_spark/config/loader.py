@@ -293,6 +293,7 @@ def _operation_def(
             for k, v in _flatten(_get(op, "spark.config", default={}) or {}).items()
         },
         processing_timestamp_column=_get(op, "processing.timestamp.column"),
+        notification_targets=tuple(_get(op, "notification.targets", default=()) or ()),
     )
 
 

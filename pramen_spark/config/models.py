@@ -272,6 +272,9 @@ class OperationDef:
     allow_parallel: bool = True
     consume_threads: int = 1
     processing_timestamp_column: Optional[str] = None
+    # Names of notification targets this operation reports to
+    # (OperationDef.scala:52 notificationTargets / NOTIFICATION_TARGETS_KEY)
+    notification_targets: Sequence[str] = ()
 
 
 class FieldChangeKind(str, Enum):

@@ -163,6 +163,22 @@ def load_notification_targets(
         factory = _get(spec, "factory.class", "factory", default=None)
         if not factory:
             raise ValueError(f"notification target needs factory.class: {spec}")
-        opts = {k: v for k, v in spec.items() if k not in ("factory.class", "factory")}
+        opts = {k: v for k, v in spec.items()
+                if k not in ("factory.class", "factory", "name")}
         targets.append(load_class(factory)(opts))
     return targets
+
+
+def split_targets(specs: Sequence[Dict[str, Any]]):
+    """Split configured targets into (unnamed, named-by-name). Named targets
+    receive only tasks of operations listing them under
+    ``notification.targets`` (OperationDef.scala NOTIFICATION_TARGETS_KEY);
+    unnamed ones receive everything."""
+    unnamed_specs = [s for s in specs or [] if not s.get("name")]
+    named_specs = {s["name"]: s for s in specs or [] if s.get("name")}
+    unnamed = load_notification_targets(unnamed_specs)
+    named = {
+        name: load_notification_targets([spec])[0]
+        for name, spec in named_specs.items()
+    }
+    return unnamed, named

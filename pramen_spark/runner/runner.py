@@ -142,6 +142,7 @@ class PipelineRunner:
         skip_locked: bool = False,
         undercover: bool = False,
         notification_targets: Optional[Sequence] = None,
+        named_targets: Optional[Dict[str, object]] = None,
         hook_config=None,
         pipeline_info=None,
     ):
@@ -150,6 +151,7 @@ class PipelineRunner:
         self.journal = journal or Journal()
         self.parallel_tasks = parallel_tasks
         self.notification_targets = list(notification_targets or [])
+        self.named_targets = dict(named_targets or {})
         self.hook_config = hook_config
         self.pipeline_info = pipeline_info
         self._pool_resources = ResourcePool(parallel_tasks)
@@ -236,14 +238,24 @@ class PipelineRunner:
             results.append(self.task_runner.run_task(job, task))
         return results
 
-    def _notify_tasks(self, results: Sequence["TaskResult"]) -> None:
+    def _notify_tasks(self, job: Job, results: Sequence["TaskResult"]) -> None:
         """Per-task notification targets (api/.../NotificationTarget.scala);
-        target errors are warnings, never task failures (reference:
-        TaskRunnerBase notification dispatch)."""
+        unnamed runner-level targets get every task, named targets only the
+        operations that list them (TaskRunnerBase.scala:560 dispatches per
+        job.notificationTargets). Target errors are warnings, never task
+        failures."""
         from pramen_spark.notify.targets import NotificationTarget, PipelineInfo
 
         info = self.pipeline_info or PipelineInfo()
-        for target in self.notification_targets:
+        targets = list(self.notification_targets)
+        for name in getattr(job.operation, "notification_targets", ()) or ():
+            t = self.named_targets.get(name)
+            if t is None:
+                log.warning("Operation %s names unknown notification target '%s'",
+                            job.operation.name, name)
+            else:
+                targets.append(t)
+        for target in targets:
             if not isinstance(target, NotificationTarget):
                 continue
             for r in results:
@@ -258,7 +270,9 @@ class PipelineRunner:
         info = self.pipeline_info or PipelineInfo()
         info.finished_at = time.time()
         info.exit_code = out.exit_code
-        for target in self.notification_targets:
+        targets = list(self.notification_targets)
+        targets.extend(t for t in self.named_targets.values() if t not in targets)
+        for target in targets:
             if not isinstance(target, PipelineNotificationTarget):
                 continue
             try:
@@ -351,5 +365,5 @@ class PipelineRunner:
                     with lock:
                         out.results.extend(results)
                         done[id(job)] = any(r.is_failure for r in results)
-                    self._notify_tasks(results)
+                    self._notify_tasks(job, results)
         return out

@@ -175,6 +175,30 @@ class TestPipelineEndToEnd:
         assert len(pipe["tasks"]) == len(result.results)
         assert all(t["status"] == "succeeded" for t in pipe["tasks"])
 
+    def test_named_targets_route_per_operation(self, spark, pipeline_env, sf_dir, tmp_path):
+        import json as _json
+
+        from pramen_spark.notify.targets import FileNotificationTarget
+
+        ms, bk, env_tmp = pipeline_env
+        jobs = make_jobs(spark, ms, bk, sf_dir, env_tmp)
+        # only the transform operation names the target
+        for job in jobs:
+            if job.operation.name == "revenue":
+                job.operation.notification_targets = ("audit",)
+        path = str(tmp_path / "audit.jsonl")
+        runner = PipelineRunner(
+            ms, bk, parallel_tasks=4,
+            named_targets={"audit": FileNotificationTarget({"path": path})},
+        )
+        result = runner.run(jobs, ScheduleParams.normal(RUN_DATE))
+        assert result.failed == 0
+        recs = [_json.loads(l) for l in open(path)]
+        tasks = [r for r in recs if r["kind"] == "task"]
+        assert len(tasks) == 1 and tasks[0]["table"] == "revenue_gold"
+        # named targets still get the pipeline summary
+        assert [r["kind"] for r in recs].count("pipeline") == 1
+
     def test_notification_target_config_loading(self, tmp_path):
         from pramen_spark.config.loader import load_workflow
         from pramen_spark.notify.targets import (
