@@ -220,12 +220,15 @@ class DeltaPersistence(MetastorePersistence):
         count = df.count()
         df = apply_repartitioning(df, self.table.format.partition_info, count)
         df, part_cols = self._with_generated_partitions(df)
+        save_mode = (self.table.save_mode or "overwrite").lower()
         writer = (
             df.write.format("delta")
-            .mode(self.table.save_mode or "overwrite")
+            .mode(save_mode)
             .option("mergeSchema", "true")
         )
-        if self.table.partition_scheme != PartitionScheme.OVERWRITE:
+        # replaceWhere only combines with overwrite mode; Delta rejects it on
+        # append (MetastorePersistenceDelta.scala:128-129 gates the same way).
+        if save_mode == "overwrite" and self.table.partition_scheme != PartitionScheme.OVERWRITE:
             writer = writer.option("replaceWhere", f"{col} = '{info_date.isoformat()}'")
         if part_cols:
             writer = writer.partitionBy(*part_cols)

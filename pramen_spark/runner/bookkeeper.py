@@ -271,15 +271,43 @@ class FileTokenLock:
                 return True
             except FileExistsError:
                 try:
-                    age = time.time() - os.path.getmtime(path)
-                    if age > self.ttl_sec:
-                        os.unlink(path)  # break stale lock
-                        continue
+                    st = os.stat(path)
                 except FileNotFoundError:
+                    continue
+                if time.time() - st.st_mtime > self.ttl_sec:
+                    self._break_stale(path, st)
                     continue
                 if time.time() >= deadline:
                     return False
                 time.sleep(0.1)
+
+    def _break_stale(self, path: str, observed: os.stat_result) -> None:
+        """Break a stale lock atomically.
+
+        rename(2) is atomic, so exactly one contender moves the lock file to
+        a unique tombstone; losers see FileNotFoundError and go back to the
+        O_EXCL create. The inode check guards the stat->rename window: if the
+        stale lock was released and a FRESH lock re-created in between, we
+        moved somebody's live lock — restore it with link(2), which is atomic
+        and fails if the path was re-created meanwhile.
+        """
+        tombstone = f"{path}.stale.{os.getpid()}.{id(self)}"
+        try:
+            os.rename(path, tombstone)
+        except FileNotFoundError:
+            return  # another contender broke it first
+        try:
+            moved = os.stat(tombstone)
+            if moved.st_ino != observed.st_ino:
+                try:
+                    os.link(tombstone, path)  # restore the fresh lock
+                except FileExistsError:
+                    pass
+        finally:
+            try:
+                os.unlink(tombstone)
+            except FileNotFoundError:
+                pass
 
     def release(self, token: str) -> None:
         try:

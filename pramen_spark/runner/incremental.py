@@ -129,7 +129,7 @@ class IncrementalIngestionJob(Job):
                 return self.source.get_data(self.source_query, info_date, info_date)
             if latest is not None:
                 return self.source.get_data_incremental(
-                    self.source_query, info_date, latest[2].value, None
+                    self.source_query, info_date, latest[2], None
                 )
             return self.source.get_data(self.source_query, info_date, info_date)
         else:
@@ -139,11 +139,11 @@ class IncrementalIngestionJob(Job):
                         f"No offsets for '{self.output_table.name}' for '{info_date}'. Cannot rerun."
                     )
                 return self.source.get_data_incremental(
-                    self.source_query, None, latest[1].value, latest[2].value
+                    self.source_query, None, latest[1], latest[2]
                 )
             if latest is not None:
                 return self.source.get_data_incremental(
-                    self.source_query, None, latest[2].value, None
+                    self.source_query, None, latest[2], None
                 )
             return self.source.get_data(self.source_query, info_date, info_date)
 

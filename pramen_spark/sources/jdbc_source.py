@@ -118,6 +118,26 @@ class JdbcSource(Source):
         df = self._jdbc_read(self.build_count_sql(table, date_from, date_to))
         return int(df.collect()[0][0])
 
+    def _as_offset_value(self, v) -> Optional[OffsetValue]:
+        """Accept OffsetValue (the standard contract) or a raw value."""
+        from pramen_spark.sql.generators import OffsetType
+
+        if v is None or isinstance(v, OffsetValue):
+            return v
+        offset_type = OffsetType(self.options.get("offset.type", "integral"))
+        if offset_type == OffsetType.DATETIME:
+            return OffsetValue.datetime(v)
+        if offset_type == OffsetType.INTEGRAL:
+            return OffsetValue.integral(int(v))
+        return OffsetValue.string(str(v))
+
     def get_data_incremental(self, query, info_date, offset_from, offset_to) -> DataFrame:
         table = query["table"] if isinstance(query, dict) else str(query)
-        return self._jdbc_read(self.build_incremental_sql(table, info_date, offset_from, offset_to))
+        return self._jdbc_read(
+            self.build_incremental_sql(
+                table,
+                info_date,
+                self._as_offset_value(offset_from),
+                self._as_offset_value(offset_to),
+            )
+        )

@@ -133,7 +133,11 @@ class KafkaSource(Source):
         offset_to: Optional[Any],
     ) -> DataFrame:
         """offset_from/offset_to are per-partition dicts {partition: offset}
-        (the KafkaType offset of the ledger)."""
+        (the KafkaType offset of the ledger), possibly wrapped in OffsetValue."""
+        from pramen_spark.sql.generators import offset_raw_value
+
+        offset_from = offset_raw_value(offset_from)
+        offset_to = offset_raw_value(offset_to)
         topic = self.options["topic"]
         starting = (
             kafka_offsets_json(topic, next_offsets(offset_from))

@@ -72,9 +72,13 @@ class SparkSource(Source):
         return df
 
     def get_data_incremental(self, query, info_date, offset_from, offset_to) -> DataFrame:
+        from pramen_spark.sql.generators import offset_raw_value
+
         offset_col = self.options.get("offset.column")
         if not offset_col:
             raise ValueError("Incremental reads require option 'offset.column'")
+        offset_from = offset_raw_value(offset_from)
+        offset_to = offset_raw_value(offset_to)
         df = self._read(query)
         if info_date is not None and self.has_info_date_column() and self.info_date_column:
             d = self._date_col()

@@ -66,6 +66,17 @@ class OffsetValue:
         return OffsetValue(OffsetType.STRING, v)
 
 
+def offset_raw_value(v):
+    """Unwrap an OffsetValue to its raw value; pass raw values through.
+
+    Source.get_data_incremental receives OffsetValue objects end-to-end
+    (reference: IncrementalIngestionJob.scala getData); sources that filter
+    DataFrame-side (Spark/Kafka) unwrap with this helper, while JDBC sources
+    keep the tagged value for dialect-aware SQL rendering.
+    """
+    return v.value if isinstance(v, OffsetValue) else v
+
+
 @dataclass(frozen=True)
 class OffsetInfo:
     offset_column: str
