@@ -75,9 +75,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from pramen_spark.session import build_session
 
     spark = build_session(app_name=wf.pipeline_name, extra_conf=wf.spark_conf)
-    bookkeeper: Bookkeeper = (
-        JsonBookkeeper(wf.bookkeeping_path) if wf.bookkeeping_path else Bookkeeper()
-    )
+    # pramen.bookkeeping.location + pramen.bookkeeping.hadoop.format select
+    # the backend (reference: BookkeeperDeltaPath / BookkeeperText)
+    if wf.bookkeeping_path and wf.bookkeeping_format in ("parquet", "delta"):
+        from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper
+
+        bookkeeper: Bookkeeper = SparkBookkeeper(
+            spark, wf.bookkeeping_path, wf.bookkeeping_format
+        )
+    elif wf.bookkeeping_path:
+        bookkeeper = JsonBookkeeper(wf.bookkeeping_path)
+    else:
+        bookkeeper = Bookkeeper()
     metastore = Metastore(spark, wf.tables, temp_dir=wf.temp_dir)
     jobs = build_jobs(spark, wf, metastore, bookkeeper)
     if args.ops:

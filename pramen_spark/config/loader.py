@@ -88,6 +88,7 @@ class WorkflowDef:
     environment: str = "local"
     parallel_tasks: int = 4
     bookkeeping_path: Optional[str] = None
+    bookkeeping_format: str = "text"  # text (JSONL) | parquet | delta
     temp_dir: Optional[str] = None
     tables: List[TableConfig] = field(default_factory=list)
     sources: Dict[str, ChannelDef] = field(default_factory=dict)
@@ -210,6 +211,9 @@ def load_workflow(source: str | Dict[str, Any]) -> WorkflowDef:
         environment=_get(p, "environment.name", default="local"),
         parallel_tasks=int(_get(p, "parallel.tasks", default=4)),
         bookkeeping_path=_get(p, "bookkeeping.location", "bookkeeping.jdbc.url"),
+        bookkeeping_format=str(
+            _get(p, "bookkeeping.hadoop.format", default="text")
+        ).lower(),
         temp_dir=_get(p, "temporary.directory"),
     )
     wf.tables = [

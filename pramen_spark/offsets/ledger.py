@@ -83,28 +83,13 @@ class OffsetLedger:
                 self._replay()
 
     def _replay(self) -> None:
-        by_key: Dict[Tuple[str, str, int], OffsetRecord] = {}
-        order: List[Tuple[str, str, int]] = []
+        events: List[dict] = []
         with open(self.path) as f:
             for line in f:
                 line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
-                op = rec.pop("op")
-                key = (rec["table_name"], rec["info_date"], rec["batch_id"])
-                if op == "start":
-                    if key not in by_key:
-                        order.append(key)
-                    by_key[key] = OffsetRecord(**rec)
-                elif op == "commit" and key in by_key:
-                    by_key[key].committed_at = rec["committed_at"]
-                    by_key[key].min_offset = rec["min_offset"]
-                    by_key[key].max_offset = rec["max_offset"]
-                elif op == "rollback" and key in by_key:
-                    del by_key[key]
-                    order.remove(key)
-        self._records = [by_key[k] for k in order]
+                if line:
+                    events.append(json.loads(line))
+        self._records = _fold_events(events)
 
     def _append(self, op: str, rec: dict) -> None:
         if self.path:
@@ -208,3 +193,31 @@ class OffsetLedger:
 
 def _offset_sort_key(v: OffsetValue):
     return v.value
+
+
+def _fold_events(events: List[dict]) -> List[OffsetRecord]:
+    """Fold an ordered stream of start/commit/rollback events into the
+    current set of offset records (shared by the JSONL and Spark backends)."""
+    by_key: Dict[Tuple[str, str, int], OffsetRecord] = {}
+    order: List[Tuple[str, str, int]] = []
+    for rec in events:
+        op = rec.get("op")
+        key = (rec["table_name"], rec["info_date"], rec["batch_id"])
+        if op == "start":
+            if key not in by_key:
+                order.append(key)
+            by_key[key] = OffsetRecord(
+                table_name=rec["table_name"],
+                info_date=rec["info_date"],
+                offset_type=rec["offset_type"],
+                batch_id=rec["batch_id"],
+                created_at=rec["created_at"],
+            )
+        elif op == "commit" and key in by_key:
+            by_key[key].committed_at = rec["committed_at"]
+            by_key[key].min_offset = rec["min_offset"]
+            by_key[key].max_offset = rec["max_offset"]
+        elif op == "rollback" and key in by_key:
+            del by_key[key]
+            order.remove(key)
+    return [by_key[k] for k in order]

@@ -9,6 +9,7 @@ from pramen_spark.runner.jobs import (
     TransformationJob,
 )
 from pramen_spark.runner.runner import DependencyResolver, PipelineResult, PipelineRunner
+from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper
 from pramen_spark.runner.task_runner import RunStatus, TaskResult, TaskRunner
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "PythonFunctionJob",
     "RunStatus",
     "SinkJob",
+    "SparkBookkeeper",
     "TaskResult",
     "TaskRunner",
     "TransformationJob",

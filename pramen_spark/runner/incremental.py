@@ -153,8 +153,8 @@ class IncrementalIngestionJob(Job):
             self.output_table.name, info_date, batch_id, self.offset_type
         )
         try:
-            mm = min_max_from_df(df, self.offset_column, self.offset_type)
             result = self.metastore.save_table(self.output_table.name, df, info_date)
+            mm = self._min_max_from_storage(info_date, batch_id)
             if mm is None:
                 self.ledger.rollback(tx)
             else:
@@ -163,3 +163,23 @@ class IncrementalIngestionJob(Job):
         except Exception:
             self.ledger.rollback(tx)
             raise
+
+    def _min_max_from_storage(self, info_date: _dt.date, batch_id: int):
+        """Min/max offsets of the rows actually WRITTEN, read back from the
+        metastore table filtered to the current batch id.
+
+        Committing from the pre-write DataFrame would run a separate action on
+        a plan the write then re-evaluates; a non-deterministic source (JDBC /
+        Kafka rows arriving between the two actions) could commit offsets that
+        do not match stored rows -> duplicates or gaps on the next incremental
+        read.  The reference likewise derives offsets from the data
+        (core/.../bookkeeper/OffsetManagerUtils.scala:27-57,
+        IncrementalIngestionJob.scala:242-297)."""
+        try:
+            stored = self.metastore.get_table(self.output_table.name, info_date, info_date)
+        except Exception:
+            return None  # nothing was written (e.g. first batch was empty)
+        bcol = self.output_table.batch_id_column
+        if bcol and bcol in stored.columns:
+            stored = stored.filter(F.col(bcol) == F.lit(batch_id))
+        return min_max_from_df(stored, self.offset_column, self.offset_type)

@@ -117,6 +117,51 @@ class TestIncrementalIngestion:
         assert ledger.get_uncommitted("events_inc") == []
         assert ledger.get_max_info_date_and_offset("events_inc") is None
 
+    def test_offsets_committed_from_written_data(self, spark, tmp_path):
+        """A source whose plan yields DIFFERENT rows per evaluation must still
+        commit offsets matching the rows actually stored (the old pre-write
+        min/max would commit values from a separate evaluation)."""
+        import random
+
+        from pramen_spark.api import Source
+
+        nd_udf = F.udf(lambda x: x + random.randint(0, 10**9), "long").asNondeterministic()
+
+        class NonDeterministicSource(Source):
+            def has_info_date_column(self):
+                return False
+
+            def get_data(self, query, date_from, date_to):
+                return self.spark.range(50).select(nd_udf(F.col("id")).alias("event_id"))
+
+        ms = Metastore(
+            spark,
+            [
+                TableConfig(
+                    name="nd_inc",
+                    format=DataFormat.parquet(str(tmp_path / "nd_inc")),
+                    save_mode="append",
+                    info_date_start=dt.date(2024, 1, 1),
+                )
+            ],
+        )
+        bk = Bookkeeper()
+        ledger = OffsetLedger(str(tmp_path / "offsets.jsonl"))
+        job = IncrementalIngestionJob(
+            OperationDef(name="nd", kind="ingestion", output_table="nd_inc",
+                         schedule=Schedule.parse("incremental")),
+            ms, bk, ms.table_config("nd_inc"),
+            NonDeterministicSource(spark), {}, ledger, "event_id", OffsetType.INTEGRAL,
+        )
+        r = TaskRunner(bk, batch_id=1).run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+
+        stored = ms.get_table("nd_inc", D, D).agg(
+            F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+        ).collect()[0]
+        latest = ledger.get_max_info_date_and_offset("nd_inc")
+        assert (latest[1].value, latest[2].value) == (stored["mn"], stored["mx"])
+
     def test_no_new_data_noop(self, env):
         spark, ms, bk, ledger, job, _ = env
         TaskRunner(bk, batch_id=1).run_task(job, TaskPreDef(D, TaskRunReason.NEW))
