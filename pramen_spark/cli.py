@@ -103,6 +103,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from pramen_spark.notify.targets import HookConfig, PipelineInfo, split_targets
 
     unnamed_targets, named_targets = split_targets(wf.notification_targets)
+    lock = None
+    if wf.lock_dir:
+        from pramen_spark.runner.bookkeeper import FileTokenLock
+
+        lock = FileTokenLock(wf.lock_dir)
     runner = PipelineRunner(
         metastore,
         bookkeeper,
@@ -119,6 +124,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             environment=wf.environment,
             run_date=params.run_date,
         ),
+        lock=lock,
     )
     result = runner.run(jobs, params)
 

@@ -89,6 +89,7 @@ class WorkflowDef:
     parallel_tasks: int = 4
     bookkeeping_path: Optional[str] = None
     bookkeeping_format: str = "text"  # text (JSONL) | parquet | delta
+    lock_dir: Optional[str] = None  # pramen.lock.dir -> cross-process file locks
     temp_dir: Optional[str] = None
     tables: List[TableConfig] = field(default_factory=list)
     sources: Dict[str, ChannelDef] = field(default_factory=dict)
@@ -215,6 +216,7 @@ def load_workflow(source: str | Dict[str, Any]) -> WorkflowDef:
             _get(p, "bookkeeping.hadoop.format", default="text")
         ).lower(),
         temp_dir=_get(p, "temporary.directory"),
+        lock_dir=_get(p, "lock.dir"),
     )
     wf.tables = [
         parse_table_config(t) for t in _get(p, "metastore.tables", default=[]) or []

@@ -254,6 +254,10 @@ class FileTokenLock:
     def __init__(self, lock_dir: str, ttl_sec: float = 3600.0):
         self.lock_dir = lock_dir
         self.ttl_sec = ttl_sec
+        # unique owner id: lock files carry it so release()/holders can
+        # detect displacement (a broken-then-reacquired lock is not ours)
+        self._owner = f"{os.getpid()}.{id(self)}.{int(time.time() * 1e6)}"
+        self._held: Dict[str, str] = {}  # token -> owner line written
         os.makedirs(lock_dir, exist_ok=True)
 
     def _path(self, token: str) -> str:
@@ -266,8 +270,10 @@ class FileTokenLock:
         while True:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                owner_line = f"{self._owner} {token}"
+                os.write(fd, owner_line.encode())
                 os.close(fd)
+                self._held[token] = owner_line
                 return True
             except FileExistsError:
                 try:
@@ -286,10 +292,15 @@ class FileTokenLock:
 
         rename(2) is atomic, so exactly one contender moves the lock file to
         a unique tombstone; losers see FileNotFoundError and go back to the
-        O_EXCL create. The inode check guards the stat->rename window: if the
-        stale lock was released and a FRESH lock re-created in between, we
-        moved somebody's live lock — restore it with link(2), which is atomic
-        and fails if the path was re-created meanwhile.
+        O_EXCL create. The (inode, mtime_ns) check guards the stat->rename
+        window: if the stale lock was released and a FRESH lock re-created in
+        between, we moved somebody's live lock — restore it with link(2),
+        which is atomic and fails if the path was re-created meanwhile.
+        (mtime_ns defeats immediate inode reuse: a recycled inode still gets
+        a fresh mtime.)  Residual window: if the restore races a third
+        contender's O_EXCL create, the displaced holder's file is dropped and
+        its release() becomes a no-op — it detects displacement through the
+        owner token instead of silently unlinking the usurper's lock.
         """
         tombstone = f"{path}.stale.{os.getpid()}.{id(self)}"
         try:
@@ -298,7 +309,10 @@ class FileTokenLock:
             return  # another contender broke it first
         try:
             moved = os.stat(tombstone)
-            if moved.st_ino != observed.st_ino:
+            if (moved.st_ino, moved.st_mtime_ns) != (
+                observed.st_ino,
+                observed.st_mtime_ns,
+            ):
                 try:
                     os.link(tombstone, path)  # restore the fresh lock
                 except FileExistsError:
@@ -310,7 +324,20 @@ class FileTokenLock:
                 pass
 
     def release(self, token: str) -> None:
+        """Unlink only if the lock file still carries OUR owner token — after
+        a displacement (stale-break race) the path may hold someone else's
+        live lock, which must not be removed."""
+        owner_line = self._held.pop(token, None)
+        path = self._path(token)
+        if owner_line is None:
+            return
         try:
-            os.unlink(self._path(token))
+            with open(path) as f:
+                content = f.read()
         except FileNotFoundError:
-            pass
+            return
+        if content == owner_line:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass

@@ -145,6 +145,7 @@ class PipelineRunner:
         named_targets: Optional[Dict[str, object]] = None,
         hook_config=None,
         pipeline_info=None,
+        lock=None,
     ):
         self.metastore = metastore
         self.bookkeeper = bookkeeper
@@ -161,6 +162,7 @@ class PipelineRunner:
             batch_id=batch_id,
             skip_locked=skip_locked,
             undercover=undercover,
+            lock=lock,
         )
 
     # --- dependency availability (JobBase.scala:62-130) ---

@@ -70,11 +70,17 @@ class TaskRunner:
         lock_timeout_sec: float = 600.0,
         skip_locked: bool = False,
         undercover: bool = False,
+        lock=None,
     ):
         self.bookkeeper = bookkeeper
         self.journal = journal or Journal()
         self.batch_id = batch_id if batch_id is not None else int(time.time() * 1000)
         self.lock_timeout_sec = lock_timeout_sec
+        # lock provider with acquire(token, timeout) / release(token):
+        # in-process TokenLock by default; FileTokenLock when the pipeline
+        # configures pramen.lock.dir (multi-driver deployments, reference
+        # core/.../lock/TokenLockHadoopPath.scala)
+        self.lock = lock if lock is not None else TokenLock
         # --skip-locked: a held lock means another process is already working
         # on (table, infoDate) -> skip instead of fail (CmdLineConfig.scala)
         self.skip_locked = skip_locked
@@ -116,7 +122,7 @@ class TaskRunner:
             return result(RunStatus.SKIPPED, error=task.skip_note)
 
         token = f"{table}:{info_date.isoformat()}"
-        if not TokenLock.acquire(token, 0.0 if self.skip_locked else self.lock_timeout_sec):
+        if not self.lock.acquire(token, 0.0 if self.skip_locked else self.lock_timeout_sec):
             if self.skip_locked:
                 return result(
                     RunStatus.SKIPPED, error=f"Skipped: {token} is locked by another run"
@@ -125,7 +131,7 @@ class TaskRunner:
         try:
             return self._run_locked(job, task, started, result)
         finally:
-            TokenLock.release(token)
+            self.lock.release(token)
 
     def _run_locked(self, job: Job, task: TaskPreDef, started: float, result) -> TaskResult:
         info_date = task.info_date

@@ -414,6 +414,117 @@ class TestFileTokenLock:
         assert lock.acquire("weird/token with:stuff", timeout=1)
         lock.release("weird/token with:stuff")
 
+    def test_release_without_hold_is_noop(self, tmp_path):
+        """A process that never acquired must not unlink another's lock."""
+        from pramen_spark.runner.bookkeeper import FileTokenLock
+
+        a = FileTokenLock(str(tmp_path / "locks"))
+        b = FileTokenLock(str(tmp_path / "locks"))
+        assert a.acquire("t:d", timeout=1)
+        b.release("t:d")  # b never held it
+        assert not b.acquire("t:d", timeout=0.3)  # a still holds
+        a.release("t:d")
+        assert b.acquire("t:d", timeout=1)
+        b.release("t:d")
+
+    def test_release_after_displacement_keeps_usurper_lock(self, tmp_path):
+        """If our lock file was displaced (stale-break race) and re-created by
+        another owner, our release() must leave the usurper's lock alone."""
+        import os
+
+        from pramen_spark.runner.bookkeeper import FileTokenLock
+
+        a = FileTokenLock(str(tmp_path / "locks"))
+        b = FileTokenLock(str(tmp_path / "locks"))
+        assert a.acquire("t:d", timeout=1)
+        # simulate displacement: b's owner token now occupies the path
+        path = a._path("t:d")
+        os.unlink(path)
+        assert b.acquire("t:d", timeout=1)
+        a.release("t:d")  # detects foreign owner token, no-op
+        assert os.path.exists(path)
+        assert not a.acquire("t:d", timeout=0.3)  # b's lock survives
+        b.release("t:d")
+
+
+class TestFileLockedTaskRunner:
+    """File locks wired into TaskRunner: two 'drivers' (separate lock
+    instances over a shared lock dir) racing on the same (table, info date) —
+    exactly one writes; --skip-locked skips truthfully (reference:
+    TokenLockHadoopPath + TaskRunnerBase lock acquisition)."""
+
+    def _make_job(self, spark, tmp_path, delay_sec=0.0):
+        import time as _time
+
+        from pramen_spark.config.models import (DataFormat, OperationDef,
+                                                Schedule, TableConfig)
+        from pramen_spark.metastore.metastore import Metastore
+        from pramen_spark.runner.jobs import Job
+
+        ms = Metastore(
+            spark,
+            [TableConfig(name="locked_out",
+                         format=DataFormat.parquet(str(tmp_path / "locked_out")),
+                         info_date_start=dt.date(2024, 1, 1))],
+        )
+
+        class SlowJob(Job):
+            def run(self, info_date):
+                if delay_sec:
+                    _time.sleep(delay_sec)
+                return spark.range(10).select(F.col("id").alias("v"))
+
+        op = OperationDef(name="slow", kind="transformation",
+                          output_table="locked_out", schedule=Schedule.parse("daily"))
+        return ms, SlowJob(op, ms, Bookkeeper(), ms.table_config("locked_out"))
+
+    def test_skip_locked_skips_truthfully(self, spark, tmp_path):
+        from pramen_spark.runner.bookkeeper import Bookkeeper, FileTokenLock
+        from pramen_spark.runner.task_runner import RunStatus, TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef, TaskRunReason
+
+        ms, job = self._make_job(spark, tmp_path)
+        lock_dir = str(tmp_path / "locks")
+        other = FileTokenLock(lock_dir)
+        assert other.acquire("locked_out:2024-01-10", timeout=1)  # "another run"
+        runner = TaskRunner(Bookkeeper(), skip_locked=True,
+                            lock=FileTokenLock(lock_dir))
+        r = runner.run_task(job, TaskPreDef(dt.date(2024, 1, 10), TaskRunReason.NEW))
+        assert r.status == RunStatus.SKIPPED and "locked" in r.error
+        other.release("locked_out:2024-01-10")
+        r2 = runner.run_task(job, TaskPreDef(dt.date(2024, 1, 10), TaskRunReason.NEW))
+        assert r2.status == RunStatus.SUCCEEDED, r2.error
+
+    def test_concurrent_runners_exactly_one_writes(self, spark, tmp_path):
+        import threading
+
+        from pramen_spark.runner.bookkeeper import Bookkeeper, FileTokenLock
+        from pramen_spark.runner.task_runner import RunStatus, TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef, TaskRunReason
+
+        ms, job = self._make_job(spark, tmp_path, delay_sec=1.0)
+        lock_dir = str(tmp_path / "locks")
+        results = {}
+        barrier = threading.Barrier(2)
+
+        def drive(name):
+            runner = TaskRunner(Bookkeeper(), skip_locked=True,
+                                lock=FileTokenLock(lock_dir))
+            barrier.wait()
+            results[name] = runner.run_task(
+                job, TaskPreDef(dt.date(2024, 1, 10), TaskRunReason.NEW))
+
+        threads = [threading.Thread(target=drive, args=(n,)) for n in ("a", "b")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        statuses = sorted(r.status for r in results.values())
+        assert statuses == [RunStatus.SKIPPED, RunStatus.SUCCEEDED], {
+            k: (v.status, v.error) for k, v in results.items()}
+        assert ms.get_table("locked_out", dt.date(2024, 1, 10),
+                            dt.date(2024, 1, 10)).count() == 10
+
 
 class TestRawFileSource:
     def test_date_token_glob(self, spark, tmp_path):
