@@ -124,18 +124,45 @@ def minhash_signatures(
     )
 
 
+def _ordered_pairs(ids_col) -> "F.Column":
+    """All ordered pairs (ids[i], ids[j]) with i < j from a sorted id array,
+    generated JVM-side (no Python, no self-join)."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + 2, F.greatest(F.size(ids_col) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding: documents whose signature agrees on all rows of at
     least one band become candidate pairs (id_a < id_b).
 
     Band hashes are fixed-width hashes of the band's signature elements
     (no string concatenation — hashing longs directly both runs faster
-    and generates far less whole-stage code to JIT-compile)."""
+    and generates far less whole-stage code to JIT-compile).
+
+    One shuffle: band rows group by (band_idx, band_hash) and pairs are
+    generated from each bucket's sorted id list JVM-side — no two-sided
+    self-join shuffling the band table twice.  ``max_bucket_size`` is the
+    skew guard for near-identical corpora: a bucket of b docs yields
+    b(b-1)/2 pairs, so one boilerplate-heavy bucket of 100k docs would
+    produce 5e9 pairs; buckets above the cap are dropped (their documents
+    still pair through their other, more selective bands).  The collected
+    id array is linear in bucket size (8 bytes/doc — 100k docs = 800 KB),
+    so the cap removes the quadratic term; for degenerate corpora (millions
+    of identical docs) additionally drop boilerplate shingles up front with
+    ``minhash_signatures(max_shingle_freq=...)``."""
     bands = signatures.select(
         F.col(id_col),
         F.explode(
@@ -155,16 +182,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    buckets = buckets.filter(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -177,17 +203,26 @@ def minhash_dedup(
     shingle_size: int = 3,
     num_bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: Optional[int] = None,
+    max_shingle_freq: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH, verified by signature-level
     Jaccard estimate: (id_a, id_b, est_jaccard >= threshold).
 
-    Signatures are cached: the LSH banding self-join and both sides of the
+    Signatures are cached: the LSH banding and both sides of the
     verification join re-read them, and without the cache the full
     shingle+minhash pipeline would run four times. At 100 TB the cache
-    becomes a persisted signatures table shared across runs."""
+    becomes a persisted signatures table shared across runs.
+
+    ``max_bucket_size`` / ``max_shingle_freq`` are the skew guards for
+    boilerplate-heavy corpora (see ``minhash_lsh_candidates``)."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size).cache()
-    candidates = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, max_shingle_freq
+    ).cache()
+    candidates = minhash_lsh_candidates(
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size
+    )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
@@ -239,18 +274,8 @@ def ngram_jaccard_pairs(
     groups = groups.filter(F.size("ids") > 1)
     if max_shingle_freq is not None:
         groups = groups.filter(F.size("ids") <= max_shingle_freq)
-    # all ordered pairs (ids[i], ids[j]) with i < j, generated JVM-side
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     common = (
-        groups.select(F.explode(pairs).alias("p"))
+        groups.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -648,9 +648,16 @@ _NGRAM_SHINGLE_ORACLE = r"""
     ),
     sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    -- skew guard mirror: the Spark side drops shingles shared by > 1000 docs
+    kept AS (
+        SELECT doc_id, shingle FROM sh2
+        WHERE shingle IN (
+            SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 1000
+        )
+    ),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -672,7 +679,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     from pramen_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05)
+    # max_shingle_freq: drop boilerplate shingles shared by >1000 docs (skew
+    # guard for the 100 TB case; mirrored in the oracle's `kept` CTE)
+    return ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05, max_shingle_freq=1000)
 
 
 @query(
@@ -685,7 +694,9 @@ def q_minhash_dedup(spark, sf_dir):
     from pramen_spark.operators.dedup import minhash_dedup
 
     d = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(d, num_hashes=64, num_bands=16, threshold=0.5)
+    # max_bucket_size caps LSH band buckets (b docs -> b(b-1)/2 pairs)
+    return minhash_dedup(d, num_hashes=64, num_bands=16, threshold=0.5,
+                         max_bucket_size=1000)
 
 
 @query(

@@ -89,6 +89,27 @@ class TestShinglesAndMinhash:
         cand = minhash_lsh_candidates(sigs, num_bands=4, rows_per_band=4).collect()
         assert any({r["id_a"], r["id_b"]} == {1, 3} for r in cand)
 
+    def test_bucket_cap_bounds_adversarial_corpus(self, spark):
+        """200 near-identical docs (one boilerplate text) — every band
+        bucket holds all 200 ids; with max_bucket_size the quadratic pair
+        explosion is skipped entirely."""
+        docs = spark.createDataFrame(
+            [(i, "the same boilerplate text repeated everywhere forever") for i in range(200)],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(docs, num_hashes=16)
+        capped = minhash_lsh_candidates(
+            sigs, num_bands=4, rows_per_band=4, max_bucket_size=100
+        )
+        assert capped.count() == 0  # all buckets over the cap -> dropped
+        uncapped = minhash_lsh_candidates(sigs, num_bands=4, rows_per_band=4)
+        assert uncapped.count() == 200 * 199 // 2
+
+    def test_minhash_dedup_with_guards_still_finds_dups(self, docs):
+        pairs = minhash_dedup(docs, num_hashes=64, num_bands=16, threshold=0.5,
+                              max_bucket_size=100, max_shingle_freq=100).collect()
+        assert any({r["id_a"], r["id_b"]} == {1, 3} for r in pairs)
+
 
 class TestNgramJaccard:
     def test_exact_pairs(self, docs):
@@ -102,6 +123,19 @@ class TestNgramJaccard:
     def test_threshold_filters(self, docs):
         pairs = ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.99).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+    def test_shingle_freq_guard_drops_boilerplate(self, spark):
+        """One shingle shared by every doc: with the guard the group is
+        dropped and no quadratic pair set is generated."""
+        docs = spark.createDataFrame(
+            [(i, f"common shared prefix unique{i} tail{i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        capped = ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.01,
+                                     max_shingle_freq=10)
+        assert capped.count() == 0
+        uncapped = ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.01)
+        assert uncapped.count() == 50 * 49 // 2  # 'common shared prefix' links all
 
 
 class TestSimhash:
