@@ -5,7 +5,10 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with a noop-format write (full computation, no driver
-transfer)."""
+transfer).  Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and
+the reported time is the per-query MEDIAN, so one co-tenant hiccup or JIT
+warm-up does not masquerade as a plan regression; per-rep raw times are
+included under "reps"."""
 
 from __future__ import annotations
 
@@ -53,6 +56,7 @@ def force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = build_session(app_name="pramen_spark_bench")
@@ -61,13 +65,23 @@ def main() -> None:
     # queries, not session startup.
     force(QUERIES["record_count"].build(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = QUERIES[name]
-        t0 = time.perf_counter()
-        force(spec.build(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # rep-major order: all queries once, then again — so a transient
+    # machine-load spike hits one rep of many queries (median absorbs it)
+    # instead of all reps of one query
+    for _ in range(reps):
+        for name in HEADLINE:
+            spec = QUERIES[name]
+            t0 = time.perf_counter()
+            force(spec.build(spark, sf_dir))
+            raw[name].append(round(time.perf_counter() - t0, 4))
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(median(ts), 4) for name, ts in raw.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -76,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": raw,
                 "sf": sf,
             }
         )

@@ -35,6 +35,42 @@ def with_double_embedding(df: DataFrame, embedding_col: str = "embedding") -> Da
     return df.withColumn("_emb_d", F.col(embedding_col).cast("array<double>"))
 
 
+def _topk_per_query(
+    scored: DataFrame, k: int, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Two-stage top-k over (query_id, id, cosine) rows.
+
+    A single ``row_number().over(partitionBy(query_id))`` would shuffle ALL
+    scored rows into |queries| reducers — with a handful of queries,
+    parallelism collapses and one straggler task holds N rows.  Instead:
+
+    1. rank within (query, input partition): |queries| x |partitions|
+       reduce keys, so the full scored set shuffles into well-spread
+       reducers and each key holds at most one partition's rows; only the
+       local top-k survive (a superset of the global top-k by the same
+       total order);
+    2. rank the survivors (<= k x |partitions| rows per query) in the
+       final per-query window — now a tiny shuffle.
+
+    The (cosine desc, id asc) order is a deterministic total order, so the
+    result is identical to the one-window form."""
+    from pyspark.sql import Window as W
+
+    order = [F.desc("cosine"), F.asc(id_col)]
+    w_local = W.partitionBy(query_id_col, "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)
+        .drop("_pid", "_lrank")
+    )
+    w = W.partitionBy(query_id_col).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query: DataFrame,
@@ -47,8 +83,6 @@ def cosine_topk(
 
     ``query`` must have (query_id_col, embedding_col); it is broadcast.
     Returns (query_id, vec_id, cosine, rank) with rank 1..k per query."""
-    from pyspark.sql import Window as W
-
     base = with_double_embedding(df, embedding_col)
     q = with_double_embedding(query, embedding_col).select(
         F.col(query_id_col), F.col("_emb_d").alias("_q_d")
@@ -60,11 +94,7 @@ def cosine_topk(
             "cosine"
         ),
     )
-    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k, id_col, query_id_col)
 
 
 def unit_embeddings(
@@ -196,8 +226,6 @@ def lsh_topk(
     """Approximate cosine top-k: candidates are vectors in the query's LSH
     bucket (plus buckets at Hamming distance <= multi_probe), scored
     exactly. Returns (query_id, vec_id, cosine, rank)."""
-    from pyspark.sql import Window as W
-
     planes = random_hyperplanes(dim, num_planes, seed)
     base = lsh_bucket(df, planes, embedding_col)
     q = lsh_bucket(query, planes, embedding_col).select(
@@ -222,8 +250,4 @@ def lsh_topk(
             "cosine"
         ),
     ).dropDuplicates([query_id_col, id_col])
-    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k, id_col, query_id_col)

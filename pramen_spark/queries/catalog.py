@@ -1778,9 +1778,11 @@ def q_heavy_hitter_tokens(spark, sf_dir):
 def q_tfidf_top_terms(spark, sf_dir):
     """Scale: term frequencies shuffle on (doc_id, token) once and every
     later stage reads that aggregate. Document frequency is a second agg of
-    the SAME (doc,token) set (far smaller than raw tokens) and is broadcast
-    back; the corpus size n_docs is a scalar. The top-1-per-doc window
-    shuffles by doc_id only. No raw-text shuffles anywhere."""
+    the SAME (doc,token) set and joins back via a SHUFFLE join on token —
+    the vocabulary is corpus-sized (10^8+ tokens at 100 TB), so
+    broadcasting it would OOM the driver; only the scalar n_docs is
+    broadcast. The top-1-per-doc window shuffles by doc_id only. No
+    raw-text shuffles anywhere."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
@@ -1797,7 +1799,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("token"))
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "token")
+        .join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf_raw", tfidf)
         .withColumn("rn", F.row_number().over(w))
