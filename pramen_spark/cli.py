@@ -134,6 +134,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     print(builder.build_text(result.results))
     if args.notification_file:
         builder.write_html(result.results, args.notification_file)
+    if wf.mail_config:
+        from pramen_spark.notify.email import EmailConfig, EmailSender
+
+        sender = EmailSender(EmailConfig.from_flat(wf.mail_config))
+        failed = result.exit_code != 0
+        status_word = "FAILED" if failed else "succeeded"
+        sender.send(
+            subject=f"Pramen pipeline '{wf.pipeline_name}' ({wf.environment}) {status_word}",
+            body_html=builder.build_html(result.results),
+            pipeline_failed=failed,
+        )
     return result.exit_code
 
 

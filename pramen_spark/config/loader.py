@@ -90,6 +90,7 @@ class WorkflowDef:
     bookkeeping_path: Optional[str] = None
     bookkeeping_format: str = "text"  # text (JSONL) | parquet | delta
     lock_dir: Optional[str] = None  # pramen.lock.dir -> cross-process file locks
+    mail_config: Dict[str, Any] = field(default_factory=dict)  # flat mail.* keys
     temp_dir: Optional[str] = None
     tables: List[TableConfig] = field(default_factory=list)
     sources: Dict[str, ChannelDef] = field(default_factory=dict)
@@ -232,6 +233,9 @@ def load_workflow(source: str | Dict[str, Any]) -> WorkflowDef:
     wf.notification_targets = list(_get(p, "notification.targets", default=[]) or [])
     wf.startup_hook_class = _get(p, "hook.startup.class")
     wf.shutdown_hook_class = _get(p, "hook.shutdown.class")
+    # mail.* lives at the config root like the reference (Keys.scala:30-33,
+    # Sendable.scala reads the flat mail.smtp.* subtree)
+    wf.mail_config = _flatten(conf.get("mail", {}) or {})
     return wf
 
 

@@ -168,13 +168,63 @@ class TaskRunner:
         # 3. run + decorate + save, with retries
         # (pramen.runtime.max.attempts, core/.../RuntimeConfig.scala:80)
         max_attempts = max(1, int(job.operation.options.get("max.attempts", 1)))
+        warn_sec = float(job.operation.options.get("warn.maximum.execution.time.seconds", 0) or 0)
+        kill_sec = float(job.operation.options.get("kill.maximum.execution.time.seconds", 0) or 0)
         for attempt in range(1, max_attempts + 1):
-            res = self._attempt(job, task, started, result, pre, warnings)
+            res = self._attempt_watched(
+                job, task, started, result, pre, warnings, warn_sec, kill_sec
+            )
             if res.status != RunStatus.FAILED or attempt == max_attempts:
                 if attempt > 1 and res.status == RunStatus.SUCCEEDED:
                     res.warnings.append(f"Succeeded on attempt {attempt}/{max_attempts}")
                 return res
         return res  # unreachable
+
+    def _attempt_watched(
+        self, job, task, started, result, pre, warnings, warn_sec: float, kill_sec: float
+    ) -> TaskResult:
+        """Execution-time watchdog around one attempt
+        (``warn.maximum.execution.time.seconds`` /
+        ``kill.maximum.execution.time.seconds``, reference
+        core/.../pipeline/OperationDef.scala:48-49 + utils/ThreadUtils.scala).
+
+        warn: a task exceeding the warn threshold gets a warning in its
+        result (surfaces in the notification report).  kill: the attempt
+        runs in a worker thread; on timeout the task is FAILED immediately
+        and the worker is abandoned (Python threads cannot be interrupted —
+        the stray Spark action finishes in the background and its late
+        journal entry, if any, is marked as abandoned by arriving after the
+        kill entry)."""
+        import threading
+
+        if kill_sec <= 0:
+            res = self._attempt(job, task, started, result, pre, warnings)
+        else:
+            box: dict = {}
+
+            def work():
+                box["res"] = self._attempt(job, task, started, result, pre, warnings)
+
+            t = threading.Thread(target=work, daemon=True, name=f"attempt-{job.name}")
+            attempt_start = time.time()
+            t.start()
+            t.join(timeout=kill_sec)
+            if t.is_alive():
+                return result(
+                    RunStatus.FAILED,
+                    error=(
+                        f"Killed: execution time exceeded "
+                        f"kill.maximum.execution.time.seconds={kill_sec:g} "
+                        f"(ran {time.time() - attempt_start:.1f}s)"
+                    ),
+                )
+            res = box.get("res") or result(RunStatus.FAILED, error="Attempt thread died")
+        if warn_sec > 0 and res.elapsed_sec > warn_sec:
+            res.warnings.append(
+                f"Execution time {res.elapsed_sec:.1f}s exceeded "
+                f"warn.maximum.execution.time.seconds={warn_sec:g}"
+            )
+        return res
 
     def _attempt(self, job: Job, task: TaskPreDef, started, result, pre, warnings) -> TaskResult:
         info_date = task.info_date

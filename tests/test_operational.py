@@ -447,6 +447,143 @@ class TestFileTokenLock:
         b.release("t:d")
 
 
+class TestEmailNotification:
+    def _fake_smtp(self, record):
+        class FakeSMTP:
+            def __init__(self, host, port):
+                record["host"], record["port"] = host, port
+
+            def starttls(self):
+                record["starttls"] = True
+
+            def login(self, user, password):
+                record["login"] = (user, password)
+
+            def sendmail(self, from_addr, to_addrs, payload):
+                record["from"], record["to"], record["payload"] = from_addr, to_addrs, payload
+
+            def quit(self):
+                record["quit"] = True
+
+        return FakeSMTP
+
+    def test_multipart_message_sent(self):
+        from email import message_from_string
+
+        from pramen_spark.notify.email import AttachedFile, EmailConfig, EmailSender
+
+        record = {}
+        cfg = EmailConfig.from_flat({
+            "smtp.host": "smtp.example.com", "smtp.port": "2525",
+            "send.from": "pipeline@example.com",
+            "send.to": "ops@example.com; outside@other.org",
+            "allowed.domains": "example.com",
+        })
+        sender = EmailSender(cfg, smtp_factory=self._fake_smtp(record))
+        ok = sender.send("pipeline done", "<html><b>report</b></html>",
+                         files=[AttachedFile("report.html", b"<html/>")])
+        assert ok
+        assert record["host"] == "smtp.example.com" and record["port"] == 2525
+        assert record["to"] == ["ops@example.com"]  # other.org filtered out
+        msg = message_from_string(record["payload"])
+        assert msg.is_multipart()
+        parts = list(msg.walk())
+        html_parts = [p for p in parts if p.get_content_type() == "text/html"]
+        att_parts = [p for p in parts if p.get_filename() == "report.html"]
+        assert len(html_parts) == 1 and "report" in html_parts[0].get_payload(decode=True).decode()
+        assert len(att_parts) == 1
+        assert msg["Subject"] == "pipeline done" and record["quit"]
+
+    def test_no_host_returns_false(self):
+        from pramen_spark.notify.email import EmailConfig, EmailSender
+
+        cfg = EmailConfig.from_flat({"send.to": "x@example.com"})
+        assert EmailSender(cfg).send("s", "<p/>") is False
+
+    def test_failures_recipients_and_auth(self):
+        from pramen_spark.notify.email import EmailConfig, EmailSender
+
+        record = {}
+        cfg = EmailConfig.from_flat({
+            "smtp.host": "h", "smtp.port": "25",
+            "smtp.starttls.enable": "true",
+            "smtp.auth.user": "u", "smtp.auth.password": "p",
+            "send.from": "f@e.com", "send.to": "ok@e.com",
+            "send.failures.to": "oncall@e.com",
+        })
+        sender = EmailSender(cfg, smtp_factory=self._fake_smtp(record))
+        assert sender.send("s", "<p/>", pipeline_failed=True)
+        assert record["to"] == ["oncall@e.com"]
+        assert record["starttls"] and record["login"] == ("u", "p")
+
+    def test_transport_error_swallowed(self):
+        from pramen_spark.notify.email import EmailConfig, EmailSender
+
+        def bad_factory(host, port):
+            raise ConnectionRefusedError("no server")
+
+        cfg = EmailConfig.from_flat({"smtp.host": "h", "send.from": "f@e.com",
+                                     "send.to": "t@e.com"})
+        assert EmailSender(cfg, smtp_factory=bad_factory).send("s", "<p/>") is False
+
+
+class TestExecutionWatchdog:
+    def _slow_job(self, spark, tmp_path, delay_sec, options):
+        import time as _time
+
+        from pramen_spark.runner.jobs import Job
+
+        ms = Metastore(
+            spark,
+            [TableConfig(name="wd_out",
+                         format=DataFormat.parquet(str(tmp_path / "wd_out")),
+                         info_date_start=dt.date(2024, 1, 1))],
+        )
+
+        class SlowJob(Job):
+            def run(self, info_date):
+                _time.sleep(delay_sec)
+                return spark.range(3).select(F.col("id").alias("v"))
+
+        op = OperationDef(name="slow", kind="transformation", output_table="wd_out",
+                          schedule=Schedule.parse("daily"), options=options)
+        return SlowJob(op, ms, Bookkeeper(), ms.table_config("wd_out"))
+
+    def test_warn_threshold_adds_warning(self, spark, tmp_path):
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        job = self._slow_job(spark, tmp_path, 0.3,
+                             {"warn.maximum.execution.time.seconds": "0.1"})
+        r = TaskRunner(Bookkeeper()).run_task(
+            job, TaskPreDef(dt.date(2024, 1, 10), TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+        assert any("warn.maximum.execution.time.seconds" in w for w in r.warnings), r.warnings
+
+    def test_kill_threshold_fails_task(self, spark, tmp_path):
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        job = self._slow_job(spark, tmp_path, 30,
+                             {"kill.maximum.execution.time.seconds": "0.5"})
+        r = TaskRunner(Bookkeeper()).run_task(
+            job, TaskPreDef(dt.date(2024, 1, 10), TaskRunReason.NEW))
+        assert r.status == RunStatus.FAILED
+        assert "Killed" in r.error and "kill.maximum.execution.time.seconds" in r.error
+
+    def test_fast_job_unaffected(self, spark, tmp_path):
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        job = self._slow_job(spark, tmp_path, 0.0,
+                             {"warn.maximum.execution.time.seconds": "600",
+                              "kill.maximum.execution.time.seconds": "600"})
+        r = TaskRunner(Bookkeeper()).run_task(
+            job, TaskPreDef(dt.date(2024, 1, 10), TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+        assert r.warnings == []
+
+
 class TestFileLockedTaskRunner:
     """File locks wired into TaskRunner: two 'drivers' (separate lock
     instances over a shared lock dir) racing on the same (table, info date) —
