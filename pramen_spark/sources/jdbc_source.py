@@ -126,7 +126,19 @@ class JdbcSource(Source):
             return v
         offset_type = OffsetType(self.options.get("offset.type", "integral"))
         if offset_type == OffsetType.DATETIME:
-            return OffsetValue.datetime(v)
+            # raw numerics/strings are epoch millis (matching the ledger's
+            # decode_offset encoding); anything else would crash later in
+            # the generator's timestamp formatting
+            if isinstance(v, _dt.datetime):
+                return OffsetValue.datetime(v)
+            if isinstance(v, (int, float)) or (isinstance(v, str) and v.lstrip("-").isdigit()):
+                return OffsetValue.datetime(
+                    _dt.datetime.fromtimestamp(int(v) / 1000.0, tz=_dt.timezone.utc)
+                )
+            raise TypeError(
+                f"offset.type=datetime needs a datetime or epoch-millis value; "
+                f"got {v!r} ({type(v).__name__})"
+            )
         if offset_type == OffsetType.INTEGRAL:
             return OffsetValue.integral(int(v))
         return OffsetValue.string(str(v))

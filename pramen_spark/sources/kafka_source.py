@@ -105,11 +105,22 @@ class KafkaSource(Source):
                 from pyspark.sql.avro.functions import from_avro
             except ImportError as e:  # pragma: no cover - env without spark-avro
                 raise RuntimeError("spark-avro is not available") from e
-            schema = self.options.get("schema")
-            if not schema:
-                raise ValueError("payload.format=avro requires an Avro 'schema' option")
+            from pramen_spark.sources.schema_registry import (
+                resolve_avro_schema,
+                strip_confluent_header,
+            )
+
+            # literal 'schema' option, or Schema Registry lookup via
+            # schema.registry.url + value.naming.strategy (ABRiS-equivalent;
+            # KafkaAvroSource.scala:115-230). A registry schema implies the
+            # Confluent wire format, whose 5-byte header must be stripped.
+            schema, schema_id = resolve_avro_schema(
+                self.options, self.options["topic"], is_key=False,
+                http_get=self.options.get("_http_get"),
+            )
+            value_col = F.col("value") if schema_id is None else strip_confluent_header(F.col("value"))
             return df.select(
-                from_avro(F.col("value"), schema).alias("v"),
+                from_avro(value_col, schema).alias("v"),
                 "topic",
                 "partition",
                 "offset",
@@ -138,6 +149,14 @@ class KafkaSource(Source):
 
         offset_from = offset_raw_value(offset_from)
         offset_to = offset_raw_value(offset_to)
+        for name, v in (("offset_from", offset_from), ("offset_to", offset_to)):
+            if v is not None and not isinstance(v, dict):
+                raise TypeError(
+                    f"KafkaSource needs per-partition offset dicts "
+                    f"{{partition: offset}}; got {name}={v!r} "
+                    f"({type(v).__name__}). String-encoded ledger offsets must "
+                    f"be decoded to a KAFKA offset mapping before use."
+                )
         topic = self.options["topic"]
         starting = (
             kafka_offsets_json(topic, next_offsets(offset_from))
