@@ -50,6 +50,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                    help="skip tasks whose (table, infoDate) lock is held by another run")
     p.add_argument("--undercover", action="store_true",
                    help="run without updating bookkeeping or the journal")
+    p.add_argument("--force-recreate-hive-tables", dest="force_recreate_hive_tables",
+                   action="store_true",
+                   help="drop and recreate Hive/catalog tables instead of repairing "
+                        "them in place (use after a schema change)")
     return p.parse_args(argv)
 
 
@@ -77,16 +81,25 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     spark = build_session(app_name=wf.pipeline_name, extra_conf=wf.spark_conf)
     # pramen.bookkeeping.location + pramen.bookkeeping.hadoop.format select
     # the backend (reference: BookkeeperDeltaPath / BookkeeperText)
+    # the journal backend follows the bookkeeping backend, as in the
+    # reference (JournalHadoopDeltaPath shares pramen.bookkeeping.location)
     if wf.bookkeeping_path and wf.bookkeeping_format in ("parquet", "delta"):
-        from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper
+        from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper, SparkJournal
 
         bookkeeper: Bookkeeper = SparkBookkeeper(
             spark, wf.bookkeeping_path, wf.bookkeeping_format
         )
+        journal = SparkJournal(
+            spark,
+            f"{wf.bookkeeping_path.rstrip('/')}/journal",
+            wf.bookkeeping_format,
+        )
     elif wf.bookkeeping_path:
         bookkeeper = JsonBookkeeper(wf.bookkeeping_path)
+        journal = Journal(path=wf.bookkeeping_path + ".journal.jsonl")
     else:
         bookkeeper = Bookkeeper()
+        journal = Journal()
     metastore = Metastore(spark, wf.tables, temp_dir=wf.temp_dir)
     jobs = build_jobs(spark, wf, metastore, bookkeeper)
     if args.ops:
@@ -111,7 +124,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     runner = PipelineRunner(
         metastore,
         bookkeeper,
-        Journal(),
+        journal,
         parallel_tasks=args.parallel_tasks or wf.parallel_tasks,
         batch_id=batch_id,
         skip_locked=args.skip_locked,
@@ -127,6 +140,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         lock=lock,
     )
     result = runner.run(jobs, params)
+
+    # register/refresh Hive-exposed tables (MetaTableDef.hiveTable) after the
+    # run; --force-recreate-hive-tables drops + recreates instead of repairing
+    for tbl in wf.tables:
+        if tbl.hive_table:
+            from pramen_spark.metastore.hive import sync_catalog
+
+            try:
+                sync_catalog(
+                    spark,
+                    tbl,
+                    database=tbl.hive_database,
+                    hive_table=tbl.hive_table,
+                    force_recreate=args.force_recreate_hive_tables,
+                )
+            except Exception as exc:  # hive exposure must not fail the pipeline
+                print(f"WARNING: hive sync failed for {tbl.name}: {exc}", file=sys.stderr)
 
     builder = PipelineNotificationBuilder(
         NotificationConfig(pipeline_name=wf.pipeline_name, environment=wf.environment)

@@ -174,6 +174,8 @@ def parse_table_config(spec: Dict[str, Any]) -> TableConfig:
         save_mode=_get(spec, "save.mode"),
         read_options=dict(_get(spec, "read.option", default={}) or {}),
         write_options=dict(_get(spec, "write.option", default={}) or {}),
+        hive_table=_get(spec, "hive.table"),
+        hive_database=_get(spec, "hive.database"),
         **kwargs,
     )
 

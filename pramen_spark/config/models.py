@@ -160,6 +160,10 @@ class TableConfig:
     write_options: Dict[str, str] = field(default_factory=dict)
     spark_config: Dict[str, str] = field(default_factory=dict)
     table_properties: Dict[str, str] = field(default_factory=dict)
+    # Hive/catalog exposure (MetaTableDef.hiveTable/hiveDatabase): when set,
+    # the table is registered in the Spark/Hive catalog after writes
+    hive_table: Optional[str] = None
+    hive_database: Optional[str] = None
 
 
 class ScheduleKind(str, Enum):

@@ -83,12 +83,27 @@ def sync_catalog(
     table: TableConfig,
     database: Optional[str] = None,
     hive_table: Optional[str] = None,
+    force_recreate: bool = False,
 ) -> str:
     """Register (or refresh) the table in Spark's catalog pointing at the
     metastore path and recover its date partitions. Returns the catalog
-    table name."""
+    table name.
+
+    When the table already exists it is only repaired (new partitions
+    picked up); ``force_recreate=True`` drops and recreates it first —
+    needed after a schema change (reference:
+    ``--force-recreate-hive-tables``, CmdLineConfig.scala)."""
     name = full_table_name(database, hive_table or table.name)
-    df = spark.read.option("basePath", table.format.path).parquet(table.format.path)
+    bare = name.replace("`", "")
+    exists = spark.catalog.tableExists(bare)
+    if exists and not force_recreate:
+        repair_table(spark, name)
+        return name
+    df = (
+        spark.read.option("basePath", table.format.path)
+        .option("mergeSchema", "true")  # union schema across partitions, not one sampled file
+        .parquet(table.format.path)
+    )
     cat_schema = transform_schema_for_catalog(df.schema)
     part_col = table.info_date_column
     cols = ", ".join(

@@ -90,7 +90,14 @@ def extract_features(
             yield out
 
     if batch_size_hint:
-        df = df.repartition(max(1, df.rdd.getNumPartitions()))
+        # Size tasks so one task holds ~batch_size_hint blobs: count once
+        # (cheap — count() is a metadata/agg-only job) and derive the target
+        # partition count from the hint. Avoids touching .rdd (which would
+        # break AQE pipelining) and avoids the degenerate 1-blob-per-task or
+        # all-blobs-in-one-task shapes for huge binary payloads.
+        n_rows = df.count()
+        target = max(1, -(-n_rows // batch_size_hint))  # ceil division
+        df = df.repartition(target)
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 

@@ -9,7 +9,7 @@ from pramen_spark.runner.jobs import (
     TransformationJob,
 )
 from pramen_spark.runner.runner import DependencyResolver, PipelineResult, PipelineRunner
-from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper
+from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper, SparkJournal
 from pramen_spark.runner.task_runner import RunStatus, TaskResult, TaskRunner
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "RunStatus",
     "SinkJob",
     "SparkBookkeeper",
+    "SparkJournal",
     "TaskResult",
     "TaskRunner",
     "TransformationJob",

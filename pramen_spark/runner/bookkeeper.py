@@ -213,6 +213,12 @@ class Journal:
                 with open(self.path, "a") as f:
                     f.write(json.dumps(asdict(entry)) + "\n")
 
+    def get_entries(self, from_ts: float, to_ts: float) -> List[JournalEntry]:
+        """Entries whose finish time falls in [from_ts, to_ts]
+        (reference: Journal.getEntries(from, to))."""
+        with self._lock:
+            return [e for e in self.entries if from_ts <= e.finished <= to_ts]
+
 
 class TokenLock:
     """In-process lock registry keyed on (table, info_date)

@@ -26,7 +26,7 @@ from typing import List
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from pramen_spark.runner.bookkeeper import Bookkeeper, DataChunk
+from pramen_spark.runner.bookkeeper import Bookkeeper, DataChunk, Journal, JournalEntry
 
 CHUNK_SCHEMA = T.StructType(
     [
@@ -151,3 +151,79 @@ class SparkBookkeeper(Bookkeeper):
             out.coalesce(1).write.format(self.data_format).mode("overwrite").save(path)
             total += len(rows)
         return total
+
+
+JOURNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType()),
+        T.StructField("info_date", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("started", T.DoubleType()),
+        T.StructField("finished", T.DoubleType()),
+        T.StructField("records", T.LongType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+class SparkJournal(Journal):
+    """Run journal persisted as an append-only Spark dataset (Parquet or
+    Delta), the counterpart of the reference's JournalHadoopDeltaPath /
+    JournalHadoopCsv (core/.../journal/JournalHadoopDeltaPath.scala,
+    JournalHadoopCsv.scala).
+
+    Each task attempt appends one row; ``get_entries`` re-reads storage with
+    a pushed-down time-range filter so concurrent drivers' entries are
+    visible.  The dataset shares the bookkeeping location
+    (``{bookkeeping.location}/journal``) and format, as in the reference.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, data_format: str = "parquet"):
+        if data_format not in ("parquet", "delta"):
+            raise ValueError(f"Unsupported journal format '{data_format}'")
+        super().__init__(path=None)
+        self.spark = spark
+        self.journal_path = path.rstrip("/")
+        self.data_format = data_format
+
+    def add(self, entry: JournalEntry) -> None:
+        super().add(entry)  # keep the in-memory view for this driver's report
+        row = {
+            "table_name": entry.table_name,
+            "info_date": entry.info_date,
+            "status": entry.status,
+            "started": float(entry.started),
+            "finished": float(entry.finished),
+            "records": int(entry.records),
+            "reason": entry.reason or "",
+            "error": entry.error or "",
+        }
+        df = self.spark.createDataFrame([row], schema=JOURNAL_SCHEMA)
+        df.coalesce(1).write.format(self.data_format).mode("append").save(self.journal_path)
+
+    def get_entries(self, from_ts: float, to_ts: float) -> List[JournalEntry]:
+        """All drivers' entries in [from_ts, to_ts] — read from storage, with
+        the range predicate pushed to the scan."""
+        try:
+            df = self.spark.read.format(self.data_format).load(self.journal_path)
+        except Exception:  # dataset not created yet
+            return []
+        rows = (
+            df.where((df["finished"] >= float(from_ts)) & (df["finished"] <= float(to_ts)))
+            .orderBy("finished")
+            .collect()
+        )
+        return [
+            JournalEntry(
+                table_name=r["table_name"],
+                info_date=r["info_date"],
+                status=r["status"],
+                started=r["started"],
+                finished=r["finished"],
+                records=r["records"],
+                reason=r["reason"],
+                error=r["error"],
+            )
+            for r in rows
+        ]

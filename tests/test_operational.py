@@ -149,6 +149,65 @@ class TestHiveSync:
         assert "PARTITIONED BY (`pramen_info_date` DATE)" in ddl[1]
         assert ddl[2].startswith("MSCK REPAIR TABLE")
 
+    def test_sync_repairs_in_place_unless_forced(self, spark, tmp_path):
+        """Existing catalog tables are repaired (new partitions picked up)
+        without a drop; --force-recreate-hive-tables drops + recreates so a
+        schema change is reflected (CmdLineConfig.scala)."""
+        from pramen_spark.metastore.hive import sync_catalog
+
+        path = str(tmp_path / "hive_r")
+        cfg = TableConfig(name="hive_r", format=DataFormat.parquet(path))
+        ms = Metastore(spark, [cfg])
+        df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        ms.save_table("hive_r", df, D)
+        name = sync_catalog(spark, cfg)
+        try:
+            assert len(spark.sql(f"SHOW PARTITIONS {name}").collect()) == 1
+            # a new partition arrives; re-sync must pick it up without drop
+            ms.save_table("hive_r", df, D + dt.timedelta(days=1))
+            assert sync_catalog(spark, cfg) == name
+            assert len(spark.sql(f"SHOW PARTITIONS {name}").collect()) == 2
+            # schema widens: repair-in-place keeps the old column set ...
+            df2 = df.withColumn("extra", F.lit("x"))
+            ms.save_table("hive_r", df2, D + dt.timedelta(days=2))
+            sync_catalog(spark, cfg)
+            assert "extra" not in spark.table(name).columns
+            # ... force_recreate picks the new column up
+            sync_catalog(spark, cfg, force_recreate=True)
+            assert "extra" in spark.table(name).columns
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_cli_flag_and_loader_keys(self, tmp_path):
+        from pramen_spark.cli import parse_args
+        from pramen_spark.config.loader import load_workflow
+
+        args = parse_args(["--workflow", "w.conf", "--force-recreate-hive-tables"])
+        assert args.force_recreate_hive_tables is True
+        args = parse_args(["--workflow", "w.conf"])
+        assert args.force_recreate_hive_tables is False
+
+        conf = {
+            "pramen": {"pipeline.name": "p"},
+            "pramen.metastore": {
+                "tables": [
+                    {
+                        "name": "t1",
+                        "format": "parquet",
+                        "path": str(tmp_path / "t1"),
+                        "hive.table": "t1_hive",
+                        "hive.database": "bi",
+                    }
+                ]
+            },
+            "pipeline": {"operations": []},
+        }
+        p = tmp_path / "w.json"
+        p.write_text(json.dumps(conf))
+        wf = load_workflow(str(p))
+        assert wf.tables[0].hive_table == "t1_hive"
+        assert wf.tables[0].hive_database == "bi"
+
 
 class TestKafka:
     def test_offsets_json_rendering(self):

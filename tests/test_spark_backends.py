@@ -8,7 +8,8 @@ import pytest
 
 from pramen_spark.offsets.ledger import OffsetLedger
 from pramen_spark.offsets.spark_ledger import SparkOffsetLedger
-from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper
+from pramen_spark.runner.bookkeeper import Journal, JournalEntry
+from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper, SparkJournal
 from pramen_spark.sql.generators import OffsetType, OffsetValue
 
 D = dt.date(2024, 1, 10)
@@ -135,6 +136,52 @@ class TestSparkBookkeeper:
             bk.set_record_count("t", D, i, i, 1.0, 2.0)
         assert bk.compact() == 3
         assert SparkBookkeeper(spark, path).get_data_chunks_count("t", D, D) == 3
+
+
+class TestSparkJournal:
+    @staticmethod
+    def _entry(table, finished, status="Succeeded", records=10):
+        return JournalEntry(
+            table_name=table,
+            info_date=D.isoformat(),
+            status=status,
+            started=finished - 1.0,
+            finished=finished,
+            records=records,
+        )
+
+    def test_roundtrip_and_time_range(self, spark, tmp_path):
+        j = SparkJournal(spark, str(tmp_path / "journal"))
+        j.add(self._entry("a", 10.0))
+        j.add(self._entry("b", 20.0, status="Failed", records=0))
+        j.add(self._entry("c", 30.0))
+        got = j.get_entries(15.0, 25.0)
+        assert [e.table_name for e in got] == ["b"]
+        assert got[0].status == "Failed"
+        everything = j.get_entries(0.0, 100.0)
+        assert [e.table_name for e in everything] == ["a", "b", "c"]
+
+    def test_other_driver_entries_visible(self, spark, tmp_path):
+        path = str(tmp_path / "journal")
+        a = SparkJournal(spark, path)
+        b = SparkJournal(spark, path)
+        a.add(self._entry("t", 5.0))
+        assert b.entries == []  # local in-memory view
+        assert [e.table_name for e in b.get_entries(0.0, 10.0)] == ["t"]
+
+    def test_empty_journal(self, spark, tmp_path):
+        j = SparkJournal(spark, str(tmp_path / "journal"))
+        assert j.get_entries(0.0, 1.0) == []
+
+    def test_bad_format_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            SparkJournal(spark, str(tmp_path / "x"), data_format="orc")
+
+    def test_base_journal_get_entries(self):
+        j = Journal()
+        j.add(self._entry("a", 1.0))
+        j.add(self._entry("b", 2.0))
+        assert [e.table_name for e in j.get_entries(1.5, 3.0)] == ["b"]
 
 
 class TestJsonLedgerStillGreen:
