@@ -111,36 +111,70 @@ def unit_embeddings(
     )
 
 
-def _bucketed_pairs_blockwise(units: DataFrame, threshold: float) -> DataFrame:
-    """Per-bucket all-pairs cosine via one numpy matmul per bucket
+def _bucketed_pairs_blockwise(
+    units: DataFrame,
+    threshold: float,
+    max_bucket_size: Optional[int] = None,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Per-bucket all-pairs cosine via blocked numpy matmuls
     (applyInPandas). Each vector lives in exactly one bucket (its sign
     pattern), so pairs are unique across buckets — no dedup pass.
 
     Transfer cost is |vectors| once (Arrow), NOT |pairs|: scoring 780k
     candidate pairs by shipping both arrays per pair moves ~1000x more
     bytes than shipping each bucket's vectors once and multiplying
-    in-block. Memory per task is O(bucket^2) doubles — pick num_planes so
-    the largest bucket's pair matrix fits the executor (salt or split
-    oversized buckets upstream for skewed corpora)."""
+    in-block. The matmul runs in ``block_rows``-row strips, so peak task
+    memory is O(block_rows x bucket) doubles, not O(bucket^2).
+
+    ``max_bucket_size`` is the skew guard for degenerate corpora: a bucket
+    of b vectors still costs O(b^2) multiply WORK even when memory is
+    bounded, so buckets above the cap (near-identical embeddings all
+    landing in one sign pattern) are dropped. The size filter is a window
+    count over the same ``bucket`` key the groupBy shuffles on, so the
+    partitioning is computed once and reused."""
     import pandas as pd
 
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        units = (
+            units.withColumn("_bsize", F.count("*").over(W.partitionBy("bucket")))
+            .filter(F.col("_bsize") <= max_bucket_size)
+            .drop("_bsize")
+        )
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
         ids = pdf["id"].to_numpy()
         m = np.stack(pdf["u"].to_numpy())
-        c = m @ m.T
-        ia, ib = np.where(np.triu(c >= threshold, k=1))
-        a, b = ids[ia], ids[ib]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cosine": c[ia, ib],
-            }
-        )
+        frames = []
+        for s in range(0, n, block_rows):
+            c = m[s : s + block_rows] @ m.T  # strip: block_rows x n
+            ia, ib = np.where(c >= threshold)
+            ia = ia + s  # strip-local row -> bucket-global row
+            keep = ia < ib  # upper triangle: each unordered pair once
+            if not keep.any():
+                continue
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a, b),
+                        "id_b": np.maximum(a, b),
+                        "cosine": c[ia[keep] - s, ib[keep]],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return units.groupBy("bucket").applyInPandas(
         fn, "id_a long, id_b long, cosine double"
@@ -155,6 +189,7 @@ def embedding_near_dups(
     num_planes: Optional[int] = None,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: (id_a, id_b, cosine)
     with id_a < id_b and cosine >= threshold.
@@ -187,7 +222,7 @@ def embedding_near_dups(
             F.transform("_emb_d", lambda x: x / F.col("_nrm")).alias("u"),
         )
     )
-    return _bucketed_pairs_blockwise(units, threshold)
+    return _bucketed_pairs_blockwise(units, threshold, max_bucket_size)
 
 
 def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:

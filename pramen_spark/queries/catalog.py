@@ -980,7 +980,11 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     from pramen_spark.operators.similarity import embedding_near_dups
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(e, threshold=0.4, num_planes=2, dim=64)
+    # max_bucket_size caps the O(b^2) per-bucket multiply work on corpora
+    # where near-identical embeddings collapse into one sign pattern
+    pairs = embedding_near_dups(
+        e, threshold=0.4, num_planes=2, dim=64, max_bucket_size=200_000
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

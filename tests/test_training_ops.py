@@ -280,6 +280,41 @@ class TestEmbeddingNearDups:
         got = {(r["id_a"], r["id_b"]) for r in out.collect()}
         assert {(0, 200000), (1, 200001), (2, 200002)} <= got
 
+    def test_blocked_matmul_matches_unblocked(self, embeddings):
+        """Strip size smaller than any bucket: identical pairs, so the
+        memory-bounded path is a pure implementation detail."""
+        from pramen_spark.operators.similarity import (
+            _bucketed_pairs_blockwise,
+            lsh_bucket,
+            random_hyperplanes,
+            unit_embeddings,
+        )
+
+        planes = random_hyperplanes(64, 2)
+        bucketed = lsh_bucket(embeddings, planes)
+        units = unit_embeddings(bucketed.select("vec_id", "embedding", "bucket"),
+                                id_col="vec_id").join(
+            bucketed.select("vec_id", "bucket"), "vec_id"
+        ).select(F.col("vec_id").alias("id"), "bucket", "u")
+        big = {(r["id_a"], r["id_b"]) for r in
+               _bucketed_pairs_blockwise(units, 0.4, block_rows=10_000).collect()}
+        small = {(r["id_a"], r["id_b"]) for r in
+                 _bucketed_pairs_blockwise(units, 0.4, block_rows=7).collect()}
+        assert big == small and len(big) > 0
+
+    def test_bucket_cap_drops_degenerate_bucket(self, spark):
+        """200 identical embeddings collapse into one sign-pattern bucket;
+        the cap drops it so the O(b^2) multiply never runs."""
+        base = [float(i % 7 - 3) for i in range(16)]
+        rows = [(i, base) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        capped = embedding_near_dups(
+            df, threshold=0.9, num_planes=4, dim=16, max_bucket_size=100
+        )
+        assert capped.count() == 0
+        uncapped = embedding_near_dups(df, threshold=0.9, num_planes=4, dim=16)
+        assert uncapped.count() == 200 * 199 // 2
+
 
 class TestAsofJoin:
     @pytest.fixture(scope="class")
