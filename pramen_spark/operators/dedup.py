@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -287,6 +287,55 @@ def ngram_jaccard_pairs(
         .join(sz_b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose n-grams cover
+    a benchmark document — (doc_id, bench_id, containment) pairs with
+    containment = |shingles(doc) ∩ shingles(bench)| / |shingles(bench)|
+    >= threshold.  The directional form of Jaccard used to scrub eval-set
+    contamination out of training corpora.
+
+    Shape mirrors ``ngram_jaccard_pairs`` but cross-corpus: both sides
+    shingle to 64-bit hashes, the (small) benchmark side is broadcast on
+    the shingle join, and matches aggregate map-side into per-(doc, bench)
+    counts — one shuffle over corpus shingles.  ``max_shingle_freq`` drops
+    shingles appearing in more than that many CORPUS documents before the
+    join (boilerplate guard: one stop-shingle shared with every doc would
+    emit |corpus| x |bench-hits| rows); dropped shingles only lower the
+    numerator, so a contaminated doc is never over-flagged, and genuinely
+    contaminated docs still match on their rarer shingles."""
+    c = hashed_shingles(corpus, id_col, text_col, shingle_size).select(
+        F.col(id_col).alias("doc_id"), "shingle_h"
+    )
+    b = hashed_shingles(benchmark, bench_id_col, text_col, shingle_size).select(
+        F.col(bench_id_col).alias("bench_id"), "shingle_h"
+    )
+    bench_sizes = b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    if max_shingle_freq is not None:
+        c = c.withColumn(
+            "_freq", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
+        ).filter(F.col("_freq") <= max_shingle_freq).drop("_freq")
+    common = (
+        c.join(F.broadcast(b), "shingle_h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_bench")
+    return (
+        common.join(F.broadcast(bench_sizes), "bench_id")
+        .select("doc_id", "bench_id", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -103,6 +103,40 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return out
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition ratios — the Gopher-style quality rules
+    that catch templated/spammy text: fraction of duplicate words and
+    duplicate word-bigrams per document.
+
+    (id, n_words, dup_word_frac, dup_bigram_frac); documents with fewer
+    than 2 tokens are dropped (no bigram is defined).  Pure column
+    expressions over one projected token array — zero shuffles, zero
+    Python; the token array is projected as a real column so Catalyst
+    evaluates the split once, not once per derived expression."""
+    base = df.select(F.col(id_col), _tokens(text_col).alias("t"))
+    n = F.size("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.try_element_at("t", i), F.try_element_at("t", i + 1)),
+    )
+    return (
+        base.filter(n >= 2)
+        .select(
+            id_col,
+            n.cast("long").alias("n_words"),
+            (F.lit(1.0) - F.size(F.array_distinct("t")).cast("double") / n).alias(
+                "dup_word_frac"
+            ),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1)
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Normalized md5 fingerprint + a 64-bit rolling-style content hash."""
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")

@@ -558,6 +558,94 @@ def q_text_quality(spark, sf_dir):
 
 
 @query(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           ROUND(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_word_frac,
+           ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (n - 1), 6) AS dup_bigram_frac
+    FROM base
+    """,
+    "within-document repetition ratios (duplicate words / bigrams)",
+    tags=("text", "quality"),
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signal — pure column expressions,
+    zero shuffles (see operators/text.py:repetition_stats)."""
+    from pramen_spark.operators.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(d)
+    return rep.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "decontaminate_ngram",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh2 WHERE doc_id % 20 = 0),
+    bsizes AS (SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY bench_id),
+    -- skew guard mirror: Spark drops shingles present in > 1000 corpus docs
+    kept AS (
+        SELECT doc_id, shingle FROM sh2
+        WHERE shingle IN (
+            SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 1000
+        )
+    ),
+    common AS (
+        SELECT k.doc_id, b.bench_id, COUNT(*) AS n_common
+        FROM kept k JOIN bench b ON k.shingle = b.shingle AND k.doc_id <> b.bench_id
+        GROUP BY k.doc_id, b.bench_id
+    )
+    SELECT c.doc_id, c.bench_id,
+           ROUND(CAST(n_common AS DOUBLE) / n_bench, 6) AS containment
+    FROM common c JOIN bsizes USING (bench_id)
+    WHERE CAST(n_common AS DOUBLE) / n_bench >= 0.05
+    """,
+    "benchmark decontamination: n-gram containment of corpus docs vs a benchmark set",
+    tags=("dedup", "quality"),
+)
+def q_decontaminate_ngram(spark, sf_dir):
+    """Directional n-gram overlap for eval-set decontamination; the
+    benchmark here is the deterministic doc_id % 20 == 0 slice standing in
+    for a held-out eval set (see operators/dedup.py:ngram_containment)."""
+    from pramen_spark.operators.dedup import ngram_containment
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    pairs = ngram_containment(
+        d, bench, threshold=0.05, max_shingle_freq=1000
+    ).filter(F.col("doc_id") != F.col("bench_id"))
+    return pairs.select(
+        "doc_id", "bench_id", F.round("containment", 6).alias("containment")
+    )
+
+
+@query(
     "doc_fingerprint",
     r"""
     SELECT doc_id,

@@ -138,6 +138,80 @@ class TestNgramJaccard:
         assert uncapped.count() == 50 * 49 // 2  # 'common shared prefix' links all
 
 
+class TestNgramContainment:
+    def test_contained_doc_flagged(self, spark):
+        from pramen_spark.operators.dedup import ngram_containment
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "totally different words here with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")],
+            "bench_id long, text string",
+        )
+        rows = {
+            (r["doc_id"], r["bench_id"]): r["containment"]
+            for r in ngram_containment(corpus, bench, threshold=0.5).collect()
+        }
+        # every benchmark 3-gram appears in doc 1 -> containment 1.0
+        assert rows == {(1, 100): 1.0}
+
+    def test_directional_not_symmetric(self, spark):
+        """A short benchmark fully inside a long doc scores 1.0 even though
+        the doc's own shingles are mostly NOT in the benchmark."""
+        from pramen_spark.operators.dedup import ngram_containment
+
+        corpus = spark.createDataFrame(
+            [(1, "x y z " + " ".join(f"w{i}" for i in range(50)))],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(9, "x y z")], "bench_id long, text string")
+        out = ngram_containment(corpus, bench, threshold=0.99).collect()
+        assert [(r["doc_id"], r["bench_id"], r["containment"]) for r in out] == [
+            (1, 9, 1.0)
+        ]
+
+    def test_shingle_freq_guard(self, spark):
+        """A boilerplate shingle in every corpus doc is dropped before the
+        join; matches through it disappear, rarer shingles still count."""
+        from pramen_spark.operators.dedup import ngram_containment
+
+        corpus = spark.createDataFrame(
+            [(i, f"common shared prefix unique{i} tail{i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "common shared prefix")], "bench_id long, text string"
+        )
+        capped = ngram_containment(corpus, bench, threshold=0.01, max_shingle_freq=5)
+        assert capped.count() == 0
+        uncapped = ngram_containment(corpus, bench, threshold=0.99)
+        assert uncapped.count() == 30  # all docs fully contain the benchmark
+
+
+class TestRepetitionStats:
+    def test_fractions(self, spark):
+        from pramen_spark.operators.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a a a a b"), (2, "u v w x y"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert set(rows) == {1, 2}  # <2 tokens dropped
+        r1 = rows[1]
+        assert r1["n_words"] == 5
+        assert abs(r1["dup_word_frac"] - 0.6) < 1e-9  # 2 distinct of 5
+        # bigrams: "a a" x3, "a b" -> 2 distinct of 4
+        assert abs(r1["dup_bigram_frac"] - 0.5) < 1e-9
+        assert rows[2]["dup_word_frac"] == 0.0
+        assert rows[2]["dup_bigram_frac"] == 0.0
+
+
 class TestSimhash:
     def test_exact_dups_same_fingerprint(self, docs):
         fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
