@@ -22,8 +22,10 @@ from pramen_spark.queries.catalog import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
-    return QUERIES["q1_pricing_summary"].build(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the end-to-end corpus
+    curation pipeline (quality + repetition gates, exact dedup,
+    benchmark decontamination, per-source accounting)."""
+    return QUERIES["curate_corpus"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

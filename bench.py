@@ -40,7 +40,10 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "lang_id",
     "text_quality",
+    "text_repetition",
     "doc_fingerprint",
+    "decontaminate_ngram",
+    "curate_corpus",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
     "embedding_near_dups_lsh",

@@ -646,6 +646,100 @@ def q_decontaminate_ngram(spark, sf_dir):
 
 
 @query(
+    "curate_corpus",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\s+') AS t,
+               regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, source, len(t) AS n,
+               1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dupf,
+               norm
+        FROM toks
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM stats GROUP BY md5(norm)),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh2 WHERE doc_id % 20 = 0),
+    bsizes AS (SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY bench_id),
+    skept AS (
+        SELECT doc_id, shingle FROM sh2
+        WHERE shingle IN (
+            SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 1000
+        )
+    ),
+    contaminated AS (
+        SELECT DISTINCT k.doc_id
+        FROM skept k JOIN bench b ON k.shingle = b.shingle AND k.doc_id <> b.bench_id
+        JOIN bsizes s ON s.bench_id = b.bench_id
+        GROUP BY k.doc_id, b.bench_id, s.n_bench
+        HAVING CAST(COUNT(*) AS DOUBLE) / s.n_bench >= 0.5
+    ),
+    kept AS (
+        SELECT s.doc_id, s.source, s.n FROM stats s
+        JOIN keepers USING (doc_id)
+        WHERE s.n >= 20 AND s.dupf <= 0.6
+          AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_words
+    FROM kept GROUP BY source
+    """,
+    "end-to-end corpus curation: quality + repetition filters, exact dedup, decontamination, per-source accounting",
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_curate_corpus(spark, sf_dir):
+    """The training-data pipeline in one query: length + repetition quality
+    gates, keep-min exact dedup on normalized-content hash, benchmark
+    decontamination anti-join, then per-source document/token accounting.
+
+    Scale shape: three doc_id-keyed joins co-partition after the first
+    shuffle; the dedup groupBy carries (hash, id) only; decontamination is
+    the guarded broadcast-shingle join of ngram_containment. No raw text
+    moves past the first projections."""
+    from pramen_spark.operators.dedup import ngram_containment
+    from pramen_spark.operators.text import fingerprint, repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(d)
+    good = rep.filter((F.col("n_words") >= 20) & (F.col("dup_word_frac") <= 0.6)).select(
+        "doc_id", "n_words"
+    )
+    keepers = (
+        fingerprint(d)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bench = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    contaminated = (
+        ngram_containment(d, bench, threshold=0.5, max_shingle_freq=1000)
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        d.select("doc_id", "source")
+        .join(good, "doc_id")
+        .join(keepers, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("total_words")
+    )
+
+
+@query(
     "doc_fingerprint",
     r"""
     SELECT doc_id,

@@ -32,7 +32,7 @@ def test_entry_runs(spark, entry_mod):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.columns[0] == "l_returnflag"
+    assert df.columns == ["source", "n_docs", "total_words"]
 
 
 def test_each_query_runs_at_smallest_sf(spark, entry_mod, sf_dir):
