@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -133,8 +134,6 @@ def _bucketed_pairs_blockwise(
     landing in one sign pattern) are dropped. The size filter is a window
     count over the same ``bucket`` key the groupBy shuffles on, so the
     partitioning is computed once and reused."""
-    import pandas as pd
-
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
 
@@ -244,6 +243,112 @@ def lsh_bucket(df: DataFrame, planes: Sequence[Sequence[float]], embedding_col: 
         term = bit * F.lit(1 << i).cast("long")
         bucket = term if bucket is None else bucket + term
     return base.withColumn("bucket", bucket)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    sample_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means centroids for IVF coarse quantization,
+    trained on a hash-selected sample (``xxhash64(id)``-ordered — the same
+    rows on every run and every cluster size, unlike ``df.sample``).
+
+    Lloyd iterations run driver-side in numpy on <= ``sample_size``
+    unit vectors: IVF training wants a representative sample, not the
+    corpus — at 100 TB you still train on ~10^5-10^6 sampled vectors, so
+    collecting the sample is the intended data movement, not a shortcut.
+    Returns an (nlist, dim) array of L2-normalized centroids."""
+    units = unit_embeddings(df, id_col, embedding_col)
+    rows = (
+        units.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("u")
+        .collect()
+    )
+    x = np.array([r["u"] for r in rows])
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment on unit vectors = max dot product
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) coarse
+    quantization — the k-means sibling of ``lsh_topk``: vectors are
+    assigned to their nearest of ``nlist`` centroids; each query probes
+    its ``nprobe`` nearest cells and exactly rescores only those cells'
+    vectors. ``nprobe == nlist`` degenerates to exact brute force.
+
+    Scale shape: centroids broadcast (nlist x dim floats — tiny); cell
+    assignment is one Arrow-vectorized matmul pass over the corpus; the
+    probe join shuffles corpus rows by cell only once (queries broadcast);
+    the final reduction reuses the two-stage top-k. Returns
+    (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cent = kmeans_centroids(df, nlist, id_col, embedding_col, sample_size, seed=seed)
+    cent_b = cent  # captured in the UDF closures (broadcast with the task)
+
+    @pandas_udf(T.LongType())
+    def nearest_cell(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((m / norms) @ cent_b.T, axis=1).astype(np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        scores = (m / norms) @ cent_b.T
+        order = np.argsort(-scores, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int64).tolist() for row in order])
+
+    base = with_double_embedding(df, embedding_col).withColumn(
+        "cell", nearest_cell(F.col(embedding_col))
+    )
+    q = with_double_embedding(query, embedding_col).select(
+        F.col(query_id_col),
+        F.col("_emb_d").alias("_q_d"),
+        F.explode(probe_cells(F.col(embedding_col))).alias("cell"),
+    )
+    scored = base.join(F.broadcast(q), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col("_emb_d"), F.col("_q_d"))
+            / (_norm(F.col("_emb_d")) * _norm(F.col("_q_d")))
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, id_col, query_id_col)
 
 
 def lsh_topk(

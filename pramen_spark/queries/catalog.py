@@ -913,6 +913,24 @@ def q_similarity_lsh_topk(spark, sf_dir):
 
 
 @query(
+    "similarity_ivf_topk",
+    None,  # k-means cells are Spark/numpy-specific; brute-force twin has the oracle
+    "ANN top-k via IVF coarse quantization (k-means cells + probe rescoring)",
+    tags=("similarity",),
+)
+def q_similarity_ivf_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pramen_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query_df = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, query_df, k=10, nlist=16, nprobe=4)
+
+
+@query(
     "lang_id",
     r"""
     WITH toks AS (

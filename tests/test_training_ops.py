@@ -257,6 +257,52 @@ class TestSimilarity:
     def test_hyperplanes_deterministic(self):
         assert random_hyperplanes(8, 4, seed=7) == random_hyperplanes(8, 4, seed=7)
 
+    def test_ivf_full_probe_equals_bruteforce(self, embeddings):
+        """nprobe == nlist probes every cell -> IVF must reproduce exact
+        brute-force top-k bit-for-bit (same scoring, same tie-break)."""
+        from pramen_spark.operators.similarity import ivf_topk
+
+        query = embeddings.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in cosine_topk(embeddings, query, k=5).collect()
+        )
+        full = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in ivf_topk(embeddings, query, k=5, nlist=8, nprobe=8).collect()
+        )
+        assert full == exact
+
+    def test_ivf_partial_probe_recall(self, embeddings):
+        from pramen_spark.operators.similarity import ivf_topk
+
+        query = embeddings.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {r["vec_id"] for r in cosine_topk(embeddings, query, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ivf_topk(embeddings, query, k=10, nlist=16, nprobe=4).collect()
+        }
+        recall = len(exact & approx) / 10
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+        # self-match always survives: the query's own cell is its top probe
+        assert 0 in approx
+
+    def test_ivf_deterministic(self, embeddings):
+        from pramen_spark.operators.similarity import ivf_topk
+
+        query = embeddings.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = [(r["rank"], r["vec_id"]) for r in
+             ivf_topk(embeddings, query, k=5, nlist=8, nprobe=2).collect()]
+        b = [(r["rank"], r["vec_id"]) for r in
+             ivf_topk(embeddings, query, k=5, nlist=8, nprobe=2).collect()]
+        assert a == b and len(a) == 5
+
 
 class TestTextOps:
     def test_token_count(self, docs):
