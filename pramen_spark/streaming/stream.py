@@ -77,6 +77,29 @@ def windowed_aggregation(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — the continuous counterpart of
+    ``operators.dedup.exact_dedup`` for at-least-once sources (Kafka
+    redeliveries, file re-drops).
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``: state
+    per key is evicted once the watermark passes its event time, so state
+    is bounded by (arrival rate x watermark), not by the stream's lifetime
+    key cardinality — the only form that survives at 100 TB/day. The
+    unbounded ``dropDuplicates`` form is kept for short-lived backfills
+    where exact global dedup matters more than state size."""
+    out = df.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return out.dropDuplicatesWithinWatermark(list(key_cols))
+    return out.dropDuplicates(list(key_cols))
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -55,6 +55,35 @@ def run_available_now(stream_df, sink_fn=None, query_name="q"):
     return q
 
 
+class TestStreamingDedup:
+    def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        from pramen_spark.streaming.stream import streaming_dedup
+
+        src = str(tmp_path / "events")
+        base = dt.datetime(2024, 1, 10, 12, 0, 0)
+        rows = [(i, base + dt.timedelta(minutes=i), i % 3, float(i)) for i in range(20)]
+        rows += rows[:5]  # redelivered duplicates
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(src)
+
+        stream = read_file_stream(spark, src, EVENTS_SCHEMA)
+        deduped = streaming_dedup(stream, "ts", key_cols=("event_id",))
+        run_available_now(deduped, query_name="sdedup")
+        out = spark.sql("SELECT event_id FROM sdedup").collect()
+        ids = sorted(r["event_id"] for r in out)
+        assert ids == list(range(20))  # each id exactly once
+
+    def test_unbounded_variant(self, spark, tmp_path):
+        from pramen_spark.streaming.stream import streaming_dedup
+
+        src = str(tmp_path / "events2")
+        write_events(spark, src)
+        stream = read_file_stream(spark, src, EVENTS_SCHEMA)
+        deduped = streaming_dedup(stream, "ts", key_cols=("user_id",),
+                                  within_watermark=False)
+        run_available_now(deduped, query_name="sdedup2")
+        assert spark.sql("SELECT COUNT(*) n FROM sdedup2").collect()[0]["n"] == 3
+
+
 class TestWindowedAggregation:
     def test_tumbling_windows(self, spark, tmp_path):
         src = str(tmp_path / "events")
