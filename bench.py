@@ -78,6 +78,10 @@ def main() -> None:
             t0 = time.perf_counter()
             force(spec.build(spark, sf_dir))
             raw[name].append(round(time.perf_counter() - t0, 4))
+            # queries that .cache() intermediates (minhash signatures) would
+            # otherwise serve later reps from the CacheManager via identical
+            # canonicalized plans — reps must measure the real computation
+            spark.catalog.clearCache()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

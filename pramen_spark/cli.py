@@ -145,8 +145,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # run; --force-recreate-hive-tables drops + recreates instead of repairing
     for tbl in wf.tables:
         if tbl.hive_table:
+            from pramen_spark.config.models import FormatKind
             from pramen_spark.metastore.hive import sync_catalog
 
+            if tbl.format.kind != FormatKind.PARQUET or not tbl.format.path:
+                # sync_catalog registers the path as raw parquet; pointing it
+                # at a Delta/Iceberg root would expose tombstoned files.
+                # Those formats are already catalog tables via their own
+                # runtime (persistence.py), so path-registration is wrong
+                # AND unnecessary for them.
+                print(
+                    f"WARNING: hive.table on '{tbl.name}' ignored: catalog sync "
+                    f"supports parquet path tables, not {tbl.format.kind.value}",
+                    file=sys.stderr,
+                )
+                continue
             try:
                 sync_catalog(
                     spark,

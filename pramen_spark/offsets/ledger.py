@@ -116,14 +116,21 @@ class OffsetLedger:
         return OffsetTransaction(table, info_date.isoformat(), batch_id)
 
     def _find(self, tx: OffsetTransaction) -> OffsetRecord:
+        """The OPEN (uncommitted) record of this transaction key. A committed
+        record is final — commit/rollback must never touch it, even when a
+        later transaction reuses the same (table, date, batch) key."""
+        found = None
         for rec in self._records:
             if (
                 rec.table_name == tx.table_name
                 and rec.info_date == tx.info_date
                 and rec.batch_id == tx.batch_id
+                and not rec.is_committed
             ):
-                return rec
-        raise KeyError(f"No open offset transaction for {tx}")
+                found = rec  # newest open record with the key wins
+        if found is None:
+            raise KeyError(f"No open offset transaction for {tx}")
+        return found
 
     def commit(self, tx: OffsetTransaction, min_offset: OffsetValue, max_offset: OffsetValue) -> None:
         with self._lock:
@@ -197,27 +204,44 @@ def _offset_sort_key(v: OffsetValue):
 
 def _fold_events(events: List[dict]) -> List[OffsetRecord]:
     """Fold an ordered stream of start/commit/rollback events into the
-    current set of offset records (shared by the JSONL and Spark backends)."""
-    by_key: Dict[Tuple[str, str, int], OffsetRecord] = {}
-    order: List[Tuple[str, str, int]] = []
+    current set of offset records (shared by the JSONL and Spark backends).
+
+    Commit and rollback apply to the newest OPEN record of their key; a
+    committed record is final and survives later events that reuse the
+    same (table, date, batch) key — mirroring the in-memory ``_find``."""
+    records: List[OffsetRecord] = []
+
+    def newest_open(key: Tuple[str, str, int]) -> Optional[OffsetRecord]:
+        found = None
+        for r in records:
+            if (r.table_name, r.info_date, r.batch_id) == key and not r.is_committed:
+                found = r
+        return found
+
     for rec in events:
         op = rec.get("op")
         key = (rec["table_name"], rec["info_date"], rec["batch_id"])
         if op == "start":
-            if key not in by_key:
-                order.append(key)
-            by_key[key] = OffsetRecord(
-                table_name=rec["table_name"],
-                info_date=rec["info_date"],
-                offset_type=rec["offset_type"],
-                batch_id=rec["batch_id"],
-                created_at=rec["created_at"],
+            stale = newest_open(key)
+            if stale is not None:  # re-start of a never-finished tx
+                records.remove(stale)
+            records.append(
+                OffsetRecord(
+                    table_name=rec["table_name"],
+                    info_date=rec["info_date"],
+                    offset_type=rec["offset_type"],
+                    batch_id=rec["batch_id"],
+                    created_at=rec["created_at"],
+                )
             )
-        elif op == "commit" and key in by_key:
-            by_key[key].committed_at = rec["committed_at"]
-            by_key[key].min_offset = rec["min_offset"]
-            by_key[key].max_offset = rec["max_offset"]
-        elif op == "rollback" and key in by_key:
-            del by_key[key]
-            order.remove(key)
-    return [by_key[k] for k in order]
+        elif op == "commit":
+            target = newest_open(key)
+            if target is not None:
+                target.committed_at = rec["committed_at"]
+                target.min_offset = rec["min_offset"]
+                target.max_offset = rec["max_offset"]
+        elif op == "rollback":
+            target = newest_open(key)
+            if target is not None:
+                records.remove(target)
+    return records

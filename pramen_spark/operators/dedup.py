@@ -299,6 +299,7 @@ def ngram_containment(
     shingle_size: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: Optional[int] = None,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose n-grams cover
     a benchmark document — (doc_id, bench_id, containment) pairs with
@@ -307,12 +308,15 @@ def ngram_containment(
     contamination out of training corpora.
 
     Shape mirrors ``ngram_jaccard_pairs`` but cross-corpus: both sides
-    shingle to 64-bit hashes, the (small) benchmark side is broadcast on
-    the shingle join, and matches aggregate map-side into per-(doc, bench)
-    counts — one shuffle over corpus shingles.  ``max_shingle_freq`` drops
-    shingles appearing in more than that many CORPUS documents before the
-    join (boilerplate guard: one stop-shingle shared with every doc would
-    emit |corpus| x |bench-hits| rows); dropped shingles only lower the
+    shingle to 64-bit hashes, the benchmark side joins on the shingle
+    hash, and matches aggregate map-side into per-(doc, bench) counts —
+    one shuffle over corpus shingles.  ``broadcast_benchmark=True`` is
+    right for real eval sets (thousands of docs — the common case); pass
+    False when the benchmark is itself corpus-scale and the join should
+    shuffle both sides.  ``max_shingle_freq`` drops shingles appearing in
+    more than that many CORPUS documents before the join (boilerplate
+    guard: one stop-shingle shared with every doc would emit
+    |corpus| x |bench-hits| rows); dropped shingles only lower the
     numerator, so a contaminated doc is never over-flagged, and genuinely
     contaminated docs still match on their rarer shingles."""
     c = hashed_shingles(corpus, id_col, text_col, shingle_size).select(
@@ -326,14 +330,16 @@ def ngram_containment(
         c = c.withColumn(
             "_freq", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
         ).filter(F.col("_freq") <= max_shingle_freq).drop("_freq")
+    b_side = F.broadcast(b) if broadcast_benchmark else b
+    sizes_side = F.broadcast(bench_sizes) if broadcast_benchmark else bench_sizes
     common = (
-        c.join(F.broadcast(b), "shingle_h")
+        c.join(b_side, "shingle_h")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     containment = F.col("n_common").cast("double") / F.col("n_bench")
     return (
-        common.join(F.broadcast(bench_sizes), "bench_id")
+        common.join(sizes_side, "bench_id")
         .select("doc_id", "bench_id", containment.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )

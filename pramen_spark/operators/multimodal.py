@@ -90,11 +90,13 @@ def extract_features(
             yield out
 
     if batch_size_hint:
-        # Size tasks so one task holds ~batch_size_hint blobs: count once
-        # (cheap — count() is a metadata/agg-only job) and derive the target
-        # partition count from the hint. Avoids touching .rdd (which would
-        # break AQE pipelining) and avoids the degenerate 1-blob-per-task or
-        # all-blobs-in-one-task shapes for huge binary payloads.
+        # Size tasks so one task holds ~batch_size_hint blobs. count()
+        # column-prunes to a scan-only aggregate on a plain source, but it
+        # DOES execute any upstream joins/filters a second time — callers
+        # with an expensive upstream plan should persist it first (or
+        # repartition themselves and skip the hint). Avoids touching .rdd
+        # (which would break AQE pipelining) and the degenerate
+        # 1-blob-per-task / all-blobs-in-one-task shapes for huge payloads.
         n_rows = df.count()
         target = max(1, -(-n_rows // batch_size_hint))  # ceil division
         df = df.repartition(target)

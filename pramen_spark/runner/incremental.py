@@ -93,19 +93,22 @@ class IncrementalIngestionJob(Job):
                         f"table '{self.output_table.name}'. Cannot update uncommitted offsets."
                     )
                 mm = min_max_from_df(df, self.offset_column, self.offset_type)
-                if mm is not None:
-                    # fresh, unique batch id: the ledger keys transactions on
-                    # (table, date, batch_id), so reusing the orphan's id
-                    # would make the rollback below hit the repair record
-                    repair_batch = max((u.batch_id for u in day_txs), default=0) + 1
-                    tx = self.ledger.start_write(
-                        self.output_table.name, day, repair_batch, self.offset_type
-                    )
-                    self.ledger.commit(tx, mm[0], mm[1])
+            else:
+                mm = None
             from pramen_spark.offsets.ledger import OffsetTransaction
 
-            for u in day_txs:
-                self.ledger.rollback(OffsetTransaction(u.table_name, u.info_date, u.batch_id))
+            # adopt the stored rows by committing the NEWEST orphan tx with
+            # the storage min/max (reference handleUncommittedOffsets
+            # commits the original request rather than inventing a new
+            # batch id, which could collide with a runner batch id); roll
+            # the remaining orphans back
+            day_txs.sort(key=lambda u: u.batch_id)
+            for i, u in enumerate(day_txs):
+                tx = OffsetTransaction(u.table_name, u.info_date, u.batch_id)
+                if mm is not None and i == len(day_txs) - 1:
+                    self.ledger.commit(tx, mm[0], mm[1])
+                else:
+                    self.ledger.rollback(tx)
                 handled += 1
         return handled
 
@@ -154,15 +157,31 @@ class IncrementalIngestionJob(Job):
         )
         try:
             result = self.metastore.save_table(self.output_table.name, df, info_date)
-            mm = self._min_max_from_storage(info_date, batch_id)
-            if mm is None:
-                self.ledger.rollback(tx)
-            else:
-                self.ledger.commit(tx, mm[0], mm[1])
-            return result
         except Exception:
+            # the write itself failed -> nothing stored, safe to roll back
             self.ledger.rollback(tx)
             raise
+        written = (
+            result.records_appended
+            if result.records_appended is not None
+            else result.records
+        )
+        if not written:
+            self.ledger.rollback(tx)  # empty batch: nothing to commit
+            return result
+        # If the read-back below raises, rows WERE written but could not be
+        # verified. Do NOT roll back: a rolled-back tx looks committed-less
+        # forever, so the next incremental read would start from the OLD max
+        # offset and re-append the same source rows (duplicates). Leaving
+        # the tx uncommitted and failing the task means the next run's
+        # repair_uncommitted adopts the stored rows (commits their actual
+        # min/max) before reading — exactly the crash-mid-write path.
+        mm = self._min_max_from_storage(info_date, batch_id)
+        if mm is None:
+            self.ledger.rollback(tx)
+        else:
+            self.ledger.commit(tx, mm[0], mm[1])
+        return result
 
     def _min_max_from_storage(self, info_date: _dt.date, batch_id: int):
         """Min/max offsets of the rows actually WRITTEN, read back from the
@@ -174,11 +193,11 @@ class IncrementalIngestionJob(Job):
         do not match stored rows -> duplicates or gaps on the next incremental
         read.  The reference likewise derives offsets from the data
         (core/.../bookkeeper/OffsetManagerUtils.scala:27-57,
-        IncrementalIngestionJob.scala:242-297)."""
-        try:
-            stored = self.metastore.get_table(self.output_table.name, info_date, info_date)
-        except Exception:
-            return None  # nothing was written (e.g. first batch was empty)
+        IncrementalIngestionJob.scala:242-297).
+
+        Raises on read failure — the caller decides (a failed read-back
+        after a successful write must NOT roll the transaction back)."""
+        stored = self.metastore.get_table(self.output_table.name, info_date, info_date)
         bcol = self.output_table.batch_id_column
         if bcol and bcol in stored.columns:
             stored = stored.filter(F.col(bcol) == F.lit(batch_id))

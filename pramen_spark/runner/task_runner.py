@@ -190,26 +190,45 @@ class TaskRunner:
 
         warn: a task exceeding the warn threshold gets a warning in its
         result (surfaces in the notification report).  kill: the attempt
-        runs in a worker thread; on timeout the task is FAILED immediately
-        and the worker is abandoned (Python threads cannot be interrupted —
-        the stray Spark action finishes in the background and its late
-        journal entry, if any, is marked as abandoned by arriving after the
-        kill entry)."""
+        runs in a worker thread under its own Spark job group; on timeout
+        the job group is CANCELLED (Python threads cannot be interrupted,
+        but cancelling the group aborts the in-flight Spark actions, so
+        the worker raises and exits instead of continuing to write
+        concurrently with a retry or another driver), then the task is
+        FAILED."""
         import threading
+        import uuid
 
+        attempt_start = time.time()
         if kill_sec <= 0:
             res = self._attempt(job, task, started, result, pre, warnings)
         else:
             box: dict = {}
+            spark = getattr(getattr(job, "metastore", None), "spark", None)
+            group_id = f"pramen-kill-{job.name}-{uuid.uuid4().hex[:8]}"
 
             def work():
-                box["res"] = self._attempt(job, task, started, result, pre, warnings)
+                # job groups are thread-local: tag this attempt's Spark
+                # actions so the watchdog can abort exactly these
+                if spark is not None:
+                    spark.sparkContext.setJobGroup(group_id, f"attempt {job.name}", True)
+                try:
+                    box["res"] = self._attempt(job, task, started, result, pre, warnings)
+                finally:
+                    if spark is not None:
+                        spark.sparkContext.clearJobGroup()
 
             t = threading.Thread(target=work, daemon=True, name=f"attempt-{job.name}")
-            attempt_start = time.time()
             t.start()
             t.join(timeout=kill_sec)
             if t.is_alive():
+                if spark is not None:
+                    spark.sparkContext.cancelJobGroup(group_id)
+                    # short grace so the aborted Spark action can unwind
+                    # before a retry or lock release; a worker stuck in
+                    # plain Python (not a Spark action) stays abandoned,
+                    # but its Spark writes are already cancelled
+                    t.join(timeout=5.0)
                 return result(
                     RunStatus.FAILED,
                     error=(
@@ -219,9 +238,12 @@ class TaskRunner:
                     ),
                 )
             res = box.get("res") or result(RunStatus.FAILED, error="Attempt thread died")
-        if warn_sec > 0 and res.elapsed_sec > warn_sec:
+        # warn clock is per-attempt: lock waiting and earlier failed
+        # attempts must not tag a fast attempt with the warning
+        attempt_sec = time.time() - attempt_start
+        if warn_sec > 0 and attempt_sec > warn_sec:
             res.warnings.append(
-                f"Execution time {res.elapsed_sec:.1f}s exceeded "
+                f"Execution time {attempt_sec:.1f}s exceeded "
                 f"warn.maximum.execution.time.seconds={warn_sec:g}"
             )
         return res

@@ -117,6 +117,30 @@ class TestIncrementalIngestion:
         assert ledger.get_uncommitted("events_inc") == []
         assert ledger.get_max_info_date_and_offset("events_inc") is None
 
+    def test_readback_failure_leaves_tx_uncommitted(self, env, monkeypatch):
+        """Rows written but post-write offset read-back fails: the tx must
+        stay UNCOMMITTED (not rolled back) so the next run adopts the
+        stored rows via repair_uncommitted instead of re-reading the same
+        source rows into duplicates."""
+        spark, ms, bk, ledger, job, _ = env
+
+        def boom(info_date, batch_id):
+            raise IOError("transient storage error during read-back")
+
+        monkeypatch.setattr(job, "_min_max_from_storage", boom)
+        r = TaskRunner(bk, batch_id=1).run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r.status == RunStatus.FAILED
+        assert ms.get_table("events_inc", D, D).count() == 100  # rows landed
+        unc = ledger.get_uncommitted("events_inc")
+        assert len(unc) == 1 and unc[0].batch_id == 1
+        monkeypatch.undo()
+        # next run: validate() repairs, then reads only beyond the adopted max
+        r2 = TaskRunner(bk, batch_id=2).run_task(job, TaskPreDef(D, TaskRunReason.NEW))
+        assert r2.status in (RunStatus.SUCCEEDED, RunStatus.NO_DATA), r2.error
+        assert ms.get_table("events_inc", D, D).count() == 100  # no duplicates
+        latest = ledger.get_max_info_date_and_offset("events_inc")
+        assert latest[2].value == 99
+
     def test_offsets_committed_from_written_data(self, spark, tmp_path):
         """A source whose plan yields DIFFERENT rows per evaluation must still
         commit offsets matching the rows actually stored (the old pre-write

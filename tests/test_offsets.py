@@ -68,6 +68,31 @@ class TestProtocol:
         dec = decode_offset(OffsetType.DATETIME, enc)
         assert dec.value == ts
 
+    def test_committed_record_is_final_on_key_reuse(self, tmp_path):
+        """A later transaction reusing a committed (table, date, batch) key
+        must not let its rollback erase the committed record — in memory
+        AND across a replay from disk."""
+        path = str(tmp_path / "offsets.jsonl")
+        ledger = OffsetLedger(path)
+        tx1 = ledger.start_write("t", D, 7, OffsetType.INTEGRAL)
+        ledger.commit(tx1, OffsetValue.integral(1), OffsetValue.integral(99))
+        tx2 = ledger.start_write("t", D, 7, OffsetType.INTEGRAL)  # key reuse
+        ledger.rollback(tx2)
+        latest = ledger.get_max_info_date_and_offset("t")
+        assert latest is not None and latest[2].value == 99
+        assert ledger.get_uncommitted("t") == []
+        replayed = OffsetLedger(path)
+        latest2 = replayed.get_max_info_date_and_offset("t")
+        assert latest2 is not None and latest2[2].value == 99
+        assert replayed.get_uncommitted("t") == []
+
+    def test_rollback_committed_raises(self, tmp_path):
+        ledger = OffsetLedger(str(tmp_path / "offsets.jsonl"))
+        tx = ledger.start_write("t", D, 1, OffsetType.INTEGRAL)
+        ledger.commit(tx, OffsetValue.integral(1), OffsetValue.integral(2))
+        with pytest.raises(KeyError):
+            ledger.rollback(tx)
+
     def test_commit_unknown_tx(self, tmp_path):
         ledger = OffsetLedger(str(tmp_path / "o.jsonl"))
         from pramen_spark.offsets.ledger import OffsetTransaction

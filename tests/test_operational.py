@@ -642,6 +642,42 @@ class TestExecutionWatchdog:
         assert r.status == RunStatus.SUCCEEDED, r.error
         assert r.warnings == []
 
+    def test_kill_cancels_spark_action(self, spark, tmp_path):
+        """The watchdog must CANCEL the abandoned attempt's Spark job group:
+        an in-flight action may not keep writing concurrently with a retry
+        or another driver."""
+        import time as _time
+
+        from pramen_spark.runner.jobs import Job
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        ms = Metastore(
+            spark,
+            [TableConfig(name="wd_out2",
+                         format=DataFormat.parquet(str(tmp_path / "wd_out2")),
+                         info_date_start=dt.date(2024, 1, 1))],
+        )
+
+        class SparkBusyJob(Job):
+            def run(self, info_date):
+                sleepy = F.udf(lambda x: (_time.sleep(0.5), x)[1], "long")
+                return spark.range(64).repartition(8).select(sleepy(F.col("id")).alias("v"))
+
+        op = OperationDef(name="busy", kind="transformation", output_table="wd_out2",
+                          schedule=Schedule.parse("daily"),
+                          options={"kill.maximum.execution.time.seconds": "1"})
+        job = SparkBusyJob(op, ms, Bookkeeper(), ms.table_config("wd_out2"))
+        r = TaskRunner(Bookkeeper()).run_task(
+            job, TaskPreDef(dt.date(2024, 1, 10), TaskRunReason.NEW))
+        assert r.status == RunStatus.FAILED and "Killed" in r.error
+        # the cancelled action must drain — no active Spark jobs hanging on
+        tracker = spark.sparkContext.statusTracker()
+        deadline = _time.time() + 20
+        while _time.time() < deadline and tracker.getActiveJobsIds():
+            _time.sleep(0.2)
+        assert not tracker.getActiveJobsIds()
+
 
 class TestFileLockedTaskRunner:
     """File locks wired into TaskRunner: two 'drivers' (separate lock
