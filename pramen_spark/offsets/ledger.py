@@ -111,6 +111,18 @@ class OffsetLedger:
             created_at=time.time(),
         )
         with self._lock:
+            # a re-start of a never-finished tx supersedes the stale open
+            # record: two open records for one key would double-repair
+            self._records = [
+                r
+                for r in self._records
+                if not (
+                    r.table_name == table
+                    and r.info_date == rec.info_date
+                    and r.batch_id == batch_id
+                    and not r.is_committed
+                )
+            ]
             self._records.append(rec)
             self._append("start", asdict(rec))
         return OffsetTransaction(table, info_date.isoformat(), batch_id)

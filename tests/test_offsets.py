@@ -1,9 +1,12 @@
 """Offset ledger protocol tests (reference: OffsetManager.scala:36-91,
 IncrementalIngestionJob.scala:242-297)."""
 
+import dataclasses
 import datetime as dt
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pramen_spark.offsets.ledger import OffsetLedger, decode_offset, encode_offset
 from pramen_spark.sql.generators import OffsetType, OffsetValue
@@ -92,6 +95,54 @@ class TestProtocol:
         ledger.commit(tx, OffsetValue.integral(1), OffsetValue.integral(2))
         with pytest.raises(KeyError):
             ledger.rollback(tx)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["start", "commit", "rollback"]),
+                st.integers(min_value=0, max_value=3),  # batch-id space: forces key reuse
+            ),
+            max_size=30,
+        )
+    )
+    def test_replay_matches_in_memory(self, tmp_path_factory, ops):
+        """Property: for ANY op sequence, the event-fold replay from disk
+        reconstructs exactly the in-memory record state (the bug class where
+        a rollback on a reused key erased a committed record lived in the
+        divergence between the two)."""
+        path = str(tmp_path_factory.mktemp("ledger") / "o.jsonl")
+        ledger = OffsetLedger(path)
+        for action, batch in ops:
+            try:
+                if action == "start":
+                    ledger.start_write("t", D, batch, OffsetType.INTEGRAL)
+                elif action == "commit":
+                    from pramen_spark.offsets.ledger import OffsetTransaction
+
+                    ledger.commit(
+                        OffsetTransaction("t", D.isoformat(), batch),
+                        OffsetValue.integral(batch),
+                        OffsetValue.integral(batch + 10),
+                    )
+                else:
+                    from pramen_spark.offsets.ledger import OffsetTransaction
+
+                    ledger.rollback(OffsetTransaction("t", D.isoformat(), batch))
+            except KeyError:
+                pass  # invalid transitions are rejected uniformly
+
+        def state(lg):
+            out = []
+            for r in lg.get_offsets("t"):
+                d = dataclasses.asdict(r)
+                d["created_at"] = 0.0  # wall-clock: not part of the contract
+                d["committed_at"] = r.is_committed
+                out.append(tuple(sorted(d.items())))
+            return sorted(out)
+
+        replayed = OffsetLedger(path)
+        assert state(replayed) == state(ledger)
 
     def test_commit_unknown_tx(self, tmp_path):
         ledger = OffsetLedger(str(tmp_path / "o.jsonl"))
