@@ -894,9 +894,64 @@ def q_simhash_fingerprints(spark, sf_dir):
     return simhash(d)
 
 
+def _planes_cte(num_planes: int, dim: int, seed: int = 42) -> str:
+    """Inline the DETERMINISTIC random hyperplanes (fixed seed) as a SQL
+    VALUES CTE, so the LSH bucketing itself is oracle-checkable in DuckDB
+    rather than rows-only."""
+    from pramen_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"planes(i, p) AS (SELECT * FROM (VALUES {rows}) t(i, p))"
+
+
+def _lsh_topk_oracle(num_planes: int = 4, k: int = 10) -> str:
+    probes = [0] + [1 << i for i in range(num_planes)] + [
+        (1 << i) | (1 << j)
+        for i in range(num_planes)
+        for j in range(i + 1, num_planes)
+    ]
+    return f"""
+    WITH {_planes_cte(num_planes, 64)},
+    base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v,
+               SUM(CASE WHEN list_inner_product(v, p) > 0 THEN 1 << i ELSE 0 END)::BIGINT AS bucket
+        FROM base, planes GROUP BY vec_id, v
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS q_bucket FROM bucketed WHERE vec_id < 4),
+    probed AS (
+        SELECT query_id, qv, xor(q_bucket, pr.probe) AS bucket
+        FROM q, (SELECT UNNEST({probes}) AS probe) pr
+    ),
+    cands AS (
+        SELECT DISTINCT p.query_id, b.vec_id, p.qv, b.v
+        FROM probed p JOIN bucketed b USING (bucket)
+    ),
+    scored AS (
+        SELECT query_id, vec_id,
+               list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cosine
+        FROM cands
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 @query(
     "similarity_lsh_topk",
-    None,  # LSH-bucketed scale path; brute-force twin has the oracle
+    _lsh_topk_oracle(),
     "ANN top-k via random-hyperplane LSH buckets + exact rescoring",
     tags=("similarity",),
 )
@@ -909,7 +964,12 @@ def q_similarity_lsh_topk(spark, sf_dir):
     query_df = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, query_df, k=10, num_planes=4, dim=64, multi_probe=2)
+    out = lsh_topk(e, query_df, k=10, num_planes=4, dim=64, multi_probe=2)
+    # rank is computed on the unrounded cosine (both sides); only the
+    # projected value rounds, so the doubles hash-match the oracle
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 @query(
@@ -1170,9 +1230,33 @@ def q_embedding_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _near_dups_lsh_oracle(num_planes: int = 2, threshold: float = 0.4) -> str:
+    return f"""
+    WITH {_planes_cte(num_planes, 64)},
+    base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    units AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u,
+               v
+        FROM base WHERE sqrt(list_inner_product(v, v)) > 0
+    ),
+    bucketed AS (
+        SELECT vec_id, u,
+               SUM(CASE WHEN list_inner_product(v, p) > 0 THEN 1 << i ELSE 0 END)::BIGINT AS bucket
+        FROM units, planes GROUP BY vec_id, u, v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_inner_product(a.u, b.u), 6) AS cosine
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.u, b.u) >= {threshold}
+    """
+
+
 @query(
     "embedding_near_dups_lsh",
-    None,  # LSH-bucketed scale path; the exact twin has the oracle
+    _near_dups_lsh_oracle(),
     "embedding-cosine near-dups via hyperplane-LSH bucketed self-join",
     tags=("dedup", "similarity"),
 )
