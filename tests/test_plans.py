@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale (filter pushdown, column pruning, broadcast of small sides,
+whole-stage codegen) are asserted on the formatted plans of key catalog
+queries, so a refactor that silently degrades a plan fails CI — not just
+the 100 TB deployment.
+
+Plans are captured at sf0.001; plan SHAPE is scale-invariant for these
+assertions (AQE may coalesce partitions but does not remove pushdowns,
+pruning, or broadcast hints)."""
+
+import re
+
+import pytest
+
+from pramen_spark.queries.catalog import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].build(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestPlanShapes:
+    def test_q6_filters_pushed_to_scan(self, spark, sf_dir):
+        """q6's date/discount/quantity predicates must reach the parquet
+        scan as PushedFilters, not run as a post-scan Filter only."""
+        plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert m, plan
+        assert "l_shipdate" in m.group(1) or "l_discount" in m.group(1), m.group(1)
+
+    def test_q3_broadcasts_customer_filter_side(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_q5_dims_broadcast(self, spark, sf_dir):
+        """region/nation are dimension tables: every join against them
+        must be broadcast, never a shuffle join."""
+        plan = plan_of(spark, sf_dir, "q5_local_supplier")
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    def test_curate_corpus_prunes_columns(self, spark, sf_dir):
+        """The flagship's base scan must read (doc_id, source) only —
+        raw text must not move past the first projections."""
+        plan = plan_of(spark, sf_dir, "curate_corpus")
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert any(
+            "doc_id" in s and "source" in s and "text" not in s for s in schemas
+        ), schemas
+
+    def test_projection_reads_only_selected_columns(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "projection")
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas and all("c_comment" not in s for s in schemas), schemas
+
+    def test_text_ops_are_codegen_only(self, spark, sf_dir):
+        """Pure column-expression text ops: no exchange (shuffle), no
+        Python evaluation, and the pipeline is whole-stage-codegen'd
+        (formatted explain marks codegen nodes with a '* ' prefix)."""
+        for name in ("text_quality", "text_repetition", "doc_fingerprint", "lang_id"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "Exchange" not in plan, (name, plan)
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+            assert re.search(r"\* \w", plan), (name, plan)
+
+    def test_cosine_topk_has_no_python(self, spark, sf_dir):
+        """Brute-force scoring is JVM-side (aggregate/zip_with): Python
+        appears nowhere in the exact similarity path."""
+        plan = plan_of(spark, sf_dir, "similarity_cosine_topk")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_dedup_exact_single_shuffle(self, spark, sf_dir):
+        """Exact dedup is one hash aggregation: exactly one exchange node
+        (each node appears once as '(n) Exchange' in the detail section),
+        keyed on the content hash."""
+        plan = plan_of(spark, sf_dir, "dedup_exact")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
