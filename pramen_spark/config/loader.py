@@ -39,6 +39,8 @@ _SOURCE_FACTORIES = {
     "spark": "pramen_spark.sources.spark_source.SparkSource",
     "jdbcsource": "pramen_spark.sources.jdbc_source.JdbcSource",
     "jdbc": "pramen_spark.sources.jdbc_source.JdbcSource",
+    "jdbcnative": "pramen_spark.sources.jdbc_native_source.JdbcNativeSource",
+    "jdbc_native": "pramen_spark.sources.jdbc_native_source.JdbcNativeSource",
     "rawfilesource": "pramen_spark.sources.raw_file_source.RawFileSource",
     "raw": "pramen_spark.sources.raw_file_source.RawFileSource",
     "kafkaavrosource": "pramen_spark.sources.kafka_source.KafkaSource",

@@ -1,0 +1,135 @@
+"""JDBC native source over a real DBAPI backend (stdlib sqlite3) —
+reference TableReaderJdbcNative.scala:30-158: dialect-generated and
+user-supplied SQL executed on a raw connection, DataFrame built from the
+result set."""
+
+import datetime as dt
+import sqlite3
+
+import pytest
+
+from pramen_spark.sources.jdbc_native_source import JdbcNativeSource
+from pramen_spark.sql.generators import OffsetValue
+
+D0, D1 = dt.date(2024, 1, 10), dt.date(2024, 1, 11)
+
+
+@pytest.fixture()
+def db(tmp_path):
+    path = str(tmp_path / "native.db")
+    conn = sqlite3.connect(path)
+    conn.execute(
+        "CREATE TABLE sales (id INTEGER, info_date TEXT, amount REAL, note TEXT)"
+    )
+    rows = [
+        (1, "2024-01-10", 10.5, "a"),
+        (2, "2024-01-10", 20.0, None),
+        (3, "2024-01-11", 7.25, "c"),
+        (4, "2024-01-12", 1.0, "d"),
+    ]
+    conn.executemany("INSERT INTO sales VALUES (?, ?, ?, ?)", rows)
+    conn.commit()
+    conn.close()
+    return path
+
+
+def make_source(spark, db, **extra):
+    opts = {
+        "sqlite.path": db,
+        "vendor": "generic",
+        "information.date.column": "info_date",
+        "information.date.type": "string",
+        **extra,
+    }
+    return JdbcNativeSource(spark, opts)
+
+
+class TestJdbcNativeSource:
+    def test_table_date_range(self, spark, db):
+        src = make_source(spark, db)
+        df = src.get_data({"table": "sales"}, D0, D1)
+        got = sorted(r["id"] for r in df.collect())
+        assert got == [1, 2, 3]
+        # types inferred from the DBAPI rows
+        kinds = dict(df.dtypes)
+        assert kinds["id"] == "bigint" and kinds["amount"] == "double"
+        assert kinds["note"] == "string"
+        src.close()
+
+    def test_sql_with_date_tokens(self, spark, db):
+        src = make_source(spark, db)
+        q = {
+            "sql": "SELECT id, amount FROM sales "
+                   "WHERE info_date BETWEEN @infoDateBegin AND @infoDateEnd"
+        }
+        df = src.get_data(q, D0, D0)
+        assert sorted(r["id"] for r in df.collect()) == [1, 2]
+        assert src.get_record_count(q, D0, D1) == 3
+        src.close()
+
+    def test_record_count_for_table(self, spark, db):
+        src = make_source(spark, db)
+        assert src.get_record_count({"table": "sales"}, D0, D0) == 2
+        src.close()
+
+    def test_incremental_by_offset(self, spark, db):
+        src = make_source(
+            spark, db,
+            **{"offset.column": "id", "has.information.date.column": False},
+        )
+        df = src.get_data_incremental(
+            {"table": "sales"}, None, OffsetValue.integral(2), None
+        )
+        assert sorted(r["id"] for r in df.collect()) == [3, 4]
+        # closed interval rerun form
+        df2 = src.get_data_incremental(
+            {"table": "sales"}, None, OffsetValue.integral(1), OffsetValue.integral(3)
+        )
+        assert sorted(r["id"] for r in df2.collect()) == [1, 2, 3]
+        src.close()
+
+    def test_incremental_rejects_sql_query(self, spark, db):
+        src = make_source(spark, db, **{"offset.column": "id"})
+        with pytest.raises(ValueError):
+            src.get_data_incremental({"sql": "SELECT 1"}, None, None, None)
+        src.close()
+
+    def test_empty_result(self, spark, db):
+        src = make_source(spark, db)
+        df = src.get_data({"table": "sales"}, dt.date(2030, 1, 1), dt.date(2030, 1, 2))
+        assert df.count() == 0
+        assert df.columns == ["id", "info_date", "amount", "note"]
+        src.close()
+
+    def test_connection_factory(self, spark, db, monkeypatch):
+        import tests.test_jdbc_native as me
+
+        me._FACTORY_DB = db  # module-level hook for load_class
+        src = JdbcNativeSource(
+            spark,
+            {
+                "connection.factory": "tests.test_jdbc_native.open_test_db",
+                "vendor": "generic",
+                "information.date.column": "info_date",
+                "information.date.type": "string",
+            },
+        )
+        assert src.get_record_count({"table": "sales"}, D0, D0) == 2
+        src.close()
+
+    def test_all_null_column_defaults_to_string(self, spark, db):
+        conn = sqlite3.connect(db)
+        conn.execute("UPDATE sales SET note = NULL")
+        conn.commit()
+        conn.close()
+        src = make_source(spark, db)
+        df = src.get_data({"table": "sales"}, D0, D1)
+        assert dict(df.dtypes)["note"] == "string"
+        src.close()
+
+
+_FACTORY_DB = None
+
+
+def open_test_db():
+    return sqlite3.connect(_FACTORY_DB)
