@@ -81,27 +81,46 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     spark = build_session(app_name=wf.pipeline_name, extra_conf=wf.spark_conf)
     # pramen.bookkeeping.location + pramen.bookkeeping.hadoop.format select
     # the backend (reference: BookkeeperDeltaPath / BookkeeperText)
-    # the journal backend follows the bookkeeping backend, as in the
-    # reference (JournalHadoopDeltaPath shares pramen.bookkeeping.location)
-    if wf.bookkeeping_path and wf.bookkeeping_format in ("parquet", "delta"):
+    # the journal and offset-ledger backends follow the bookkeeping backend,
+    # as in the reference (JournalJdbc/OffsetManagerJdbc share the JDBC
+    # config; JournalHadoopDeltaPath shares pramen.bookkeeping.location)
+    ledger = None
+    if wf.bookkeeping_jdbc_sqlite or wf.bookkeeping_jdbc_factory:
+        from pramen_spark.runner.dbapi_bookkeeper import (
+            DbApiBookkeeper,
+            DbApiConnection,
+            DbApiJournal,
+            DbApiOffsetLedger,
+        )
+
+        factory = None
+        if wf.bookkeeping_jdbc_factory:
+            from pramen_spark.api import load_class
+
+            factory = load_class(wf.bookkeeping_jdbc_factory)
+        db = DbApiConnection(wf.bookkeeping_jdbc_sqlite, factory)
+        bookkeeper: Bookkeeper = DbApiBookkeeper(db)
+        journal = DbApiJournal(db)
+        ledger = DbApiOffsetLedger(db)
+    elif wf.bookkeeping_path and wf.bookkeeping_format in ("parquet", "delta"):
+        from pramen_spark.offsets.spark_ledger import SparkOffsetLedger
         from pramen_spark.runner.spark_bookkeeper import SparkBookkeeper, SparkJournal
 
-        bookkeeper: Bookkeeper = SparkBookkeeper(
-            spark, wf.bookkeeping_path, wf.bookkeeping_format
-        )
-        journal = SparkJournal(
-            spark,
-            f"{wf.bookkeeping_path.rstrip('/')}/journal",
-            wf.bookkeeping_format,
-        )
+        base = wf.bookkeeping_path.rstrip("/")
+        bookkeeper = SparkBookkeeper(spark, wf.bookkeeping_path, wf.bookkeeping_format)
+        journal = SparkJournal(spark, f"{base}/journal", wf.bookkeeping_format)
+        ledger = SparkOffsetLedger(spark, f"{base}/offsets", wf.bookkeeping_format)
     elif wf.bookkeeping_path:
+        from pramen_spark.offsets.ledger import OffsetLedger
+
         bookkeeper = JsonBookkeeper(wf.bookkeeping_path)
         journal = Journal(path=wf.bookkeeping_path + ".journal.jsonl")
+        ledger = OffsetLedger(wf.bookkeeping_path + ".offsets.jsonl")
     else:
         bookkeeper = Bookkeeper()
         journal = Journal()
     metastore = Metastore(spark, wf.tables, temp_dir=wf.temp_dir)
-    jobs = build_jobs(spark, wf, metastore, bookkeeper)
+    jobs = build_jobs(spark, wf, metastore, bookkeeper, ledger=ledger)
     if args.ops:
         wanted = {o.lower() for o in args.ops}
         jobs = [j for j in jobs if j.operation.name.split(":")[0].lower() in wanted]

@@ -91,6 +91,10 @@ class WorkflowDef:
     parallel_tasks: int = 4
     bookkeeping_path: Optional[str] = None
     bookkeeping_format: str = "text"  # text (JSONL) | parquet | delta
+    # RDBMS backends (BookkeeperJdbc/JournalJdbc/OffsetManagerJdbc): stdlib
+    # sqlite3 via a path, anything else via a DBAPI connection factory
+    bookkeeping_jdbc_sqlite: Optional[str] = None
+    bookkeeping_jdbc_factory: Optional[str] = None
     lock_dir: Optional[str] = None  # pramen.lock.dir -> cross-process file locks
     mail_config: Dict[str, Any] = field(default_factory=dict)  # flat mail.* keys
     temp_dir: Optional[str] = None
@@ -220,6 +224,8 @@ def load_workflow(source: str | Dict[str, Any]) -> WorkflowDef:
         bookkeeping_format=str(
             _get(p, "bookkeeping.hadoop.format", default="text")
         ).lower(),
+        bookkeeping_jdbc_sqlite=_get(p, "bookkeeping.jdbc.sqlite.path"),
+        bookkeeping_jdbc_factory=_get(p, "bookkeeping.jdbc.connection.factory"),
         temp_dir=_get(p, "temporary.directory"),
         lock_dir=_get(p, "lock.dir"),
     )
@@ -316,9 +322,11 @@ def build_jobs(
     wf: WorkflowDef,
     metastore: Metastore,
     bookkeeper: Bookkeeper,
+    ledger=None,
 ) -> List[Job]:
     """OperationSplitter.createJobs equivalent: one Job per (operation x
-    table)."""
+    table).  ``ledger`` is the offset ledger used by incremental-scheduled
+    ingestion operations; defaults to an in-memory ledger."""
     jobs: List[Job] = []
     for op in wf.operations:
         op_type = str(op.get("type", "transformation")).lower()
@@ -338,12 +346,33 @@ def build_jobs(
                     if k.startswith("input.")
                 }
                 odef = _operation_def(op, "ingestion", f":{out_name}", out_name, (), tbl)
-                jobs.append(
-                    IngestionJob(
-                        odef, metastore, bookkeeper,
-                        metastore.table_config(out_name), source, query,
+                merged_opts = {**src_def.options, **overrides}
+                if (
+                    odef.schedule.kind.value == "incremental"
+                    and "offset.column" in merged_opts
+                ):
+                    # incremental schedule + offset config -> offset-tracked
+                    # ingestion (IncrementalIngestionJob.scala:60-300)
+                    from pramen_spark.offsets.ledger import OffsetLedger
+                    from pramen_spark.runner.incremental import IncrementalIngestionJob
+                    from pramen_spark.sql.generators import OffsetType
+
+                    jobs.append(
+                        IncrementalIngestionJob(
+                            odef, metastore, bookkeeper,
+                            metastore.table_config(out_name), source, query,
+                            ledger if ledger is not None else OffsetLedger(),
+                            merged_opts["offset.column"],
+                            OffsetType(merged_opts.get("offset.type", "integral")),
+                        )
                     )
-                )
+                else:
+                    jobs.append(
+                        IngestionJob(
+                            odef, metastore, bookkeeper,
+                            metastore.table_config(out_name), source, query,
+                        )
+                    )
         elif op_type in ("transformation", "python_transformation"):
             cls_name = _resolve_factory(str(op.get("class")), _TRANSFORMER_ALIASES)
             transformer: Transformer = load_class(cls_name)()
