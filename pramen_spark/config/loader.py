@@ -338,7 +338,8 @@ def build_jobs(
             for tbl in op.get("tables", []):
                 # table-level source option overrides (SourceManager merge)
                 overrides = _flatten(tbl.get("source", {}) or {})
-                source: Source = src_cls(spark, {**src_def.options, **overrides})
+                merged_opts = {**src_def.options, **overrides}
+                source: Source = src_cls(spark, merged_opts)
                 out_name = _get(tbl, "output.metastore.table", "output.table")
                 query = {
                     k.split(".", 1)[1]: v
@@ -346,7 +347,6 @@ def build_jobs(
                     if k.startswith("input.")
                 }
                 odef = _operation_def(op, "ingestion", f":{out_name}", out_name, (), tbl)
-                merged_opts = {**src_def.options, **overrides}
                 if (
                     odef.schedule.kind.value == "incremental"
                     and "offset.column" in merged_opts

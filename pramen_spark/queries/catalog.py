@@ -1231,6 +1231,13 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def _near_dups_lsh_oracle(num_planes: int = 2, threshold: float = 0.4) -> str:
+    # Known FP sensitivity: the Spark side scores pairs with numpy matmul
+    # (vectorized summation order), the oracle with DuckDB's sequential
+    # list_inner_product — a cosine landing within an ulp of the threshold
+    # or of a 5e-7 rounding boundary could diverge on adversarial data.
+    # The fixed test embeddings are nowhere near those boundaries (verified
+    # at sf0.001/0.01/0.1); the lsh_topk oracle uses sequential dots on
+    # both sides and has no such sensitivity.
     return f"""
     WITH {_planes_cte(num_planes, 64)},
     base AS (

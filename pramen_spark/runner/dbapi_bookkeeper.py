@@ -77,6 +77,13 @@ class DbApiConnection:
             cur.close()
 
     def execute(self, sql: str, params: tuple = ()) -> List[tuple]:
+        rows, _ = self.execute_with_rowcount(sql, params)
+        return rows
+
+    def execute_with_rowcount(self, sql: str, params: tuple = ()) -> tuple:
+        """(rows, rowcount) — the rowcount is captured inside the lock and
+        returned, never stashed on the shared connection, so concurrent
+        statements cannot read each other's counts."""
         with self.lock:
             cur = self.conn.cursor()
             cur.execute(sql, params)
@@ -84,8 +91,23 @@ class DbApiConnection:
             rowcount = cur.rowcount
             self.conn.commit()
             cur.close()
-        self._last_rowcount = rowcount
-        return [tuple(r) for r in rows]
+        return [tuple(r) for r in rows], rowcount
+
+    def execute_atomic(self, statements: List[tuple]) -> None:
+        """Run several (sql, params) statements in ONE database transaction:
+        either all commit or none (a crash mid-sequence leaves the previous
+        state intact)."""
+        with self.lock:
+            cur = self.conn.cursor()
+            try:
+                for sql, params in statements:
+                    cur.execute(sql, params)
+                self.conn.commit()
+            except Exception:
+                self.conn.rollback()
+                raise
+            finally:
+                cur.close()
 
     def close(self) -> None:
         self.conn.close()
@@ -201,21 +223,28 @@ class DbApiOffsetLedger(OffsetLedger):
     ) -> OffsetTransaction:
         day = info_date.isoformat()
         # re-start supersedes a stale open tx with the same key (same
-        # semantics as the JSONL ledger); committed rows are untouched
-        self.db.execute(
-            f"DELETE FROM offsets WHERE {self._KEY} AND committed_at IS NULL",
-            (table, day, batch_id),
-        )
-        self.db.execute(
-            "INSERT INTO offsets VALUES (?, ?, ?, ?, ?, NULL, NULL, NULL)",
-            (table, day, offset_type.value, batch_id, time.time()),
+        # semantics as the JSONL ledger); committed rows are untouched.
+        # One database transaction: a crash between the two statements
+        # must not erase the orphan marker without replacing it (the
+        # repair path finds orphan batches through these rows)
+        self.db.execute_atomic(
+            [
+                (
+                    f"DELETE FROM offsets WHERE {self._KEY} AND committed_at IS NULL",
+                    (table, day, batch_id),
+                ),
+                (
+                    "INSERT INTO offsets VALUES (?, ?, ?, ?, ?, NULL, NULL, NULL)",
+                    (table, day, offset_type.value, batch_id, time.time()),
+                ),
+            ]
         )
         return OffsetTransaction(table, day, batch_id)
 
     def commit(self, tx: OffsetTransaction, min_offset: OffsetValue, max_offset: OffsetValue) -> None:
         from pramen_spark.offsets.ledger import encode_offset
 
-        self.db.execute(
+        _, rowcount = self.db.execute_with_rowcount(
             f"UPDATE offsets SET committed_at = ?, min_offset = ?, max_offset = ? "
             f"WHERE {self._KEY} AND committed_at IS NULL",
             (
@@ -227,15 +256,15 @@ class DbApiOffsetLedger(OffsetLedger):
                 tx.batch_id,
             ),
         )
-        if self.db._last_rowcount == 0:
+        if rowcount == 0:
             raise KeyError(f"No open offset transaction for {tx}")
 
     def rollback(self, tx: OffsetTransaction) -> None:
-        self.db.execute(
+        _, rowcount = self.db.execute_with_rowcount(
             f"DELETE FROM offsets WHERE {self._KEY} AND committed_at IS NULL",
             (tx.table_name, tx.info_date, tx.batch_id),
         )
-        if self.db._last_rowcount == 0:
+        if rowcount == 0:
             raise KeyError(f"No open offset transaction for {tx}")
 
     def get_offsets(self, table: str, info_date: Optional[_dt.date] = None) -> List[OffsetRecord]:

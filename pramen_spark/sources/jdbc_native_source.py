@@ -22,32 +22,84 @@ the read).  ``fetch.size`` bounds driver memory per batch.
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Any, Dict, List, Optional
+import threading
+from typing import Any, Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from pramen_spark.sources.jdbc_source import JdbcSource
 
+# inference ranks: a column's type is the highest rank seen across ALL its
+# values (single pass, no transposed copy), so int-then-float promotes to
+# double and anything mixed/unknown (Decimal, uuid, time, ...) falls back
+# to string with the VALUES coerced to match — a schema the verifier
+# accepts beats a TypeError mid-ingestion
+_RANK_BOOL, _RANK_LONG, _RANK_DOUBLE, _RANK_BYTES, _RANK_TS, _RANK_DATE, _RANK_STR = range(7)
 
-def _infer_field(values: List[Any]) -> T.DataType:
-    for v in values:
-        if v is None:
-            continue
-        if isinstance(v, bool):
-            return T.BooleanType()
-        if isinstance(v, int):
-            return T.LongType()
-        if isinstance(v, float):
-            return T.DoubleType()
-        if isinstance(v, bytes):
-            return T.BinaryType()
-        if isinstance(v, _dt.datetime):
-            return T.TimestampType()
-        if isinstance(v, _dt.date):
-            return T.DateType()
-        return T.StringType()
-    return T.StringType()
+
+def _rank_of(v: Any) -> int:
+    if isinstance(v, bool):
+        return _RANK_BOOL
+    if isinstance(v, int):
+        return _RANK_LONG
+    if isinstance(v, float):
+        return _RANK_DOUBLE
+    if isinstance(v, bytes):
+        return _RANK_BYTES
+    if isinstance(v, _dt.datetime):
+        return _RANK_TS
+    if isinstance(v, _dt.date):
+        return _RANK_DATE
+    return _RANK_STR
+
+
+def _merge_rank(a: Optional[int], b: int) -> int:
+    if a is None or a == b:
+        return b
+    if {a, b} <= {_RANK_LONG, _RANK_DOUBLE}:
+        return _RANK_DOUBLE  # numeric promotion
+    return _RANK_STR  # any other mix: stringly-typed
+
+
+_RANK_TYPES = {
+    _RANK_BOOL: T.BooleanType(),
+    _RANK_LONG: T.LongType(),
+    _RANK_DOUBLE: T.DoubleType(),
+    _RANK_BYTES: T.BinaryType(),
+    _RANK_TS: T.TimestampType(),
+    _RANK_DATE: T.DateType(),
+    _RANK_STR: T.StringType(),
+}
+
+
+def _infer_schema(rows: List[tuple], names: List[str]) -> T.StructType:
+    ranks: List[Optional[int]] = [None] * len(names)
+    for row in rows:
+        for i, v in enumerate(row):
+            if v is not None:
+                ranks[i] = _merge_rank(ranks[i], _rank_of(v))
+    return T.StructType(
+        [
+            T.StructField(n, _RANK_TYPES[r if r is not None else _RANK_STR], True)
+            for n, r in zip(names, ranks)
+        ]
+    )
+
+
+def _coerce(rows: List[tuple], schema: T.StructType) -> List[tuple]:
+    """Convert values to their column's inferred type (Decimal -> str,
+    int -> float under numeric promotion, ...) so createDataFrame's
+    verifier accepts every row."""
+    casters = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.DoubleType):
+            casters.append(lambda v: float(v) if v is not None else None)
+        elif isinstance(f.dataType, T.StringType):
+            casters.append(lambda v: str(v) if v is not None and not isinstance(v, str) else v)
+        else:
+            casters.append(lambda v: v)
+    return [tuple(c(v) for c, v in zip(casters, row)) for row in rows]
 
 
 class JdbcNativeSource(JdbcSource):
@@ -64,6 +116,10 @@ class JdbcNativeSource(JdbcSource):
     def __init__(self, spark: SparkSession, options: Optional[Dict[str, Any]] = None):
         super().__init__(spark, options)
         self._conn = None
+        # task attempts run on varying threads (runner pool + watchdog
+        # threads): queries serialize on this lock, and the sqlite backend
+        # opens with check_same_thread=False for the same reason
+        self._lock = threading.Lock()
 
     # --- connection ---
 
@@ -78,7 +134,9 @@ class JdbcNativeSource(JdbcSource):
         elif "sqlite.path" in self.options:
             import sqlite3
 
-            self._conn = sqlite3.connect(self.options["sqlite.path"])
+            self._conn = sqlite3.connect(
+                self.options["sqlite.path"], check_same_thread=False
+            )
         else:
             raise ValueError(
                 "JdbcNativeSource needs 'connection.factory' or 'sqlite.path'"
@@ -94,23 +152,33 @@ class JdbcNativeSource(JdbcSource):
 
     # --- execution over DBAPI ---
 
+    def _fetch_all(self, sql: str) -> Tuple[List[str], List[tuple]]:
+        with self._lock:
+            cur = self._connect().cursor()
+            cur.execute(sql)
+            names = [d[0] for d in cur.description]
+            fetch_size = int(self.options.get("fetch.size", 10_000))
+            rows: List[tuple] = []
+            while True:
+                batch = cur.fetchmany(fetch_size)
+                if not batch:
+                    break
+                rows.extend(tuple(r) for r in batch)
+            cur.close()
+        return names, rows
+
+    def _fetch_scalar(self, sql: str):
+        with self._lock:
+            cur = self._connect().cursor()
+            cur.execute(sql)
+            value = cur.fetchone()[0]
+            cur.close()
+        return value
+
     def _run_query(self, sql: str) -> DataFrame:
-        cur = self._connect().cursor()
-        cur.execute(sql)
-        names = [d[0] for d in cur.description]
-        fetch_size = int(self.options.get("fetch.size", 10_000))
-        rows: List[tuple] = []
-        while True:
-            batch = cur.fetchmany(fetch_size)
-            if not batch:
-                break
-            rows.extend(tuple(r) for r in batch)
-        cur.close()
-        cols = list(zip(*rows)) if rows else [[] for _ in names]
-        schema = T.StructType(
-            [T.StructField(n, _infer_field(list(vals)), True) for n, vals in zip(names, cols)]
-        )
-        return self.spark.createDataFrame(rows, schema=schema)
+        names, rows = self._fetch_all(sql)
+        schema = _infer_schema(rows, names)
+        return self.spark.createDataFrame(_coerce(rows, schema), schema=schema)
 
     @staticmethod
     def _substitute_dates(sql: str, date_from: _dt.date, date_to: _dt.date) -> str:
@@ -135,18 +203,9 @@ class JdbcNativeSource(JdbcSource):
     def get_record_count(self, query: Any, date_from: _dt.date, date_to: _dt.date) -> int:
         if isinstance(query, dict) and "sql" in query:
             sql = self._substitute_dates(query["sql"], date_from, date_to)
-            wrapped = f"SELECT COUNT(*) FROM ({sql}) AS q"  # JdbcSparkUtils.getSchemaQuery-style wrap
-            cur = self._connect().cursor()
-            cur.execute(wrapped)
-            n = cur.fetchone()[0]
-            cur.close()
-            return int(n)
+            return int(self._fetch_scalar(f"SELECT COUNT(*) FROM ({sql}) AS q"))
         table = query["table"] if isinstance(query, dict) else str(query)
-        cur = self._connect().cursor()
-        cur.execute(self.build_count_sql(table, date_from, date_to))
-        n = cur.fetchone()[0]
-        cur.close()
-        return int(n)
+        return int(self._fetch_scalar(self.build_count_sql(table, date_from, date_to)))
 
     def get_data_incremental(self, query, info_date, offset_from, offset_to) -> DataFrame:
         if isinstance(query, dict) and "sql" in query:

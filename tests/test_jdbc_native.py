@@ -117,6 +117,44 @@ class TestJdbcNativeSource:
         assert src.get_record_count({"table": "sales"}, D0, D0) == 2
         src.close()
 
+    def test_mixed_and_exotic_types_coerced(self, spark, db):
+        """sqlite dynamic typing: an int-then-float column promotes to
+        double; a column mixing text and numbers falls back to string with
+        values coerced (the DBAPI contract makes Decimals/uuids possible —
+        they must not crash createDataFrame's verifier)."""
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE mixed (id INTEGER, v, w)")
+        conn.executemany(
+            "INSERT INTO mixed VALUES (?, ?, ?)",
+            [(1, 10, "a"), (2, 2.5, 7), (3, None, None)],
+        )
+        conn.commit()
+        conn.close()
+        src = make_source(spark, db)
+        df = src._run_query("SELECT * FROM mixed")
+        kinds = dict(df.dtypes)
+        assert kinds["v"] == "double" and kinds["w"] == "string"
+        rows = {r["id"]: (r["v"], r["w"]) for r in df.collect()}
+        assert rows[1] == (10.0, "a") and rows[2] == (2.5, "7")
+        assert rows[3] == (None, None)
+        src.close()
+
+    def test_thread_safety(self, spark, db):
+        """Task attempts run on varying threads (runner pool + watchdog):
+        concurrent queries through one source must serialize, not crash."""
+        import concurrent.futures
+
+        src = make_source(spark, db)
+        src.get_record_count({"table": "sales"}, D0, D0)  # open on this thread
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            counts = list(
+                pool.map(
+                    lambda _: src.get_record_count({"table": "sales"}, D0, D1), range(8)
+                )
+            )
+        assert counts == [3] * 8
+        src.close()
+
     def test_all_null_column_defaults_to_string(self, spark, db):
         conn = sqlite3.connect(db)
         conn.execute("UPDATE sales SET note = NULL")
