@@ -1564,6 +1564,29 @@ def q_hash_sample_documents(spark, sf_dir):
 
 
 @query(
+    "stratified_sample_documents",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 0.5 ELSE 0.3 END
+    """,
+    "per-stratum deterministic sampling (rebalance sources in a training mix)",
+    tags=("sampling",),
+)
+def q_stratified_sample_documents(spark, sf_dir):
+    """sampleBy, reproducibly: per-language keep fractions down-weight the
+    dominant language and up-weight the rare one — the training-mix
+    rebalance operation — with membership a pure function of the key."""
+    from pramen_spark.operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "lang", {"en": 0.1, "zh": 0.5}, "doc_id", default_fraction=0.3
+    ).select("doc_id", "lang")
+
+
+@query(
     "hash_split_documents",
     """
     SELECT doc_id,
