@@ -1932,6 +1932,416 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
 
 
 @query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7: bi-national shipping volume by year (6-way join)",
+)
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (ref test query shapes: pramen uses plain Spark SQL for
+    transformer queries; this exercises the multi-join planner).
+
+    Scale: nation (25 rows) and supplier-with-nation are broadcast into
+    lineitem, so the only big shuffles are lineitem<->orders and
+    orders<->customer on their join keys. Customers are pre-filtered to
+    the two nations (2/25 of the table) BEFORE the orders join, and
+    lineitem is date-pruned at the scan, so both shuffle inputs are cut
+    first. The pair-direction disjunction is applied post-join on two
+    tiny string columns."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    two = n.filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(two.withColumnRenamed("n_name", "supp_nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(two.withColumnRenamed("n_name", "cust_nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT l_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) GROUP BY l_year
+    """,
+    "TPC-H Q8: national market share within a region (8-way join + conditional agg)",
+)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8. The numerator/denominator ratio is computed as
+    double(decimal-sum)/double(decimal-sum) so both engines divide
+    bit-identical doubles.
+
+    Scale: part (filtered to one type) and supplier+nation are broadcast
+    into lineitem; customers are pre-filtered to the region via the
+    broadcast nation->region dims before the orders join. Shuffles:
+    lineitem<->orders, orders<->customer — both on pruned inputs. The
+    CASE/sum ratio is a single pass over the joined set."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation")
+    amer_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(amer_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    vol = (price * (F.lit(1) - disc)).alias("volume")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(F.year("o_orderdate").alias("l_year"), "supp_nation", vol)
+    )
+    return joined.groupBy("l_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 (adapted: no partsupp table, so profit = discounted revenue; "
+    "the supply-cost term is dropped): profit by supplier nation and year",
+)
+def q_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape, adapted to the test schema (no partsupp /
+    ps_supplycost column exists, so amount omits the cost term).
+
+    Scale: part is filtered by the LIKE before broadcast; supplier+nation
+    broadcast. The one big shuffle is lineitem<->orders on orderkey. The
+    final agg has |nations| x |years| groups — tiny."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 (adapted: the part-supplier relation is DISTINCT(l_partkey,l_suppkey) "
+    "from lineitem since no partsupp table exists; the complaints NOT IN becomes "
+    "negative-acctbal suppliers): supplier counts per part attribute",
+)
+def q_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape on the reduced schema. Exercises NOT IN
+    (anti-join), DISTINCT projection, and COUNT(DISTINCT) in one plan.
+
+    Scale: the DISTINCT (partkey, suppkey) pair set shuffles once on the
+    pair hash; part (filtered) and the excluded-supplier set are both
+    broadcast, so the anti-join adds no shuffle. COUNT(DISTINCT) over the
+    grouped pairs is a two-phase partial aggregate in Spark."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pq AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS cnt_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pk = l_partkey
+    WHERE p_brand = 'Brand#13' AND p_size < 5
+      AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty
+    """,
+    "TPC-H Q17 (adapted: p_container -> p_size band; the correlated "
+    "0.2*AVG subquery is expressed exactly as qty*5*count < sum so both "
+    "engines compare exact decimals): small-quantity order revenue",
+)
+def q_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17's correlated scalar subquery, decorrelated into a
+    per-part aggregate + join (what a good optimizer does anyway). The
+    0.2*AVG threshold is rewritten qty*5*cnt < sum in exact decimals —
+    no float AVG, so Spark and DuckDB agree bit-for-bit.
+
+    Scale: per-part {sum,count} aggregates shuffle (partkey, 2 numbers)
+    once; the filtered part dim is broadcast. The per-part aggregate for
+    ONLY the filtered parts is what's joined back (semi-reduced before
+    the join), so the second join input is tiny and broadcast too."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") < 5))
+        .select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    # aggregate only lineitems of qualifying parts: the avg is per-part so
+    # restricting to the broadcast-filtered parts changes nothing
+    li_p = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pq = li_p.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt_qty")
+    )
+    return (
+        li_p.join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
+        .filter(qty * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 120 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 120 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 (adapted: no commit/receipt dates in the schema, so 'late' is "
+    "shipped >120 days after the order date): sole-late supplier per multi-"
+    "supplier order, EXISTS + NOT EXISTS",
+)
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21. The oracle keeps the EXISTS/NOT EXISTS form; the Spark
+    plan replaces both correlated subqueries with window aggregates over
+    the order: n_supp = #distinct suppliers in the order, n_late_supp =
+    #distinct late suppliers. A late row qualifies iff n_supp > 1 and
+    n_late_supp == 1 — equivalent, and it reads lineitem ONCE instead of
+    three times.
+
+    Scale: one shuffle (lineitem<->orders on orderkey); both window
+    aggregates reuse that partitioning (no extra exchange — asserted in
+    test_plans). Final top-20 is a TakeOrdered, not a global sort."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")).cast("int"),
+    )
+    w = W.partitionBy("l_orderkey")
+    j = j.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w))).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        j.filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY n_name
+    """,
+    "TPC-H Q22 (adapted: no phone column, so the country-code grouping "
+    "becomes the customer's nation; 'no recent orders' replaces 'no orders "
+    "at all'): high-balance customers with no recent orders",
+)
+def q_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join.
+    The average is computed as double(decimal-sum)/count so both engines
+    filter on an identical double.
+
+    Scale: the 1-row average cross-joins (broadcast) into customer; the
+    NOT EXISTS is a left_anti shuffle join against date-pruned orders
+    (AQE may demote it to broadcast when the recent slice is small);
+    nation is broadcast. One scan of each table."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "cube_events_type_day",
     """
     SELECT event_type,

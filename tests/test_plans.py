@@ -71,6 +71,31 @@ class TestPlanShapes:
         plan = plan_of(spark, sf_dir, "similarity_cosine_topk")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
+    def test_q7_date_pushdown_and_dims_broadcast(self, spark, sf_dir):
+        """q7's ship-date bounds must reach the lineitem scan, and the
+        nation-filtered supplier/customer sides must broadcast."""
+        plan = plan_of(spark, sf_dir, "q7_volume_shipping")
+        pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+        assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    def test_q21_windows_share_one_orderkey_shuffle(self, spark, sf_dir):
+        """Both per-order window aggregates (n_supp, n_late_supp) must
+        reuse a single hashpartitioning(l_orderkey) exchange — the
+        decorrelated EXISTS/NOT EXISTS reads lineitem once. The final
+        top-20 must be a TakeOrdered, not a global sort."""
+        plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+        assert len(re.findall(r"hashpartitioning\(l_orderkey", plan)) == 1, plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_q17_per_part_threshold_broadcast(self, spark, sf_dir):
+        """The decorrelated 0.2*AVG threshold join must broadcast both
+        small sides (filtered part dim, per-part aggregate) — no
+        shuffle join against lineitem."""
+        plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+
     def test_dedup_exact_single_shuffle(self, spark, sf_dir):
         """Exact dedup is one hash aggregation: exactly one exchange node
         (each node appears once as '(n) Exchange' in the detail section),
