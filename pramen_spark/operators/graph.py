@@ -1,0 +1,107 @@
+"""Distributed graph clustering: connected components over an edge list.
+
+This is the step a training-data pipeline runs AFTER pairwise near-dup
+detection (minhash_dedup / ngram_jaccard_pairs / embedding near-dup): the
+pair list is a graph, and "keep one document per duplicate group" needs
+each document's component id, not just the pairs. The reference engine has
+no graph operator — this is part of the LLM-data-pipeline surface built on
+top of the dedup operators (see operators/dedup.py).
+
+Algorithm: iterative min-label propagation. Every vertex starts labeled
+with its own id; each round every vertex takes the min of its own label
+and its neighbors' labels. Converges in `diameter(component)` rounds —
+duplicate clusters are near-cliques (diameter 1-3), so in practice a
+handful of rounds. Each round is ONE shuffle: the edge list is
+pre-partitioned on the join key once and reused, and the per-round
+aggregate reuses that partitioning. Lineage is truncated every round
+(checkpoint if a checkpoint dir is configured, else localCheckpoint) so
+the plan does not grow with the iteration count — without this, Catalyst
+re-analyzes an exponentially nested plan and the job dies long before the
+data does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage between iterations. Reliable checkpoint when the
+    session has a checkpoint dir (cluster deployments — survives executor
+    loss); localCheckpoint otherwise (local/test runs)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (vertex, component) for every vertex in `edges`, where
+    `component` is the minimum vertex id reachable from it.
+
+    Vertices are whatever appears in the edge list (isolated documents
+    never enter the pair graph — they are their own trivial cluster and
+    are left to the caller). Raises RuntimeError if `max_iter` rounds do
+    not converge — for near-dup graphs that means the pair generator
+    produced a pathological chain and the result would be silently wrong.
+    """
+    e = (
+        edges.select(F.col(src).alias("ea"), F.col(dst).alias("eb"))
+        .filter(F.col("ea").isNotNull() & F.col("eb").isNotNull())
+        .distinct()
+    )
+    # undirected: propagate along both directions of every edge
+    und = e.union(e.select(F.col("eb").alias("ea"), F.col("ea").alias("eb")))
+    # partitioned once on the join key and persisted: every round's join
+    # reads this, so the edge shuffle happens once, not per iteration
+    und = und.repartition("eb").persist()
+
+    labels = (
+        und.select(F.col("ea").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    labels = _truncate(labels)
+    # monotone convergence witness: labels only ever decrease, so the
+    # exact decimal sum strictly decreases until the fixed point
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+
+    for _ in range(max_iter):
+        msgs = und.join(
+            labels, und.eb == labels.vertex
+        ).select(F.col("ea").alias("vertex"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = _truncate(new_labels)
+        new_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        converged = new_sum == prev_sum
+        labels, prev_sum = new_labels, new_sum
+        if converged:
+            und.unpersist()
+            return labels
+    und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the edge graph has a component with diameter > max_iter"
+    )
+
+
+def dedup_cluster_sizes(components: DataFrame) -> DataFrame:
+    """(component, n_members) — the cluster-size histogram input used to
+    audit how aggressive a near-dup threshold is before dropping data."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -866,6 +866,52 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05, max_shingle_freq=1000)
 
 
+# Transitive closure of the exact-jaccard pair graph: each vertex's component
+# is the minimum doc_id reachable from it. The recursive UNION dedups against
+# the accumulated result set, so cycles terminate.
+_DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_SHINGLE_ORACLE}),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, w) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.v, u.b FROM reach r JOIN und u ON r.w = u.a
+    )
+    SELECT v AS vertex, LEAST(v, MIN(w)) AS component
+    FROM reach GROUP BY v
+"""
+
+
+@query(
+    "dedup_clusters",
+    _DEDUP_CLUSTERS_ORACLE,
+    "connected components over the near-dup pair graph (pairs -> cluster ids)",
+    tags=("dedup",),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: the step after pair generation — 'keep one doc
+    per duplicate group' needs each doc's component id, not just pairs.
+    Iterative min-label propagation (operators/graph.py) over the exact
+    ngram-jaccard pair graph.
+
+    Scale: the edge list is repartitioned on the join key ONCE and
+    persisted; each round is one join + one partial-aggregated groupBy, and
+    lineage is checkpoint-truncated per round so the plan stays flat over
+    iterations. Rounds = component diameter — near-dup clusters are
+    near-cliques, so a handful. The oracle is a DuckDB recursive-CTE
+    transitive closure over the identical pair query."""
+    from pramen_spark.operators.dedup import ngram_jaccard_pairs
+    from pramen_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05, max_shingle_freq=1000)
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
 @query(
     "minhash_dedup",
     None,  # xxhash64 seeds are Spark-specific; driver records rows-only

@@ -672,3 +672,53 @@ class TestSequencePacking:
         # tail pack of each shard should be >50% full on average.
         avg = stats.agg(F.avg("fill_ratio")).collect()[0][0]
         assert avg > 0.5
+
+
+class TestConnectedComponents:
+    def test_min_label_components(self, spark):
+        from pramen_spark.operators.graph import (
+            connected_components,
+            dedup_cluster_sizes,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (7, 7), (10, 9), (3, 4)], ["src", "dst"]
+        )
+        cc = connected_components(edges)
+        got = sorted((r.vertex, r.component) for r in cc.collect())
+        assert got == [
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (5, 5), (6, 5), (7, 7), (9, 9), (10, 9),
+        ]
+        sizes = sorted(
+            (r.component, r.n_members) for r in dedup_cluster_sizes(cc).collect()
+        )
+        assert sizes == [(1, 4), (5, 2), (7, 1), (9, 2)]
+
+    def test_long_chain_converges(self, spark):
+        from pramen_spark.operators.graph import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], ["src", "dst"]
+        )
+        cc = connected_components(chain, max_iter=30)
+        assert all(r.component == 0 for r in cc.collect())
+
+    def test_nonconvergence_raises(self, spark):
+        import pytest as _pytest
+        from pramen_spark.operators.graph import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], ["src", "dst"]
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=2)
+
+    def test_null_edges_dropped(self, spark):
+        from pramen_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (None, 3), (4, None)], "src: bigint, dst: bigint"
+        )
+        got = sorted((r.vertex, r.component) for r in connected_components(edges).collect())
+        assert got == [(1, 1), (2, 1)]
