@@ -2388,6 +2388,214 @@ def q_q22_dormant_customers(spark, sf_dir):
 
 
 @query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eur_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p_partkey, suppkey, min_price,
+               MIN(min_price) OVER (PARTITION BY p_partkey) AS best
+        FROM ps
+        JOIN part ON partkey = p_partkey
+        WHERE p_type = 'LARGE'
+          AND suppkey IN (SELECT s_suppkey FROM eur_supp)
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(min_price AS DOUBLE) AS supply_cost
+    FROM cand JOIN eur_supp ON suppkey = s_suppkey
+    WHERE min_price = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 (adapted: no partsupp, so supply cost = MIN lineitem price per "
+    "(part, supplier)): the cheapest EUROPE supplier for every LARGE part",
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2's correlated MIN subquery, decorrelated: per-(part,supplier)
+    min price -> per-part best via a small aggregate joined back. Costs are
+    exact decimals so the min-equality predicate is bit-stable across
+    engines; the ordering carries a full tie-break (partkey).
+
+    Scale: lineitem is cut FIRST by two broadcast joins (LARGE parts,
+    EUROPE suppliers) before the one big groupBy shuffle on
+    (partkey, suppkey). The per-part best table is |parts| rows ->
+    broadcast back. Top-100 is TakeOrdered, not a global sort."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation")
+    eur_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                          .select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(eur_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("min_price"))
+    )
+    best = ps.groupBy(F.col("p_partkey").alias("bp")).agg(F.min("min_price").alias("best"))
+    return (
+        ps.join(F.broadcast(best),
+                (ps.p_partkey == F.col("bp")) & (ps.min_price == F.col("best")))
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("min_price").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(value) AS t FROM val)
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM val, tot
+    WHERE CAST(value AS DOUBLE) > CAST(t AS DOUBLE) * 0.001
+    """,
+    "TPC-H Q11 (adapted: no partsupp, so part value = lineitem revenue via "
+    "one nation's suppliers): parts above a fraction of the nation's total",
+)
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11's share-of-total HAVING: a scalar aggregate over the
+    grouped result, cross-joined back as the threshold. Sums are exact
+    decimals; the threshold compare happens in double on both engines.
+
+    Scale: lineitem is cut first by the broadcast nation-filtered supplier
+    dim, then ONE groupBy shuffle on partkey. The per-part aggregate is
+    persisted (it is |parts| rows x 2 cols — tiny next to lineitem) because
+    it feeds BOTH the 1-row total and the output filter: without the
+    persist, neither static ReuseExchange nor AQE dedups the two branches
+    and lineitem is scanned twice (verified on the formatted plan)."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("v"))
+    ).persist()
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v").cast("double") > F.col("t").cast("double") * F.lit(0.001))
+        .select("partkey", F.col("v").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q20_promotable_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1997,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total,
+               COUNT(*) AS n_li
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT suppkey FROM shipped
+        JOIN part ON partkey = p_partkey
+        WHERE p_name LIKE '%widget%'
+          AND qty_1997 * 2 > qty_total
+          AND qty_total > qty_1997
+          AND n_li >= 3
+    )
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 (adapted: no partsupp availability, so a supplier qualifies "
+    "when their 1997 shipments of a widget part exceed half their all-time "
+    "shipments of it): suppliers concentrating recent volume",
+)
+def q_q20_promotable_suppliers(spark, sf_dir):
+    """TPC-H Q20's nested IN-subquery with an aggregate inside,
+    decorrelated: per-(part,supplier) conditional sums in one pass, the
+    threshold as exact-decimal 2*qty_1997 > qty_total (no 0.5 float), the
+    IN as a distinct + broadcast semi-join.
+
+    Scale: lineitem is cut first by the broadcast widget-part dim, then ONE
+    groupBy shuffle on (partkey, suppkey) computes both sums. The
+    qualifying supplier set is tiny -> broadcast left_semi into the
+    supplier dim. Lineitem is read once, not twice as in the literal
+    formulation."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    in_97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_97, qty).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("qty_1997"),
+            F.sum(qty).alias("qty_total"),
+            F.count(F.lit(1)).alias("n_li"),
+        )
+    )
+    # qty_total > qty_1997 keeps only suppliers with pre/post-1997 history
+    # (otherwise every single-shipment part trivially qualifies), and the
+    # n_li floor drops noise pairs — both mirrored in the oracle.
+    qualifying = (
+        shipped.filter(
+            (F.col("qty_1997") * F.lit(2) > F.col("qty_total"))
+            & (F.col("qty_total") > F.col("qty_1997"))
+            & (F.col("n_li") >= 3)
+        )
+        .select(F.col("l_suppkey").alias("qk"))
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("qk"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
     "cube_events_type_day",
     """
     SELECT event_type,

@@ -96,6 +96,26 @@ class TestPlanShapes:
         assert plan.count("BroadcastHashJoin") >= 2, plan
         assert "SortMergeJoin" not in plan, plan
 
+    def test_q2_broadcast_only_and_takeordered(self, spark, sf_dir):
+        """q2's decorrelated MIN: every join against lineitem must be
+        broadcast (part filter, supplier dim, per-part best), the part
+        filter must reach the scan, and the top-100 must be TakeOrdered."""
+        plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+        assert "SortMergeJoin" not in plan, plan
+        pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+        assert "EqualTo(p_type,LARGE)" in pushed, pushed
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_q20_single_lineitem_pass(self, spark, sf_dir):
+        """q20's nested-aggregate IN reads lineitem ONCE (the literal TPC-H
+        formulation reads it twice): one parquet scan of lineitem, no
+        shuffle joins, and the widget LIKE pushed to the part scan."""
+        plan = plan_of(spark, sf_dir, "q20_promotable_suppliers")
+        assert plan.count("lineitem.parquet") == 1, plan
+        assert "SortMergeJoin" not in plan, plan
+        pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+        assert "StringContains(p_name,widget)" in pushed, pushed
+
     def test_dedup_exact_single_shuffle(self, spark, sf_dir):
         """Exact dedup is one hash aggregation: exactly one exchange node
         (each node appears once as '(n) Exchange' in the detail section),
