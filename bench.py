@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_exact",
     "minhash_dedup",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "q9_product_type_profit",
     "lang_id",
     "text_quality",
     "text_repetition",

@@ -106,3 +106,90 @@ def length_histogram(
         .groupBy(*group_cols, "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: Dict[str, int],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    default_budget: int = 0,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Corpus mixing to a token budget: per group, take documents in
+    deterministic md5-pseudo-random order until the group's cumulative
+    whitespace-token count reaches its budget (a document that would
+    cross the budget is excluded). This is the 'compose a training mix
+    of N_g tokens per language/source' operation; the hash order makes
+    the selected set a pure function of the keys — identical across
+    runs, cluster sizes, and engines.
+
+    Returns (key, group, n_tokens, cum_tokens).
+
+    Scale: the naive formulation is one ordered cumsum window per group —
+    a SINGLE sequential partition holding billions of rows. Instead the
+    hash-unit order is range-split into ``num_buckets``: per-(group,
+    bucket) token sums (map-side combined; the shuffle carries
+    groups x buckets rows) give each bucket's starting offset, buckets
+    that start at/after the budget are pruned BEFORE any row-level work
+    (for budget << corpus, almost all of them), and the within-bucket
+    cumsum windows partition on (group, bucket) — num_buckets-way
+    parallel. The selected set is identical to the naive one because
+    bucket order is a monotone prefix of the (u, key) order.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).alias("key"),
+        _hash_unit(key_col).alias("u"),
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.least(F.floor(F.col("u") * num_buckets), F.lit(num_buckets - 1)).cast("long"),
+    )
+
+    budget = None
+    for k, v in budgets.items():
+        budget = (
+            F.when(F.col("grp") == k, F.lit(int(v)))
+            if budget is None
+            else budget.when(F.col("grp") == k, F.lit(int(v)))
+        )
+    budget = (
+        budget.otherwise(F.lit(int(default_budget)))
+        if budget is not None
+        else F.lit(int(default_budget))
+    )
+
+    from pyspark.sql import Window as W
+
+    per_bucket = d.groupBy("grp", "bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = (
+        W.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_bucket.withColumn("cum_before", F.coalesce(F.sum("btok").over(wb), F.lit(0)))
+        .withColumn("budget", budget)
+        .filter(F.col("cum_before") < F.col("budget"))
+        .select("grp", "bucket", "cum_before", "budget")
+    )
+
+    ww = (
+        W.partitionBy("grp", "bucket")
+        .orderBy("u", "key")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), ["grp", "bucket"])
+        .withColumn("cum_tokens", F.col("cum_before") + F.sum("n_tokens").over(ww))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )

@@ -1633,6 +1633,44 @@ def q_stratified_sample_documents(spark, sf_dir):
 
 
 @query(
+    "token_budget_mix",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE lang WHEN 'en' THEN 5000 ELSE 2000 END
+    """,
+    "compose a training mix: per-language documents up to a token budget, "
+    "deterministic hash order",
+    tags=("sampling",),
+)
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing (operators/sampling.py
+    sample_to_token_budget). The oracle is the NAIVE one-window-per-group
+    cumsum; the Spark side is the bucketed two-phase plan (bucket offsets
+    + pruned per-bucket windows) — identical selected set, num_buckets-way
+    parallel instead of one sequential partition per group."""
+    from pramen_spark.operators.sampling import sample_to_token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_to_token_budget(
+        d, {"en": 5000}, group_col="lang", key_col="doc_id", default_budget=2000
+    )
+
+
+@query(
     "hash_split_documents",
     """
     SELECT doc_id,

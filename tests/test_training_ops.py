@@ -722,3 +722,54 @@ class TestConnectedComponents:
         )
         got = sorted((r.vertex, r.component) for r in connected_components(edges).collect())
         assert got == [(1, 1), (2, 1)]
+
+
+class TestTokenBudgetMix:
+    def _docs(self, spark):
+        rows = [
+            (i, "en" if i % 2 == 0 else "de", " ".join(["w"] * (3 + i % 7)))
+            for i in range(60)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    def test_budget_respected_and_cumsum_exact(self, spark):
+        from pramen_spark.operators.sampling import sample_to_token_budget
+
+        out = sample_to_token_budget(
+            self._docs(spark), {"en": 40, "de": 25}, num_buckets=8
+        ).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, budget in [("en", 40), ("de", 25)]:
+            assert max(r.cum_tokens for r in by_lang[lang]) <= budget
+            assert sum(r.n_tokens for r in by_lang[lang]) == max(
+                r.cum_tokens for r in by_lang[lang]
+            )
+
+    def test_bucketed_equals_single_bucket(self, spark):
+        """The scalable bucketed plan must select the identical set as a
+        single-bucket (i.e. naive-order) run."""
+        from pramen_spark.operators.sampling import sample_to_token_budget
+
+        d = self._docs(spark)
+        a = {(r.doc_id, r.cum_tokens) for r in
+             sample_to_token_budget(d, {"en": 40, "de": 25}, num_buckets=16).collect()}
+        b = {(r.doc_id, r.cum_tokens) for r in
+             sample_to_token_budget(d, {"en": 40, "de": 25}, num_buckets=1).collect()}
+        assert a == b and a
+
+    def test_deterministic_across_partitioning(self, spark):
+        from pramen_spark.operators.sampling import sample_to_token_budget
+
+        d = self._docs(spark)
+        a = {r.doc_id for r in sample_to_token_budget(d, {}, default_budget=30).collect()}
+        b = {r.doc_id for r in
+             sample_to_token_budget(d.repartition(13), {}, default_budget=30).collect()}
+        assert a == b and a
+
+    def test_zero_budget_group_empty(self, spark):
+        from pramen_spark.operators.sampling import sample_to_token_budget
+
+        out = sample_to_token_budget(self._docs(spark), {"en": 40}, default_budget=0)
+        assert {r.lang for r in out.collect()} == {"en"}
