@@ -83,8 +83,10 @@ def asof_join(
 
     out = matched.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        from pramen_spark.operators.tsutils import unix_micros_utc
+
         diff = F.abs(
-            F.unix_micros(F.col("_t")) - F.unix_micros(F.col(f"_match.{on}"))
+            unix_micros_utc(F.col("_t")) - unix_micros_utc(F.col(f"_match.{on}"))
         )
         out = out.withColumn(
             "_match",

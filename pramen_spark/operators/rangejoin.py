@@ -49,11 +49,13 @@ def range_join(
     by = list(by)
     bin_us = int(bin_seconds) * 1_000_000
 
-    p_bin = (F.unix_micros(F.col(point_col)) / bin_us).cast("long")
+    from pramen_spark.operators.tsutils import unix_micros_utc
+
+    p_bin = (unix_micros_utc(F.col(point_col)) / bin_us).cast("long")
     pts = points.withColumn("_bin", p_bin)
 
-    s_bin = (F.unix_micros(F.col(start_col)) / bin_us).cast("long")
-    e_bin = (F.unix_micros(F.col(end_col)) / bin_us).cast("long")
+    s_bin = (unix_micros_utc(F.col(start_col)) / bin_us).cast("long")
+    e_bin = (unix_micros_utc(F.col(end_col)) / bin_us).cast("long")
     ivs = intervals.select(
         *by,
         F.explode(F.sequence(s_bin, e_bin)).alias("_bin"),

@@ -29,6 +29,7 @@ from pramen_spark.operators.rowlevel import (
     apply_filters,
     sanitize_df_columns,
 )
+from pramen_spark.operators.tsutils import pin_utc, ts_instant
 
 import datetime as _dt
 
@@ -40,14 +41,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark only reads as a
-    long (spark.sql.legacy.parquet.nanosAsLong). Convert to a micros
-    timestamp with integer division (a double division would lose precision
-    on epoch-nanos magnitudes)."""
+    """Load events.parquet with ``ts`` normalized to TIMESTAMP (UTC instant).
+
+    Two storage-drift cases are absorbed here so every downstream query can
+    assume an instant-typed ``ts``:
+
+    - TIMESTAMP(NANOS) files: Spark only reads those as long
+      (spark.sql.legacy.parquet.nanosAsLong); convert with integer division
+      (double division would lose precision on epoch-nanos magnitudes).
+    - tz-less TIMESTAMP(MICROS) files: Spark 4 infers TIMESTAMP_NTZ
+      (inferTimestampNTZ defaults true) and ``unix_micros`` et al. reject
+      NTZ input. Re-tag as TIMESTAMP under a pinned-UTC session timezone —
+      the driver owns the session, so pin here, not in session.py alone.
+    """
+    pin_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", ts_instant("ts"))
     return df
 
 

@@ -206,10 +206,17 @@ def sessionize_batch(
     user — a single shuffle on the user key; no Python."""
     from pyspark.sql import Window as W
 
+    from pramen_spark.operators.tsutils import ts_instant
+
     gap_us = int(_parse_duration_seconds(gap) * 1_000_000)
-    w = W.partitionBy(user_col).orderBy(ts_col)
-    prev_us = F.unix_micros(F.lag(ts_col).over(w))
-    marked = df.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts")).withColumn(
+    # ts_instant: tolerate TIMESTAMP_NTZ input (Spark 4 parquet inference)
+    # and make session_start/session_end instant-typed on the way out.
+    base = df.select(
+        F.col(user_col).alias("user_id"), ts_instant(F.col(ts_col)).alias("ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    marked = base.withColumn(
         "_new_sess",
         (
             prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us)

@@ -122,3 +122,51 @@ class TestPlanShapes:
         keyed on the content hash."""
         plan = plan_of(spark, sf_dir, "dedup_exact")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+class TestDriverSessionCompat:
+    """Regression gate for environment drift in the DRIVER-owned session
+    (the round-4 breakage: PySpark 4.1 started inferring tz-less parquet
+    timestamps as TIMESTAMP_NTZ and every ``unix_micros`` call site failed
+    analysis). These tests run the catalog against a session configured
+    like a fresh driver default — NTZ inference ON, non-UTC timezone — so
+    the next Spark-default shift fails here first, not in CORRECTNESS."""
+
+    @pytest.fixture(scope="class")
+    def driver_like(self, spark):
+        """A sibling session (shared JVM, independent session conf) with
+        driver-default parquet inference and a deliberately non-UTC
+        timezone; pin_utc in the load path must neutralize the latter."""
+        s = spark.newSession()
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        s.conf.set("spark.sql.session.timeZone", "America/New_York")
+        return s
+
+    def test_all_catalog_queries_analyze(self, driver_like, sf_dir):
+        """Plan-only sweep: every registered query must pass analysis
+        (schema resolution) under driver-default inference. Catches
+        DATATYPE_MISMATCH-class drift across the whole catalog in one
+        test without executing anything."""
+        failures = {}
+        for name, spec in QUERIES.items():
+            try:
+                spec.build(driver_like, sf_dir).schema
+            except Exception as e:  # noqa: BLE001 - collecting all failures
+                failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
+        assert not failures, failures
+
+    def test_epochs_are_utc_on_non_utc_host(self, driver_like, sf_dir):
+        """NTZ wall-clock values must be interpreted as UTC instants even
+        when the session starts on a non-UTC timezone (the load path pins
+        UTC): epoch extraction must agree with DuckDB's epoch_us."""
+        import duckdb
+
+        df = QUERIES["event_gaps_leadlag"].build(driver_like, sf_dir)
+        got = {r.event_id: r.ts_us for r in df.orderBy("event_id").limit(5).collect()}
+        want = dict(
+            duckdb.sql(
+                f"SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) FROM "
+                f"read_parquet('{sf_dir}/events.parquet') ORDER BY event_id LIMIT 5"
+            ).fetchall()
+        )
+        assert got == want
