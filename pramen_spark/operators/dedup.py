@@ -205,17 +205,37 @@ def minhash_dedup(
     threshold: float = 0.8,
     max_bucket_size: Optional[int] = None,
     max_shingle_freq: Optional[int] = None,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH, verified by signature-level
-    Jaccard estimate: (id_a, id_b, est_jaccard >= threshold).
+    """Near-duplicate pairs via MinHash + LSH.
 
-    Signatures are cached: the LSH banding and both sides of the
-    verification join re-read them, and without the cache the full
-    shingle+minhash pipeline would run four times. At 100 TB the cache
-    becomes a persisted signatures table shared across runs.
+    verify='estimate' (default): candidates are verified by signature-level
+    Jaccard estimate, output (id_a, id_b, est_jaccard >= threshold) — no
+    second pass over the shingles, the cheapest production shape.
+
+    verify='exact': candidates are re-scored with EXACT shingle-set Jaccard
+    (the verified-rescore pattern of production near-dup pipelines), output
+    (id_a, id_b, jaccard >= threshold). Only LSH candidate pairs are
+    rescored — the all-pairs quadratic step never happens — so the cost is
+    |candidates| joins against per-doc shingle-set arrays. The result
+    equals the brute-force pair set whenever LSH banding recalls every
+    pair at/above the threshold; with rows_per_band r and b bands the miss
+    probability at threshold t is (1-t^r)^b (choose r=2, b=32 for ~1e-4 at
+    t=0.5, falling steeply above t), and hashes are seed-fixed so a given
+    dataset either always matches or never does — testable, not flaky.
+
+    Signatures are cached: the LSH banding (and in estimate mode both
+    sides of the verification join) re-read them; without the cache the
+    full shingle+minhash pipeline would run four times. At 100 TB the
+    cache becomes a persisted signatures table shared across runs.
 
     ``max_bucket_size`` / ``max_shingle_freq`` are the skew guards for
-    boilerplate-heavy corpora (see ``minhash_lsh_candidates``)."""
+    boilerplate-heavy corpora (see ``minhash_lsh_candidates``). Mirroring
+    the exact-Jaccard convention of ``ngram_jaccard_pairs``, the frequency
+    cap drops boilerplate shingles from the intersection while set SIZES
+    stay unfiltered."""
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be estimate|exact, got {verify!r}")
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, max_shingle_freq
@@ -223,6 +243,42 @@ def minhash_dedup(
     candidates = minhash_lsh_candidates(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size
     )
+    if verify == "exact":
+        base = hashed_shingles(df, id_col, text_col, shingle_size).cache()
+        sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        kept = base
+        if max_shingle_freq is not None:
+            freq = base.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
+            kept = base.join(
+                F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)),
+                "shingle_h",
+                "left_anti",
+            )
+        sets = kept.groupBy(id_col).agg(F.collect_set("shingle_h").alias("shset"))
+        sa = (
+            sets.join(sizes, id_col)
+            .select(
+                F.col(id_col).alias("id_a"),
+                F.col("shset").alias("sh_a"),
+                F.col("n_shingles").alias("n_a"),
+            )
+        )
+        sb = (
+            sets.join(sizes, id_col)
+            .select(
+                F.col(id_col).alias("id_b"),
+                F.col("shset").alias("sh_b"),
+                F.col("n_shingles").alias("n_b"),
+            )
+        )
+        n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
+        return (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
@@ -350,16 +406,34 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash fingerprint per document: (id, simhash long).
 
     Per token, each output bit votes +1/-1 by the token hash's bit; the
     fingerprint takes the sign of each bit's sum. One shuffle: groupBy id
-    with ``bits`` small integer sums (map-side combined)."""
+    with ``bits`` small integer sums (map-side combined).
+
+    hash_fn='xxhash64' (default): fastest token hash, JVM-native, up to
+    64 bits. hash_fn='md5_60': the top 60 bits of md5's hex digest —
+    slower (cryptographic), but reproducible in any engine with an md5
+    function (DuckDB, Trino, Postgres...), which makes fingerprints
+    portable for cross-engine lineage checks; requires bits <= 60."""
+    if hash_fn == "xxhash64":
+        make_hash = lambda c: F.xxhash64(c)  # noqa: E731
+    elif hash_fn == "md5_60":
+        if bits > 60:
+            raise ValueError("md5_60 provides 60 usable bits; pass bits <= 60")
+        # 15 hex chars = 60 bits < 2^63: always fits a signed long
+        make_hash = lambda c: F.conv(  # noqa: E731
+            F.substring(F.md5(c), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5_60, got {hash_fn!r}")
     tok = df.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
-    h = F.xxhash64("token")
+    h = make_hash(F.col("token"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
@@ -381,15 +455,19 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     num_blocks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block the 64-bit fingerprint into
+    """Near-dup pairs by SimHash: block the ``bits``-bit fingerprint into
     ``num_blocks`` chunks (pigeonhole: a pair within ``max_hamming``
     differs in at most max_hamming blocks, so it matches on >= 1 block when
     num_blocks > max_hamming), join on (block_idx, block_value), verify
-    Hamming distance exactly."""
+    Hamming distance exactly. Unlike LSH banding, the pair set is an EXACT
+    function of the fingerprints — blocking only prunes, never misses a
+    pair within ``max_hamming``."""
     assert num_blocks > max_hamming, "pigeonhole requires num_blocks > max_hamming"
-    fp = simhash(df, id_col, text_col)
-    block_bits = 64 // num_blocks
+    fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    block_bits = bits // num_blocks
     mask = (1 << block_bits) - 1
     blocks = fp.select(
         F.col(id_col),
