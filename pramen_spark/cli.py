@@ -119,6 +119,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     else:
         bookkeeper = Bookkeeper()
         journal = Journal()
+    if ledger is not None:
+        # per-run read-through cache of the min/max offset query (reference
+        # core/.../bookkeeper/OffsetManagerCached.scala) — one storage read
+        # per (table, info_date) per run for the Spark/DBAPI backends
+        from pramen_spark.offsets.cached import CachedOffsetLedger
+
+        ledger = CachedOffsetLedger(ledger)
     metastore = Metastore(spark, wf.tables, temp_dir=wf.temp_dir)
     jobs = build_jobs(spark, wf, metastore, bookkeeper, ledger=ledger)
     if args.ops:

@@ -154,3 +154,75 @@ class TestProtocol:
                 OffsetValue.integral(1),
                 OffsetValue.integral(2),
             )
+
+
+class TestCachedOffsetLedger:
+    """Read-through cache decorator (reference OffsetManagerCached):
+    one inner min/max read per (table, info_date) per run, invalidated
+    by commit; raw-record queries always hit the backend."""
+
+    class CountingLedger(OffsetLedger):
+        def __init__(self):
+            super().__init__()
+            self.minmax_calls = 0
+
+        def get_max_info_date_and_offset(self, table, only_for_info_date=None):
+            self.minmax_calls += 1
+            return super().get_max_info_date_and_offset(table, only_for_info_date)
+
+    def _committed_tx(self, ledger, table, day, batch, lo, hi):
+        tx = ledger.start_write(table, day, batch, OffsetType.INTEGRAL)
+        ledger.commit(tx, OffsetValue.integral(lo), OffsetValue.integral(hi))
+        return tx
+
+    def test_single_backend_read_per_table_date(self):
+        from pramen_spark.offsets.cached import CachedOffsetLedger
+
+        inner = self.CountingLedger()
+        cached = CachedOffsetLedger(inner)
+        day = dt.date(2024, 1, 10)
+        self._committed_tx(cached, "t1", day, 1, 1, 100)
+
+        for _ in range(5):
+            got = cached.get_max_info_date_and_offset("t1", day)
+        assert inner.minmax_calls == 1
+        assert got is not None and got[2].value == 100
+
+        # distinct key (no date filter) is its own cache entry
+        cached.get_max_info_date_and_offset("t1")
+        cached.get_max_info_date_and_offset("t1")
+        assert inner.minmax_calls == 2
+
+        # negative results are cached too (first-run tables)
+        assert cached.get_max_info_date_and_offset("t2") is None
+        assert cached.get_max_info_date_and_offset("t2") is None
+        assert inner.minmax_calls == 3
+
+    def test_commit_invalidates_only_that_table(self):
+        from pramen_spark.offsets.cached import CachedOffsetLedger
+
+        inner = self.CountingLedger()
+        cached = CachedOffsetLedger(inner)
+        day = dt.date(2024, 1, 10)
+        self._committed_tx(cached, "t1", day, 1, 1, 100)
+        self._committed_tx(cached, "t2", day, 1, 1, 50)
+        cached.get_max_info_date_and_offset("t1", day)
+        cached.get_max_info_date_and_offset("t2", day)
+        calls_before = inner.minmax_calls
+
+        self._committed_tx(cached, "t1", day, 2, 101, 200)
+        got = cached.get_max_info_date_and_offset("t1", day)
+        assert got[2].value == 200  # fresh read, not the stale cached 100
+        cached.get_max_info_date_and_offset("t2", day)  # still cached
+        assert inner.minmax_calls == calls_before + 1
+
+    def test_uncommitted_always_live(self):
+        from pramen_spark.offsets.cached import CachedOffsetLedger
+
+        inner = self.CountingLedger()
+        cached = CachedOffsetLedger(inner)
+        day = dt.date(2024, 1, 10)
+        tx = cached.start_write("t1", day, 7, OffsetType.INTEGRAL)
+        assert [r.batch_id for r in cached.get_uncommitted("t1")] == [7]
+        cached.rollback(tx)
+        assert cached.get_uncommitted("t1") == []
