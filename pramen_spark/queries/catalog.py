@@ -1087,11 +1087,40 @@ def q_similarity_lsh_topk(spark, sf_dir):
 
 @query(
     "similarity_ivf_topk",
-    None,  # k-means cells are Spark/numpy-specific; brute-force twin has the oracle
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(q.qv, q.qv))) AS cosine
+        FROM embeddings e, q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
     "ANN top-k via IVF coarse quantization (k-means cells + probe rescoring)",
     tags=("similarity",),
 )
 def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF at full probe (nprobe == nlist): every cell is searched, so the
+    result must reproduce brute-force top-k BIT-FOR-BIT — which is exactly
+    what the oracle computes. That is the derived invariant that validates
+    the whole IVF pipeline (k-means cell assignment must partition the
+    corpus, the probe join must reach every cell once, the merge must
+    preserve the total order); any double-count, dropped cell, or ranking
+    bug breaks equality. Production uses nprobe << nlist for the
+    approximate speedup (recall-vs-nprobe is covered by pytest)."""
     from pyspark.sql import functions as F
 
     from pramen_spark.operators.similarity import ivf_topk
@@ -1100,7 +1129,10 @@ def q_similarity_ivf_topk(spark, sf_dir):
     query_df = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, query_df, k=10, nlist=16, nprobe=4)
+    topk = ivf_topk(e, query_df, k=10, nlist=16, nprobe=16)
+    return topk.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 @query(
