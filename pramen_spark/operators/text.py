@@ -145,3 +145,92 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(normalized).alias("fingerprint"),
         F.xxhash64(normalized).alias("content_hash64"),
     )
+
+
+# Engine-portable PII patterns: RE2-compatible (no lookaround/backrefs) so
+# the same pattern strings run in Spark (Java regex) and DuckDB/Trino (RE2)
+# byte-for-byte — the catalog oracle relies on this. Order matters: longer/
+# more specific patterns first so e.g. an email is not half-eaten by the
+# phone pattern.
+PII_PATTERNS: "Dict[str, str]" = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # word boundary only on the bare-digit alternative: \b cannot assert
+    # before "(" (no word char on either side), which would silently skip
+    # every "(ddd) ddd-dddd" form
+    "phone": r"(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: "Dict[str, str]" = None,
+) -> DataFrame:
+    """Redact PII spans in place and count them per kind: every production
+    training-data pipeline scrubs emails/phones/IPs/SSNs before the corpus
+    ships. Returns (id, redacted text, n_<kind> counts, n_pii_total).
+
+    Each span is replaced by an angle-bracket placeholder (``<EMAIL>`` ...)
+    so downstream tokenization sees one stable token instead of the raw
+    value. Counts are taken BEFORE redaction of the same kind but AFTER
+    redaction of earlier kinds, mirroring the sequential rewrite.
+
+    Scale: a chain of ``regexp_count``/``regexp_replace`` column
+    expressions — zero shuffles, whole-stage codegen, runs at scan speed;
+    the regex set is fixed per query so the JVM compiles each pattern once
+    per task."""
+    patterns = patterns or PII_PATTERNS
+    out_cols = [F.col(id_col)]
+    text = F.col(text_col)
+    total = F.lit(0).cast("long")
+    count_cols = []
+    for kind, pat in patterns.items():
+        n = F.regexp_count(text, F.lit(pat)).cast("long")
+        count_cols.append(n.alias(f"n_{kind}"))
+        total = total + n
+        text = F.regexp_replace(text, pat, f"<{kind.upper()}>")
+    return df.select(
+        *out_cols,
+        text.alias(text_col),
+        *count_cols,
+        total.alias("n_pii_total"),
+    )
+
+
+def url_domains(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Extract every http(s) URL's registrable host per document:
+    (id, domain) one row per URL occurrence. Domain-level statistics drive
+    source weighting and blocklist filtering in corpus curation.
+
+    Scale: regexp_extract_all projects an array per doc, one explode —
+    no shuffle; the downstream domain histogram is a map-side-combined
+    groupBy on a low-cardinality key."""
+    # RE2-safe: capture the host of an http(s) URL
+    url_host = r"https?://([A-Za-z0-9.-]+)"
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(url_host), F.lit(1))
+            ).alias("domain"),
+        )
+        .withColumn("domain", F.lower(F.col("domain")))
+    )
+
+
+def domain_histogram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain URL mention counts over the corpus:
+    (domain, n_mentions, n_docs). The curation signal behind
+    blocklists and per-source mixing weights."""
+    doms = url_domains(df, id_col, text_col)
+    return doms.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )

@@ -2965,6 +2965,133 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+@query(
+    "redact_pii_documents",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or (555) 123-4567, ip 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.1 ssn 123-45-6789.'
+                 AS text
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+        FROM aug
+    ),
+    s2 AS (
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+               regexp_replace(text,
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS text
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_email, n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+               regexp_replace(text,
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS text
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, n_email, n_ipv4, n_ssn,
+               CAST(len(regexp_extract_all(text,
+                 '(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b')) AS BIGINT) AS n_phone,
+               regexp_replace(text,
+                 '(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b', '<PHONE>', 'g') AS text
+        FROM s3
+    )
+    SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+           n_email + n_ipv4 + n_ssn + n_phone AS n_pii_total,
+           md5(text) AS redacted_md5
+    FROM s4
+    """,
+    "PII redaction: emails/IPs/SSNs/phones -> placeholders + per-kind counts",
+    tags=("text", "quality"),
+)
+def q_redact_pii_documents(spark, sf_dir):
+    """PII scrubbing — a mandatory pass in production training pipelines.
+    The synthetic corpus contains no PII, so the query injects a
+    deterministic specimen per document (same construction in the oracle);
+    the operator itself is the chain of engine-portable RE2-safe
+    regexp_count/regexp_replace expressions in operators/text.py
+    (zero shuffles, scan-speed). The oracle replays the sequential rewrite
+    in DuckDB and compares per-kind counts plus the md5 of the fully
+    redacted text."""
+    from pramen_spark.operators.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or (555) 123-4567, ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn 123-45-6789."),
+        ).alias("text"),
+    )
+    red = redact_pii(aug)
+    return red.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii_total",
+        F.md5("text").alias("redacted_md5"),
+    )
+
+
+@query(
+    "domain_histogram_documents",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.org/page and http://Mirror'
+                    || CAST(doc_id % 3 AS VARCHAR) || '.Example.COM'
+                 AS text
+        FROM documents
+    ),
+    doms AS (
+        SELECT doc_id,
+               lower(unnest(regexp_extract_all(text,
+                 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+        FROM aug
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM doms GROUP BY domain
+    """,
+    "per-domain URL mention histogram (source weighting / blocklists)",
+    tags=("text",),
+)
+def q_domain_histogram_documents(spark, sf_dir):
+    """Domain statistics drive blocklist filtering and per-source mixing
+    weights in corpus curation. URLs are injected deterministically (the
+    corpus has none); extraction is regexp_extract_all + one explode (no
+    shuffle), the histogram a map-side-combined groupBy on the domain."""
+    from pramen_spark.operators.text import domain_histogram
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/page and http://Mirror"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".Example.COM"),
+        ).alias("text"),
+    )
+    return domain_histogram(aug)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -773,3 +773,56 @@ class TestTokenBudgetMix:
 
         out = sample_to_token_budget(self._docs(spark), {"en": 40}, default_budget=0)
         assert {r.lang for r in out.collect()} == {"en"}
+
+
+class TestPiiRedaction:
+    def test_redacts_and_counts_each_kind(self, spark):
+        from pramen_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@ex-ample.co.uk then 10.20.30.40 and 123-45-6789 call (555) 123-4567 done"),
+                (2, "no pii here at all"),
+                (3, "two mails x@y.io z@w.net one ip 1.2.3.4"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in redact_pii(df).collect()}
+        r1 = out[1]
+        assert (r1.n_email, r1.n_ipv4, r1.n_ssn, r1.n_phone) == (1, 1, 1, 1)
+        assert r1.n_pii_total == 4
+        assert "<EMAIL>" in r1.text and "<IPV4>" in r1.text
+        assert "<SSN>" in r1.text and "<PHONE>" in r1.text
+        assert "a.b+c@" not in r1.text and "10.20.30.40" not in r1.text
+        r2 = out[2]
+        assert r2.n_pii_total == 0 and r2.text == "no pii here at all"
+        r3 = out[3]
+        assert (r3.n_email, r3.n_ipv4) == (2, 1)
+
+    def test_ssn_redacted_before_phone_cannot_eat_it(self, spark):
+        """The SSN pattern (ddd-dd-dddd) must win over the phone pattern
+        for SSN-shaped strings — pattern order in PII_PATTERNS."""
+        from pramen_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame([(1, "ssn 987-65-4321 end")], ["doc_id", "text"])
+        r = redact_pii(df).collect()[0]
+        assert r.n_ssn == 1 and r.n_phone == 0
+        assert "<SSN>" in r.text
+
+
+class TestDomainHistogram:
+    def test_extracts_and_aggregates_domains(self, spark):
+        from pramen_spark.operators.text import domain_histogram, url_domains
+
+        df = spark.createDataFrame(
+            [
+                (1, "see https://A.example.com/x and http://b.org/y"),
+                (2, "again https://a.EXAMPLE.com plain text"),
+                (3, "no urls"),
+            ],
+            ["doc_id", "text"],
+        )
+        doms = {(r.doc_id, r.domain) for r in url_domains(df).collect()}
+        assert doms == {(1, "a.example.com"), (1, "b.org"), (2, "a.example.com")}
+        hist = {r.domain: (r.n_mentions, r.n_docs) for r in domain_histogram(df).collect()}
+        assert hist == {"a.example.com": (2, 2), "b.org": (1, 1)}
