@@ -505,3 +505,57 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_docs: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Line-level (sub-document) dedup: remove every line that occurs in
+    more than ``max_line_docs`` distinct documents — the boilerplate
+    stripper (headers, copyright lines, nav text) of CCNet/RefinedWeb-style
+    curation, where duplication lives INSIDE documents that are themselves
+    unique. Returns (id, rebuilt text, n_lines_kept, n_lines_removed);
+    documents whose every line is boilerplate drop out entirely.
+
+    Scale: lines shuffle once grouped by their 64-bit hash (the raw line
+    string never leaves the map side of the frequency count thanks to the
+    partial aggregation), the over-threshold hash set is the ONLY thing
+    joined back (left_anti), and the rebuild is one groupBy(id) with an
+    order-restoring array_sort over (pos, line) structs — no window, no
+    second pass over the corpus."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).withColumn("_h", F.xxhash64("line"))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_line_docs)
+        .select("_h")
+    )
+    kept = lines.join(F.broadcast(boiler), "_h", "left_anti")
+    removed_counts = (
+        lines.join(F.broadcast(boiler), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines_removed"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    return rebuilt.join(removed_counts, id_col, "left").select(
+        id_col,
+        text_col,
+        "n_lines_kept",
+        F.coalesce("n_lines_removed", F.lit(0).cast("long")).alias("n_lines_removed"),
+    )

@@ -3092,6 +3092,66 @@ def q_domain_histogram_documents(spark, sf_dir):
     return domain_histogram(aug)
 
 
+@query(
+    "line_dedup_documents",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               'Copyright Example Corp' || chr(10) || text || chr(10)
+                 || 'footer ' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || 'All rights reserved'
+                 AS text
+        FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+    lines AS (
+        SELECT doc_id, i + 1 AS pos, ls[CAST(i + 1 AS INTEGER)] AS line
+        FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM sp)
+    ),
+    freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l JOIN freq f ON l.line = f.line WHERE f.df <= 2
+    ),
+    removed AS (
+        SELECT l.doc_id, COUNT(*) AS n_removed
+        FROM lines l JOIN freq f ON l.line = f.line WHERE f.df > 2
+        GROUP BY l.doc_id
+    )
+    SELECT k.doc_id,
+           array_to_string(list(k.line ORDER BY k.pos), chr(10)) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+           CAST(COALESCE(ANY_VALUE(r.n_removed), 0) AS BIGINT) AS n_lines_removed
+    FROM kept k LEFT JOIN removed r ON k.doc_id = r.doc_id
+    GROUP BY k.doc_id
+    """,
+    "line-level dedup: strip lines shared by > 2 docs (boilerplate removal)",
+    tags=("dedup", "quality"),
+)
+def q_line_dedup_documents(spark, sf_dir):
+    """Sub-document dedup (CCNet/RefinedWeb boilerplate stripping): the
+    corpus is single-line docs, so the query wraps each in deterministic
+    boilerplate (shared header/footer lines that must be stripped) plus a
+    per-doc unique line that must survive, same construction in the
+    oracle. The operator groups lines by 64-bit hash (one shuffle),
+    anti-joins the over-threshold set, and rebuilds documents order-
+    preserved in a single aggregation (operators/dedup.py::line_dedup)."""
+    from pramen_spark.operators.dedup import line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Copyright Example Corp\n"),
+            F.col("text"),
+            F.lit("\nfooter "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nAll rights reserved"),
+        ).alias("text"),
+    )
+    return line_dedup(aug, max_line_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -826,3 +826,41 @@ class TestDomainHistogram:
         assert doms == {(1, "a.example.com"), (1, "b.org"), (2, "a.example.com")}
         hist = {r.domain: (r.n_mentions, r.n_docs) for r in domain_histogram(df).collect()}
         assert hist == {"a.example.com": (2, 2), "b.org": (1, 1)}
+
+
+class TestLineDedup:
+    def test_strips_boilerplate_keeps_unique(self, spark):
+        from pramen_spark.operators.dedup import line_dedup
+
+        docs = [
+            (1, "HEADER\nalpha one\nFOOTER"),
+            (2, "HEADER\nbeta two\nFOOTER"),
+            (3, "HEADER\ngamma three\nFOOTER"),
+            (4, "HEADER\nalpha one\nFOOTER"),  # body dup of doc 1 (2 docs: kept)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.doc_id: r for r in line_dedup(df, max_line_docs=2).collect()}
+        # HEADER/FOOTER occur in 4 docs -> stripped everywhere
+        assert out[1].text == "alpha one" and out[2].text == "beta two"
+        assert out[1].n_lines_kept == 1 and out[1].n_lines_removed == 2
+        # a line in exactly 2 docs survives the default threshold
+        assert out[4].text == "alpha one"
+
+    def test_fully_boilerplate_doc_drops_out(self, spark):
+        from pramen_spark.operators.dedup import line_dedup
+
+        docs = [(i, "SAME\nSAME2") for i in range(1, 5)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        assert line_dedup(df, max_line_docs=2).count() == 0
+
+    def test_order_preserved_across_many_lines(self, spark):
+        from pramen_spark.operators.dedup import line_dedup
+
+        body = "\n".join(f"line {i}" for i in range(25))
+        df = spark.createDataFrame(
+            [(1, f"BOILER\n{body}"), (2, "BOILER\nx"), (3, "BOILER\ny")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in line_dedup(df, max_line_docs=2).collect()}
+        assert out[1].text == body  # 25 lines back in original order
+        assert out[1].n_lines_removed == 1
