@@ -234,3 +234,56 @@ def domain_histogram(
         F.count(F.lit(1)).cast("long").alias("n_mentions"),
         F.countDistinct(id_col).cast("long").alias("n_docs"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size sliding token windows with overlap —
+    the standard pre-pass for embedding/RAG indexing and long-context
+    training-example construction. Returns one row per chunk:
+    (id, chunk_id, chunk text, n_tokens), chunk_id 0-based; the final
+    chunk may be shorter; a document always yields >= 1 chunk.
+
+    Tokens are whitespace-split (case preserved — chunking must not alter
+    content). Chunk starts step by ``chunk_tokens - overlap_tokens``.
+
+    Scale: the whole expansion is a per-row column expression (token
+    array -> sequence of starts -> slice per start) followed by ONE
+    posexplode — no shuffle, no Python; output rows carry only their own
+    chunk's text, so the blow-up factor is bounded by
+    1/(1 - overlap/chunk) times the corpus token count."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) chunks, minimum 1 (integer arithmetic so
+    # the oracle can reproduce it exactly)
+    n_chunks = F.greatest(
+        F.expr(
+            f"(size(split(trim({text_col}), '\\\\s+')) - {overlap_tokens}"
+            f" + {stride} - 1) div {stride}"
+        ),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "_chunk"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join("_chunk", " ").alias(text_col),
+            F.size("_chunk").cast("long").alias("n_tokens"),
+        )
+    )

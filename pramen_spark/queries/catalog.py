@@ -3152,6 +3152,43 @@ def q_line_dedup_documents(spark, sf_dir):
     return line_dedup(aug, max_line_docs=2)
 
 
+@query(
+    "chunk_documents",
+    r"""
+    WITH sp AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    params AS (
+        SELECT doc_id, ts,
+               greatest((len(ts) - 8 + 24 - 1) // 24, 1) AS n_chunks
+        FROM sp
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               list_slice(ts, CAST(i * 24 + 1 AS INTEGER),
+                              CAST(i * 24 + 32 AS INTEGER)) AS ck
+        FROM (SELECT doc_id, ts, unnest(range(n_chunks)) AS i FROM params)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(ck, ' ') AS text,
+           CAST(len(ck) AS BIGINT) AS n_tokens
+    FROM chunks
+    """,
+    "sliding-window chunking: 32-token chunks, 8-token overlap",
+    tags=("text", "chunking"),
+)
+def q_chunk_documents(spark, sf_dir):
+    """Document chunking for embedding/RAG indexing and long-context
+    example construction: fixed 32-token windows stepping by 24 (8-token
+    overlap). Pure per-row expression + one posexplode — no shuffle
+    (operators/text.py::chunk_documents); the oracle rebuilds every chunk
+    independently via list_slice."""
+    from pramen_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap_tokens=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

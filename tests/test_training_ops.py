@@ -864,3 +864,38 @@ class TestLineDedup:
         out = {r.doc_id: r for r in line_dedup(df, max_line_docs=2).collect()}
         assert out[1].text == body  # 25 lines back in original order
         assert out[1].n_lines_removed == 1
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from pramen_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc")],
+            ["doc_id", "text"],
+        )
+        out = chunk_documents(df, chunk_tokens=6, overlap_tokens=2)
+        rows = sorted(
+            ((r.doc_id, r.chunk_id, r.text, r.n_tokens) for r in out.collect())
+        )
+        # doc 1: 10 tokens, stride 4 -> starts 0, 4 -> chunks of 6 and 6
+        assert rows[0] == (1, 0, "w0 w1 w2 w3 w4 w5", 6)
+        assert rows[1] == (1, 1, "w4 w5 w6 w7 w8 w9", 6)
+        # doc 2: shorter than one chunk -> exactly one (short) chunk
+        assert rows[2] == (2, 0, "short doc", 2)
+
+    def test_case_and_content_preserved(self, spark):
+        from pramen_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "Hello WORLD Mixed Case")], ["doc_id", "text"])
+        r = chunk_documents(df, chunk_tokens=10, overlap_tokens=0).collect()[0]
+        assert r.text == "Hello WORLD Mixed Case"
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from pramen_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
