@@ -1,0 +1,74 @@
+"""The examples/ configs must run verbatim (token-substituted) — docs that
+execute, so the published examples cannot rot."""
+
+import os
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+
+
+def _materialize(name, tmp_path, tokens):
+    text = open(os.path.join(EXAMPLES, name)).read()
+    for k, v in tokens.items():
+        text = text.replace(k, v)
+    assert "%" + "MS_RAW" + "%" not in text
+    path = str(tmp_path / name)
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+class TestExamples:
+    def test_daily_ingestion_example(self, spark, tmp_path, sf_dir):
+        from pramen_spark.cli import main
+        from pramen_spark.queries.catalog import load_events
+
+        landing = str(tmp_path / "landing")
+        load_events(spark, sf_dir).limit(200).write.parquet(landing)
+        conf = _materialize(
+            "daily_ingestion.conf",
+            tmp_path,
+            {
+                "%BOOKKEEPING%": str(tmp_path / "bk"),
+                "%MS_RAW%": str(tmp_path / "ms_raw"),
+                "%MS_OUT%": str(tmp_path / "ms_out"),
+                "%CSV_OUT%": str(tmp_path / "csv"),
+                "%LANDING%": landing,
+            },
+        )
+        assert main(["--workflow", conf, "--date", "2024-01-10"]) == 0
+        out = spark.read.parquet(str(tmp_path / "ms_out"))
+        assert out.count() > 0
+        assert "value_usd" in out.columns
+        assert out.filter("event_type = 'error'").count() == 0
+        csvs = [f for f in os.listdir(str(tmp_path / "csv")) if f.endswith(".csv")]
+        assert csvs
+
+    def test_corpus_curation_example(self, spark, tmp_path, sf_dir):
+        from pramen_spark.cli import main
+
+        dumps = str(tmp_path / "dumps")
+        spark.read.parquet(f"{sf_dir}/documents.parquet").write.parquet(dumps)
+        conf = _materialize(
+            "corpus_curation.conf",
+            tmp_path,
+            {
+                "%BOOKKEEPING%": str(tmp_path / "bk"),
+                "%MS_RAW%": str(tmp_path / "ms_raw"),
+                "%MS_OUT%": str(tmp_path / "ms_out"),
+                "%DUMPS%": dumps,
+            },
+        )
+        sys.path.insert(0, EXAMPLES)
+        try:
+            assert main(["--workflow", conf, "--date", "2024-01-10"]) == 0
+        finally:
+            sys.path.remove(EXAMPLES)
+        out = spark.read.parquet(str(tmp_path / "ms_out"))
+        n_in = spark.read.parquet(dumps).count()
+        n_out = out.count()
+        assert 0 < n_out <= n_in  # gates + dedup only ever shrink
+        assert "n_pii_total" in out.columns and "quality_score" in out.columns
+        assert "pramen_info_date" in out.columns
