@@ -2,6 +2,8 @@
 multimodal plumbing."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pramen_spark.operators.dedup import (
@@ -899,3 +901,103 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with _pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+class TestCurationProperties:
+    """Property-based invariants (hypothesis) for the newest curation
+    operators, mirroring the reference's property-test strategy
+    (SURVEY.md §5)."""
+
+    @staticmethod
+    def _docs(spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta", "X1", "y2"]),
+                min_size=1,
+                max_size=30,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        ),
+        chunk=st.integers(min_value=2, max_value=8),
+        overlap=st.integers(min_value=0, max_value=3),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_chunks_reassemble_to_original_tokens(self, spark, texts, chunk, overlap):
+        """Dropping each chunk's leading overlap and concatenating in
+        chunk order must reproduce the document's exact token stream."""
+        from pramen_spark.operators.text import chunk_documents
+
+        if overlap >= chunk:
+            overlap = chunk - 1
+        out = chunk_documents(
+            self._docs(spark, texts), chunk_tokens=chunk, overlap_tokens=overlap
+        ).collect()
+        by_doc = {}
+        for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+            toks = r.text.split(" ") if r.text else []
+            assert r.n_tokens == len(toks) <= chunk
+            prev = by_doc.setdefault(r.doc_id, [])
+            prev.extend(toks if r.chunk_id == 0 else toks[overlap:])
+        for i, t in enumerate(texts):
+            assert by_doc[i] == t.split(" "), (i, t)
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["common line", "rare", "mid text", "zz"]),
+                min_size=1,
+                max_size=5,
+            ).map("\n".join),
+            min_size=1,
+            max_size=6,
+        ),
+        k=st.integers(min_value=1, max_value=3),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_line_dedup_is_a_subsequence_filter(self, spark, texts, k):
+        """Every output doc's lines must be exactly the input lines whose
+        corpus doc-frequency is <= k, in original order."""
+        from pramen_spark.operators.dedup import line_dedup
+
+        out = {r.doc_id: r for r in line_dedup(
+            self._docs(spark, texts), max_line_docs=k
+        ).collect()}
+        dfreq = {}
+        for t in texts:
+            for line in set(t.split("\n")):
+                dfreq[line] = dfreq.get(line, 0) + 1
+        for i, t in enumerate(texts):
+            lines = t.split("\n")
+            expect = [l for l in lines if dfreq[l] <= k]
+            if not expect:
+                assert i not in out
+            else:
+                assert out[i].text.split("\n") == expect
+                assert out[i].n_lines_kept == len(expect)
+                assert out[i].n_lines_removed == len(lines) - len(expect)
+
+    @given(
+        pii_kind=st.sampled_from(["email", "ipv4", "ssn", "phone"]),
+        n_specimens=st.integers(min_value=0, max_value=4),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_redaction_removes_every_specimen(self, spark, pii_kind, n_specimens):
+        specimen = {
+            "email": "user@example.com",
+            "ipv4": "192.168.1.77",
+            "ssn": "123-45-6789",
+            "phone": "(555) 123-4567",
+        }[pii_kind]
+        from pramen_spark.operators.text import redact_pii
+
+        text = " filler ".join([specimen] * n_specimens) or "clean"
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        r = redact_pii(df).collect()[0]
+        assert r[f"n_{pii_kind}"] == n_specimens
+        assert specimen not in r.text or n_specimens == 0
