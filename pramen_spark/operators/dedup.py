@@ -535,27 +535,27 @@ def line_dedup(
         lines.groupBy("_h")
         .agg(F.countDistinct(id_col).alias("_df"))
         .filter(F.col("_df") > max_line_docs)
-        .select("_h")
+        .select("_h", F.lit(True).alias("_boiler"))
     )
-    kept = lines.join(F.broadcast(boiler), "_h", "left_anti")
-    removed_counts = (
-        lines.join(F.broadcast(boiler), "_h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_lines_removed"))
-    )
-    rebuilt = kept.groupBy(id_col).agg(
+    # ONE pass over the line stream: flag boilerplate via a broadcast left
+    # join, then a single groupBy(id) both rebuilds the document (the
+    # conditional collect_list skips flagged lines — collect_list drops
+    # nulls) and takes the kept/removed counts. Splitting this into
+    # anti-join + semi-join + two aggregations would scan the exploded
+    # lines three times.
+    flagged = lines.join(F.broadcast(boiler), "_h", "left")
+    is_kept = F.col("_boiler").isNull()
+    rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(F.when(is_kept, F.struct("pos", "line")))
+                ),
                 lambda s: s["line"],
             ),
             line_sep,
         ).alias(text_col),
-        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        F.sum(is_kept.cast("long")).alias("n_lines_kept"),
+        F.sum((~is_kept).cast("long")).alias("n_lines_removed"),
     )
-    return rebuilt.join(removed_counts, id_col, "left").select(
-        id_col,
-        text_col,
-        "n_lines_kept",
-        F.coalesce("n_lines_removed", F.lit(0).cast("long")).alias("n_lines_removed"),
-    )
+    return rebuilt.filter(F.col("n_lines_kept") > 0)

@@ -170,3 +170,31 @@ class TestDriverSessionCompat:
             ).fetchall()
         )
         assert got == want
+
+
+class TestNewOperatorPlans:
+    """Plan-shape guarantees for the round-5 curation operators: the
+    scan-speed ops must stay exchange-free, and line dedup's frequency
+    filter must come back as a broadcast, never a shuffled join."""
+
+    def test_redact_pii_is_shuffle_free(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "redact_pii_documents")
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+    def test_chunking_is_shuffle_free(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "chunk_documents")
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+    def test_line_dedup_broadcasts_boilerplate_set(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "line_dedup_documents")
+        assert "BroadcastHashJoin" in plan, plan
+        # the only shuffles are the frequency count and the per-doc rebuild
+        # (the single-pass flag-and-aggregate shape; the three-scan
+        # anti/semi/agg form would show more)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+    def test_domain_histogram_two_phase_distinct(self, spark, sf_dir):
+        # count + countDistinct in one agg is Spark's canonical two-phase
+        # distinct plan: exactly 2 exchanges, no more
+        plan = plan_of(spark, sf_dir, "domain_histogram_documents")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
