@@ -1781,8 +1781,9 @@ def q_stratified_sample_documents(spark, sf_dir):
     ),
     c AS (
         SELECT doc_id, lang, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
         FROM t
     )
     SELECT doc_id, lang, n_tokens, cum_tokens
@@ -1970,9 +1971,11 @@ def q_q6_revenue_forecast(spark, sf_dir):
     "q12_priority_by_linestatus",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
