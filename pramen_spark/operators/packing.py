@@ -92,3 +92,89 @@ def pack_stats(assignments: DataFrame, budget: int) -> DataFrame:
         F.sum("n_tokens").alias("tokens"),
         (F.sum("n_tokens") / F.lit(float(budget))).alias("fill_ratio"),
     )
+
+
+def pack_invariants(
+    assignments: DataFrame, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audit an FFD packing: one (invariant, val) row per check.
+
+    FFD bin assignment is procedural (iterative first-fit), so its output
+    can't be reproduced in SQL — but its *correctness* can be stated as
+    exact properties any valid packing must satisfy:
+
+    - ``docs_packed`` / ``tokens_packed`` / ``oversize_docs`` — accounting
+      totals, independently computable from the input corpus.
+    - ``duplicate_doc_assignments`` = 0 — every document in exactly one pack.
+    - ``overfull_packs`` = 0 — no non-truncated pack exceeds the budget.
+    - ``truncated_pack_extra_docs`` = 0 — an oversized document is alone
+      in its pack.
+    - ``packs_below_lower_bound`` = 0 — pack count >= the information-
+      theoretic floor ceil(non_oversize_tokens / budget) + oversize_docs
+      (holds for any sharding: each regular pack carries <= budget tokens,
+      each oversized doc occupies its own pack).
+    - ``packs_above_upper_bound`` = 0 — pack count <= one pack per doc.
+
+    Everything reduces to two single-row aggregates (docs, packs) joined
+    by broadcast — no large shuffle, scale-independent output size.
+    """
+    doc_agg = assignments.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_packed"),
+        F.sum("n_tokens").cast("long").alias("tokens_packed"),
+        F.sum(F.col("truncated").cast("long")).alias("oversize_docs"),
+        F.sum(
+            F.when(F.col("truncated"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).cast("long").alias("oversize_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.col(id_col)))
+        .cast("long").alias("duplicate_doc_assignments"),
+    )
+    pack_agg = (
+        assignments.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.max(F.col("truncated").cast("int")).alias("has_truncated"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum(
+                F.when(
+                    (F.col("has_truncated") == 0) & (F.col("tokens") > budget),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("overfull_packs"),
+            F.sum(
+                F.when(F.col("has_truncated") == 1, F.col("n_docs") - 1)
+                .otherwise(F.lit(0))
+            ).cast("long").alias("truncated_pack_extra_docs"),
+        )
+    )
+    one = doc_agg.crossJoin(F.broadcast(pack_agg))
+    lower_bound = (
+        F.ceil(
+            (F.col("tokens_packed") - F.col("oversize_tokens"))
+            / F.lit(float(budget))
+        ).cast("long")
+        + F.col("oversize_docs")
+    )
+    one = one.withColumn(
+        "packs_below_lower_bound",
+        F.when(F.col("n_packs") < lower_bound, F.lit(1)).otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn(
+        "packs_above_upper_bound",
+        F.when(F.col("n_packs") > F.col("docs_packed"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long"),
+    )
+    return one.selectExpr(
+        "stack(8, "
+        "'docs_packed', docs_packed, "
+        "'tokens_packed', tokens_packed, "
+        "'oversize_docs', oversize_docs, "
+        "'duplicate_doc_assignments', duplicate_doc_assignments, "
+        "'overfull_packs', overfull_packs, "
+        "'truncated_pack_extra_docs', truncated_pack_extra_docs, "
+        "'packs_below_lower_bound', packs_below_lower_bound, "
+        "'packs_above_upper_bound', packs_above_upper_bound"
+        ") AS (invariant, val)"
+    )

@@ -1882,15 +1882,49 @@ def q_sequence_packing(spark, sf_dir):
 
 @query(
     "pack_utilization",
-    None,  # FFD bin assignment is iterative -> not SQL-expressible
-    "per-pack fill-ratio stats over the FFD packing (rows-only check)",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    )
+    SELECT invariant, val FROM (
+        SELECT 'docs_packed' AS invariant, CAST(COUNT(*) AS BIGINT) AS val
+        FROM t
+        UNION ALL
+        SELECT 'tokens_packed', CAST(SUM(n_tokens) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'oversize_docs',
+               CAST(SUM(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM t
+        UNION ALL SELECT 'duplicate_doc_assignments', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'overfull_packs', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'truncated_pack_extra_docs', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'packs_below_lower_bound', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'packs_above_upper_bound', CAST(0 AS BIGINT)
+    )
+    """,
+    "FFD packing audit: accounting totals (independently recomputed by the "
+    "oracle from the corpus) + validity invariants whose expected value is "
+    "an exact constant (no duplicate assignment, no overfull pack, pack "
+    "count within [ceil(tokens/budget)+oversize, n_docs])",
     tags=("packing", "training"),
 )
 def q_pack_utilization(spark, sf_dir):
-    from pramen_spark.operators.packing import pack_sequences, pack_stats
+    """FFD bin *assignment* is iterative and not SQL-expressible, but its
+    correctness is: the oracle recomputes the accounting totals from the
+    raw corpus and pins every structural invariant of a valid packing to
+    its exact expected constant (the same check-an-exactness-property
+    trick the full-probe IVF oracle uses). A packing bug — duplicate or
+    dropped doc, budget overflow, truncated doc sharing a pack, pack
+    count outside the provable [lower, upper] bounds — flips a row."""
+    from pramen_spark.operators.packing import pack_invariants, pack_sequences
 
     d = load_table(spark, sf_dir, "documents")
-    return pack_stats(pack_sequences(d, budget=512, num_shards=8), budget=512)
+    return pack_invariants(
+        pack_sequences(d, budget=512, num_shards=8), budget=512
+    )
 
 
 # --------------------------------------------------------------------------
