@@ -19,6 +19,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -526,10 +527,15 @@ def line_dedup(
     partial aggregation), the over-threshold hash set is the ONLY thing
     joined back (left_anti), and the rebuild is one groupBy(id) with an
     order-restoring array_sort over (pos, line) structs — no window, no
-    second pass over the corpus."""
+    second pass over the corpus. The boilerplate-set join carries no
+    broadcast hint on purpose: on boilerplate-heavy corpora at 100 TB the
+    over-threshold set is unbounded, so the strategy is left to the
+    planner/AQE (autoBroadcastJoinThreshold), which broadcasts when the
+    runtime size allows and falls back to a shuffle join when it doesn't."""
+    sep_pattern = re.escape(line_sep)  # F.split is regex; line_sep is literal
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "line"),
     ).withColumn("_h", F.xxhash64("line"))
     boiler = (
         lines.groupBy("_h")
@@ -537,13 +543,13 @@ def line_dedup(
         .filter(F.col("_df") > max_line_docs)
         .select("_h", F.lit(True).alias("_boiler"))
     )
-    # ONE pass over the line stream: flag boilerplate via a broadcast left
-    # join, then a single groupBy(id) both rebuilds the document (the
-    # conditional collect_list skips flagged lines — collect_list drops
-    # nulls) and takes the kept/removed counts. Splitting this into
-    # anti-join + semi-join + two aggregations would scan the exploded
-    # lines three times.
-    flagged = lines.join(F.broadcast(boiler), "_h", "left")
+    # ONE pass over the line stream: flag boilerplate via a left join (no
+    # forced broadcast — see docstring), then a single groupBy(id) both
+    # rebuilds the document (the conditional collect_list skips flagged
+    # lines — collect_list drops nulls) and takes the kept/removed counts.
+    # Splitting this into anti-join + semi-join + two aggregations would
+    # scan the exploded lines three times.
+    flagged = lines.join(boiler, "_h", "left")
     is_kept = F.col("_boiler").isNull()
     rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(

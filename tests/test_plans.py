@@ -185,13 +185,21 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "chunk_documents")
         assert not re.findall(r"\(\d+\) Exchange", plan), plan
 
-    def test_line_dedup_broadcasts_boilerplate_set(self, spark, sf_dir):
+    def test_line_dedup_boilerplate_join_is_not_forced_broadcast(self, spark, sf_dir):
+        # The boilerplate-set join must carry NO broadcast hint: at 100 TB
+        # the over-threshold line-hash set is unbounded and a forced
+        # broadcast would blow the 8 GB broadcast cap / driver memory. The
+        # planner (autoBroadcastJoinThreshold + AQE) picks the strategy —
+        # either is acceptable, but the join must be present and planned.
         plan = plan_of(spark, sf_dir, "line_dedup_documents")
-        assert "BroadcastHashJoin" in plan, plan
-        # the only shuffles are the frequency count and the per-doc rebuild
-        # (the single-pass flag-and-aggregate shape; the three-scan
-        # anti/semi/agg form would show more)
-        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+        assert re.search(
+            r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan
+        ), plan
+        # the single-pass flag-and-aggregate shape: frequency count,
+        # per-doc rebuild, and (if the planner picks a shuffle join) the
+        # join's own exchanges — the three-scan anti/semi/agg form shows
+        # strictly more exchanges than this bound
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5, plan
 
     def test_domain_histogram_two_phase_distinct(self, spark, sf_dir):
         # count + countDistinct in one agg is Spark's canonical two-phase

@@ -855,6 +855,26 @@ class TestLineDedup:
         df = spark.createDataFrame(docs, ["doc_id", "text"])
         assert line_dedup(df, max_line_docs=2).count() == 0
 
+    def test_regex_metachar_separator(self, spark):
+        # line_sep is a LITERAL: '|' must split on pipes (F.split takes a
+        # regex, so the separator is escaped) and rejoin with pipes
+        from pramen_spark.operators.dedup import line_dedup
+
+        docs = [
+            (1, "keep1|BOILER|keep2"),
+            (2, "BOILER|x"),
+            (3, "BOILER|y"),
+            (4, "BOILER|z"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {
+            r.doc_id: r
+            for r in line_dedup(df, max_line_docs=2, line_sep="|").collect()
+        }
+        assert out[1].text == "keep1|keep2"
+        assert out[1].n_lines_kept == 2 and out[1].n_lines_removed == 1
+        assert out[2].text == "x"
+
     def test_order_preserved_across_many_lines(self, spark):
         from pramen_spark.operators.dedup import line_dedup
 
