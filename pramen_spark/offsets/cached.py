@@ -42,9 +42,18 @@ class CachedOffsetLedger(OffsetLedger):
             Optional[Tuple[_dt.date, OffsetValue, OffsetValue]],
         ] = {}
         self._cache_lock = threading.Lock()
+        # Per-table invalidation generation. The reference's synchronized
+        # method holds its monitor across miss-check + inner read + fill;
+        # doing that here would serialize every cache-miss Spark/DB read,
+        # so instead the fill is guarded by a generation snapshot: a
+        # commit/rollback that lands between the miss and the fill bumps
+        # the generation and the stale fill is skipped (jobs run in a
+        # ThreadPoolExecutor, so this interleaving is real).
+        self._gen: Dict[str, int] = {}
 
     def _invalidate(self, table: str) -> None:
         with self._cache_lock:
+            self._gen[table] = self._gen.get(table, 0) + 1
             for key in [k for k in self._cache if k[0] == table]:
                 del self._cache[key]
 
@@ -82,7 +91,12 @@ class CachedOffsetLedger(OffsetLedger):
         with self._cache_lock:
             if key in self._cache:
                 return self._cache[key]
+            gen = self._gen.get(table, 0)
         value = self._inner.get_max_info_date_and_offset(table, only_for_info_date)
         with self._cache_lock:
-            self._cache[key] = value
+            # fill only if no invalidation landed since the miss — a value
+            # read concurrently with a commit may predate it, and caching
+            # it would feed incremental scheduling a stale max offset
+            if self._gen.get(table, 0) == gen:
+                self._cache[key] = value
         return value

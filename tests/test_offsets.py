@@ -216,6 +216,50 @@ class TestCachedOffsetLedger:
         cached.get_max_info_date_and_offset("t2", day)  # still cached
         assert inner.minmax_calls == calls_before + 1
 
+    def test_concurrent_commit_does_not_cache_stale_fill(self):
+        # Race pinned by ADVICE r5: a commit landing between the cache-miss
+        # check and the fill must not leave the pre-commit value cached
+        # (reference OffsetManagerCached holds its monitor across
+        # check+read+fill; here a generation counter guards the fill).
+        import threading
+
+        from pramen_spark.offsets.cached import CachedOffsetLedger
+
+        day = dt.date(2024, 1, 10)
+        outer: dict = {}
+
+        class RacingLedger(self.CountingLedger):
+            """Commits batch 2 while the first min/max read is in flight."""
+
+            def get_max_info_date_and_offset(inner_self, table, only_for_info_date=None):
+                value = super().get_max_info_date_and_offset(table, only_for_info_date)
+                if inner_self.minmax_calls == 1:
+                    # simulate a parallel task committing mid-read: the
+                    # invalidation lands after this read's miss snapshot
+                    tx = outer["cached"].start_write(table, day, 2, OffsetType.INTEGRAL)
+                    outer["cached"].commit(
+                        tx, OffsetValue.integral(101), OffsetValue.integral(200)
+                    )
+                return value
+
+        inner = RacingLedger()
+        cached = CachedOffsetLedger(inner)
+        outer["cached"] = cached
+        tx = cached.start_write("t1", day, 1, OffsetType.INTEGRAL)
+        cached.commit(tx, OffsetValue.integral(1), OffsetValue.integral(100))
+
+        first = cached.get_max_info_date_and_offset("t1", day)
+        assert first[2].value == 100  # the in-flight read itself is pre-commit
+        # the stale fill must have been skipped: the next read goes to the
+        # backend and sees the concurrent commit
+        fresh = cached.get_max_info_date_and_offset("t1", day)
+        assert fresh[2].value == 200
+        # and THAT value is cached normally afterwards
+        calls = inner.minmax_calls
+        assert cached.get_max_info_date_and_offset("t1", day)[2].value == 200
+        assert inner.minmax_calls == calls
+        assert isinstance(cached._cache_lock, type(threading.Lock()))
+
     def test_uncommitted_always_live(self):
         from pramen_spark.offsets.cached import CachedOffsetLedger
 
