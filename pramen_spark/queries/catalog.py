@@ -2086,15 +2086,20 @@ def q_q13_customer_distribution(spark, sf_dir):
     "TPC-H Q15-style: top supplier by revenue (scalar-subquery max)",
 )
 def q_q15_top_supplier(spark, sf_dir):
-    """Scale: revenue agg shuffles on l_suppkey once; the max is a window
-    over the aggregated (per-supplier) set — already small — and supplier
-    joins broadcast. No second scan of lineitem (the reference SQL's
-    correlated MAX is computed from the same aggregate)."""
-    from pyspark.sql import Window as W
-
+    """Scale: revenue agg shuffles on l_suppkey once; the scalar MAX is a
+    1-row aggregate of that same per-supplier set, joined back by
+    crossJoin(broadcast(...)) — no single-partition WindowExec (a global
+    window funnels every row through one task), and supplier joins
+    broadcast. No second scan of lineitem (the reference SQL's correlated
+    MAX is computed from the same aggregate)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        # explicit: the supplier join would push isnotnull into only the
+        # rev branch's scan, making the two rev subtrees canonically
+        # different and defeating AQE shuffle-stage reuse (lineitem would
+        # be scanned twice — the real cost at 100 TB)
+        & F.col("l_suppkey").isNotNull()
     )
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -2102,10 +2107,11 @@ def q_q15_top_supplier(spark, sf_dir):
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("total_revenue"))
     )
-    rev = rev.withColumn("max_rev", F.max("total_revenue").over(W.partitionBy()))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.filter(F.col("total_revenue") == F.col("max_rev"))
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -116,6 +116,29 @@ class TestPlanShapes:
         pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
         assert "StringContains(p_name,widget)" in pushed, pushed
 
+    def test_q15_no_global_window(self, spark, sf_dir):
+        """The scalar MAX is a broadcast 1-row aggregate, never a global
+        window (a partitionBy()-less Window funnels the whole per-supplier
+        set through one task); the revenue shuffle is planned for reuse
+        between the rev branch and its max."""
+        plan = plan_of(spark, sf_dir, "q15_top_supplier")
+        assert "Window" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+    def test_q15_single_lineitem_scan_at_runtime(self, spark, sf_dir):
+        """The max branch must REUSE the revenue shuffle (AQE stage reuse
+        needs canonically identical subtrees — the explicit isnotnull on
+        l_suppkey keeps them identical), so lineitem is scanned once, not
+        once per branch: the difference between 1× and 2× the dominant
+        scan at 100 TB."""
+        df = QUERIES["q15_top_supplier"].build(spark, sf_dir)
+        df.collect()
+        final = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        ).split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in final, final
+        assert final.count("lineitem.parquet") == 1, final
+
     def test_dedup_exact_single_shuffle(self, spark, sf_dir):
         """Exact dedup is one hash aggregation: exactly one exchange node
         (each node appears once as '(n) Exchange' in the detail section),
