@@ -262,13 +262,14 @@ def chunk_documents(
     stride = chunk_tokens - overlap_tokens
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    # ceil((n - overlap) / stride) chunks, minimum 1 (integer arithmetic so
-    # the oracle can reproduce it exactly)
+    # ceil((n - overlap) / stride) chunks, minimum 1 — derived from the
+    # same `toks` Column as the slices (a re-spelled SQL string here could
+    # drift from the tokenizer and breaks for column names needing
+    # backticks); integer-exact after the >=1 clamp, so the oracle can
+    # reproduce it
     n_chunks = F.greatest(
-        F.expr(
-            f"(size(split(trim({text_col}), '\\\\s+')) - {overlap_tokens}"
-            f" + {stride} - 1) div {stride}"
-        ),
+        F.floor((n - F.lit(overlap_tokens) + F.lit(stride - 1)) / F.lit(stride))
+        .cast("int"),
         F.lit(1),
     )
     chunks = F.transform(
