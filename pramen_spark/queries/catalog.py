@@ -951,7 +951,17 @@ def q_minhash_dedup(spark, sf_dir):
     Oracle equality relies on banding recall: 32 bands x 2 rows gives a
     miss probability of (1-0.5^2)^32 ~ 1e-4 for a pair AT the 0.5
     threshold (steeply lower above it), and the seed-fixed hashes make the
-    outcome deterministic per dataset — verified green at sf0.001/0.01."""
+    outcome deterministic per dataset — verified green at sf0.001/0.01.
+
+    PER-SF VERIFICATION REQUIRED: because the oracle equality is
+    probabilistic-by-design (banding can in principle miss a
+    threshold-straddling pair, and max_bucket_size=1000 drops pairs from
+    pathological boilerplate buckets), a NEW scale factor or dataset must
+    be checked once with `python tools/check_oracle.py <sf_dir>
+    minhash_dedup` before relying on the gate there; a red result on new
+    data means a recall margin to re-derive (raise num_bands / bucket
+    caps), not an engine bug. Seeds are fixed, so a given dataset either
+    always passes or always fails — no flakiness within an sf_dir."""
     from pramen_spark.operators.dedup import minhash_dedup
 
     d = load_table(spark, sf_dir, "documents")

@@ -703,7 +703,9 @@ class TestConnectedComponents:
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(20)], ["src", "dst"]
         )
-        cc = connected_components(chain, max_iter=30)
+        # force the distributed path: a 20-hop chain is the worst case for
+        # per-round propagation (driver union-find would shortcut it)
+        cc = connected_components(chain, max_iter=30, driver_max_edges=0)
         assert all(r.component == 0 for r in cc.collect())
 
     def test_nonconvergence_raises(self, spark):
@@ -714,7 +716,26 @@ class TestConnectedComponents:
             [(i, i + 1) for i in range(10)], ["src", "dst"]
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(chain, max_iter=2)
+            # driver_max_edges=0 forces the distributed propagation path
+            # (driver union-find always converges)
+            connected_components(chain, max_iter=2, driver_max_edges=0)
+
+    def test_distributed_path_matches_driver_path(self, spark):
+        from pramen_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (7, 7), (10, 9), (3, 4), (4, 1)],
+            ["src", "dst"],
+        )
+        via_driver = sorted(
+            (r.vertex, r.component)
+            for r in connected_components(edges).collect()
+        )
+        via_propagation = sorted(
+            (r.vertex, r.component)
+            for r in connected_components(edges, driver_max_edges=0).collect()
+        )
+        assert via_driver == via_propagation
 
     def test_null_edges_dropped(self, spark):
         from pramen_spark.operators.graph import connected_components
