@@ -166,6 +166,35 @@ def connected_components(
     )
 
 
+def dedup_representatives(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the "keep one document per duplicate group" decision:
+    (id, component, keep) for EVERY document — the step that turns cluster
+    ids into a curation verdict. The representative of a cluster is its
+    min-id member (= the component label); documents outside any pair
+    cluster are their own representative and are kept.
+
+    Scale: `components` holds only documents that appeared in near-dup
+    pairs — orders of magnitude smaller than the corpus — so the left join
+    is broadcast-able; no hint is forced (the planner/AQE picks, same
+    policy as line_dedup's boilerplate join)."""
+    comp = components.select(
+        F.col("vertex").alias(id_col), F.col("component").alias("_comp")
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_comp"), F.col(id_col)).alias("component"),
+            (F.coalesce(F.col("_comp"), F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def dedup_cluster_sizes(components: DataFrame) -> DataFrame:
     """(component, n_members) — the cluster-size histogram input used to
     audit how aggressive a near-dup threshold is before dropping data."""

@@ -79,6 +79,97 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+#: Stopwords whose presence Gopher requires (>= 2 distinct) — the
+#: "contains common English words" repetition-free sanity rule.
+GOPHER_REQUIRED_STOPWORDS: Sequence[str] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style rule filter (Rae et al. 2021 §A1.1, Raffel et al.
+    2020 C4): the standard pre-training document gate, as pure column
+    expressions — per-document rule measurements plus the composite
+    ``keep`` verdict, so a pipeline can audit WHICH rule rejected a
+    document, not just that one did.
+
+    Rules (all exactly SQL-reproducible, no approximations):
+    word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; hash/ellipsis symbol-to-word
+    ratio <= max_symbol_ratio; bullet-started line fraction <=
+    max_bullet_line_frac; ellipsis-ended line fraction <=
+    max_ellipsis_line_frac; fraction of words containing an alphabetic
+    character >= min_alpha_word_frac; >= min_required_stopwords distinct
+    required stopwords present.
+
+    Scale: zero shuffles, zero Python — one whole-stage-codegen projection
+    over the corpus; every measurement shares the single tokenization."""
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    # lines split on the raw (untrimmed/unlowered... lowered is fine for
+    # bullet/ellipsis shape checks) text: use trimmed original case text
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    mean_word_len = (
+        F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+        .cast("double")
+        / n_words
+    )
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    )
+    bullet_frac = n_bullet.cast("double") / n_lines
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    ellipsis_frac = n_ellipsis.cast("double") / n_lines
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_frac = n_alpha.cast("double") / n_words
+    stop = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    n_req_stop = F.size(
+        F.filter(F.array_distinct(toks), lambda w: F.array_contains(stop, w))
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_req_stop >= min_required_stopwords)
+    )
+    return df.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_req_stop.cast("long").alias("n_required_stopwords"),
+        keep.alias("keep"),
+    )
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: per language, count marker-word hits in
     the token array; pick the argmax (ties broken by language code order,

@@ -572,6 +572,66 @@ def q_text_quality(spark, sf_dir):
 
 
 @query(
+    "gopher_quality_filter",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               text,
+               string_split_regex(trim(lower(text)), '\s+') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                 / len(toks) AS mean_word_len,
+               CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                 / len(toks) AS symbol_ratio,
+               CAST(len(list_filter(lines,
+                        ln -> regexp_matches(ln, '^\s*[-*•]'))) AS DOUBLE)
+                 / len(lines) AS bullet_line_frac,
+               CAST(len(list_filter(lines,
+                        ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                 / len(lines) AS ellipsis_line_frac,
+               CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                 / len(toks) AS alpha_word_frac,
+               CAST(len(list_filter(list_distinct(toks),
+                        w -> list_contains(['the','be','to','of','and','that',
+                                            'have','with'], w))) AS BIGINT)
+                 AS n_required_stopwords
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, n_required_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_required_stopwords >= 2) AS keep
+    FROM m
+    """,
+    "Gopher/C4 document-quality rule gate: per-rule measurements + keep "
+    "verdict (word count, mean word length, symbol ratio, bullet/ellipsis "
+    "line fractions, alpha-word fraction, required stopwords)",
+    tags=("text", "curation"),
+)
+def q_gopher_quality_filter(spark, sf_dir):
+    """The standard pre-training quality gate (Gopher §A1.1 / C4 rules) as
+    one shuffle-free whole-stage-codegen projection; every rule is exactly
+    reproduced by the DuckDB oracle (integer counts, double ratios — no
+    approximation anywhere)."""
+    from pramen_spark.operators.text import gopher_quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality_filter(d)
+
+
+@query(
     "text_repetition",
     r"""
     WITH toks AS (
@@ -934,6 +994,56 @@ def q_dedup_clusters(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05, max_shingle_freq=1000)
     return connected_components(pairs, src="id_a", dst="id_b")
+
+
+@query(
+    "dedup_representatives",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_SHINGLE_ORACLE}),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, w) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.v, u.b FROM reach r JOIN und u ON r.w = u.a
+    ),
+    comp AS (
+        SELECT v AS vertex, LEAST(v, MIN(w)) AS component
+        FROM reach GROUP BY v
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+    """,
+    "keep-one-per-duplicate-group verdict for every document (cluster "
+    "representative = min-id member; unclustered docs keep themselves)",
+    tags=("dedup", "curation"),
+)
+def q_dedup_representatives(spark, sf_dir):
+    """The end use of near-dup clustering: a per-document keep/drop verdict
+    (operators/graph.py dedup_representatives). Cluster ids come from the
+    same exact ngram-jaccard pair graph as ``dedup_clusters``; the oracle
+    recomputes the transitive closure in DuckDB and joins it to the corpus.
+
+    Scale: the components table is tiny relative to the corpus (only
+    pair-involved docs), so the left join broadcasts; everything upstream
+    is the audited dedup_clusters path."""
+    from pramen_spark.operators.dedup import ngram_jaccard_pairs
+    from pramen_spark.operators.graph import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=3, threshold=0.05, max_shingle_freq=1000
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return dedup_representatives(d, comps)
 
 
 @query(

@@ -676,6 +676,67 @@ class TestSequencePacking:
         assert avg > 0.5
 
 
+class TestGopherQualityFilter:
+    def test_rules_fire_individually(self, spark):
+        from pramen_spark.operators.text import gopher_quality_filter
+
+        good = " ".join(
+            ["the quick brown fox jumps over that lazy dog with vigor"] * 6
+        )  # 60 words, mean len ~4, no symbols/bullets, stopwords present
+        docs = [
+            (1, good),
+            (2, "too short to pass the word count rule with these few"),
+            (3, " ".join(["####"] * 60)),  # symbol ratio + no stopwords
+            (4, "\n".join(["- bullet point of the list"] * 30)),  # bullets
+            (5, good.replace("the", "123").replace("that", "456")
+                    .replace("with", "789")),  # kills required stopwords
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.doc_id: r for r in gopher_quality_filter(df).collect()}
+        assert out[1].keep
+        assert not out[2].keep and out[2].n_words < 50
+        assert not out[3].keep and out[3].symbol_ratio > 0.1
+        assert not out[4].keep and out[4].bullet_line_frac > 0.9
+        assert not out[5].keep and out[5].n_required_stopwords < 2
+
+    def test_measurements_exact(self, spark):
+        from pramen_spark.operators.text import gopher_quality_filter
+
+        df = spark.createDataFrame(
+            [(1, "The cat and the dog ...\n- item one of two\nplain tail")],
+            ["doc_id", "text"],
+        )
+        r = gopher_quality_filter(df).collect()[0]
+        assert r.n_words == 13
+        assert r.n_required_stopwords == 3  # the, and, of
+        assert abs(r.bullet_line_frac - 1 / 3) < 1e-12
+        assert abs(r.ellipsis_line_frac - 1 / 3) < 1e-12
+
+
+class TestDedupRepresentatives:
+    def test_keep_one_per_cluster(self, spark):
+        from pramen_spark.operators.graph import (
+            connected_components,
+            dedup_representatives,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 8)], ["doc_id"]
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+        )
+        comps = connected_components(pairs, src="id_a", dst="id_b")
+        out = {
+            r.doc_id: (r.component, r.keep)
+            for r in dedup_representatives(docs, comps).collect()
+        }
+        assert out == {
+            1: (1, True), 2: (1, False), 3: (1, False),
+            4: (4, True), 5: (5, True), 6: (5, False), 7: (7, True),
+        }
+
+
 class TestConnectedComponents:
     def test_min_label_components(self, spark):
         from pramen_spark.operators.graph import (
