@@ -193,3 +193,71 @@ def sample_to_token_budget(
             "cum_tokens",
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_shares: Dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group sampling rates that realize a target training mixture.
+
+    Given desired mixture proportions ``target_shares`` (need not sum to
+    1 — they are normalized), compute the LARGEST total token budget T
+    achievable with per-group sampling rates <= 1 (no upsampling):
+    T = min_g(tokens_g / share_g), then rate_g = share_g * T / tokens_g —
+    the scarcest group relative to its target share is the binding one
+    (rate 1.0) and every other group downsamples to keep the mixture
+    exact. Groups absent from ``target_shares`` get share 0 / rate 0.
+
+    Returns (group, n_docs, n_tokens, target_share, sample_rate,
+    sampled_tokens) — feed ``sample_rate`` to ``stratified_hash_sample``
+    to materialize the mix deterministically.
+
+    Scale: ONE map-side-combined aggregation over the corpus (groups x 1
+    rows out); the budget scalar is a broadcast 1-row aggregate; all
+    arithmetic is exact-order double math the oracle reproduces."""
+    total_share = float(sum(target_shares.values()))
+    share = None
+    for k, v in target_shares.items():
+        normalized = F.lit(float(v) / total_share)
+        share = (
+            F.when(F.col("grp") == k, normalized)
+            if share is None
+            else share.when(F.col("grp") == k, normalized)
+        )
+    share = share.otherwise(F.lit(0.0)) if share is not None else F.lit(0.0)
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    per_group = (
+        df.select(F.col(group_col).alias("grp"), n_tokens.alias("n_tokens"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn("target_share", share)
+    )
+    budget = per_group.filter(F.col("target_share") > 0).agg(
+        F.min(F.col("n_tokens") / F.col("target_share")).alias("_budget")
+    )
+    rate = F.when(
+        F.col("target_share") > 0,
+        F.least(
+            F.col("target_share") * F.col("_budget") / F.col("n_tokens"),
+            F.lit(1.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_group.crossJoin(F.broadcast(budget))
+        .withColumn("sample_rate", rate)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "target_share",
+            "sample_rate",
+            (F.col("sample_rate") * F.col("n_tokens")).alias("sampled_tokens"),
+        )
+    )

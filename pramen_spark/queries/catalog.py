@@ -1890,6 +1890,58 @@ def q_stratified_sample_documents(spark, sf_dir):
 
 
 @query(
+    "mixture_weights",
+    r"""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CASE source
+                   WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                   WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+                   WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE)
+               END AS target_share
+        FROM g
+    ),
+    b AS (
+        SELECT MIN(n_tokens / target_share) AS _budget
+        FROM s WHERE target_share > 0
+    )
+    SELECT source, n_docs, n_tokens, target_share,
+           CASE WHEN target_share > 0
+                THEN LEAST(target_share * _budget / n_tokens,
+                           CAST(1.0 AS DOUBLE))
+                ELSE CAST(0.0 AS DOUBLE) END AS sample_rate,
+           CASE WHEN target_share > 0
+                THEN LEAST(target_share * _budget / n_tokens,
+                           CAST(1.0 AS DOUBLE))
+                ELSE CAST(0.0 AS DOUBLE) END * n_tokens AS sampled_tokens
+    FROM s, b
+    """,
+    "per-source sampling rates realizing a target training mixture "
+    "(largest no-upsampling budget; binding source gets rate 1)",
+    tags=("sampling", "training"),
+)
+def q_mixture_weights(spark, sf_dir):
+    """Mixture solving (operators/sampling.py mixture_weights): one
+    map-side-combined per-source aggregation, a broadcast 1-row budget
+    scalar, exact-order double arithmetic the oracle reproduces. Feed the
+    rates to stratified_hash_sample to materialize the mix."""
+    from pramen_spark.operators.sampling import mixture_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_weights(
+        d, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, group_col="source"
+    )
+
+
+@query(
     "token_budget_mix",
     r"""
     WITH t AS (

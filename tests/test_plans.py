@@ -196,13 +196,19 @@ class TestDriverSessionCompat:
 
 
 class TestNewOperatorPlans:
-    """Plan-shape guarantees for the round-5 curation operators: the
+    """Plan-shape guarantees for the round-5/6 curation operators: the
     scan-speed ops must stay exchange-free, and line dedup's frequency
-    filter must come back as a broadcast, never a shuffled join."""
+    filter join strategy is the planner's choice, never a forced hint."""
 
     def test_redact_pii_is_shuffle_free(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "redact_pii_documents")
         assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+    def test_gopher_filter_is_shuffle_free(self, spark, sf_dir):
+        # all 9 rules in one whole-stage-codegen projection, no Python
+        plan = plan_of(spark, sf_dir, "gopher_quality_filter")
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
     def test_chunking_is_shuffle_free(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "chunk_documents")

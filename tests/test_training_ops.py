@@ -808,6 +808,48 @@ class TestConnectedComponents:
         assert got == [(1, 1), (2, 1)]
 
 
+class TestMixtureWeights:
+    def test_binding_source_and_exact_mixture(self, spark):
+        from pramen_spark.operators.sampling import mixture_weights
+
+        # src_a: 1000 tokens, src_b: 100, src_c: 400 (noise, share 0)
+        docs = [
+            (1, "a", " ".join(["w"] * 1000)),
+            (2, "b", " ".join(["w"] * 100)),
+            (3, "c", " ".join(["w"] * 400)),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+        out = {
+            r.source: r
+            for r in mixture_weights(
+                df, {"a": 0.5, "b": 0.5}, group_col="source"
+            ).collect()
+        }
+        # b is binding: 100 tokens at share 0.5 -> budget 200
+        assert out["b"].sample_rate == 1.0
+        assert out["a"].sample_rate == 100.0 / 1000.0
+        assert out["a"].sampled_tokens == out["b"].sampled_tokens == 100.0
+        assert out["c"].sample_rate == 0.0 and out["c"].sampled_tokens == 0.0
+        # realized mixture matches target shares exactly
+        total = sum(r.sampled_tokens for r in out.values())
+        assert abs(out["a"].sampled_tokens / total - 0.5) < 1e-12
+
+    def test_no_rate_exceeds_one(self, spark):
+        from pramen_spark.operators.sampling import mixture_weights
+
+        docs = [(i, f"s{i % 4}", " ".join(["w"] * (10 + i))) for i in range(20)]
+        df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+        rates = [
+            r.sample_rate
+            for r in mixture_weights(
+                df, {"s0": 0.7, "s1": 0.1, "s2": 0.1, "s3": 0.1},
+                group_col="source",
+            ).collect()
+        ]
+        assert all(0.0 <= r <= 1.0 for r in rates)
+        assert any(r == 1.0 for r in rates)  # something must bind
+
+
 class TestTokenBudgetMix:
     def _docs(self, spark):
         rows = [
