@@ -327,6 +327,44 @@ def domain_histogram(
     )
 
 
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append a canonical form of a URL column — the key for URL-level
+    dedup and per-page frequency counting in web-corpus curation, where
+    the same page arrives as ``HTTP://Host.COM:80/p/?utm_source=x#top``
+    and ``http://host.com/p``.
+
+    Canonicalization rules (pure chained regexp — RE2-safe, no
+    lookaround, so Spark (Java regex) and the DuckDB oracle agree):
+    lowercase scheme+host, drop default ports (:80 http / :443 https),
+    drop the fragment, strip tracking parameters (utm_*, fbclid, gclid)
+    with separator repair, collapse the path-final slash before a query
+    string, strip trailing slashes. A value with no ``scheme://host``
+    prefix is passed through unchanged.
+
+    Scale: zero shuffles, one whole-stage-codegen projection."""
+    prefix_pat = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    url = F.col(url_col)
+    prefix = F.lower(F.regexp_extract(url, prefix_pat, 0))
+    prefix = F.regexp_replace(prefix, r"^(http://[^/:]*):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/:]*):443$", "$1")
+    rest = F.regexp_replace(url, prefix_pat, "")
+    rest = F.regexp_replace(rest, r"#.*", "")
+    rest = F.regexp_replace(
+        rest, r"(utm_[a-zA-Z0-9_]+|fbclid|gclid)=[^&#]*", ""
+    )
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/+\?", "?")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    canonical = F.when(
+        F.regexp_extract(url, prefix_pat, 0) == "", url
+    ).otherwise(F.concat(prefix, rest))
+    return df.withColumn(out_col, canonical)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3262,6 +3262,89 @@ def q_redact_pii_documents(spark, sf_dir):
 
 
 @query(
+    "canonical_url_dedup",
+    r"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'HTTPS://Host' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.Example.COM:443/p/' || CAST(doc_id % 3 AS VARCHAR)
+                         || '/?utm_campaign=c' || CAST(doc_id AS VARCHAR)
+                         || '&q=1#sec'
+                    ELSE 'https://host' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.example.com/p/' || CAST(doc_id % 3 AS VARCHAR)
+                         || '?q=1'
+               END AS url
+        FROM documents
+    ),
+    c AS (
+        SELECT
+          CASE WHEN regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) = ''
+               THEN url
+               ELSE
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
+                     '^(http://[^/:]*):80$', '\1'),
+                   '^(https://[^/:]*):443$', '\1')
+                 ||
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '#.*', '', 'g'),
+                   '(utm_[a-zA-Z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                   '&&+', '&', 'g'),
+                   '\?&', '?', 'g'),
+                   '[?&]+$', '', 'g'),
+                   '/+\?', '?', 'g'),
+                   '/+$', '', 'g')
+          END AS canonical_url
+        FROM u
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM c GROUP BY canonical_url
+    """,
+    "URL canonicalization + canonical-URL frequency (page-level dedup key: "
+    "case, default ports, fragments, tracking params, slash normalization)",
+    tags=("text", "curation"),
+)
+def q_canonical_url_dedup(spark, sf_dir):
+    """Page-level dedup by canonical URL (operators/text.py
+    canonicalize_urls): messy and clean spellings of the same page are
+    injected deterministically (the corpus has no URL column) and must
+    collapse to one key. Canonicalization is a zero-shuffle chained-regexp
+    projection; the count is one map-side-combined groupBy."""
+    from pramen_spark.operators.text import canonicalize_urls
+
+    d = load_table(spark, sf_dir, "documents")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    m3 = (F.col("doc_id") % 3).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://Host"), m5, F.lit(".Example.COM:443/p/"), m3,
+            F.lit("/?utm_campaign=c"), F.col("doc_id").cast("string"),
+            F.lit("&q=1#sec"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://host"), m5, F.lit(".example.com/p/"), m3,
+            F.lit("?q=1"),
+        )
+    )
+    withurl = d.select("doc_id", url.alias("url"))
+    return (
+        canonicalize_urls(withurl)
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+
+
+@query(
     "domain_histogram_documents",
     r"""
     WITH aug AS (

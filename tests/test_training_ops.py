@@ -713,6 +713,31 @@ class TestGopherQualityFilter:
         assert abs(r.ellipsis_line_frac - 1 / 3) < 1e-12
 
 
+class TestCanonicalizeUrls:
+    def test_rules(self, spark):
+        from pramen_spark.operators.text import canonicalize_urls
+
+        cases = [
+            (1, "HTTP://Host.COM:80/p/?utm_source=x#top", "http://host.com/p"),
+            (2, "https://a.com:443/x/", "https://a.com/x"),
+            (3, "https://a.com/x?a=1&utm_b=2&c=3", "https://a.com/x?a=1&c=3"),
+            (4, "https://a.com/x?utm_a=1", "https://a.com/x"),
+            (5, "https://a.com/x?fbclid=9&q=2", "https://a.com/x?q=2"),
+            (6, "http://a.com:8080/x", "http://a.com:8080/x"),  # non-default port kept
+            (7, "not a url", "not a url"),  # passthrough
+            (8, "https://A.com", "https://a.com"),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u, _ in cases], ["doc_id", "url"]
+        )
+        got = {
+            r.doc_id: r.canonical_url
+            for r in canonicalize_urls(df).collect()
+        }
+        for i, _, want in cases:
+            assert got[i] == want, (i, got[i], want)
+
+
 class TestDedupRepresentatives:
     def test_keep_one_per_cluster(self, spark):
         from pramen_spark.operators.graph import (
