@@ -52,6 +52,11 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_purchases",
     "range_join_error_windows",
+    # round-6 curation additions (shuffle-light; tracked so regressions in
+    # the new operators show up in round-over-round bench comparisons)
+    "gopher_quality_filter",
+    "canonical_url_dedup",
+    "mixture_weights",
 ]
 
 
