@@ -738,6 +738,59 @@ class TestCanonicalizeUrls:
             assert got[i] == want, (i, got[i], want)
 
 
+class TestGopherFilterCrossEngine:
+    """Property-based Spark-vs-DuckDB parity for the gopher filter: the
+    oracle must agree on GENERATED text, not just the fixed corpus — this
+    fuzzes the shared regex/tokenizer semantics (whitespace split, line
+    split, bullet/ellipsis/symbol patterns) across both engines.
+
+    Alphabet is printable-ASCII words plus the two unicode marks the rules
+    reference (•, …): Java regex and RE2 agree there; full-unicode
+    casefolding parity is out of scope by design."""
+
+    WORDS = [
+        "the", "of", "and", "to", "with", "zebra", "##", "...", "x",
+        "- item", "• dot", "end…", "tail...", "a#b", "", "  ",
+    ]
+
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(WORDS), min_size=1, max_size=40)
+            .map(" ".join)
+            .map(lambda s: s.replace("- item", "\n- item").replace("end…", "end…\n")),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_duckdb_oracle(self, spark, texts):
+        import duckdb
+        import pandas as pd
+
+        from pramen_spark.operators.text import gopher_quality_filter
+        from pramen_spark.queries.catalog import QUERIES
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r.asDict() for r in gopher_quality_filter(df).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        cur = con.execute(QUERIES["gopher_quality_filter"].oracle)
+        cols = [d[0] for d in cur.description]
+        for row in cur.fetchall():
+            want = dict(zip(cols, row))
+            have = got[want["doc_id"]]
+            for c in cols:
+                assert have[c] == want[c], (want["doc_id"], c, have[c], want[c])
+        con.close()
+
+
 class TestDedupRepresentatives:
     def test_keep_one_per_cluster(self, spark):
         from pramen_spark.operators.graph import (
