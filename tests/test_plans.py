@@ -210,6 +210,18 @@ class TestNewOperatorPlans:
         assert not re.findall(r"\(\d+\) Exchange", plan), plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
+    def test_canonical_url_dedup_single_shuffle(self, spark, sf_dir):
+        # canonicalization is a projection; only the count shuffles
+        plan = plan_of(spark, sf_dir, "canonical_url_dedup")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+    def test_mixture_weights_broadcast_scalar(self, spark, sf_dir):
+        # one map-side-combined per-source agg + a broadcast 1-row budget;
+        # never a global window or a shuffled scalar join
+        plan = plan_of(spark, sf_dir, "mixture_weights")
+        assert "Window" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+
     def test_chunking_is_shuffle_free(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "chunk_documents")
         assert not re.findall(r"\(\d+\) Exchange", plan), plan
