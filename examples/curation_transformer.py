@@ -13,12 +13,20 @@ from pyspark.sql import functions as F
 
 from pramen_spark.api import Reason, Transformer
 from pramen_spark.operators.dedup import exact_dedup
-from pramen_spark.operators.text import quality_score, redact_pii, repetition_stats
+from pramen_spark.operators.text import (
+    gopher_quality_filter,
+    quality_score,
+    redact_pii,
+    repetition_stats,
+)
 
 
 class CurationTransformer(Transformer):
     """Options: ``input.table`` (required), ``min.quality`` (default 0.3),
-    ``max.dup.word.frac`` (default 0.5)."""
+    ``max.dup.word.frac`` (default 0.5); ``apply.gopher.rules`` = "true"
+    adds the Gopher/C4 document rule gate, with thresholds overridable via
+    ``gopher.min.words`` and ``gopher.min.stopwords`` (corpora differ —
+    code or non-English corpora typically relax the stopword floor)."""
 
     def validate(self, metastore, info_date, options) -> Reason:
         if "input.table" not in options:
@@ -40,6 +48,17 @@ class CurationTransformer(Transformer):
                 & (F.col("dup_word_frac") <= max_dup)
             )
         )
+        if options.get("apply.gopher.rules", "false").lower() == "true":
+            verdicts = gopher_quality_filter(
+                docs,
+                min_words=int(options.get("gopher.min.words", 50)),
+                min_required_stopwords=int(
+                    options.get("gopher.min.stopwords", 2)
+                ),
+            )
+            gated = gated.join(
+                verdicts.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            )
         survivors = exact_dedup(gated).select("doc_id")
         redacted = redact_pii(gated.select("doc_id", "text"))
         return (
