@@ -565,3 +565,52 @@ def line_dedup(
         F.sum((~is_kept).cast("long")).alias("n_lines_removed"),
     )
     return rebuilt.filter(F.col("n_lines_kept") > 0)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level keep-first dedup: every paragraph that occurs more
+    than once in the corpus survives only at its globally first occurrence
+    (minimal ``(id, pos)``); all later copies are removed and the documents
+    rebuilt. This is the paragraph-granularity approximation of exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") — unlike :func:`line_dedup`, which strips
+    boilerplate from EVERY document, keep-first retains exactly one copy of
+    the duplicated passage, so no content is lost from the corpus.
+
+    Returns (id, rebuilt text, n_paras_kept, n_paras_removed); documents
+    whose every paragraph already appeared earlier drop out entirely.
+
+    Scale: paragraphs shuffle once, hash-partitioned by their 64-bit
+    content hash; the keep-first decision is a per-hash ``row_number``
+    window (groups are duplicate sets — tiny, no skewed partition since
+    the partition key is the hash, not a constant), and the rebuild is the
+    same single ``groupBy(id)`` order-restoring array_sort as line_dedup.
+    Two shuffles total, both on compact keys; no self-join, no second pass
+    over the corpus text."""
+    sep_pattern = re.escape(para_sep)  # F.split is regex; para_sep is literal
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "para"),
+    ).withColumn("_h", F.xxhash64("para"))
+    w = Window.partitionBy("_h").orderBy(id_col, "pos")
+    flagged = paras.withColumn("_rank", F.row_number().over(w))
+    is_kept = F.col("_rank") == 1
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(is_kept, F.struct("pos", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            para_sep,
+        ).alias(text_col),
+        F.sum(is_kept.cast("long")).alias("n_paras_kept"),
+        F.sum((~is_kept).cast("long")).alias("n_paras_removed"),
+    )
+    return rebuilt.filter(F.col("n_paras_kept") > 0)

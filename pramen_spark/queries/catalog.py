@@ -3487,6 +3487,71 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=32, overlap_tokens=8)
 
 
+@query(
+    "paragraph_dedup_documents",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               'Shared disclaimer: synthetic corpus, evaluation use only.'
+                 || chr(10) || chr(10) || text
+                 || chr(10) || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR)
+                 AS text
+        FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM aug),
+    paras AS (
+        SELECT doc_id, i + 1 AS pos, ps[CAST(i + 1 AS INTEGER)] AS para
+        FROM (SELECT doc_id, ps, unnest(range(len(ps))) AS i FROM sp)
+    ),
+    ranked AS (
+        SELECT doc_id, pos, para,
+               ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rnk
+        FROM paras
+    ),
+    kept AS (SELECT doc_id, pos, para FROM ranked WHERE rnk = 1),
+    removed AS (
+        SELECT doc_id, COUNT(*) AS n_removed
+        FROM ranked WHERE rnk > 1 GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           array_to_string(list(k.para ORDER BY k.pos), chr(10) || chr(10)) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_paras_kept,
+           CAST(COALESCE(ANY_VALUE(r.n_removed), 0) AS BIGINT) AS n_paras_removed
+    FROM kept k LEFT JOIN removed r ON k.doc_id = r.doc_id
+    GROUP BY k.doc_id
+    """,
+    "paragraph-level keep-first dedup: duplicated passages survive only at "
+    "their first global occurrence",
+    tags=("dedup", "quality"),
+)
+def q_paragraph_dedup_documents(spark, sf_dir):
+    """Keep-first passage dedup (paragraph-granularity Lee et al. exact
+    substring dedup): the corpus is single-line docs, so the query wraps
+    each in a corpus-wide shared paragraph (kept only by the globally
+    first doc) plus a per-doc unique ref paragraph (always kept); real
+    duplicate texts in the corpus exercise the keep-first rule on the
+    middle paragraph. Same construction in the oracle. The operator ranks
+    paragraphs inside hash-partitioned windows and rebuilds documents
+    order-preserved in one aggregation
+    (operators/dedup.py::paragraph_dedup)."""
+    from pramen_spark.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "Shared disclaimer: synthetic corpus, evaluation use only."
+                "\n\n"
+            ),
+            F.col("text"),
+            F.lit("\n\nref "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(aug)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -1090,6 +1090,58 @@ class TestLineDedup:
         assert out[1].n_lines_removed == 1
 
 
+class TestParagraphDedup:
+    def test_keep_first_occurrence_only(self, spark):
+        from pramen_spark.operators.dedup import paragraph_dedup
+
+        docs = [
+            (1, "shared intro\n\nbody one"),
+            (2, "shared intro\n\nbody two"),
+            (3, "body one\n\nbody three"),  # "body one" first seen in doc 1
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+        # doc 1 is the global first occurrence of both its paragraphs
+        assert out[1].text == "shared intro\n\nbody one"
+        assert out[1].n_paras_kept == 2 and out[1].n_paras_removed == 0
+        # later copies are removed, unlike line_dedup's strip-everywhere
+        assert out[2].text == "body two"
+        assert out[2].n_paras_removed == 1
+        assert out[3].text == "body three"
+
+    def test_fully_duplicate_doc_drops_out(self, spark):
+        from pramen_spark.operators.dedup import paragraph_dedup
+
+        docs = [(1, "a\n\nb"), (2, "a\n\nb"), (3, "b\n\na")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+        assert 2 not in out  # every paragraph already seen in doc 1
+        assert out[1].text == "a\n\nb"
+        # doc 3 re-orders the same paragraphs -> both already seen
+        assert 3 not in out
+
+    def test_within_doc_repeat_collapses(self, spark):
+        from pramen_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "x\n\nx\n\ny")], ["doc_id", "text"]
+        )
+        row = paragraph_dedup(df).collect()[0]
+        assert row.text == "x\n\ny"
+        assert row.n_paras_kept == 2 and row.n_paras_removed == 1
+
+    def test_no_duplicates_is_identity(self, spark):
+        from pramen_spark.operators.dedup import paragraph_dedup
+
+        docs = [(i, f"alpha {i}\n\nbeta {i}") for i in range(1, 6)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+        assert len(out) == 5
+        for i in range(1, 6):
+            assert out[i].text == f"alpha {i}\n\nbeta {i}"
+            assert out[i].n_paras_removed == 0
+
+
 class TestChunkDocuments:
     def test_windows_and_overlap(self, spark):
         from pramen_spark.operators.text import chunk_documents
