@@ -417,3 +417,79 @@ def chunk_documents(
             F.size("_chunk").cast("long").alias("n_tokens"),
         )
     )
+
+
+def char_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 4000,
+) -> DataFrame:
+    """Perplexity-proxy quality scoring against a character-bigram language
+    model trained on the corpus itself (the CCNet/KenLM filtering pattern:
+    score each document by how typical it is of the corpus, then gate or
+    bucket on the score). Returns (id, n_bigrams, bits_per_char), where
+    ``bits_per_char`` is the add-one-smoothed cross-entropy of the
+    document's character transitions under the corpus model — low = fluent
+    / typical, high = gibberish, wrong-language, or boilerplate-encoded
+    outliers. Deterministic: no training randomness, fixed smoothing.
+
+    Model: P(c2|c1) = (count(c1c2) + 1) / (count(c1·) + V), with V the
+    number of distinct successor characters corpus-wide; scores are mean
+    negative log2-probability over the document's (capped) bigrams.
+
+    Scale (100 TB): the only wide stage is the char-bigram explode, which
+    collapses immediately into per-doc bigram TYPE counts via a map-side
+    combined groupBy — the shuffle carries (id, bigram, count), bounded by
+    per-doc distinct bigrams, not corpus characters. That intermediate is
+    cached and reused by both consumers (model estimation and scoring), so
+    the explode runs once. The model itself is at most |charset|^2 rows —
+    kilobytes even for full Unicode text — and is broadcast to the scoring
+    join; the per-doc cap (``max_chars``) bounds row width regardless of
+    document length.
+    """
+    import math
+
+    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
+    docs = df.select(F.col(id_col), t.alias("_t")).filter(F.length("_t") >= 2)
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - 1),
+                lambda i: F.col("_t").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    doc_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("cnt")).cache()
+    model_bg = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
+    prefix = model_bg.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c_bg").alias("c_prefix")
+    )
+    vocab = model_bg.agg(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("v")
+    )
+    model = (
+        model_bg.withColumn("c1", F.substring("bg", 1, 1))
+        .join(prefix, "c1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log(
+                (F.col("c_bg") + F.lit(1.0)) / (F.col("c_prefix") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        doc_bg.join(F.broadcast(model), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("cnt") * F.col("logp"))
+                / F.sum("cnt")
+                / F.lit(math.log(2.0)),
+                4,
+            ).alias("bits_per_char"),
+        )
+    )

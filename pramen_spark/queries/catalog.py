@@ -3552,6 +3552,56 @@ def q_paragraph_dedup_documents(spark, sf_dir):
     return paragraph_dedup(aug)
 
 
+@query(
+    "char_lm_quality",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lower(substr(text, 1, 4000)) AS s FROM documents
+    ),
+    d AS (SELECT doc_id, s FROM t WHERE length(s) >= 2),
+    bg AS (
+        SELECT doc_id, substr(s, CAST(i AS INTEGER), 2) AS bg
+        FROM (SELECT doc_id, s, unnest(range(1, length(s))) AS i FROM d)
+    ),
+    doc_bg AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg),
+    model_bg AS (SELECT bg, SUM(cnt) AS c_bg FROM doc_bg GROUP BY bg),
+    prefix AS (
+        SELECT substr(bg, 1, 1) AS c1, SUM(c_bg) AS c_prefix
+        FROM model_bg GROUP BY c1
+    ),
+    vocab AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS v FROM model_bg),
+    model AS (
+        SELECT m.bg,
+               ln((CAST(m.c_bg AS DOUBLE) + 1.0)
+                  / (CAST(p.c_prefix AS DOUBLE) + vv.v)) AS logp
+        FROM model_bg m
+        JOIN prefix p ON substr(m.bg, 1, 1) = p.c1
+        CROSS JOIN vocab vv
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(d.cnt * m.logp) / SUM(d.cnt) / ln(2), 4) AS bits_per_char
+    FROM doc_bg d JOIN model m ON d.bg = m.bg
+    GROUP BY d.doc_id
+    """,
+    "perplexity-proxy quality score: per-doc cross-entropy under a "
+    "corpus-trained char-bigram LM",
+    tags=("text", "quality"),
+)
+def q_char_lm_quality(spark, sf_dir):
+    """Model-based quality scoring (the CCNet/KenLM pattern, self-trained):
+    estimate a char-bigram LM from the corpus, score every document by its
+    bits-per-character under that model. One explode collapsed by map-side
+    combine, model broadcast to the scoring join
+    (operators/text.py::char_lm_score). Scores are ROUNDed to 4 decimals on
+    both sides, the same float-determinism margin the other double-summing
+    oracles use."""
+    from pramen_spark.operators.text import char_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return char_lm_score(d)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -1142,6 +1142,39 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestCharLmScore:
+    def test_outlier_scores_higher_than_typical(self, spark):
+        from pramen_spark.operators.text import char_lm_score
+
+        typical = [
+            (i, f"the quick brown fox jumps over the lazy dog number {i}")
+            for i in range(1, 9)
+        ]
+        docs = typical + [(99, "zq xv qz jx vq zx qj xq vz jq")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.doc_id: r.bits_per_char for r in char_lm_score(df).collect()}
+        typical_max = max(out[i] for i in range(1, 9))
+        assert out[99] > typical_max  # gibberish is atypical under the corpus LM
+
+    def test_deterministic_and_short_docs_excluded(self, spark):
+        from pramen_spark.operators.text import char_lm_score
+
+        docs = [(1, "hello world"), (2, "hello there"), (3, "x")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        a = sorted(char_lm_score(df).collect())
+        b = sorted(char_lm_score(df).collect())
+        assert a == b
+        ids = {r.doc_id for r in a}
+        assert ids == {1, 2}  # single-char doc has no bigrams
+
+    def test_bigram_count_matches_capped_length(self, spark):
+        from pramen_spark.operators.text import char_lm_score
+
+        df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+        row = char_lm_score(df, max_chars=5).collect()[0]
+        assert row.n_bigrams == 4  # 5 chars -> 4 transitions
+
+
 class TestChunkDocuments:
     def test_windows_and_overlap(self, spark):
         from pramen_spark.operators.text import chunk_documents
