@@ -261,3 +261,31 @@ def mixture_weights(
             (F.col("sample_rate") * F.col("n_tokens")).alias("sampled_tokens"),
         )
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic uniform shard assignment: shard = floor(hash_unit(key)
+    * n_shards). The shard of a row is a pure function of its key —
+    identical across runs, cluster sizes, and engines — which is what a
+    training-data export needs (re-running the pipeline must not move
+    examples between shards, or downstream data-order-dependent training
+    runs stop being reproducible).
+
+    Uniform in expectation; at export scale (millions of docs per shard)
+    the relative imbalance is O(1/sqrt(docs_per_shard)) — negligible.
+    For token-balanced PACKING inside a shard, compose with
+    operators/packing.py::pack_sequences (sharded first-fit-decreasing).
+
+    Pure narrow column expression — adds no shuffle; the writer decides
+    whether to repartition on the shard id.
+    """
+    u = _hash_unit(key_col)
+    return df.withColumn(
+        shard_col,
+        F.least(F.floor(u * n_shards), F.lit(n_shards - 1)).cast("long"),
+    )

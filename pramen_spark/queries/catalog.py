@@ -3602,6 +3602,48 @@ def q_char_lm_quality(spark, sf_dir):
     return char_lm_score(d)
 
 
+@query(
+    "shard_assignment",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               least(CAST(floor(
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 * 16) AS BIGINT), 15) AS shard_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM t GROUP BY shard_id
+    """,
+    "deterministic training-shard assignment: 16 hash shards with per-shard "
+    "doc and token counts",
+    tags=("sampling", "export"),
+)
+def q_shard_assignment(spark, sf_dir):
+    """Shard-export audit: assign every document its deterministic hash
+    shard (operators/sampling.py::assign_shards — the same assignment
+    sinks/shard_sink.py writes out) and report per-shard doc/token counts,
+    the balance check run before handing shards to a training job. One
+    map-side-combined groupBy on the 16 shard ids."""
+    from pramen_spark.operators.sampling import assign_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        assign_shards(d, 16)
+        .select("shard_id", n_tokens.alias("n_tokens"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -1142,6 +1142,54 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestShardExport:
+    def test_assignment_deterministic_and_complete(self, spark):
+        from pramen_spark.operators.sampling import assign_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+        )
+        a = {r.doc_id: r.shard_id for r in assign_shards(df, 8).collect()}
+        b = {r.doc_id: r.shard_id for r in assign_shards(df, 8).collect()}
+        assert a == b
+        assert set(a.values()) <= set(range(8))
+        # every shard gets some docs at this size (uniform hash)
+        assert len(set(a.values())) == 8
+
+    def test_writer_round_trip(self, spark, tmp_path):
+        import os
+
+        from pramen_spark.sinks.shard_sink import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(100)], ["doc_id", "text"]
+        )
+        out = str(tmp_path / "shards")
+        n = write_training_shards(df, out, n_shards=4)
+        assert n == 100
+        dirs = sorted(
+            d for d in os.listdir(out) if d.startswith("shard_id=")
+        )
+        assert dirs == [f"shard_id={i}" for i in range(4)]
+        back = spark.read.parquet(out)
+        assert back.count() == 100
+        assert {r.doc_id for r in back.select("doc_id").collect()} == set(range(100))
+
+    def test_sink_contract(self, spark, tmp_path):
+        import datetime as dt
+
+        from pramen_spark.sinks import ShardSink
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(50)], ["doc_id", "text"]
+        )
+        sink = ShardSink(spark, {"path": str(tmp_path), "shards": 2})
+        n = sink.send(df, "corpus", dt.date(2026, 8, 14), {})
+        assert n == 50
+        back = spark.read.parquet(str(tmp_path / "corpus" / "2026-08-14"))
+        assert back.count() == 50
+
+
 class TestCharLmScore:
     def test_outlier_scores_higher_than_typical(self, spark):
         from pramen_spark.operators.text import char_lm_score
