@@ -247,3 +247,26 @@ class TestNewOperatorPlans:
         # distinct plan: exactly 2 exchanges, no more
         plan = plan_of(spark, sf_dir, "domain_histogram_documents")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+    def test_paragraph_dedup_hash_partitioned_window(self, spark, sf_dir):
+        # keep-first ranking must window over the paragraph HASH (a
+        # hashpartitioning exchange on _h), never a single-partition
+        # global window; rebuild adds the one groupBy(doc_id) exchange
+        plan = plan_of(spark, sf_dir, "paragraph_dedup_documents")
+        assert "Window" in plan, plan
+        assert re.search(r"hashpartitioning\(_h", plan), plan
+        assert "SinglePartition" not in plan, plan
+
+    def test_char_lm_model_is_broadcast(self, spark, sf_dir):
+        # the bigram model and the vocab scalar are broadcast to the
+        # scoring join; the corpus-wide explode must not be shuffled raw
+        # (only compact (id, bigram, cnt) and model-side aggregates move)
+        plan = plan_of(spark, sf_dir, "char_lm_quality")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_shard_assignment_single_aggregation(self, spark, sf_dir):
+        # shard id is a narrow projection; the audit is one
+        # map-side-combined groupBy -> exactly 1 exchange
+        plan = plan_of(spark, sf_dir, "shard_assignment")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
