@@ -57,6 +57,10 @@ HEADLINE = [
     "gopher_quality_filter",
     "canonical_url_dedup",
     "mixture_weights",
+    # round-6 wave 2: passage dedup, LM quality scoring, shard export audit
+    "paragraph_dedup_documents",
+    "char_lm_quality",
+    "shard_assignment",
 ]
 
 
