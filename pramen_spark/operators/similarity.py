@@ -391,3 +391,73 @@ def lsh_topk(
         ),
     ).dropDuplicates([query_id_col, id_col])
     return _topk_per_query(scored, k, id_col, query_id_col)
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    sample_size: int = 10_000,
+    seed: int = 42,
+    max_cluster_size: Optional[int] = None,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine pruning. Embeddings are
+    assigned to their nearest of ``nlist`` deterministic centroids; inside
+    each cluster, a vector is DROPPED when any lower-id vector in the same
+    cluster has cosine >= threshold (keep-first by id). Returns
+    (id, cell, keep) for every non-zero-norm vector.
+
+    The keep rule compares against ALL prior ids, kept or dropped (the
+    order-independent, engine-reproducible variant of leader clustering) —
+    so the verdict is a pure function of the corpus, expressible in SQL
+    for the single-cluster oracle (``nlist=1`` makes the within-cluster
+    rule exact over the whole corpus, the same full-probe trick IVF uses).
+
+    Scale: centroids train on a hash-selected sample driver-side (see
+    kmeans_centroids); assignment is one Arrow-vectorized matmul pass; the
+    only shuffle keys on the cell id, and per-cell scoring is a blocked
+    numpy matmul (memory O(block_rows x cell), transfer O(vectors) not
+    O(pairs)). ``max_cluster_size`` is the skew guard: clusters above the
+    cap skip pairwise scoring and keep every row (conservative no-dedup)
+    rather than OOM a task on a degenerate centroid. FP caveat shared
+    with embedding_near_dups_lsh: numpy sums vs the oracle's sequential
+    list_inner_product can differ in the last ulp — thresholds must not
+    sit on a pair's cosine boundary (verified for the test corpus)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cent = kmeans_centroids(df, nlist, id_col, embedding_col, sample_size, seed=seed)
+
+    @pandas_udf(T.LongType())
+    def nearest_cell(u: pd.Series) -> pd.Series:
+        m = np.stack(u.to_numpy())
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int64))
+
+    units = unit_embeddings(df, id_col, embedding_col).select(
+        F.col(id_col).alias("id"), "u"
+    )
+    base = units.withColumn("cell", nearest_cell(F.col("u")))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        n = len(ids_s)
+        cell = np.full(n, pdf["cell"].iloc[0], dtype=np.int64)
+        keep = np.ones(n, dtype=bool)
+        if n >= 2 and (max_cluster_size is None or n <= max_cluster_size):
+            m = np.stack(pdf["u"].to_numpy())[order]
+            for s in range(0, n, block_rows):
+                c = m[s : s + block_rows] @ m.T  # strip: block_rows x n
+                for li in range(c.shape[0]):
+                    i = s + li
+                    if i and (c[li, :i] >= threshold).any():
+                        keep[i] = False
+        return pd.DataFrame({"id": ids_s, "cell": cell, "keep": keep})
+
+    out = base.groupBy("cell").applyInPandas(fn, "id long, cell long, keep boolean")
+    return out.withColumnRenamed("id", id_col)

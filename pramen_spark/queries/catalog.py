@@ -3603,6 +3603,39 @@ def q_char_lm_quality(spark, sf_dir):
 
 
 @query(
+    "semdedup_embeddings",
+    """
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                               CAST(embedding AS DOUBLE[])))) AS uv
+        FROM embeddings
+    )
+    SELECT a.vec_id,
+           CAST(0 AS BIGINT) AS cell,
+           COALESCE(MAX(CASE WHEN list_inner_product(a.uv, b.uv) >= 0.4
+                             THEN 1 ELSE 0 END), 0) = 0 AS keep
+    FROM u a LEFT JOIN u b ON b.vec_id < a.vec_id
+    GROUP BY a.vec_id
+    """,
+    "SemDeDup: semantic dedup verdict per embedding (single-cluster exact "
+    "registration; production uses nlist clusters)",
+    tags=("dedup", "similarity"),
+)
+def q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup registered at nlist=1, where the within-cluster keep-first
+    rule is exact over the whole corpus and the oracle is a NOT-EXISTS
+    over lower-id cosine pairs (the same full-probe exactness trick as
+    IVF). Production runs nlist clusters so only same-cell vectors are
+    ever paired (operators/similarity.py::semdedup)."""
+    from pramen_spark.operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e, threshold=0.4, nlist=1)
+
+
+@query(
     "shard_assignment",
     r"""
     WITH t AS (

@@ -1142,6 +1142,51 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestSemDedup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_single_cluster_keep_first(self, spark):
+        from pramen_spark.operators.similarity import semdedup
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.01, 0.0, 0.0]),  # near-dup of 1 -> dropped
+            (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> kept
+            (4, [0.0, 1.0, 0.01, 0.0]),  # near-dup of 3 -> dropped
+        ]
+        out = {
+            r.vec_id: r.keep
+            for r in semdedup(self._df(spark, rows), threshold=0.95, nlist=1).collect()
+        }
+        assert out == {1: True, 2: False, 3: True, 4: False}
+
+    def test_clustered_run_is_deterministic(self, spark):
+        import numpy as np
+
+        from pramen_spark.operators.similarity import semdedup
+
+        rng = np.random.RandomState(7)
+        rows = [(i, (rng.normal(size=8)).tolist()) for i in range(60)]
+        df = self._df(spark, rows)
+        a = sorted(semdedup(df, threshold=0.9, nlist=4).collect())
+        b = sorted(semdedup(df, threshold=0.9, nlist=4).collect())
+        assert a == b
+        assert len(a) == 60
+        # cells are within range and every vector got a verdict
+        assert {r.cell for r in a} <= set(range(4))
+
+    def test_max_cluster_size_guard_keeps_all(self, spark):
+        from pramen_spark.operators.similarity import semdedup
+
+        rows = [(i, [1.0, float(i) * 1e-4, 0.0, 0.0]) for i in range(10)]
+        out = semdedup(
+            self._df(spark, rows), threshold=0.95, nlist=1, max_cluster_size=5
+        ).collect()
+        # oversized cluster skips scoring: conservative keep-everything
+        assert all(r.keep for r in out)
+
+
 class TestShardExport:
     def test_assignment_deterministic_and_complete(self, spark):
         from pramen_spark.operators.sampling import assign_shards
