@@ -64,6 +64,8 @@ _SINK_FACTORIES = {
     "standardizationsink": "pramen_spark.sinks.standardization_sink.StandardizationSink",
     "standardization": "pramen_spark.sinks.standardization_sink.StandardizationSink",
     "dataframesink": "pramen_spark.sinks.spark_sink.SparkSink",
+    "shardsink": "pramen_spark.sinks.shard_sink.ShardSink",
+    "shard": "pramen_spark.sinks.shard_sink.ShardSink",
 }
 _TRANSFORMER_ALIASES = {
     "identitytransformer": "pramen_spark.api.IdentityTransformer",

@@ -59,6 +59,7 @@ class TestExamples:
                 "%MS_RAW%": str(tmp_path / "ms_raw"),
                 "%MS_OUT%": str(tmp_path / "ms_out"),
                 "%DUMPS%": dumps,
+                "%SHARDS%": str(tmp_path / "shards"),
             },
         )
         sys.path.insert(0, EXAMPLES)
@@ -72,3 +73,9 @@ class TestExamples:
         assert 0 < n_out <= n_in  # gates + dedup only ever shrink
         assert "n_pii_total" in out.columns and "quality_score" in out.columns
         assert "pramen_info_date" in out.columns
+        # the sharded export carries exactly the curated corpus
+        shards = spark.read.parquet(
+            str(tmp_path / "shards" / "documents_curated" / "2024-01-10")
+        )
+        assert shards.count() == n_out
+        assert shards.select("shard_id").distinct().count() == 4
