@@ -289,3 +289,60 @@ def assign_shards(
         shard_col,
         F.least(F.floor(u * n_shards), F.lit(n_shards - 1)).cast("long"),
     )
+
+
+def upsample_to_epochs(
+    df: DataFrame,
+    epochs: Dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Materialize per-source epoch weights by deterministic replication:
+    a document in a group weighted ``e`` epochs appears ``floor(e)`` or
+    ``ceil(e)`` times, the fractional extra copy chosen by the document's
+    hash unit (so exactly the right FRACTION of each group repeats, and
+    WHICH documents repeat is a pure function of their keys). This is the
+    'high-quality source x3.5 epochs' step of LLaMA-style data recipes —
+    the upsampling counterpart of :func:`mixture_weights`, which only
+    downsamples.
+
+    Returns the input columns plus ``copy_idx`` (0-based: copy 0 is the
+    original) — downstream shuffling/sharding treats each copy as an
+    independent example. Groups weighted 0 drop out.
+
+    Scale: one narrow projection computes n_copies per row, one
+    posexplode emits the copies — no shuffle, no join; output size is
+    sum_g(epochs_g * rows_g) by construction. The hash decides the
+    fractional copy per DOCUMENT (not per group), so replication skew
+    never concentrates on a partition.
+    """
+    n_int = None
+    for k, v in epochs.items():
+        n_int = (
+            F.when(F.col(group_col) == k, F.lit(float(v)))
+            if n_int is None
+            else n_int.when(F.col(group_col) == k, F.lit(float(v)))
+        )
+    e = (
+        n_int.otherwise(F.lit(float(default_epochs)))
+        if n_int is not None
+        else F.lit(float(default_epochs))
+    )
+    salted = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    u = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    n_copies = (F.floor(e) + (u < (e - F.floor(e))).cast("long")).cast("long")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .select(
+            "*",
+            F.posexplode(F.sequence(F.lit(1), F.col("_n_copies"))).alias(
+                "copy_idx", "_one"
+            ),
+        )
+        .drop("_n_copies", "_one")
+    )

@@ -3603,6 +3603,44 @@ def q_char_lm_quality(spark, sf_dir):
 
 
 @query(
+    "upsample_epoch_mix",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 3.0
+                           ELSE 1.0 END AS e,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch'), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               CAST(floor(e) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_copies
+        FROM t
+    )
+    SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+    FROM (SELECT doc_id, source, unnest(range(n_copies)) AS i
+          FROM c WHERE n_copies > 0)
+    """,
+    "epoch-weighted upsampling: src0 x2.5, src1 x3, everything else x1, "
+    "fractional copies by document hash",
+    tags=("sampling", "mixing"),
+)
+def q_upsample_epoch_mix(spark, sf_dir):
+    """Materialized epoch weighting (the upsampling half of a training
+    mix): every src0 document appears 2 or 3 times (exactly half the
+    group, hash-chosen, gets the third copy), src1 exactly 3 times,
+    everything else once. Pure projection + posexplode, no shuffle
+    (operators/sampling.py::upsample_to_epochs)."""
+    from pramen_spark.operators.sampling import upsample_to_epochs
+
+    d = load_table(spark, sf_dir, "documents")
+    out = upsample_to_epochs(d, {"src0": 2.5, "src1": 3.0})
+    return out.select("doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+@query(
     "semdedup_embeddings",
     """
     WITH u AS (

@@ -1142,6 +1142,49 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestUpsampleToEpochs:
+    def test_integer_epochs_exact_copies(self, spark):
+        from pramen_spark.operators.sampling import upsample_to_epochs
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 10 else "b") for i in range(20)],
+            ["doc_id", "source"],
+        )
+        out = upsample_to_epochs(df, {"a": 3.0, "b": 1.0}, key_col="doc_id").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        assert len(by_src["a"]) == 30 and len(by_src["b"]) == 10
+        # copy indices are 0..n-1 per document
+        copies = sorted(r.copy_idx for r in by_src["a"] if r.doc_id == 0)
+        assert copies == [0, 1, 2]
+
+    def test_fractional_epochs_replicate_right_fraction(self, spark):
+        from pramen_spark.operators.sampling import upsample_to_epochs
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(400)], ["doc_id", "source"]
+        )
+        out = upsample_to_epochs(df, {"a": 1.5}).collect()
+        # ~50% of docs get the extra copy (hash-chosen); tolerance for 400 keys
+        assert 560 <= len(out) <= 640
+        a = sorted((r.doc_id, r.copy_idx) for r in out)
+        b = sorted(
+            (r.doc_id, r.copy_idx)
+            for r in upsample_to_epochs(df, {"a": 1.5}).collect()
+        )
+        assert a == b  # deterministic
+
+    def test_zero_epochs_drops_group(self, spark):
+        from pramen_spark.operators.sampling import upsample_to_epochs
+
+        df = spark.createDataFrame(
+            [(1, "keep"), (2, "drop")], ["doc_id", "source"]
+        )
+        out = upsample_to_epochs(df, {"keep": 1.0, "drop": 0.0}).collect()
+        assert [r.doc_id for r in out] == [1]
+
+
 class TestSemDedup:
     def _df(self, spark, rows):
         return spark.createDataFrame(rows, ["vec_id", "embedding"])
