@@ -78,7 +78,14 @@ def hashed_shingles(
     is ever materialized). The intermediate projection matters: inlining
     the token-hash array into the shingle lambda makes Catalyst re-evaluate
     it per element_at (O(n^2) per document)."""
-    hashed = df.where(F.trim(F.col(text_col)) != "").select(
+    from pramen_spark.operators.partitioning import spread_input
+
+    # shingling amplifies each row ~|tokens|-fold: spread a narrow input
+    # first so the fan-out stage parallelizes beyond the file-split count
+    # (no-op when the input already has enough partitions)
+    hashed = spread_input(
+        df.where(F.trim(F.col(text_col)) != ""), id_col
+    ).select(
         F.col(id_col), F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("th")
     )
     th = F.col("th")
