@@ -118,6 +118,19 @@ def minhash_signatures(
     applied map-side, so the shuffle volume is rows x num_hashes longs,
     independent of document length."""
     sh = hashed_shingles(df, id_col, text_col, shingle_size)
+    return _signatures_from_shingles(sh, id_col, num_hashes, max_shingle_freq)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Signature aggregation over a precomputed (id, shingle_h) stream —
+    split out so callers that also need the raw shingles (the exact-rescore
+    path) can cache the shingle stage ONCE and derive both consumers from
+    it instead of computing the explode twice."""
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
         sh = (
@@ -245,14 +258,22 @@ def minhash_dedup(
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be estimate|exact, got {verify!r}")
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_size, max_shingle_freq
-    ).cache()
+    if verify == "exact":
+        # cache the shingle stage ONCE; signatures and the rescore both
+        # derive from it (two separate hashed_shingles plans would not
+        # share the cache and the explode would run twice)
+        base = hashed_shingles(df, id_col, text_col, shingle_size).cache()
+        sigs = _signatures_from_shingles(
+            base, id_col, num_hashes, max_shingle_freq
+        ).cache()
+    else:
+        sigs = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_size, max_shingle_freq
+        ).cache()
     candidates = minhash_lsh_candidates(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size
     )
     if verify == "exact":
-        base = hashed_shingles(df, id_col, text_col, shingle_size).cache()
         sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
         kept = base
         if max_shingle_freq is not None:
