@@ -1444,3 +1444,55 @@ class TestCurationProperties:
         r = redact_pii(df).collect()[0]
         assert r[f"n_{pii_kind}"] == n_specimens
         assert specimen not in r.text or n_specimens == 0
+
+
+class TestParagraphDedupProperties:
+    """Property-based invariants for keep-first passage dedup, mirroring
+    the reference's property-test strategy (SURVEY.md §5)."""
+
+    @staticmethod
+    def _docs(spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["shared para", "rare", "mid text", "zz", "qq"]),
+                min_size=1,
+                max_size=5,
+            ).map("\n\n".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_keep_first_matches_python_reference(self, spark, texts):
+        """Output must equal the sequential keep-first filter: a paragraph
+        survives iff its (doc_id, pos) is the globally smallest occurrence."""
+        from pramen_spark.operators.dedup import paragraph_dedup
+
+        out = {
+            r.doc_id: r
+            for r in paragraph_dedup(self._docs(spark, texts)).collect()
+        }
+        seen = {}
+        for i, t in enumerate(texts):
+            for pos, p in enumerate(t.split("\n\n")):
+                seen.setdefault(p, (i, pos))
+        for i, t in enumerate(texts):
+            paras = t.split("\n\n")
+            expect = [p for pos, p in enumerate(paras) if seen[p] == (i, pos)]
+            removed = len(paras) - len(expect)
+            if not expect:
+                assert i not in out
+                continue
+            assert out[i].text == "\n\n".join(expect), (i, t)
+            assert out[i].n_paras_kept == len(expect)
+            assert out[i].n_paras_removed == removed
+        # global invariant: every distinct paragraph survives exactly once
+        kept_all = [
+            p for r in out.values() for p in r.text.split("\n\n")
+        ]
+        assert sorted(set(kept_all)) == sorted(kept_all)
