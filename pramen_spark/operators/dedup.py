@@ -642,3 +642,42 @@ def paragraph_dedup(
         F.sum((~is_kept).cast("long")).alias("n_paras_removed"),
     )
     return rebuilt.filter(F.col("n_paras_kept") > 0)
+
+
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seen_hash_col: Optional[str] = None,
+) -> DataFrame:
+    """Incremental exact dedup: keep only the rows of ``df`` (the new
+    batch) whose content hash has NOT been ingested before. ``seen`` is
+    either a prior corpus with the same ``text_col`` (hashes are computed
+    here) or, when ``seen_hash_col`` is given, a precomputed hash ledger —
+    the shape an incremental pipeline persists per info date (store only
+    `sha2(text, 256)` per batch; never re-read prior text).
+
+    Within-batch duplicates are also collapsed (keep-min id), so chaining
+    runs never admits two copies: the output of run N unioned into the
+    ledger makes run N+1's anti-join complete.
+
+    Returns the surviving rows of ``df`` with a ``text_hash`` column.
+
+    Scale: one hash-keyed anti-join + one keep-min aggregation — both
+    shuffle 64-byte hashes, never text; the ledger side is hashes only,
+    so at 100 TB the join input is ~32 GB/billion docs and the planner
+    can choose broadcast vs shuffle per batch size (no forced hint)."""
+    h = F.sha2(F.col(text_col), 256)
+    if seen_hash_col is None:
+        ledger = seen.select(F.sha2(F.col(text_col), 256).alias("text_hash"))
+    else:
+        ledger = seen.select(F.col(seen_hash_col).alias("text_hash"))
+    hashed = df.withColumn("text_hash", h)
+    fresh = hashed.join(ledger, "text_hash", "left_anti")
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

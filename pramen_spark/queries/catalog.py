@@ -3603,6 +3603,44 @@ def q_char_lm_quality(spark, sf_dir):
 
 
 @query(
+    "incremental_dedup_batch",
+    """
+    WITH seen AS (
+        SELECT DISTINCT sha256(text) AS text_hash FROM documents WHERE doc_id <= 250
+    ),
+    batch AS (
+        SELECT doc_id, sha256(text) AS text_hash FROM documents WHERE doc_id > 250
+    ),
+    fresh AS (
+        SELECT b.doc_id, b.text_hash
+        FROM batch b LEFT JOIN seen s USING (text_hash)
+        WHERE s.text_hash IS NULL
+    )
+    SELECT doc_id, text_hash
+    FROM (SELECT doc_id, text_hash,
+                 ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+          FROM fresh)
+    WHERE rn = 1
+    """,
+    "incremental exact dedup: new batch anti-joined against the "
+    "previously-ingested hash ledger, within-batch dups collapsed",
+    tags=("dedup", "incremental"),
+)
+def q_incremental_dedup_batch(spark, sf_dir):
+    """Cross-run dedup (the incremental-pipeline shape: each run persists
+    its content hashes; the next run admits only unseen content). Here the
+    first half of the corpus plays the ledger and the second half the new
+    batch (operators/dedup.py::dedup_against). Hash-keyed anti-join +
+    keep-min — text never shuffles."""
+    from pramen_spark.operators.dedup import dedup_against
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") <= 250)
+    batch = d.filter(F.col("doc_id") > 250).select("doc_id", "text")
+    return dedup_against(batch, seen).select("doc_id", "text_hash")
+
+
+@query(
     "upsample_epoch_mix",
     r"""
     WITH t AS (

@@ -1142,6 +1142,52 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestDedupAgainst:
+    def test_anti_join_and_within_batch_collapse(self, spark):
+        from pramen_spark.operators.dedup import dedup_against
+
+        seen = spark.createDataFrame(
+            [(1, "already ingested"), (2, "old news")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "already ingested"),  # seen before -> dropped
+                (11, "brand new"),
+                (12, "brand new"),  # within-batch dup -> keep-min (11)
+                (13, "also new"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = dedup_against(batch, seen).collect()
+        assert sorted(r.doc_id for r in out) == [11, 13]
+        assert all(len(r.text_hash) == 64 for r in out)
+
+    def test_hash_ledger_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from pramen_spark.operators.dedup import dedup_against
+
+        prior = spark.createDataFrame([("x",), ("y",)], ["text"]).select(
+            F.sha2("text", 256).alias("h")
+        )
+        batch = spark.createDataFrame(
+            [(1, "x"), (2, "z")], ["doc_id", "text"]
+        )
+        out = dedup_against(batch, prior, seen_hash_col="h").collect()
+        assert [r.doc_id for r in out] == [2]
+
+    def test_chained_runs_admit_each_content_once(self, spark):
+        from pramen_spark.operators.dedup import dedup_against
+
+        run1 = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+        empty = run1.filter("doc_id < 0")
+        kept1 = dedup_against(run1, empty)
+        run2 = spark.createDataFrame([(3, "b"), (4, "c")], ["doc_id", "text"])
+        ledger = kept1.select("text_hash")
+        kept2 = dedup_against(run2, ledger, seen_hash_col="text_hash")
+        assert sorted(r.doc_id for r in kept2.collect()) == [4]
+
+
 class TestUpsampleToEpochs:
     def test_integer_epochs_exact_copies(self, spark):
         from pramen_spark.operators.sampling import upsample_to_epochs
