@@ -1,0 +1,70 @@
+"""Data-quality expectations over a DataFrame (the Deequ/Great-Expectations
+pattern, Spark-native): declare per-column rules, get back one row per rule
+with its violation count and verdict — the gate a pipeline runs before
+publishing a table or handing a corpus to training.
+
+All rules are evaluated in ONE aggregation pass (a single job, map-side
+combined): each rule contributes one aggregate expression, `stack` pivots
+the wide result row into (rule, violations, passed) rows. No rule adds a
+scan; uniqueness uses exact count-distinct inside the same aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_expectations(
+    df: DataFrame, rules: Sequence[Tuple[str, str, Dict[str, Any]]]
+) -> DataFrame:
+    """``rules`` is a list of (rule_name, kind, params):
+
+    - ``("id_not_null", "not_null", {"col": "id"})`` — no NULLs
+    - ``("id_unique", "unique", {"col": "id"})`` — no duplicate values
+      (violations = rows - distinct values, NULLs count as one value)
+    - ``("len_range", "in_range", {"col": "n", "lo": 0, "hi": 100})`` —
+      values inside [lo, hi]; NULLs violate
+    - ``("lang_shape", "matches", {"col": "lang", "pattern": r"^[a-z]{2}$"})``
+      — full-string regex match; NULLs violate
+    - ``("custom", "predicate", {"sql": "a < b"})`` — rows violating the
+      SQL predicate
+
+    Returns (rule, violations, passed), one row per rule, in rule order.
+    """
+    aggs = []
+    for name, kind, p in rules:
+        if kind == "not_null":
+            bad = F.col(p["col"]).isNull()
+            aggs.append(F.sum(bad.cast("long")).alias(name))
+        elif kind == "unique":
+            c = F.col(p["col"])
+            # countDistinct ignores NULLs; add the NULL "value" back so a
+            # column of N NULLs reports N-1 duplicates, not N
+            n_distinct = F.countDistinct(c) + F.max(c.isNull().cast("long"))
+            aggs.append((F.count(F.lit(1)) - n_distinct).alias(name))
+        elif kind == "in_range":
+            c = F.col(p["col"])
+            ok = c.isNotNull() & (c >= F.lit(p["lo"])) & (c <= F.lit(p["hi"]))
+            aggs.append(F.sum((~ok).cast("long")).alias(name))
+        elif kind == "matches":
+            c = F.col(p["col"])
+            ok = c.isNotNull() & c.rlike(p["pattern"])
+            aggs.append(F.sum((~ok).cast("long")).alias(name))
+        elif kind == "predicate":
+            ok = F.expr(p["sql"])
+            aggs.append(F.sum((~ok).cast("long")).alias(name))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{name}', `{name}`" for name, _, _ in rules)
+    stacked = wide.select(
+        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, violations)")
+    )
+    return stacked.select(
+        "rule",
+        F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias("violations"),
+        (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
+    )

@@ -3603,6 +3603,143 @@ def q_char_lm_quality(spark, sf_dir):
 
 
 @query(
+    "rollup_orders_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "ROLLUP hierarchy over orders: per (priority, status), per priority, "
+    "grand total in one pass",
+    tags=("olap",),
+)
+def q_rollup_orders_priority_status(spark, sf_dir):
+    """ROLLUP sibling of the CUBE query: the 3 hierarchical grouping sets
+    cost one shuffle keyed by (grouping-set-id, keys), not 3 scans.
+    Decimal sums keep the double cast order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "approx_aggregates_selfcheck",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS distinct_within_5pct,
+           ROUND(quantile_cont(value, 0.5), 4) AS median_exact,
+           TRUE AS median_within_5pct
+    FROM events
+    """,
+    "self-checking approximate aggregates: HLL distinct + quantile sketch "
+    "asserted within 5% of exact, exact values hash-checked",
+    tags=("olap", "sketch"),
+)
+def q_approx_aggregates_selfcheck(spark, sf_dir):
+    """Sketch-based aggregates cannot hash-match another engine, so the
+    query CARRIES ITS OWN CHECK: it outputs the exact values (oracle-
+    comparable) plus booleans asserting the sketch estimates
+    (approx_count_distinct HLL, percentile_approx) land within 5% of the
+    exact answers — the oracle pins the booleans to TRUE, so a sketch
+    regression flips the hash. At 100 TB the sketches are the production
+    path (fixed-size state, one pass); the exact twins here are the
+    verification harness."""
+    e = load_events(spark, sf_dir)
+    exact = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.expr("percentile(value, 0.5)").alias("med_exact"),
+    )
+    approx = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        F.percentile_approx("value", 0.5, 10000).alias("med_approx"),
+    )
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.05
+        ).alias("distinct_within_5pct"),
+        F.round("med_exact", 4).alias("median_exact"),
+        (
+            F.abs(F.col("med_approx") - F.col("med_exact"))
+            / F.abs(F.col("med_exact"))
+            < 0.05
+        ).alias("median_within_5pct"),
+    )
+
+
+@query(
+    "validate_documents",
+    r"""
+    SELECT 'doc_id_not_null' AS rule,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations,
+           SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'doc_id_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id)
+                - MAX(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*) - COUNT(DISTINCT doc_id)
+                - MAX(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_in_range',
+           CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0
+                         OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN n_chars IS NULL OR n_chars < 0
+                    OR n_chars > 100000 THEN 1 ELSE 0 END) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'lang_is_iso2',
+           CAST(SUM(CASE WHEN lang IS NULL
+                         OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN lang IS NULL
+                    OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                    THEN 1 ELSE 0 END) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_consistent',
+           CAST(SUM(CASE WHEN NOT (n_chars = length(text))
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END) = 0
+    FROM documents
+    """,
+    "data-quality expectations report: 5 rules over documents in one "
+    "aggregation pass",
+    tags=("quality", "validation"),
+)
+def q_validate_documents(spark, sf_dir):
+    """Deequ-style expectation gate (operators/validation.py): all five
+    rules — not-null, uniqueness, range, regex shape, cross-column
+    consistency — evaluate in ONE aggregation job; stack pivots the wide
+    row into the report. The oracle recomputes each rule independently
+    (UNION ALL), so a silently-dropped rule or a miscounted violation
+    breaks the hash."""
+    from pramen_spark.operators.validation import validate_expectations
+
+    d = load_table(spark, sf_dir, "documents")
+    return validate_expectations(
+        d,
+        [
+            ("doc_id_not_null", "not_null", {"col": "doc_id"}),
+            ("doc_id_unique", "unique", {"col": "doc_id"}),
+            ("n_chars_in_range", "in_range", {"col": "n_chars", "lo": 0, "hi": 100000}),
+            ("lang_is_iso2", "matches", {"col": "lang", "pattern": r"^[a-z]{2}$"}),
+            ("n_chars_consistent", "predicate", {"sql": "n_chars = length(text)"}),
+        ],
+    )
+
+
+@query(
     "incremental_dedup_batch",
     """
     WITH seen AS (

@@ -1142,6 +1142,64 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestValidateExpectations:
+    def test_all_rule_kinds_count_violations(self, spark):
+        from pramen_spark.operators.validation import validate_expectations
+
+        df = spark.createDataFrame(
+            [
+                (1, "en", 5, "hello"),
+                (1, "EN", -1, "x"),        # dup id, bad lang, out of range
+                (None, "de", 3, "abc"),    # null id
+                (4, "fr", 2, "ab"),
+            ],
+            ["id", "lang", "n", "text"],
+        )
+        out = {
+            r.rule: r
+            for r in validate_expectations(
+                df,
+                [
+                    ("id_not_null", "not_null", {"col": "id"}),
+                    ("id_unique", "unique", {"col": "id"}),
+                    ("n_in_range", "in_range", {"col": "n", "lo": 0, "hi": 10}),
+                    ("lang_iso2", "matches", {"col": "lang", "pattern": r"^[a-z]{2}$"}),
+                    ("len_matches", "predicate", {"sql": "n = length(text)"}),
+                ],
+            ).collect()
+        }
+        assert out["id_not_null"].violations == 1 and not out["id_not_null"].passed
+        # 4 rows, 3 distinct id values (1, None, 4) -> 1 duplicate
+        assert out["id_unique"].violations == 1
+        assert out["n_in_range"].violations == 1
+        assert out["lang_iso2"].violations == 1
+        # rows where n != length(text): (1,5,'hello') ok, (1,-1,'x') bad,
+        # (None,3,'abc') ok, (4,2,'ab') ok
+        assert out["len_matches"].violations == 1
+
+    def test_clean_input_passes_all(self, spark):
+        from pramen_spark.operators.validation import validate_expectations
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+        out = validate_expectations(
+            df,
+            [
+                ("a_not_null", "not_null", {"col": "a"}),
+                ("a_unique", "unique", {"col": "a"}),
+                ("a_lt_b", "predicate", {"sql": "a < b"}),
+            ],
+        ).collect()
+        assert all(r.passed and r.violations == 0 for r in out)
+        assert [r.rule for r in out] == ["a_not_null", "a_unique", "a_lt_b"]
+
+    def test_unknown_kind_raises(self, spark):
+        from pramen_spark.operators.validation import validate_expectations
+
+        df = spark.createDataFrame([(1,)], ["a"])
+        with pytest.raises(ValueError):
+            validate_expectations(df, [("x", "nope", {})])
+
+
 class TestDedupAgainst:
     def test_anti_join_and_within_batch_collapse(self, spark):
         from pramen_spark.operators.dedup import dedup_against
