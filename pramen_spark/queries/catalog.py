@@ -3676,6 +3676,63 @@ def q_approx_aggregates_selfcheck(spark, sf_dir):
 
 
 @query(
+    "customer_value_ranks",
+    """
+    WITH spend AS (
+        SELECT c.c_custkey, n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, n.n_name
+    )
+    SELECT c_custkey, n_name,
+           total_spend,
+           CAST(NTILE(4) OVER w AS BIGINT) AS spend_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM spend
+    WINDOW w AS (PARTITION BY n_name ORDER BY total_spend, c_custkey)
+    """,
+    "ranking-function suite: per-nation customer spend quartiles, "
+    "percent_rank and cume_dist",
+    tags=("olap", "window"),
+)
+def q_customer_value_ranks(spark, sf_dir):
+    """Window ranking-family coverage (ntile / percent_rank / cume_dist)
+    over per-nation partitions — every window partitions on n_name, so no
+    single-partition stage; the spend aggregation shuffles once and the
+    three ranking functions share one sorted window. Decimal sums keep
+    the double totals order-independent; the deterministic (total_spend,
+    c_custkey) order makes ntile ties stable across engines."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "n_name",
+        "total_spend",
+        F.ntile(4).over(w).cast("long").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+@query(
     "validate_documents",
     r"""
     SELECT 'doc_id_not_null' AS rule,
