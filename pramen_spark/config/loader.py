@@ -316,6 +316,13 @@ def _operation_def(
         },
         processing_timestamp_column=_get(op, "processing.timestamp.column"),
         notification_targets=tuple(_get(op, "notification.targets", default=()) or ()),
+        expectations=tuple(
+            {str(k): v for k, v in _flatten(e).items()}
+            for e in (op.get("expectations", ()) or ())
+        ),
+        expectations_action=str(
+            _get(op, "expectation.action", default="fail") or "fail"
+        ),
     )
 
 

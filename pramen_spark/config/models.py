@@ -279,6 +279,13 @@ class OperationDef:
     # Names of notification targets this operation reports to
     # (OperationDef.scala:52 notificationTargets / NOTIFICATION_TARGETS_KEY)
     notification_targets: Sequence[str] = ()
+    # Data-quality gate evaluated on the decorated output BEFORE the save:
+    # ``expectations = [{name, kind, ...params}]`` (see
+    # operators/validation.py for kinds). ``expectation.action`` is
+    # "fail" (default: violations fail the task, nothing is written) or
+    # "warn" (violations land in the task result's warnings).
+    expectations: Sequence[Dict[str, Any]] = ()
+    expectations_action: str = "fail"
 
 
 class FieldChangeKind(str, Enum):

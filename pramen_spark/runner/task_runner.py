@@ -276,6 +276,33 @@ class TaskRunner:
                 sanitize_columns=True,
             )
 
+            # 3b. data-quality expectations gate (beyond the reference —
+            # validates the DECORATED output before anything is written,
+            # so a failing table never reaches the metastore)
+            if op.expectations:
+                from pramen_spark.operators.validation import validate_expectations
+
+                rules = [
+                    (
+                        str(e.get("name", f"rule_{i}")),
+                        str(e.get("kind", "predicate")),
+                        {k: v for k, v in e.items() if k not in ("name", "kind")},
+                    )
+                    for i, e in enumerate(op.expectations)
+                ]
+                report = validate_expectations(df, rules).collect()
+                failed_rules = [
+                    f"{r.rule} ({r.violations} violations)"
+                    for r in report
+                    if not r.passed
+                ]
+                if failed_rules:
+                    msg = "Expectations failed: " + "; ".join(failed_rules)
+                    if op.expectations_action == "warn":
+                        warnings = list(warnings) + [msg]
+                    else:
+                        return result(RunStatus.FAILED, error=msg)
+
             # 4. schema drift tracking (TaskRunnerBase.scala:601-625)
             schema_changes: List[FieldChange] = []
             old_schema_json = self.bookkeeper.get_latest_schema(table, info_date)

@@ -219,3 +219,45 @@ class TestWorkflowEndToEnd:
         wf = load_workflow(path)
         assert wf.pipeline_name == "jsonpipe"
         assert wf.tables[0].name == "t"
+
+
+class TestExpectationsConfig:
+    def test_expectations_parse_into_operation(self, tmp_path):
+        conf = """
+pramen {
+  pipeline.name = "exp"
+  bookkeeping.path = "%BK%"
+  metastore { tables = [ { name = "t", format = "parquet", path = "%P%" } ] }
+  sources = [ { name = "s", factory.class = "SparkSource", format = "parquet",
+                has.information.date.column = false } ]
+  operations = [
+    {
+      name = "ingest"
+      type = "ingestion"
+      schedule.type = "daily"
+      source = "s"
+      expectation.action = "warn"
+      expectations = [
+        { name = "id_ok", kind = "not_null", col = "id" },
+        { name = "n_range", kind = "in_range", col = "n", lo = 0, hi = 10 }
+      ]
+      tables = [ { input.path = "%IN%", output.metastore.table = "t" } ]
+    }
+  ]
+}
+""".replace("%BK%", str(tmp_path / "bk")).replace("%P%", str(tmp_path / "p")).replace(
+            "%IN%", str(tmp_path / "in")
+        )
+        path = str(tmp_path / "wf.conf")
+        with open(path, "w") as f:
+            f.write(conf)
+        from pramen_spark.config.loader import _operation_def
+
+        wf = load_workflow(path)
+        raw = wf.operations[0]
+        op = _operation_def(
+            raw, "ingestion", "", "t", [], raw["tables"][0]
+        )
+        assert op.expectations_action == "warn"
+        assert [e["name"] for e in op.expectations] == ["id_ok", "n_range"]
+        assert op.expectations[1]["lo"] == 0 and op.expectations[1]["hi"] == 10

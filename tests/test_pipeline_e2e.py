@@ -295,6 +295,55 @@ class TestTaskRunnerStateMachine:
         assert r.status == RunStatus.VALIDATION_FAILED
         assert "nope" in r.error
 
+    def test_expectations_gate_blocks_bad_output(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        src = SparkSource(spark, {"format": "parquet"})
+        # o_totalprice <= 100 is violated by real data -> the gate must
+        # fail the task BEFORE anything lands in the metastore
+        job = IngestionJob(
+            OperationDef(
+                name="gated",
+                kind="ingestion",
+                output_table="orders_bronze",
+                expectations=[
+                    {"name": "price_cap", "kind": "in_range",
+                     "col": "o_totalprice", "lo": 0, "hi": 100},
+                ],
+            ),
+            ms, bk, ms.table_config("orders_bronze"),
+            src, {"path": f"{sf_dir}/orders.parquet"},
+        )
+        r = TaskRunner(bk).run_task(job, TaskPreDef(RUN_DATE, TaskRunReason.NEW))
+        assert r.status == RunStatus.FAILED
+        assert "price_cap" in r.error and "violations" in r.error
+        assert not ms.is_data_available("orders_bronze", RUN_DATE, RUN_DATE)
+
+    def test_expectations_warn_mode_writes_with_warning(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        src = SparkSource(spark, {"format": "parquet"})
+        job = IngestionJob(
+            OperationDef(
+                name="gated_warn",
+                kind="ingestion",
+                output_table="orders_bronze",
+                expectations=[
+                    {"name": "price_cap", "kind": "in_range",
+                     "col": "o_totalprice", "lo": 0, "hi": 100},
+                    {"name": "key_not_null", "kind": "not_null",
+                     "col": "o_orderkey"},
+                ],
+                expectations_action="warn",
+            ),
+            ms, bk, ms.table_config("orders_bronze"),
+            src, {"path": f"{sf_dir}/orders.parquet"},
+        )
+        r = TaskRunner(bk).run_task(job, TaskPreDef(RUN_DATE, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED
+        assert any("price_cap" in w for w in r.warnings)
+        # the passing rule does not warn
+        assert not any("key_not_null" in w for w in r.warnings)
+        assert ms.is_data_available("orders_bronze", RUN_DATE, RUN_DATE)
+
     def test_decorations_applied(self, spark, pipeline_env, sf_dir):
         ms, bk, tmp_path = pipeline_env
         src = SparkSource(spark, {"format": "parquet"})
