@@ -78,14 +78,13 @@ def hashed_shingles(
     is ever materialized). The intermediate projection matters: inlining
     the token-hash array into the shingle lambda makes Catalyst re-evaluate
     it per element_at (O(n^2) per document)."""
-    from pramen_spark.operators.partitioning import spread_input
-
-    # shingling amplifies each row ~|tokens|-fold: spread a narrow input
-    # first so the fan-out stage parallelizes beyond the file-split count
-    # (no-op when the input already has enough partitions)
-    hashed = spread_input(
-        df.where(F.trim(F.col(text_col)) != ""), id_col
-    ).select(
+    # Shingling amplifies each row ~|tokens|-fold, so its parallelism is
+    # inherited from the INPUT partitioning. Callers feeding a narrow raw
+    # scan (few file splits) should pre-spread it with
+    # operators/partitioning.spread_input at the scan — the introspection
+    # is cheap there; doing it here would force plan->RDD conversion on
+    # every (possibly complex) upstream plan.
+    hashed = df.where(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("th")
     )
     th = F.col("th")

@@ -450,14 +450,11 @@ def char_lm_score(
     """
     import math
 
-    from pramen_spark.operators.partitioning import spread_input
-
     t = F.lower(F.substring(F.col(text_col), 1, max_chars))
-    # the bigram build amplifies each row ~|chars|-fold: spread a narrow
-    # input so the fan-out stage parallelizes beyond the file-split count
-    docs = spread_input(
-        df.select(F.col(id_col), t.alias("_t")).filter(F.length("_t") >= 2), id_col
-    )
+    # The bigram build amplifies each row ~|chars|-fold; callers feeding a
+    # narrow raw scan should pre-spread it (operators/partitioning.
+    # spread_input) at the scan, where the partition introspection is cheap.
+    docs = df.select(F.col(id_col), t.alias("_t")).filter(F.length("_t") >= 2)
     bigrams = docs.select(
         F.col(id_col),
         F.explode(

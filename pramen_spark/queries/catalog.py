@@ -40,6 +40,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_documents_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan pre-spread for amplifying consumers (shingling,
+    char-bigram explosion): the partition introspection runs on the RAW
+    scan, where it is a file listing, and is a no-op when the corpus
+    already arrives in >= default-parallelism splits (any real-scale
+    read). See operators/partitioning.py."""
+    from pramen_spark.operators.partitioning import spread_input
+
+    return spread_input(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events.parquet with ``ts`` normalized to TIMESTAMP (UTC instant).
 
@@ -944,7 +955,7 @@ _NGRAM_SHINGLE_ORACLE = _ngram_shingle_oracle(0.05)
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from pramen_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_spread(spark, sf_dir)
     # max_shingle_freq: drop boilerplate shingles shared by >1000 docs (skew
     # guard for the 100 TB case; mirrored in the oracle's `kept` CTE)
     return ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05, max_shingle_freq=1000)
@@ -991,7 +1002,7 @@ def q_dedup_clusters(spark, sf_dir):
     from pramen_spark.operators.dedup import ngram_jaccard_pairs
     from pramen_spark.operators.graph import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_spread(spark, sf_dir)
     pairs = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.05, max_shingle_freq=1000)
     return connected_components(pairs, src="id_a", dst="id_b")
 
@@ -1074,7 +1085,7 @@ def q_minhash_dedup(spark, sf_dir):
     always passes or always fails — no flakiness within an sf_dir."""
     from pramen_spark.operators.dedup import minhash_dedup
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_spread(spark, sf_dir)
     # max_bucket_size caps LSH band buckets (b docs -> b(b-1)/2 pairs);
     # max_shingle_freq mirrors the oracle's boilerplate-shingle cap
     return minhash_dedup(d, num_hashes=64, num_bands=32, threshold=0.5,
@@ -3598,7 +3609,7 @@ def q_char_lm_quality(spark, sf_dir):
     oracles use."""
     from pramen_spark.operators.text import char_lm_score
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_spread(spark, sf_dir)
     return char_lm_score(d)
 
 
