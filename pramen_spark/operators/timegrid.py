@@ -1,0 +1,71 @@
+"""Time-grid operators: bucketed aggregation with gap filling and
+last-observation-carried-forward — the continuous-aggregate /
+``time_bucket_gapfill`` pattern of time-series stores, expressed as pure
+DataFrame composition.
+
+Scale: the grid is generated PER KEY between that key's own first and
+last bucket (``sequence`` over timestamps, JVM-side) — never a global
+cross join of all keys x all buckets, so sparse keys cost only their own
+span. One shuffle for the bucket aggregation, one for the per-key grid
+join/window; both keyed on (key, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    bucket: str = "hour",
+    locf: bool = True,
+) -> DataFrame:
+    """Aggregate events into fixed time buckets per key and materialize
+    the MISSING buckets of each key's active span: every key gets one row
+    per ``bucket`` (a ``date_trunc`` unit: 'hour', 'day', ...) between its
+    first and last event, with n_events = 0 and total_value = NULL where
+    nothing happened, plus ``value_locf`` carrying the last non-null
+    total forward when ``locf`` is set.
+
+    Returns (key, bucket_ts, n_events, total_value[, value_locf]).
+    Decimal sums keep the double totals order-independent."""
+    b = F.date_trunc(bucket, F.col(ts_col))
+    actual = (
+        df.select(F.col(key_col), b.alias("bucket_ts"), F.col(value_col))
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    span = actual.groupBy(key_col).agg(
+        F.min("bucket_ts").alias("_b0"), F.max("bucket_ts").alias("_b1")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.expr(f"sequence(_b0, _b1, interval 1 {bucket})")
+        ).alias("bucket_ts"),
+    )
+    filled = grid.join(actual, [key_col, "bucket_ts"], "left").select(
+        key_col,
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "total_value",
+    )
+    if not locf:
+        return filled
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.withColumn(
+        "value_locf", F.last("total_value", ignorenulls=True).over(w)
+    )

@@ -3614,6 +3614,66 @@ def q_char_lm_quality(spark, sf_dir):
 
 
 @query(
+    "bucket_gapfill_hourly",
+    """
+    WITH e AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+               value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+    ),
+    actual AS (
+        SELECT user_id, bucket_ts, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM e GROUP BY user_id, bucket_ts
+    ),
+    span AS (
+        SELECT user_id, MIN(bucket_ts) AS b0, MAX(bucket_ts) AS b1
+        FROM actual GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM span
+    )
+    SELECT g.user_id,
+           epoch_us(g.bucket_ts) AS bucket_us,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           a.total_value,
+           last_value(a.total_value IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_locf
+    FROM grid g LEFT JOIN actual a USING (user_id, bucket_ts)
+    """,
+    "time-bucket gap filling: per-user hourly grid over each user's active "
+    "span, missing buckets at 0/NULL, last observation carried forward",
+    tags=("timeseries",),
+)
+def q_bucket_gapfill_hourly(spark, sf_dir):
+    """Continuous-aggregate / time_bucket_gapfill pattern
+    (operators/timegrid.py::bucket_gapfill): the grid is generated per
+    key between that key's own first and last bucket — never a global
+    keys x buckets cross join — so sparse keys cost only their own span.
+    Decimal sums keep totals order-independent; the bucket is projected
+    as epoch micros for engine-portable comparison."""
+    from pramen_spark.operators.timegrid import bucket_gapfill
+
+    e = load_events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-13").cast("timestamp"))
+    )
+    out = bucket_gapfill(e, ts_col="ts", key_col="user_id", value_col="value")
+    return out.select(
+        "user_id",
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "n_events",
+        "total_value",
+        "value_locf",
+    )
+
+
+@query(
     "rollup_orders_priority_status",
     """
     SELECT o_orderpriority, o_orderstatus,

@@ -1600,3 +1600,44 @@ class TestParagraphDedupProperties:
             p for r in out.values() for p in r.text.split("\n\n")
         ]
         assert sorted(set(kept_all)) == sorted(kept_all)
+
+
+class TestBucketGapfill:
+    def test_gaps_filled_and_locf(self, spark):
+        import datetime as dt
+
+        from pramen_spark.operators.timegrid import bucket_gapfill
+
+        T = dt.datetime
+        rows = [
+            (1, T(2024, 1, 1, 0, 15), 10.0),
+            (1, T(2024, 1, 1, 0, 45), 5.0),   # same bucket as above
+            (1, T(2024, 1, 1, 3, 10), 2.0),   # hours 1 and 2 are gaps
+            (2, T(2024, 1, 1, 5, 0), 7.0),    # single-bucket key
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        out = {
+            (r.user_id, r.bucket_ts.hour): r
+            for r in bucket_gapfill(df).collect()
+        }
+        # key 1 spans hours 0..3 -> 4 rows; key 2 has 1 row
+        assert len(out) == 5
+        assert out[(1, 0)].n_events == 2 and out[(1, 0)].total_value == 15.0
+        assert out[(1, 1)].n_events == 0 and out[(1, 1)].total_value is None
+        assert out[(1, 1)].value_locf == 15.0  # carried forward
+        assert out[(1, 2)].value_locf == 15.0
+        assert out[(1, 3)].total_value == 2.0 and out[(1, 3)].value_locf == 2.0
+        assert out[(2, 5)].n_events == 1
+
+    def test_no_locf_mode(self, spark):
+        import datetime as dt
+
+        from pramen_spark.operators.timegrid import bucket_gapfill
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0), 1.0), (1, dt.datetime(2024, 1, 1, 2), 3.0)],
+            ["user_id", "ts", "value"],
+        )
+        out = bucket_gapfill(df, locf=False)
+        assert "value_locf" not in out.columns
+        assert out.count() == 3  # hours 0,1,2
