@@ -3614,6 +3614,61 @@ def q_char_lm_quality(spark, sf_dir):
 
 
 @query(
+    "value_drift_psi",
+    """
+    WITH ref AS (
+        SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 50.0),
+                                   0), 9) AS BIGINT) AS bucket
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    ),
+    cur AS (
+        SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 50.0),
+                                   0), 9) AS BIGINT) AS bucket
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    ),
+    h_ref AS (SELECT bucket, COUNT(*) AS n_ref FROM ref GROUP BY bucket),
+    h_cur AS (SELECT bucket, COUNT(*) AS n_cur FROM cur GROUP BY bucket),
+    grid AS (SELECT unnest(range(10)) AS bucket),
+    joined AS (
+        SELECT g.bucket,
+               COALESCE(r.n_ref, 0) AS n_ref,
+               COALESCE(c.n_cur, 0) AS n_cur
+        FROM grid g
+        LEFT JOIN h_ref r ON g.bucket = r.bucket
+        LEFT JOIN h_cur c ON g.bucket = c.bucket
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM joined)
+    SELECT bucket,
+           ROUND((n_ref + 1.0) / (t_ref + 10.0), 6) AS ref_rate,
+           ROUND((n_cur + 1.0) / (t_cur + 10.0), 6) AS cur_rate,
+           ROUND(((n_cur + 1.0) / (t_cur + 10.0) - (n_ref + 1.0) / (t_ref + 10.0))
+                 * ln(((n_cur + 1.0) / (t_cur + 10.0))
+                      / ((n_ref + 1.0) / (t_ref + 10.0))), 6) AS psi_term
+    FROM joined CROSS JOIN tot
+    """,
+    "distribution-drift report: per-bucket PSI terms of the events value "
+    "histogram, first half vs second half of the month",
+    tags=("quality", "monitoring"),
+)
+def q_value_drift_psi(spark, sf_dir):
+    """Population Stability Index between two snapshot windows
+    (operators/drift.py::psi): each side is one map-side-combined
+    histogram over a FIXED [0, 500) grid (constant bounds — no quantile
+    pre-pass, no sort), smoothing keeps empty buckets finite, and the PSI
+    arithmetic runs on 10 rows. SUM(psi_term) is the headline drift
+    number a recurring pipeline alerts on."""
+    from pramen_spark.operators.drift import psi
+
+    e = load_events(spark, sf_dir)
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = e.filter(F.col("ts") < split)
+    cur = e.filter(F.col("ts") >= split)
+    return psi(ref, cur, "value", lo=0.0, hi=500.0, num_buckets=10)
+
+
+@query(
     "bucket_gapfill_hourly",
     """
     WITH e AS (

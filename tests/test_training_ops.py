@@ -1641,3 +1641,34 @@ class TestBucketGapfill:
         out = bucket_gapfill(df, locf=False)
         assert "value_locf" not in out.columns
         assert out.count() == 3  # hours 0,1,2
+
+
+class TestDriftPsi:
+    def test_identical_distributions_have_zero_psi(self, spark):
+        from pramen_spark.operators.drift import psi
+
+        df = spark.createDataFrame([(float(i % 10),) for i in range(100)], ["v"])
+        out = psi(df, df, "v", lo=0.0, hi=10.0, num_buckets=5).collect()
+        assert len(out) == 5
+        assert all(r.psi_term == 0.0 for r in out)
+        assert all(r.ref_rate == r.cur_rate for r in out)
+
+    def test_shifted_distribution_is_flagged(self, spark):
+        from pramen_spark.operators.drift import psi
+
+        ref = spark.createDataFrame([(1.0,)] * 90 + [(9.0,)] * 10, ["v"])
+        cur = spark.createDataFrame([(1.0,)] * 10 + [(9.0,)] * 90, ["v"])
+        out = psi(ref, cur, "v", lo=0.0, hi=10.0, num_buckets=5).collect()
+        total = sum(r.psi_term for r in out)
+        assert total > 0.25  # canonical "drifted" threshold
+        # every term is non-negative by construction of (q-p)ln(q/p)
+        assert all(r.psi_term >= 0 for r in out)
+
+    def test_out_of_range_clamps_and_nulls_drop(self, spark):
+        from pramen_spark.operators.drift import value_histogram
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.5,), (99.0,), (None,)], ["v"]
+        )
+        out = {r.bucket: r.n for r in value_histogram(df, "v", 0.0, 10.0, 5).collect()}
+        assert out == {0: 2, 4: 1}  # -5 clamps low, 99 clamps high, NULL gone
