@@ -1672,3 +1672,68 @@ class TestDriftPsi:
         )
         out = {r.bucket: r.n for r in value_histogram(df, "v", 0.0, 10.0, 5).collect()}
         assert out == {0: 2, 4: 1}  # -5 clamps low, 99 clamps high, NULL gone
+
+
+class TestValidationCrossEngine:
+    """Property-based Spark-vs-DuckDB parity for the expectations
+    validator on NULL-heavy generated data — the fixed corpus is clean,
+    so the real-data oracle never exercises the NULL paths (not-null
+    counting, NULL-as-a-value uniqueness, NULL range/regex violations)."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+                st.one_of(st.none(), st.integers(min_value=-5, max_value=15)),
+                st.one_of(st.none(), st.sampled_from(["en", "EN", "de", "x", ""])),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_duckdb_reference(self, spark, rows):
+        import duckdb
+        import pandas as pd
+
+        from pramen_spark.operators.validation import validate_expectations
+
+        df = spark.createDataFrame(rows, "id long, n long, lang string")
+        got = {
+            r.rule: (r.violations, r.passed)
+            for r in validate_expectations(
+                df,
+                [
+                    ("id_not_null", "not_null", {"col": "id"}),
+                    ("id_unique", "unique", {"col": "id"}),
+                    ("n_in_range", "in_range", {"col": "n", "lo": 0, "hi": 10}),
+                    ("lang_iso2", "matches", {"col": "lang", "pattern": r"^[a-z]{2}$"}),
+                ],
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "t",
+            pd.DataFrame(rows, columns=["id", "n", "lang"]).astype(
+                {"id": "Int64", "n": "Int64"}
+            ),
+        )
+        ref = con.execute(
+            """
+            SELECT
+              CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(COUNT(*) - COUNT(DISTINCT id)
+                   - MAX(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN n IS NULL OR n < 0 OR n > 10
+                            THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN lang IS NULL
+                            OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM t
+            """
+        ).fetchone()
+        expect = dict(
+            zip(["id_not_null", "id_unique", "n_in_range", "lang_iso2"], ref)
+        )
+        for rule, want in expect.items():
+            assert got[rule] == (want, want == 0), (rule, got[rule], want, rows)
