@@ -451,12 +451,15 @@ def semdedup(
         keep = np.ones(n, dtype=bool)
         if n >= 2 and (max_cluster_size is None or n <= max_cluster_size):
             m = np.stack(pdf["u"].to_numpy())[order]
+            col_idx = np.arange(n)
             for s in range(0, n, block_rows):
                 c = m[s : s + block_rows] @ m.T  # strip: block_rows x n
-                for li in range(c.shape[0]):
-                    i = s + li
-                    if i and (c[li, :i] >= threshold).any():
-                        keep[i] = False
+                # row i is dropped iff any column j < i clears the
+                # threshold: mask the strict lower triangle of the strip
+                # and reduce per row — one vectorized pass, no Python loop
+                row_idx = np.arange(s, s + c.shape[0])[:, None]
+                prior = (c >= threshold) & (col_idx[None, :] < row_idx)
+                keep[s : s + c.shape[0]] &= ~prior.any(axis=1)
         return pd.DataFrame({"id": ids_s, "cell": cell, "keep": keep})
 
     out = base.groupBy("cell").applyInPandas(fn, "id long, cell long, keep boolean")
