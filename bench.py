@@ -61,6 +61,13 @@ HEADLINE = [
     "paragraph_dedup_documents",
     "char_lm_quality",
     "shard_assignment",
+    # round-6 wave 3: semantic dedup, ops/monitoring, time grid
+    "semdedup_embeddings",
+    "incremental_dedup_batch",
+    "upsample_epoch_mix",
+    "validate_documents",
+    "value_drift_psi",
+    "bucket_gapfill_hourly",
 ]
 
 
