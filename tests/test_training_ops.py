@@ -1737,3 +1737,52 @@ class TestValidationCrossEngine:
         )
         for rule, want in expect.items():
             assert got[rule] == (want, want == 0), (rule, got[rule], want, rows)
+
+
+class TestUpsampleCrossEngine:
+    """Property-based Spark-vs-DuckDB parity for epoch upsampling: the
+    md5 hash-unit, the fractional-copy threshold, and the copy-index
+    expansion must agree across engines for arbitrary epoch weights."""
+
+    @given(
+        n_docs=st.integers(min_value=1, max_value=40),
+        e10=st.integers(min_value=0, max_value=35),  # epochs x10: 0.0..3.5
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_duckdb_reference(self, spark, n_docs, e10):
+        import duckdb
+        import pandas as pd
+
+        from pramen_spark.operators.sampling import upsample_to_epochs
+
+        e = e10 / 10.0
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(n_docs)], ["doc_id", "source"]
+        )
+        got = sorted(
+            (r.doc_id, r.copy_idx)
+            for r in upsample_to_epochs(df, {"s": e}).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "t", pd.DataFrame({"doc_id": list(range(n_docs))})
+        )
+        ref = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""
+                WITH c AS (
+                    SELECT doc_id,
+                           CAST(floor({e}) + CASE WHEN
+                               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch'), 1, 8))::BIGINT
+                                   / 4294967296.0 < {e} - floor({e})
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+                    FROM t
+                )
+                SELECT doc_id, CAST(i AS INTEGER) AS copy_idx
+                FROM (SELECT doc_id, unnest(range(n_copies)) AS i
+                      FROM c WHERE n_copies > 0)
+                """
+            ).fetchall()
+        )
+        assert got == ref, (e, got[:5], ref[:5])
