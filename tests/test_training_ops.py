@@ -1786,3 +1786,30 @@ class TestUpsampleCrossEngine:
             ).fetchall()
         )
         assert got == ref, (e, got[:5], ref[:5])
+
+
+class TestSpreadInput:
+    def test_narrow_input_spreads_to_parallelism(self, spark):
+        from pramen_spark.operators.partitioning import spread_input
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(50)], ["doc_id", "text"]
+        ).coalesce(1)
+        out = spread_input(df, "doc_id")
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        assert out.count() == 50
+
+    def test_wide_input_is_untouched(self, spark):
+        from pramen_spark.operators.partitioning import spread_input
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(50)], ["doc_id"]
+        ).repartition(spark.sparkContext.defaultParallelism + 4, "doc_id")
+        assert spread_input(df, "doc_id") is df  # strict no-op, same object
+
+    def test_explicit_min_partitions(self, spark):
+        from pramen_spark.operators.partitioning import spread_input
+
+        df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"]).coalesce(1)
+        out = spread_input(df, "doc_id", min_partitions=7)
+        assert out.rdd.getNumPartitions() == 7
