@@ -346,3 +346,74 @@ def upsample_to_epochs(
         )
         .drop("_n_copies", "_one")
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    target_shares: Dict[str, float],
+    total_tokens: float,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a target training mixture at a token budget: each
+    group's effective epoch weight is e_g = share_g * total_tokens /
+    tokens_g, and every document appears floor(e_g) or ceil(e_g) times
+    with the fractional copy hash-chosen per document — one mechanism
+    covering BOTH directions (e < 1 is deterministic downsampling, e > 1
+    is epoch upsampling), so the realized mixture hits the target shares
+    in expectation at the requested budget. Groups absent from
+    ``target_shares`` drop out. This is the materializing counterpart of
+    :func:`mixture_weights` (which only reports rates) and the
+    group-budgeted sibling of :func:`upsample_to_epochs` (fixed weights).
+
+    Returns (key, group, n_tokens, copy_idx).
+
+    Scale: one map-side-combined per-group token aggregation (groups x 1
+    rows, broadcast back), then a narrow projection + posexplode — no
+    row-level shuffle; which documents repeat or survive is a pure
+    function of their keys, identical across runs and engines.
+    """
+    share = None
+    for k, v in target_shares.items():
+        share = (
+            F.when(F.col(group_col) == k, F.lit(float(v)))
+            if share is None
+            else share.when(F.col(group_col) == k, F.lit(float(v)))
+        )
+    share = share.otherwise(F.lit(0.0)) if share is not None else F.lit(0.0)
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).alias("grp"),
+        n_tokens.alias("n_tokens"),
+        share.alias("_share"),
+    )
+    g = base.groupBy("grp").agg(F.sum("n_tokens").alias("_g_tokens"))
+    salted = F.concat(F.col("key").cast("string"), F.lit(salt))
+    u = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    e = F.col("_share") * F.lit(float(total_tokens)) / F.col("_g_tokens")
+    n_copies = (F.floor(e) + (u < (e - F.floor(e))).cast("long")).cast("long")
+    return (
+        base.join(F.broadcast(g), "grp")
+        .withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.posexplode(F.sequence(F.lit(1), F.col("_n_copies"))).alias(
+                "copy_idx", "_one"
+            ),
+        )
+        .select(
+            key_col,
+            group_col,
+            "n_tokens",
+            F.col("copy_idx").cast("long").alias("copy_idx"),
+        )
+    )

@@ -3614,6 +3614,51 @@ def q_char_lm_quality(spark, sf_dir):
 
 
 @query(
+    "materialize_mixture_corpus",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM documents
+    ),
+    g AS (SELECT source, SUM(n_tokens) AS g_tokens FROM t GROUP BY source),
+    e AS (
+        SELECT t.doc_id, t.source, t.n_tokens, t.u,
+               CASE t.source WHEN 'src0' THEN 0.7 WHEN 'src1' THEN 0.3
+                             ELSE 0.0 END * 3000.0 / g.g_tokens AS ep
+        FROM t JOIN g ON t.source = g.source
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(ep) + CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_copies
+        FROM e
+    )
+    SELECT doc_id, source, n_tokens, CAST(i AS BIGINT) AS copy_idx
+    FROM (SELECT doc_id, source, n_tokens, unnest(range(n_copies)) AS i
+          FROM c WHERE n_copies > 0)
+    """,
+    "materialized training mixture: 70/30 src0/src1 at a 3000-token "
+    "budget, hash-deterministic down- and up-sampling in one mechanism",
+    tags=("sampling", "mixing"),
+)
+def q_materialize_mixture_corpus(spark, sf_dir):
+    """The mixing loop closed (operators/sampling.py::materialize_mixture):
+    epoch weight e_g = share_g * budget / tokens_g realizes the target
+    shares at the budget — here src0 lands above 1 (upsampled) and src1
+    below 1 (downsampled) on this corpus, exercising both directions of
+    the one hash mechanism. Per-group aggregate broadcast back; no
+    row-level shuffle."""
+    from pramen_spark.operators.sampling import materialize_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return materialize_mixture(d, {"src0": 0.7, "src1": 0.3}, total_tokens=3000.0)
+
+
+@query(
     "value_drift_psi",
     """
     WITH ref AS (

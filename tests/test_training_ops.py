@@ -1813,3 +1813,47 @@ class TestSpreadInput:
         df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"]).coalesce(1)
         out = spread_input(df, "doc_id", min_partitions=7)
         assert out.rdd.getNumPartitions() == 7
+
+
+class TestMaterializeMixture:
+    def test_upsample_and_downsample_in_one_call(self, spark):
+        from pramen_spark.operators.sampling import materialize_mixture
+
+        # group a: 10 docs x 10 tokens = 100 tokens; group b same
+        rows = [(i, "a" if i < 10 else "b", "w " * 9 + "w") for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        # budget 300 at 80/20: e_a = 240/100 = 2.4 (up), e_b = 60/100 = 0.6 (down)
+        out = materialize_mixture(
+            df, {"a": 0.8, "b": 0.2}, total_tokens=300.0
+        ).collect()
+        n_a = sum(1 for r in out if r.source == "a")
+        n_b = sum(1 for r in out if r.source == "b")
+        # a: every doc 2 or 3 copies -> 20..30 rows; b: subset of 10 docs
+        assert 20 <= n_a <= 30 and 0 < n_b < 10
+        # per-doc copy indices are dense from 0
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+        for doc, idxs in by_doc.items():
+            assert sorted(idxs) == list(range(len(idxs))), (doc, idxs)
+
+    def test_absent_group_drops_and_deterministic(self, spark):
+        from pramen_spark.operators.sampling import materialize_mixture
+
+        rows = [(i, "a" if i % 2 else "junk", "x y z") for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        a = sorted((r.doc_id, r.copy_idx) for r in
+                   materialize_mixture(df, {"a": 1.0}, 30.0).collect())
+        b = sorted((r.doc_id, r.copy_idx) for r in
+                   materialize_mixture(df, {"a": 1.0}, 30.0).collect())
+        assert a == b
+        assert all(doc % 2 for doc, _ in a)  # junk group gone
+
+    def test_realized_tokens_near_budget(self, spark):
+        from pramen_spark.operators.sampling import materialize_mixture
+
+        rows = [(i, "a", "t " * 19 + "t") for i in range(200)]  # 20 tokens each
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = materialize_mixture(df, {"a": 1.0}, total_tokens=2000.0).collect()
+        realized = sum(r.n_tokens for r in out)
+        assert 1600 <= realized <= 2400  # within ~20% of budget at 200 keys
