@@ -28,6 +28,23 @@ from pramen_spark.runner.jobs import Job, JobPreRunStatus
 from pramen_spark.scheduling.strategies import TaskPreDef, TaskRunReason
 
 
+def _clear_job_group(sc) -> None:
+    """Detach the current thread from its Spark job group.
+
+    ``SparkContext.clearJobGroup()`` was removed in PySpark 4
+    (SPARK-44101); clearing the thread-local properties that
+    ``setJobGroup`` sets is the documented replacement.  Without this,
+    every watchdog worker thread died on ``AttributeError`` after boxing
+    its result (silent in normal runs, visible as
+    PytestUnhandledThreadExceptionWarning in test runs)."""
+    if hasattr(sc, "clearJobGroup"):  # PySpark < 4
+        sc.clearJobGroup()
+    else:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+
 class RunStatus(str, Enum):
     SUCCEEDED = "succeeded"
     FAILED = "failed"
@@ -216,7 +233,7 @@ class TaskRunner:
                     box["res"] = self._attempt(job, task, started, result, pre, warnings)
                 finally:
                     if spark is not None:
-                        spark.sparkContext.clearJobGroup()
+                        _clear_job_group(spark.sparkContext)
 
             t = threading.Thread(target=work, daemon=True, name=f"attempt-{job.name}")
             t.start()
@@ -251,6 +268,7 @@ class TaskRunner:
     def _attempt(self, job: Job, task: TaskPreDef, started, result, pre, warnings) -> TaskResult:
         info_date = task.info_date
         table = job.output_table.name
+        persisted_df = None
         try:
             # context for jobs that need it (incremental ingestion)
             job.current_batch_id = self.batch_id
@@ -278,10 +296,19 @@ class TaskRunner:
 
             # 3b. data-quality expectations gate (beyond the reference —
             # validates the DECORATED output before anything is written,
-            # so a failing table never reaches the metastore)
+            # so a failing table never reaches the metastore).  The
+            # decorated plan is persisted across gate + save so the
+            # upstream input is computed ONCE per publish, not twice —
+            # at 100 TB the second pass would double every gated write.
+            persisted = False
             if op.expectations:
+                from pyspark.storagelevel import StorageLevel
+
                 from pramen_spark.operators.validation import validate_expectations
 
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted = True
+                persisted_df = df
                 rules = [
                     (
                         str(e.get("name", f"rule_{i}")),
@@ -301,6 +328,7 @@ class TaskRunner:
                     if op.expectations_action == "warn":
                         warnings = list(warnings) + [msg]
                     else:
+                        df.unpersist()
                         return result(RunStatus.FAILED, error=msg)
 
             # 4. schema drift tracking (TaskRunnerBase.scala:601-625)
@@ -318,7 +346,11 @@ class TaskRunner:
                 self.bookkeeper.save_schema(table, info_date, json.dumps(new_schema.jsonValue()))
 
             # 5. save (the Spark action happens here)
-            write_result = job.save(df, info_date)
+            try:
+                write_result = job.save(df, info_date)
+            finally:
+                if persisted:
+                    df.unpersist()
 
             if not self.undercover:
                 self.bookkeeper.set_record_count(
@@ -337,4 +369,9 @@ class TaskRunner:
                 schema_changes=schema_changes,
             )
         except Exception:
+            if persisted_df is not None:
+                try:
+                    persisted_df.unpersist()
+                except Exception:
+                    pass
             return result(RunStatus.FAILED, error=traceback.format_exc(limit=20))

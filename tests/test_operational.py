@@ -642,6 +642,29 @@ class TestExecutionWatchdog:
         assert r.status == RunStatus.SUCCEEDED, r.error
         assert r.warnings == []
 
+    def test_watchdog_worker_thread_exits_cleanly(self, spark, tmp_path):
+        """PySpark 4 removed ``SparkContext.clearJobGroup`` (SPARK-44101);
+        the watchdog worker must detach its job group without raising — a
+        dying worker thread is silent in production but means any code
+        joined on its state after the clear never runs."""
+        import threading
+
+        from pramen_spark.runner.task_runner import TaskRunner
+        from pramen_spark.scheduling.strategies import TaskPreDef
+
+        hooked = []
+        orig_hook = threading.excepthook
+        threading.excepthook = lambda args: hooked.append(args)
+        try:
+            job = self._slow_job(spark, tmp_path, 0.0,
+                                 {"kill.maximum.execution.time.seconds": "600"})
+            r = TaskRunner(Bookkeeper()).run_task(
+                job, TaskPreDef(dt.date(2024, 1, 12), TaskRunReason.NEW))
+            assert r.status == RunStatus.SUCCEEDED, r.error
+        finally:
+            threading.excepthook = orig_hook
+        assert hooked == [], [repr(a.exc_value) for a in hooked]
+
     def test_kill_cancels_spark_action(self, spark, tmp_path):
         """The watchdog must CANCEL the abandoned attempt's Spark job group:
         an in-flight action may not keep writing concurrently with a retry

@@ -344,6 +344,40 @@ class TestTaskRunnerStateMachine:
         assert not any("key_not_null" in w for w in r.warnings)
         assert ms.is_data_available("orders_bronze", RUN_DATE, RUN_DATE)
 
+    def test_expectations_gate_is_one_pass(self, spark, pipeline_env, sf_dir):
+        """The gated publish must compute the decorated output ONCE: the
+        gate persists the plan, validation materializes it, and the save
+        reads from cache.  At 100 TB an unpersisted gate doubles every
+        publish (VERDICT r6)."""
+        acc = spark.sparkContext.accumulator(0)
+
+        class CountedRows(Transformer):
+            def run(self, metastore, info_date, options):
+                def bump(v):
+                    acc.add(1)
+                    return v
+
+                bump_udf = F.udf(bump, "long")
+                return spark.range(100).select(bump_udf(F.col("id")).alias("v"))
+
+        ms, bk, tmp_path = pipeline_env
+        job = TransformationJob(
+            OperationDef(
+                name="one_pass",
+                kind="transformation",
+                output_table="revenue_gold",
+                expectations=[
+                    {"name": "v_ok", "kind": "in_range", "col": "v", "lo": 0, "hi": 1000},
+                ],
+            ),
+            ms, bk, ms.table_config("revenue_gold"), CountedRows(),
+        )
+        r = TaskRunner(bk).run_task(job, TaskPreDef(RUN_DATE, TaskRunReason.NEW))
+        assert r.status == RunStatus.SUCCEEDED, r.error
+        assert acc.value == 100, (
+            f"decorated output computed {acc.value / 100:.0f}x; gate must be one-pass"
+        )
+
     def test_decorations_applied(self, spark, pipeline_env, sf_dir):
         ms, bk, tmp_path = pipeline_env
         src = SparkSource(spark, {"format": "parquet"})
