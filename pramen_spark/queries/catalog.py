@@ -4149,14 +4149,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "q18_large_volume_customers", "q19_disjunctive_revenue",
     "q20_promotable_suppliers", "q21_waiting_suppliers",
     "q22_dormant_customers",
-    # tier 2: flagship + strongest oracle-checked extension operators (17)
+    # tier 2: flagship + strongest oracle-checked extension operators (17).
+    # Rotated each round so every family gets driver CORRECTNESS rows over
+    # time (round 7 swapped in the round-6 additions; the ousted queries
+    # stay oracle-checked via tools/check_oracle.py + pytest).
     "curate_corpus", "dedup_exact", "decontaminate_ngram",
-    "ngram_jaccard_pairs", "dedup_clusters", "embedding_near_dups",
-    "embedding_near_dups_lsh", "similarity_cosine_topk",
-    "similarity_lsh_topk", "sessionize_events", "asof_join_purchases",
-    "range_join_error_windows", "event_gaps_leadlag",
-    "hash_sample_documents", "stratified_sample_documents",
-    "token_budget_mix", "hash_split_documents",
+    "minhash_dedup", "dedup_clusters", "embedding_near_dups",
+    "semdedup_embeddings", "similarity_cosine_topk",
+    "gopher_quality_filter", "char_lm_quality",
+    "paragraph_dedup_documents", "line_dedup_documents",
+    "validate_documents", "pack_utilization",
+    "sessionize_events", "asof_join_purchases",
+    "range_join_error_windows",
 ]
 
 
