@@ -624,7 +624,12 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "para"),
     ).withColumn("_h", F.xxhash64("para"))
-    w = Window.partitionBy("_h").orderBy(id_col, "pos")
+    # partition by (hash, text): the hash alone spreads the shuffle, the
+    # text makes keep-first exact — at billions of paragraphs the expected
+    # number of 64-bit collisions approaches O(1), and a collision under a
+    # hash-only window silently deletes a legitimate paragraph. para is
+    # already in the shuffled rows, so exactness costs nothing extra.
+    w = Window.partitionBy("_h", "para").orderBy(id_col, "pos")
     flagged = paras.withColumn("_rank", F.row_number().over(w))
     is_kept = F.col("_rank") == 1
     rebuilt = flagged.groupBy(id_col).agg(

@@ -11,10 +11,16 @@ scan; uniqueness uses exact count-distinct inside the same aggregation.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, List, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# rule names are interpolated into the stack(...) pivot expression; a
+# config-supplied name containing a quote or backtick would be SQL
+# injection from config, so names are restricted to identifiers
+_RULE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def validate_expectations(
@@ -36,6 +42,11 @@ def validate_expectations(
     """
     aggs = []
     for name, kind, p in rules:
+        if not _RULE_NAME.match(name):
+            raise ValueError(
+                f"expectation rule name must match [A-Za-z0-9_]+ (it is "
+                f"interpolated into a SQL pivot expression): {name!r}"
+            )
         if kind == "not_null":
             bad = F.col(p["col"]).isNull()
             aggs.append(F.sum(bad.cast("long")).alias(name))
@@ -51,7 +62,9 @@ def validate_expectations(
             aggs.append(F.sum((~ok).cast("long")).alias(name))
         elif kind == "matches":
             c = F.col(p["col"])
-            ok = c.isNotNull() & c.rlike(p["pattern"])
+            # rlike (like DuckDB regexp_matches) is a substring search;
+            # wrap the pattern so the docstring's full-string promise holds
+            ok = c.isNotNull() & c.rlike("^(?:" + p["pattern"] + ")$")
             aggs.append(F.sum((~ok).cast("long")).alias(name))
         elif kind == "predicate":
             ok = F.expr(p["sql"])

@@ -38,18 +38,27 @@ def write_training_shards(
     mode: str = "overwrite",
 ) -> int:
     """Assign shards and write ``path/shard_id=K/`` parquet directories.
-    Returns the number of rows written (computed from the written files,
-    so the count reflects what actually landed)."""
+    Returns the number of rows THIS call wrote, counted by an
+    ``Observation`` attached to the write itself — one pass, exact under
+    ``mode='append'`` (a re-read would include pre-existing rows) and for
+    an empty input (a re-read of zero files cannot infer a schema)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
     sharded = assign_shards(df, n_shards, key_col=key_col, shard_col=shard_col)
     writer = (
+        # observe AFTER the repartition: on an empty input AQE prunes the
+        # pre-shuffle side and an upstream observe node never fires,
+        # making obs.get fail; here the node always executes
         sharded.repartition(n_shards, F.col(shard_col))
+        .observe(obs, F.count(F.lit(1)).alias("rows_written"))
         .write.mode(mode)
         .partitionBy(shard_col)
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(path)
-    return df.sparkSession.read.parquet(path).count()
+    return int(obs.get["rows_written"])
 
 
 class ShardSink(Sink):

@@ -1199,6 +1199,30 @@ class TestValidateExpectations:
         with pytest.raises(ValueError):
             validate_expectations(df, [("x", "nope", {})])
 
+    def test_matches_is_full_string(self, spark):
+        """An UNANCHORED pattern must still match the full string — rlike
+        alone is a substring search, which silently under-counts."""
+        from pramen_spark.operators.validation import validate_expectations
+
+        df = spark.createDataFrame(
+            [("ab",), ("xxabxx",), ("ab ab",)], ["lang"]
+        )
+        out = validate_expectations(
+            df, [("shape", "matches", {"col": "lang", "pattern": "[a-z]{2}"})]
+        ).collect()
+        # only "ab" is a full-string match; the other two violate
+        assert out[0].violations == 2
+
+    def test_rule_name_injection_rejected(self, spark):
+        """Rule names reach a SQL pivot expression; quotes/backticks from
+        config must be rejected, not interpolated."""
+        from pramen_spark.operators.validation import validate_expectations
+
+        df = spark.createDataFrame([(1,)], ["a"])
+        for bad in ("x', a), ('y", "x`), (`a", "a b", ""):
+            with pytest.raises(ValueError, match="rule name"):
+                validate_expectations(df, [(bad, "not_null", {"col": "a"})])
+
 
 class TestDedupAgainst:
     def test_anti_join_and_within_batch_collapse(self, spark):
@@ -1366,6 +1390,27 @@ class TestShardExport:
         back = spark.read.parquet(out)
         assert back.count() == 100
         assert {r.doc_id for r in back.select("doc_id").collect()} == set(range(100))
+
+    def test_append_counts_only_new_rows(self, spark, tmp_path):
+        """'rows written' must be THIS call's rows: a post-write re-read
+        would include pre-existing rows under mode='append'."""
+        from pramen_spark.sinks.shard_sink import write_training_shards
+
+        out = str(tmp_path / "shards")
+        df1 = spark.createDataFrame([(i, f"t{i}") for i in range(60)], ["doc_id", "text"])
+        df2 = spark.createDataFrame([(i, f"t{i}") for i in range(60, 100)], ["doc_id", "text"])
+        assert write_training_shards(df1, out, n_shards=4) == 60
+        assert write_training_shards(df2, out, n_shards=4, mode="append") == 40
+        assert spark.read.parquet(out).count() == 100
+
+    def test_empty_input_writes_zero(self, spark, tmp_path):
+        """An empty write leaves no parquet data files; the count must not
+        depend on re-reading them."""
+        from pramen_spark.sinks.shard_sink import write_training_shards
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        n = write_training_shards(df, str(tmp_path / "empty"), n_shards=4)
+        assert n == 0
 
     def test_sink_contract(self, spark, tmp_path):
         import datetime as dt
