@@ -2,8 +2,8 @@
 
 Shows how the training-data operators compose inside the reference-style
 Transformer contract (validate/run/post_process receiving a scoped
-metastore reader): quality gates -> Gopher repetition gates -> PII
-redaction -> exact dedup survivor join. Referenced by
+metastore reader): quality gates -> Gopher repetition gates -> optional
+learned-classifier gate -> PII redaction -> exact dedup survivor join. Referenced by
 ``corpus_curation.conf``; load it by putting this directory on PYTHONPATH
 and setting ``class = "curation_transformer.CurationTransformer"``.
 """
@@ -15,6 +15,7 @@ from pramen_spark.api import Reason, Transformer
 from pramen_spark.operators.dedup import exact_dedup
 from pramen_spark.operators.text import (
     gopher_quality_filter,
+    quality_classifier_score,
     quality_score,
     redact_pii,
     repetition_stats,
@@ -26,7 +27,10 @@ class CurationTransformer(Transformer):
     ``max.dup.word.frac`` (default 0.5); ``apply.gopher.rules`` = "true"
     adds the Gopher/C4 document rule gate, with thresholds overridable via
     ``gopher.min.words`` and ``gopher.min.stopwords`` (corpora differ —
-    code or non-English corpora typically relax the stopword floor)."""
+    code or non-English corpora typically relax the stopword floor);
+    ``apply.classifier`` = "true" adds the learned-classifier gate
+    (hashed-n-gram linear scorer), with ``classifier.threshold`` and
+    ``classifier.bias`` overridable."""
 
     def validate(self, metastore, info_date, options) -> Reason:
         if "input.table" not in options:
@@ -58,6 +62,15 @@ class CurationTransformer(Transformer):
             )
             gated = gated.join(
                 verdicts.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            )
+        if options.get("apply.classifier", "false").lower() == "true":
+            scores = quality_classifier_score(
+                docs,
+                threshold=float(options.get("classifier.threshold", 0.5)),
+                bias=float(options.get("classifier.bias", 0.0)),
+            )
+            gated = gated.join(
+                scores.filter("keep").select("doc_id"), "doc_id", "left_semi"
             )
         survivors = exact_dedup(gated).select("doc_id")
         redacted = redact_pii(gated.select("doc_id", "text"))

@@ -79,6 +79,90 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+#: Hashed-feature space + weight constants for the linear quality
+#: classifier: fixed so scores are reproducible across engines.
+CLASSIFIER_BUCKETS = 1024
+_W_MULT = 2654435761  # Knuth multiplicative constant
+_W_MOD = 1000003  # prime; weights are k/_W_MOD - 0.5 in [-0.5, 0.5)
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = CLASSIFIER_BUCKETS,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    weights: "Dict[int, float] | None" = None,
+) -> DataFrame:
+    """Learned-classifier quality gate (the fastText/DCLM pattern): a
+    linear model over hashed token uni+bigram features, completing the
+    standard curation trio — rules (:func:`gopher_quality_filter`),
+    corpus LM (:func:`char_lm_score`), classifier (this).
+
+    score = sigmoid(bias + mean(w[h(feature) mod B])) over the document's
+    token unigrams and bigrams; ``keep`` is ``score >= threshold``. The
+    weight table is what training would produce; here the default is a
+    deterministic pseudo-trained table w[b] = (b*K mod M)/M - 0.5 (K, M
+    fixed primes), so results are reproducible and engine-portable — pass
+    ``weights`` (bucket -> weight) to use a real trained table.
+
+    Scale (100 TB): pure column expressions — tokenize, hash, fold — with
+    ZERO shuffles and no Python in the row path; the weight table is
+    either an inline arithmetic expression (default) or a ~KB map literal
+    (custom ``weights``), never a join. With the default table the fold
+    accumulates exact 64-bit integers (one float division at the end), so
+    scores are bit-reproducible regardless of partitioning or order.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " "),
+        lambda t: t != F.lit(""),
+    )
+    d = df.select(F.col(id_col), toks.alias("_t"))
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.zip_with(
+            F.slice("_t", 1, F.size("_t") - 1),
+            F.slice("_t", 2, F.size("_t") - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(F.col("_t"), bigrams)
+
+    def bucket(t):
+        # portable 60-bit hash (md5 hex -> int), same idiom as simhash_md5
+        h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(n_buckets))
+
+    n = F.size(feats)
+    if weights is None:
+        # integer fold: sum of (bucket*K mod M) is exact in 64-bit
+        acc = F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.pmod(bucket(t) * F.lit(_W_MULT), F.lit(_W_MOD)),
+        )
+        mean_w = acc.cast("double") / (n.cast("double") * F.lit(float(_W_MOD))) - F.lit(0.5)
+    else:
+        wmap = F.create_map(
+            *[x for b, w in sorted(weights.items()) for x in (F.lit(int(b)), F.lit(float(w)))]
+        )
+        acc = F.aggregate(
+            feats,
+            F.lit(0.0),
+            lambda a, t: a + F.coalesce(F.element_at(wmap, bucket(t)), F.lit(0.0)),
+        )
+        mean_w = acc / n.cast("double")
+    logit = F.lit(float(bias)) + F.when(n > 0, mean_w).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return d.select(
+        id_col,
+        n.cast("long").alias("n_features"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 #: Stopwords whose presence Gopher requires (>= 2 distinct) — the
 #: "contains common English words" repetition-free sanity rule.
 GOPHER_REQUIRED_STOPWORDS: Sequence[str] = (

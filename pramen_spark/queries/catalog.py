@@ -643,6 +643,62 @@ def q_gopher_quality_filter(spark, sf_dir):
 
 
 @query(
+    "quality_classifier",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                   t -> t <> '') AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               list_concat(
+                   t,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)),
+                                            i -> t[i] || '_' || t[i + 1])
+                        ELSE [] END) AS f
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(f) AS BIGINT) AS n_features,
+               CASE WHEN len(f) > 0 THEN
+                   CAST(list_sum(list_transform(f, x ->
+                       ((('0x' || substr(md5(x), 1, 15))::BIGINT % 1024)
+                        * 2654435761) % 1000003)) AS BIGINT)
+               ELSE 0 END AS s
+        FROM feats
+    )
+    SELECT doc_id,
+           n_features,
+           ROUND(1 / (1 + exp(-(CASE WHEN n_features > 0
+               THEN s / (n_features * 1000003.0) - 0.5
+               ELSE 0.0 END))), 6) AS quality_score,
+           1 / (1 + exp(-(CASE WHEN n_features > 0
+               THEN s / (n_features * 1000003.0) - 0.5
+               ELSE 0.0 END))) >= 0.5 AS keep
+    FROM scored
+    """,
+    "learned quality classifier: linear model over hashed token "
+    "uni+bigram features (fastText/DCLM pattern), deterministic weights",
+    tags=("text", "quality"),
+)
+def q_quality_classifier(spark, sf_dir):
+    """The classifier leg of the curation trio (rules / corpus-LM /
+    learned classifier). Zero shuffles: tokenize -> hash -> integer fold
+    -> sigmoid, all whole-stage codegen; the oracle recomputes the exact
+    same md5-bucketed integer weights, so the hash must match to the
+    rounded 6th decimal."""
+    from pramen_spark.operators.text import quality_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_classifier_score(d)
+
+
+@query(
     "text_repetition",
     r"""
     WITH toks AS (

@@ -59,7 +59,8 @@ class TestPlanShapes:
         """Pure column-expression text ops: no exchange (shuffle), no
         Python evaluation, and the pipeline is whole-stage-codegen'd
         (formatted explain marks codegen nodes with a '* ' prefix)."""
-        for name in ("text_quality", "text_repetition", "doc_fingerprint", "lang_id"):
+        for name in ("text_quality", "text_repetition", "doc_fingerprint", "lang_id",
+                     "quality_classifier"):
             plan = plan_of(spark, sf_dir, name)
             assert "Exchange" not in plan, (name, plan)
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -1427,6 +1427,70 @@ class TestShardExport:
         assert back.count() == 50
 
 
+class TestQualityClassifier:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_score_shape_and_determinism(self, spark):
+        from pramen_spark.operators.text import quality_classifier_score
+
+        df = self._df(spark, [(1, "the quick brown fox"), (2, "lorem ipsum dolor sit amet")])
+        a = {r.doc_id: r for r in quality_classifier_score(df).collect()}
+        b = {r.doc_id: r for r in quality_classifier_score(df.repartition(7)).collect()}
+        for i in (1, 2):
+            assert a[i].quality_score == b[i].quality_score  # order/partition invariant
+            assert 0.0 < a[i].quality_score < 1.0
+            # unigrams + bigrams
+        assert a[1].n_features == 4 + 3
+        assert a[2].n_features == 5 + 4
+
+    def test_empty_and_single_token(self, spark):
+        from pramen_spark.operators.text import quality_classifier_score
+
+        df = self._df(spark, [(1, ""), (2, "   "), (3, "word"), (4, "!!!")])
+        out = {r.doc_id: r for r in quality_classifier_score(df, bias=0.0).collect()}
+        for i in (1, 2, 4):  # no features -> sigmoid(bias) = 0.5
+            assert out[i].n_features == 0 and out[i].quality_score == 0.5
+        assert out[3].n_features == 1
+
+    def test_bias_shifts_scores(self, spark):
+        from pramen_spark.operators.text import quality_classifier_score
+
+        df = self._df(spark, [(1, "some ordinary text here")])
+        lo = quality_classifier_score(df, bias=-2.0).collect()[0].quality_score
+        hi = quality_classifier_score(df, bias=2.0).collect()[0].quality_score
+        assert lo < 0.3 < 0.7 < hi
+
+    def test_custom_weights_table(self, spark):
+        """A trained table (bucket -> weight) drives the score; buckets
+        absent from the table contribute 0."""
+        from pramen_spark.operators.text import quality_classifier_score
+
+        df = self._df(spark, [(1, "good good"), (2, "zzqx zzqx")])
+        # find the buckets the features land in, then weight them apart
+        feats = quality_classifier_score(df)  # default run to smoke
+        assert feats.count() == 2
+        import hashlib
+
+        def bucket(t, B=1024):
+            return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+
+        w = {bucket("good"): 4.0, bucket("good_good"): 4.0,
+             bucket("zzqx"): -4.0, bucket("zzqx_zzqx"): -4.0}
+        out = {r.doc_id: r for r in
+               quality_classifier_score(df, weights=w).collect()}
+        assert out[1].keep and out[1].quality_score > 0.9
+        assert not out[2].keep and out[2].quality_score < 0.1
+
+    def test_threshold_gates_keep(self, spark):
+        from pramen_spark.operators.text import quality_classifier_score
+
+        df = self._df(spark, [(1, "anything at all")])
+        keep_all = quality_classifier_score(df, threshold=0.0).collect()[0]
+        keep_none = quality_classifier_score(df, threshold=1.01).collect()[0]
+        assert keep_all.keep and not keep_none.keep
+
+
 class TestCharLmScore:
     def test_outlier_scores_higher_than_typical(self, spark):
         from pramen_spark.operators.text import char_lm_score
