@@ -5,7 +5,7 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with a noop-format write (full computation, no driver
-transfer).  Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and
+transfer).  Each query runs $SPARK_GRAFT_BENCH_REPS times (default 5) and
 the reported time is the per-query MEDIAN, so one co-tenant hiccup or JIT
 warm-up does not masquerade as a plan regression; per-rep raw times are
 included under "reps"."""
@@ -68,6 +68,9 @@ HEADLINE = [
     "validate_documents",
     "value_drift_psi",
     "bucket_gapfill_hourly",
+    # round-7: substring-granularity dedup + learned classifier gate
+    "substring_dedup_documents",
+    "quality_classifier",
 ]
 
 
@@ -77,7 +80,9 @@ def force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # 5 interleaved reps by default: this box has ±10-15% run-to-run noise,
+    # and 3 reps cannot resolve sub-25% regressions (round-6 lesson)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = build_session(app_name="pramen_spark_bench")

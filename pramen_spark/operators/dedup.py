@@ -648,6 +648,88 @@ def paragraph_dedup(
     return rebuilt.filter(F.col("n_paras_kept") > 0)
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring dedup at token granularity (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): any run
+    of >= ``n`` whitespace tokens that occurs more than once in the corpus
+    survives only at its globally first occurrence; later copies have the
+    covered tokens removed and the documents are rebuilt. This is the
+    sub-paragraph member of the dedup family — a 50-token span duplicated
+    inside otherwise unique paragraphs is caught here but survives
+    :func:`paragraph_dedup`.
+
+    Mechanism (the token-n-gram-anchored scalable approximation of the
+    paper's suffix-array method): every doc emits its token ``n``-grams
+    with positions; a keep-first window per n-gram marks each non-first
+    occurrence's token range [pos, pos+n) for removal; per doc the marked
+    ranges are unioned and surviving tokens re-joined. Runs longer than
+    ``n`` are covered by their overlapping n-grams, so the whole run is
+    removed from every later copy while the first copy keeps all of it.
+
+    Returns (id, rebuilt text, n_tokens_kept, n_tokens_removed); documents
+    whose every token was covered drop out entirely.
+
+    Scale (100 TB): no self-join on raw text anywhere. The wide stage is
+    the n-gram explode, shuffled once for the keep-first window,
+    partitioned by (64-bit gram hash, gram) — the hash key spreads the
+    shuffle, the gram text (already in the shuffled row) makes keep-first
+    exact under hash collisions, the same (hash, payload) window-key
+    pattern as :func:`paragraph_dedup`. Duplicate marks collapse to at
+    most one row per doc (an aggregated start-position list, flattened to
+    covered positions inside a column expression — the n-fold range
+    expansion never becomes rows), and the rebuild joins that small set
+    back to the doc rows. Dominant cost: one shuffle of ~n tokens per
+    corpus token; a hash-only window key would cut the bytes ~6x at the
+    cost of O(1) collision-induced false removals corpus-wide."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    docs = df.select(F.col(id_col), toks.alias("_t"))
+
+    # (id, pos, gram): pos is 1-based token index of the gram's start
+    grams = docs.filter(F.size("_t") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - n + 1),
+                lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
+            )
+        ).alias("_i0", "gram"),
+    ).select(id_col, (F.col("_i0") + 1).cast("long").alias("pos"), "gram")
+
+    w = Window.partitionBy(F.xxhash64("gram"), "gram").orderBy(id_col, "pos")
+    dup_starts = (
+        grams.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+
+    rm = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_starts"), lambda s: F.sequence(s, s + n - 1))
+        )
+    )
+    joined = docs.join(dup_starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("_t"),
+        F.coalesce(rm, F.array().cast("array<long>")).alias("_rm"),
+    )
+    kept = F.filter(
+        F.col("_t"), lambda t, i: ~F.array_contains(F.col("_rm"), (i + 1).cast("long"))
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+    return out.filter(F.col("n_tokens_kept") > 0)
+
+
 def dedup_against(
     df: DataFrame,
     seen: DataFrame,

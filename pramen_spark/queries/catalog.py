@@ -3620,6 +3620,84 @@ def q_paragraph_dedup_documents(spark, sf_dir):
 
 
 @query(
+    "substring_dedup_documents",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' visit our site today for the best synthetic data offers'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+        FROM aug
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+               array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 8 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 8 + 1)) AS i
+              FROM toks WHERE len(t) >= 8)
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ),
+    rm AS (
+        SELECT DISTINCT d.doc_id, d.pos + ro.o AS rmpos
+        FROM (SELECT doc_id, pos FROM ranked WHERE rn > 1) d, range(8) ro(o)
+    ),
+    alltoks AS (
+        SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+               t[CAST(i + 1 AS INTEGER)] AS tok, len(t) AS n_all
+        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)
+    ),
+    kept AS (
+        SELECT a.doc_id, a.pos, a.tok, a.n_all
+        FROM alltoks a LEFT JOIN rm ON a.doc_id = rm.doc_id AND a.pos = rm.rmpos
+        WHERE rm.doc_id IS NULL
+    )
+    SELECT doc_id,
+           array_to_string(list(tok ORDER BY pos), ' ') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+           CAST(ANY_VALUE(n_all) - COUNT(*) AS BIGINT) AS n_tokens_removed
+    FROM kept
+    GROUP BY doc_id
+    """,
+    "exact substring dedup: duplicated >=8-token runs survive only at "
+    "their globally first occurrence (Lee et al. at token granularity)",
+    tags=("dedup", "quality"),
+)
+def q_substring_dedup_documents(spark, sf_dir):
+    """Sub-paragraph exact dedup (the member of the Lee et al. family
+    that paragraph_dedup misses): a 10-token promotional sentence is
+    appended to every third doc — the globally first copy keeps it, every
+    later copy has exactly those tokens stripped while the surrounding
+    unique text survives. Same construction in the oracle, which
+    recomputes the keep-first marking and rebuild from scratch. The
+    operator shuffles n-grams once for the keep-first window (partitioned
+    by hash + gram, exact under collisions) and rebuilds docs from an
+    aggregated start-position list (operators/dedup.py::substring_dedup);
+    no self-join on raw text."""
+    from pramen_spark.operators.dedup import substring_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" visit our site today for the best synthetic data offers"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return substring_dedup(aug, n=8)
+
+
+@query(
     "char_lm_quality",
     r"""
     WITH t AS (
@@ -4210,13 +4288,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # time (round 7 swapped in the round-6 additions; the ousted queries
     # stay oracle-checked via tools/check_oracle.py + pytest).
     "curate_corpus", "dedup_exact", "decontaminate_ngram",
-    "minhash_dedup", "dedup_clusters", "embedding_near_dups",
+    "minhash_dedup", "dedup_clusters",
     "semdedup_embeddings", "similarity_cosine_topk",
     "gopher_quality_filter", "char_lm_quality",
     "paragraph_dedup_documents", "line_dedup_documents",
+    "substring_dedup_documents", "quality_classifier",
     "validate_documents", "pack_utilization",
-    "sessionize_events", "asof_join_purchases",
-    "range_join_error_windows",
+    "sessionize_events", "range_join_error_windows",
 ]
 
 

@@ -66,6 +66,18 @@ class TestPlanShapes:
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
             assert re.search(r"\* \w", plan), (name, plan)
 
+    def test_substring_dedup_no_text_self_join(self, spark, sf_dir):
+        """Duplicate-span detection must never self-join raw text: the
+        only join is the aggregated marked-positions set joined back to
+        the docs (broadcast-able), and the row path stays JVM-side."""
+        plan = plan_of(spark, sf_dir, "substring_dedup_documents")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+        assert len(joins) == 1, joins
+        # two data shuffles (gram window + per-doc mark agg); the join
+        # side is a broadcast, not another exchange over the corpus
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
     def test_cosine_topk_has_no_python(self, spark, sf_dir):
         """Brute-force scoring is JVM-side (aggregate/zip_with): Python
         appears nowhere in the exact similarity path."""

@@ -1142,6 +1142,110 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestSubstringDedup:
+    def test_later_copies_of_span_removed(self, spark):
+        from pramen_spark.operators.dedup import substring_dedup
+
+        docs = [
+            (1, "a b c d e unique one"),
+            (2, "pre two a b c d e post two"),
+            (3, "three a b c d e and a b c d e again"),
+            (4, "nothing shared here at all"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in substring_dedup(
+                spark.createDataFrame(docs, ["doc_id", "text"]), n=5
+            ).collect()
+        }
+        assert out[1].text == "a b c d e unique one"  # first copy keeps
+        assert out[2].text == "pre two post two" and out[2].n_tokens_removed == 5
+        # both of doc 3's copies are later than doc 1's
+        assert out[3].text == "three and again" and out[3].n_tokens_removed == 10
+        assert out[4].n_tokens_removed == 0
+
+    def test_long_run_fully_covered_by_overlapping_grams(self, spark):
+        from pramen_spark.operators.dedup import substring_dedup
+
+        run = " ".join(f"w{i}" for i in range(12))
+        docs = [(1, f"{run} one"), (2, f"two {run}")]
+        out = {
+            r.doc_id: r
+            for r in substring_dedup(
+                spark.createDataFrame(docs, ["doc_id", "text"]), n=4
+            ).collect()
+        }
+        assert out[1].text == f"{run} one"
+        assert out[2].text == "two" and out[2].n_tokens_removed == 12
+
+    def test_fully_duplicate_doc_drops_out(self, spark):
+        from pramen_spark.operators.dedup import substring_dedup
+
+        docs = [(1, "x y z w v"), (2, "x y z w v")]
+        out = {
+            r.doc_id: r
+            for r in substring_dedup(
+                spark.createDataFrame(docs, ["doc_id", "text"]), n=5
+            ).collect()
+        }
+        assert out[1].text == "x y z w v" and 2 not in out
+
+    def test_short_docs_pass_through(self, spark):
+        from pramen_spark.operators.dedup import substring_dedup
+
+        docs = [(1, "too short"), (2, "too short"), (3, "")]
+        out = {
+            r.doc_id: r
+            for r in substring_dedup(
+                spark.createDataFrame(docs, ["doc_id", "text"]), n=8
+            ).collect()
+        }
+        # below the n-gram floor nothing is marked; empty doc drops out
+        assert out[1].text == "too short" and out[2].text == "too short"
+        assert 3 not in out
+
+    @staticmethod
+    def _ref(docs, n):
+        """Sequential reference: global keep-first over (doc_id, pos)."""
+        seen = set()
+        out = {}
+        for i, text in sorted(docs):
+            t = text.split()
+            marked = set()
+            for p in range(max(0, len(t) - n + 1)):
+                g = " ".join(t[p : p + n])
+                if g in seen:
+                    marked.update(range(p, p + n))
+                else:
+                    seen.add(g)
+            kept = [tok for j, tok in enumerate(t) if j not in marked]
+            if kept:
+                out[i] = (" ".join(kept), len(kept), len(t) - len(kept))
+        return out
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "dd", "e1"]), min_size=0, max_size=14
+            ).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_sequential_reference(self, spark, docs):
+        from pramen_spark.operators.dedup import substring_dedup
+
+        rows = [(i, t) for i, t in enumerate(docs)]
+        got = {
+            r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in substring_dedup(
+                spark.createDataFrame(rows, "doc_id long, text string"), n=3
+            ).collect()
+        }
+        assert got == self._ref(rows, 3)
+
+
 class TestValidateExpectations:
     def test_all_rule_kinds_count_violations(self, spark):
         from pramen_spark.operators.validation import validate_expectations
