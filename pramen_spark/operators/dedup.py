@@ -767,3 +767,47 @@ def dedup_against(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def persist_hash_ledger(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    hash_col: Optional[str] = None,
+    mode: str = "append",
+) -> str:
+    """Persist (or extend) the seen-hash ledger :func:`dedup_against`
+    anti-joins against, BUCKETED by ``text_hash`` — the layout that makes
+    the incremental dedup's per-batch cost independent of ledger size.
+
+    Without bucketing, every batch's anti-join reshuffles the ENTIRE
+    ledger (at 100 TB: ~32 GB of hashes per billion docs, re-shuffled on
+    every incremental run). Bucketed by the join key, the ledger scan
+    already satisfies the join's required distribution: Spark shuffles
+    only the (much smaller) new batch into the bucket layout and streams
+    the ledger partitions in place — the ledger side has NO exchange in
+    the plan (asserted by ``test_training_ops.py::TestHashLedgerBucketing``).
+    ``mode='append'`` adds each run's fresh hashes into the same bucket
+    spec, so the chained-run invariant (each content admitted exactly
+    once, ever) holds with per-run cost O(batch), not O(corpus).
+
+    Pass ``hash_col`` when ``df`` already carries the sha2 hash (e.g. the
+    output of :func:`dedup_against` itself); otherwise it is computed
+    from ``text_col``. Returns the table name for chaining.
+
+    Reference semantics: the bookkeeper's "what has been ingested" record
+    (core/.../bookkeeper/BookkeeperBase.scala), specialized to content
+    hashes for corpus dedup."""
+    if hash_col is None:
+        ledger = df.select(F.sha2(F.col(text_col), 256).alias("text_hash"))
+    else:
+        ledger = df.select(F.col(hash_col).alias("text_hash"))
+    (
+        ledger.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, "text_hash")
+        .sortBy("text_hash")
+        .saveAsTable(table)
+    )
+    return table

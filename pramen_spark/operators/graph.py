@@ -22,6 +22,8 @@ data does.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -43,12 +45,18 @@ def _truncate(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+#: Session-conf key overriding the driver union-find edge cap; settable
+#: from workflow config via ``pramen { spark.conf { ... } }``.
+DRIVER_MAX_EDGES_CONF = "spark.pramen.dedup.driverMaxEdges"
+_DRIVER_MAX_EDGES_DEFAULT = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    driver_max_edges: int = 1_000_000,
+    driver_max_edges: Optional[int] = None,
 ) -> DataFrame:
     """Return (vertex, component) for every vertex in `edges`, where
     `component` is the minimum vertex id reachable from it.
@@ -79,7 +87,22 @@ def connected_components(
     min reachable id); ``driver_max_edges=0`` forces the distributed path.
     The edge list is counted once (persisted first — the count also warms
     the downstream read) to choose the strategy.
+
+    The cap defaults to 1M edges and is overridable per deployment via
+    the session conf ``spark.pramen.dedup.driverMaxEdges`` (settable from
+    workflow config: ``pramen { spark.conf { ... } }``) — the explicit
+    argument wins when given. Size it for the AGGREGATE envelope: the cap
+    is per call, so a runner executing K dedup tasks in parallel can hold
+    K such edge lists on the driver at once (K x ~tens of MB at 1M edges)
+    alongside broadcast build sides; on a shared driver, lower the conf
+    rather than relying on each caller's default.
     """
+    if driver_max_edges is None:
+        driver_max_edges = int(
+            edges.sparkSession.conf.get(
+                DRIVER_MAX_EDGES_CONF, str(_DRIVER_MAX_EDGES_DEFAULT)
+            )
+        )
     e = (
         edges.select(F.col(src).alias("ea"), F.col(dst).alias("eb"))
         .filter(F.col("ea").isNotNull() & F.col("eb").isNotNull())

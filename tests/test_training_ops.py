@@ -876,6 +876,35 @@ class TestConnectedComponents:
         )
         assert via_driver == via_propagation
 
+    def test_driver_cap_configurable_via_session_conf(self, spark):
+        """The union-find edge cap must honor
+        spark.pramen.dedup.driverMaxEdges (settable from workflow config's
+        spark.conf block); the explicit argument wins over the conf."""
+        from pramen_spark.operators.graph import (
+            DRIVER_MAX_EDGES_CONF,
+            connected_components,
+        )
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        spark.conf.set(DRIVER_MAX_EDGES_CONF, "0")
+        try:
+            # conf=0 forces the distributed path; results identical
+            out = sorted(
+                (r.vertex, r.component)
+                for r in connected_components(edges).collect()
+            )
+            assert out == [(1, 1), (2, 1), (3, 1)]
+            # explicit argument overrides the conf
+            out2 = sorted(
+                (r.vertex, r.component)
+                for r in connected_components(
+                    edges, driver_max_edges=1_000_000
+                ).collect()
+            )
+            assert out2 == out
+        finally:
+            spark.conf.unset(DRIVER_MAX_EDGES_CONF)
+
     def test_null_edges_dropped(self, spark):
         from pramen_spark.operators.graph import connected_components
 
@@ -1140,6 +1169,76 @@ class TestParagraphDedup:
         for i in range(1, 6):
             assert out[i].text == f"alpha {i}\n\nbeta {i}"
             assert out[i].n_paras_removed == 0
+
+
+class TestHashLedgerBucketing:
+    def test_ledger_side_joins_without_exchange(self, spark):
+        """The persisted ledger is bucketed by text_hash: the incremental
+        anti-join must shuffle ONLY the new batch — at 100 TB reshuffling
+        the ledger every batch is the scale killer."""
+        import re
+
+        from pramen_spark.operators.dedup import dedup_against, persist_hash_ledger
+
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.sql("DROP TABLE IF EXISTS ledger_bucket_test")
+        try:
+            docs = spark.createDataFrame(
+                [(i, f"text {i % 300}") for i in range(400)], ["doc_id", "text"]
+            )
+            persist_hash_ledger(
+                docs.filter("doc_id < 200"), "ledger_bucket_test", n_buckets=8
+            )
+            batch = docs.filter("doc_id >= 200")
+            out = dedup_against(
+                batch, spark.table("ledger_bucket_test"), seen_hash_col="text_hash"
+            )
+            plan = out._sc._jvm.PythonSQLUtils.explainString(
+                out._jdf.queryExecution(), "formatted"
+            )
+            assert "Bucketed: true" in plan, plan
+            # exactly one exchange: the batch side; ledger streams in place
+            assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+            # correctness unchanged: texts 0..299 exist in doc_id<200 for
+            # ids 200..299's texts (200..299 % 300); fresh = 100 new texts
+            got = sorted(r.doc_id for r in out.collect())
+            want = sorted(
+                i for i in range(200, 400) if (i % 300) >= 200 and i == (i % 300)
+            )
+            assert got == want, (got[:10], want[:10])
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ledger_bucket_test")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    def test_append_extends_same_bucket_spec(self, spark):
+        """Chained runs: run N's fresh hashes append into the ledger; run
+        N+1 must not re-admit anything from run N."""
+        from pramen_spark.operators.dedup import dedup_against, persist_hash_ledger
+
+        spark.sql("DROP TABLE IF EXISTS ledger_chain_test")
+        try:
+            b1 = spark.createDataFrame(
+                [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+            )
+            persist_hash_ledger(b1, "ledger_chain_test", n_buckets=4)
+            b2 = spark.createDataFrame(
+                [(3, "alpha"), (4, "gamma"), (5, "gamma")], ["doc_id", "text"]
+            )
+            fresh2 = dedup_against(b2, spark.table("ledger_chain_test"),
+                                   seen_hash_col="text_hash")
+            assert sorted(r.doc_id for r in fresh2.collect()) == [4]
+            # append run-2 survivors, then a run-3 batch of all-seen texts
+            persist_hash_ledger(fresh2, "ledger_chain_test", n_buckets=4,
+                                hash_col="text_hash")
+            b3 = spark.createDataFrame(
+                [(6, "gamma"), (7, "beta")], ["doc_id", "text"]
+            )
+            fresh3 = dedup_against(b3, spark.table("ledger_chain_test"),
+                                   seen_hash_col="text_hash")
+            assert fresh3.count() == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ledger_chain_test")
 
 
 class TestSubstringDedup:
