@@ -68,9 +68,12 @@ HEADLINE = [
     "validate_documents",
     "value_drift_psi",
     "bucket_gapfill_hourly",
-    # round-7: substring-granularity dedup + learned classifier gate
+    # round-7: substring-granularity dedup + learned classifier gate,
+    # novelty audit, snapshot diff
     "substring_dedup_documents",
     "quality_classifier",
+    "ngram_novelty_documents",
+    "snapshot_diff_documents",
 ]
 
 

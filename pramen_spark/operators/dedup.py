@@ -429,6 +429,53 @@ def ngram_containment(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's DISTINCT token
+    ``n``-grams that occur in no other document. Low novelty flags
+    templated/boilerplate/near-duplicate content that survived exact
+    dedup; high novelty marks unique text (and, inverted, a memorization-
+    risk proxy: training sees low-novelty spans many times). The standard
+    companion metric to the Lee et al. dedup family — run it AFTER
+    :func:`substring_dedup` to audit what duplication remains.
+
+    Returns (id, n_grams, n_novel, novelty_ratio) for docs with >= n
+    tokens.
+
+    Scale (100 TB): per-doc distinct grams are built inside the row
+    (``array_distinct`` before the explode — no dedup shuffle), then ONE
+    shuffle computes corpus doc-frequency as a window count keyed by
+    (64-bit gram hash, gram) — the hash spreads the shuffle, the gram
+    text keeps colliding grams from merging their counts (same window-key
+    pattern as :func:`substring_dedup`) — and one map-side-combined
+    groupBy(id) folds the verdict. No join, no second pass over text."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    docs = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= n)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    w = Window.partitionBy(F.xxhash64("gram"), "gram")
+    flagged = grams.withColumn("_df", F.count("*").over(w))
+    novel = (F.col("_df") == 1).cast("long")
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(novel).alias("n_novel"),
+        F.round(F.sum(novel) / F.count("*"), 6).alias("novelty_ratio"),
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -83,3 +83,38 @@ def psi(
             F.round((q - p) * F.log(q / p), round_to).alias("psi_term"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots: one row per id
+    with status ``added`` (only in ``new``), ``removed`` (only in
+    ``old``), ``changed`` (both, different content hash) or ``unchanged``
+    — the audit a recurring ingestion runs before accepting a refreshed
+    dump (how much actually changed? did the provider silently rewrite
+    history?). Aggregate the output for the report; gate on it with
+    :mod:`pramen_spark.operators.validation` rules.
+
+    Scale: each side reduces to (id, sha256) before the single full-outer
+    join — the shuffle carries 8-byte ids + 64-byte hashes, never text.
+    Snapshots persisted bucketed by ``id_col`` (see
+    ``operators/dedup.py::persist_hash_ledger`` for the writer pattern)
+    join with no exchange at all."""
+    o = old.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h_old")
+    )
+    nw = new.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h_new")
+    )
+    j = o.join(nw, id_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

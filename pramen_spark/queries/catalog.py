@@ -3698,6 +3698,95 @@ def q_substring_dedup_documents(spark, sf_dir):
 
 
 @query(
+    "ngram_novelty_documents",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(len(t) - 3 + 1)) AS i
+              FROM toks WHERE len(t) >= 3)
+    ),
+    dfq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+               AS novelty_ratio
+    FROM grams g JOIN dfq d USING (gram)
+    GROUP BY g.doc_id
+    """,
+    "per-doc novelty: fraction of distinct token 3-grams occurring in no "
+    "other document (residual-duplication / memorization-risk audit)",
+    tags=("dedup", "quality"),
+)
+def q_ngram_novelty_documents(spark, sf_dir):
+    """Novelty audit over the corpus: per-doc distinct grams build inside
+    the row (array_distinct before the explode), corpus doc-frequency is
+    one window count keyed by (hash, gram), and the verdict folds in a
+    map-side-combined groupBy — no join anywhere in the operator
+    (operators/dedup.py::ngram_novelty); the oracle recomputes df with an
+    explicit GROUP BY + join."""
+    from pramen_spark.operators.dedup import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(d, n=3)
+
+
+@query(
+    "snapshot_diff_documents",
+    r"""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    o AS (SELECT doc_id, sha256(text) AS h_old FROM old),
+    n AS (SELECT doc_id, sha256(text) AS h_new FROM new)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h_old <> n.h_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+    "corpus snapshot diff: per-id added/removed/changed/unchanged between "
+    "two dumps, compared by content hash",
+    tags=("monitoring", "dedup"),
+)
+def q_snapshot_diff_documents(spark, sf_dir):
+    """Refresh audit (operators/drift.py::snapshot_diff): the 'new' dump
+    deterministically deletes every 7th doc, rewrites every 5th, and adds
+    one per 11th — the diff must classify each id exactly. Each side
+    reduces to (id, sha256) before the single full-outer join; the
+    shuffle never carries text."""
+    from pramen_spark.operators.drift import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionAll(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+        )
+    )
+    return snapshot_diff(old, new)
+
+
+@query(
     "char_lm_quality",
     r"""
     WITH t AS (

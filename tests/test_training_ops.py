@@ -1171,6 +1171,62 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestNgramNovelty:
+    def test_shared_grams_lower_novelty(self, spark):
+        from pramen_spark.operators.dedup import ngram_novelty
+
+        docs = [
+            (1, "a b c d"),            # grams: "a b c", "b c d"
+            (2, "x a b c y"),          # shares "a b c" with doc 1
+            (3, "p q r s t"),          # fully novel
+            (4, "zz"),                 # too short: no grams, drops out
+        ]
+        out = {
+            r.doc_id: r
+            for r in ngram_novelty(
+                spark.createDataFrame(docs, ["doc_id", "text"]), n=3
+            ).collect()
+        }
+        assert out[1].n_grams == 2 and out[1].n_novel == 1
+        assert out[1].novelty_ratio == 0.5
+        assert out[2].n_grams == 3 and out[2].n_novel == 2
+        assert out[3].novelty_ratio == 1.0
+        assert 4 not in out
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        """Per-doc grams are DISTINCT: a doc repeating its own gram does
+        not raise that gram's corpus doc-frequency above 1."""
+        from pramen_spark.operators.dedup import ngram_novelty
+
+        df = spark.createDataFrame([(1, "a b c a b c")], ["doc_id", "text"])
+        row = ngram_novelty(df, n=3).collect()[0]
+        # distinct grams: "a b c", "b c a", "c a b" -> all df=1
+        assert row.n_grams == 3 and row.novelty_ratio == 1.0
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        from pramen_spark.operators.drift import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "will change"), (3, "will vanish")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "changed!"), (4, "brand new")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_identical_snapshots_all_unchanged(self, spark):
+        from pramen_spark.operators.drift import snapshot_diff
+
+        d = spark.createDataFrame([(i, f"t{i}") for i in range(20)], ["doc_id", "text"])
+        out = snapshot_diff(d, d).collect()
+        assert len(out) == 20 and all(r.status == "unchanged" for r in out)
+
+
 class TestHashLedgerBucketing:
     def test_ledger_side_joins_without_exchange(self, spark):
         """The persisted ledger is bucketed by text_hash: the incremental
