@@ -74,9 +74,13 @@ class TestPlanShapes:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
         assert len(joins) == 1, joins
-        # two data shuffles (gram window + per-doc mark agg); the join
-        # side is a broadcast, not another exchange over the corpus
-        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+        # two data shuffles (gram window + per-doc mark agg) plus the
+        # spread_input repartition inherited by both scan branches at
+        # test scale (spread is a no-op at real scale: inputs arrive in
+        # >= parallelism splits); the join side is a broadcast, never
+        # another corpus-keyed exchange
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+        assert "BroadcastHashJoin" in plan, plan
 
     def test_cosine_topk_has_no_python(self, spark, sf_dir):
         """Brute-force scoring is JVM-side (aggregate/zip_with): Python
