@@ -74,6 +74,7 @@ HEADLINE = [
     "quality_classifier",
     "ngram_novelty_documents",
     "snapshot_diff_documents",
+    "minhash_incremental_batch",
 ]
 
 

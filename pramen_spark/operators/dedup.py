@@ -158,6 +158,33 @@ def _ordered_pairs(ids_col) -> "F.Column":
     )
 
 
+def _band_rows(
+    signatures: DataFrame, id_col: str, num_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows from a signatures frame — the LSH
+    banding projection, shared by the one-shot pair generator and the
+    incremental index join."""
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -183,25 +210,7 @@ def minhash_lsh_candidates(
     so the cap removes the quadratic term; for degenerate corpora (millions
     of identical docs) additionally drop boilerplate shingles up front with
     ``minhash_signatures(max_shingle_freq=...)``."""
-    bands = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    bands = _band_rows(signatures, id_col, num_bands, rows_per_band)
     buckets = bands.groupBy("band_idx", "band_hash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -813,6 +822,174 @@ def dedup_against(
         fresh.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def minhash_dedup_against(
+    df: DataFrame,
+    seen_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+    verify: str = "estimate",
+    seen_text: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: keep only the rows of ``df`` (the new
+    batch) that are not near-duplicates of anything already ingested —
+    the MinHash analogue of :func:`dedup_against`. ``seen_sigs`` is the
+    persisted signature index, (id, signature array<long>), i.e. the
+    ``signature`` column this function returns for its survivors: chain
+    runs by appending each batch's surviving signatures to the index
+    (persist it bucketed by the id — see :func:`persist_hash_ledger` for
+    the writer pattern; at 100 TB the index is num_hashes longs per doc,
+    ~0.5 KB/doc, and is NEVER re-derived from text).
+
+    A batch row survives iff (a) no indexed doc shares an LSH band AND
+    verifies at/above ``threshold``, and (b) no earlier (smaller-id)
+    batch row does. Within-batch near-dup dropping uses the pairwise
+    rule (drop the larger id of every verified pair) — near-duplicate is
+    not transitive, so this is the standard deterministic approximation,
+    identical to what the one-shot :func:`minhash_dedup` pair set implies.
+
+    verify='estimate' (default, production): candidates verify by
+    signature-component agreement — the index needs signatures only, no
+    text. verify='exact': candidates re-score with EXACT shingle-set
+    Jaccard; requires ``seen_text`` (id, text) for the indexed side (used
+    by the correctness gate, where the prior corpus is available).
+
+    Returns the surviving rows of ``df`` plus their ``signature`` column.
+
+    Scale (100 TB): the batch pipeline (shingle -> signature -> bands) is
+    one pass over the BATCH only; the index side contributes a narrow
+    (id, band) projection of stored signatures. The candidate join keys
+    on (band_idx, band_hash); boilerplate-driven hot bands are tamed
+    upstream by ``max_shingle_freq`` (same guard as minhash_dedup).
+    Verification joins touch candidate ids only. Per-run cost is
+    O(batch + candidates), independent of corpus size.
+
+    Reference context: the reference dedups bookkept batches exactly
+    (MetastorePersistence + bookkeeper record counts); near-dup-aware
+    incremental ingestion is a beyond-the-reference extension."""
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be estimate|exact, got {verify!r}")
+    if verify == "exact" and seen_text is None:
+        raise ValueError("verify='exact' requires seen_text (id, text)")
+    rows_per_band = num_hashes // num_bands
+
+    if verify == "exact":
+        batch_sh = hashed_shingles(df, id_col, text_col, shingle_size).cache()
+        batch_sigs = _signatures_from_shingles(
+            batch_sh, id_col, num_hashes, max_shingle_freq
+        ).cache()
+    else:
+        batch_sigs = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_size, max_shingle_freq
+        ).cache()
+
+    bb = _band_rows(batch_sigs, id_col, num_bands, rows_per_band)
+    sb = _band_rows(seen_sigs, id_col, num_bands, rows_per_band).select(
+        F.col(id_col).alias("_seen_id"), "band_idx", "band_hash"
+    )
+    cand_vs_seen = (
+        bb.join(sb, ["band_idx", "band_hash"])
+        .select(id_col, "_seen_id")
+        .distinct()
+    )
+    cand_in_batch = minhash_lsh_candidates(
+        batch_sigs, id_col, num_bands, rows_per_band
+    )
+
+    if verify == "exact":
+        seen_sh = hashed_shingles(seen_text, id_col, text_col, shingle_size)
+        both_sh = batch_sh.unionByName(seen_sh)
+        sizes = both_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        kept = both_sh
+        if max_shingle_freq is not None:
+            freq = both_sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
+            kept = both_sh.join(
+                F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)),
+                "shingle_h",
+                "left_anti",
+            )
+        sets = kept.groupBy(id_col).agg(
+            F.collect_set("shingle_h").alias("_shset")
+        ).join(sizes, id_col).cache()
+
+        def exact_match(cands, left_id, right_id):
+            a = sets.select(
+                F.col(id_col).alias(left_id),
+                F.col("_shset").alias("_sh_a"),
+                F.col("_n").alias("_n_a"),
+            )
+            b = sets.select(
+                F.col(id_col).alias(right_id),
+                F.col("_shset").alias("_sh_b"),
+                F.col("_n").alias("_n_b"),
+            )
+            n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
+            jac = n_common.cast("double") / (
+                F.col("_n_a") + F.col("_n_b") - n_common
+            )
+            return (
+                cands.join(a, left_id)
+                .join(b, right_id)
+                .filter(jac >= threshold)
+            )
+
+        dup_vs_seen = exact_match(cand_vs_seen, id_col, "_seen_id").select(id_col)
+        dup_in_batch = exact_match(cand_in_batch, "id_a", "id_b").select(
+            F.col("id_b").alias(id_col)
+        )
+    else:
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(num_hashes)
+        )
+        sig_a = batch_sigs.select(
+            F.col(id_col), F.col("signature").alias("_sig_a")
+        )
+        dup_vs_seen = (
+            cand_vs_seen.join(sig_a, id_col)
+            .join(
+                seen_sigs.select(
+                    F.col(id_col).alias("_seen_id"),
+                    F.col("signature").alias("_sig_b"),
+                ),
+                "_seen_id",
+            )
+            .filter(est >= threshold)
+            .select(id_col)
+        )
+        dup_in_batch = (
+            cand_in_batch.join(
+                batch_sigs.select(
+                    F.col(id_col).alias("id_a"), F.col("signature").alias("_sig_a")
+                ),
+                "id_a",
+            )
+            .join(
+                batch_sigs.select(
+                    F.col(id_col).alias("id_b"), F.col("signature").alias("_sig_b")
+                ),
+                "id_b",
+            )
+            .filter(est >= threshold)
+            .select(F.col("id_b").alias(id_col))
+        )
+
+    dropped = dup_vs_seen.unionByName(dup_in_batch).distinct()
+    return (
+        df.join(batch_sigs, id_col)
+        .join(dropped, id_col, "left_anti")
     )
 
 

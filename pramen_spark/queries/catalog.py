@@ -4233,6 +4233,80 @@ def q_incremental_dedup_batch(spark, sf_dir):
 
 
 @query(
+    "minhash_incremental_batch",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+        FROM toks
+    ),
+    sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    kept AS (
+        SELECT doc_id, shingle FROM sh2
+        WHERE shingle IN (
+            SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 1000
+        )
+    ),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id > 250 AND trim(d.text) <> ''
+      AND NOT EXISTS (SELECT 1 FROM dup_pairs p WHERE p.id_b = d.doc_id)
+    """,
+    "incremental MinHash near-dup dedup: new batch vs a persisted "
+    "signature index (plus within-batch pairwise dropping)",
+    tags=("dedup", "incremental"),
+)
+def q_minhash_incremental_batch(spark, sf_dir):
+    """Near-dup analogue of incremental_dedup_batch: the first corpus
+    half plays the persisted SIGNATURE index (id + 64 minhash longs —
+    never text), the second half the new batch
+    (operators/dedup.py::minhash_dedup_against). Candidates come from the
+    LSH band join; exact-Jaccard rescoring (verify='exact') makes the
+    survivor set equal to the oracle's brute-force NOT-EXISTS, since a
+    batch doc survives iff no smaller-id doc (indexed or in-batch) is a
+    >= 0.5 Jaccard neighbor — the pair (smaller, larger) is exactly
+    dup_pairs(id_b = doc). Same banding-recall caveat as minhash_dedup
+    (per-SF verification documented there); same boilerplate shingle cap
+    (1000) mirrored in the oracle's kept CTE."""
+    from pramen_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+
+    d = load_documents_spread(spark, sf_dir)
+    seen = d.filter(F.col("doc_id") <= 250)
+    batch = d.filter(F.col("doc_id") > 250)
+    idx = minhash_signatures(seen, num_hashes=64, shingle_size=3)
+    out = minhash_dedup_against(
+        batch,
+        idx,
+        num_hashes=64,
+        num_bands=32,
+        threshold=0.5,
+        max_shingle_freq=1000,
+        verify="exact",
+        seen_text=seen,
+    )
+    return out.select("doc_id")
+
+
+@query(
     "upsample_epoch_mix",
     r"""
     WITH t AS (

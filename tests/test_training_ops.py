@@ -1171,6 +1171,84 @@ class TestParagraphDedup:
             assert out[i].n_paras_removed == 0
 
 
+class TestMinhashDedupAgainst:
+    SEEN = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "completely different content about spark physical plans and shuffles"),
+    ]
+    BATCH = [
+        (10, "the quick brown fox jumps over the lazy dog again and again today"),
+        (11, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        (12, "novel text that resembles nothing else in this tiny corpus at all"),
+        (13, "novel text that resembles nothing else in this tiny corpus at all"),
+        (14, "another unique document with its own words and phrasing entirely"),
+    ]
+
+    def _frames(self, spark):
+        return (
+            spark.createDataFrame(self.SEEN, ["doc_id", "text"]),
+            spark.createDataFrame(self.BATCH, ["doc_id", "text"]),
+        )
+
+    def test_drops_index_near_dups_and_batch_dups(self, spark):
+        from pramen_spark.operators.dedup import (
+            minhash_dedup_against,
+            minhash_signatures,
+        )
+
+        seen, batch = self._frames(spark)
+        idx = minhash_signatures(seen, num_hashes=64)
+        out = minhash_dedup_against(
+            batch, idx, num_hashes=64, num_bands=32, threshold=0.5
+        )
+        # 10 = exact dup of 1; 11 = near dup of 1; 13 = within-batch dup of 12
+        assert sorted(r.doc_id for r in out.collect()) == [12, 14]
+        assert "signature" in out.columns  # survivors carry their index rows
+
+    def test_exact_mode_matches_estimate_here(self, spark):
+        from pramen_spark.operators.dedup import (
+            minhash_dedup_against,
+            minhash_signatures,
+        )
+
+        seen, batch = self._frames(spark)
+        idx = minhash_signatures(seen, num_hashes=64)
+        exact = minhash_dedup_against(
+            batch, idx, num_hashes=64, num_bands=32, threshold=0.5,
+            verify="exact", seen_text=seen,
+        )
+        assert sorted(r.doc_id for r in exact.collect()) == [12, 14]
+
+    def test_chained_runs_admit_each_content_once(self, spark):
+        """Run 2's survivors append to the index; run 3 of all-seen text
+        admits nothing."""
+        from pramen_spark.operators.dedup import (
+            minhash_dedup_against,
+            minhash_signatures,
+        )
+
+        seen, batch = self._frames(spark)
+        idx = minhash_signatures(seen, num_hashes=64)
+        out = minhash_dedup_against(
+            batch, idx, num_hashes=64, num_bands=32, threshold=0.5
+        )
+        idx2 = idx.unionByName(out.select("doc_id", "signature"))
+        rerun = spark.createDataFrame(
+            [(20, self.BATCH[2][1]), (21, self.SEEN[1][1])], ["doc_id", "text"]
+        )
+        out2 = minhash_dedup_against(
+            rerun, idx2, num_hashes=64, num_bands=32, threshold=0.5
+        )
+        assert out2.count() == 0
+
+    def test_exact_requires_seen_text(self, spark):
+        from pramen_spark.operators.dedup import minhash_dedup_against
+
+        seen, batch = self._frames(spark)
+        with pytest.raises(ValueError, match="seen_text"):
+            minhash_dedup_against(batch, seen, verify="exact")
+
+
 class TestNgramNovelty:
     def test_shared_grams_lower_novelty(self, spark):
         from pramen_spark.operators.dedup import ngram_novelty
