@@ -1828,6 +1828,51 @@ class TestQualityClassifier:
         assert keep_all.keep and not keep_none.keep
 
 
+class TestQualityClassifierCrossEngine:
+    """Property-based Spark-vs-DuckDB parity for the classifier: the
+    oracle must agree on GENERATED text — fuzzes the shared tokenizer
+    (lowercase, non-alnum collapse), the md5 bucket hash, and the exact
+    integer weight fold across both engines."""
+
+    WORDS = ["the", "Fox", "123", "a-b", "x!", "", "  ", "Über", "naïve", "##"]
+
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_duckdb_oracle(self, spark, texts):
+        import duckdb
+        import pandas as pd
+
+        from pramen_spark.operators.text import quality_classifier_score
+        from pramen_spark.queries.catalog import QUERIES
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.asDict()
+            for r in quality_classifier_score(df).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        cur = con.execute(QUERIES["quality_classifier"].oracle)
+        cols = [d[0] for d in cur.description]
+        for row in cur.fetchall():
+            want = dict(zip(cols, row))
+            have = got[want["doc_id"]]
+            for c in cols:
+                assert have[c] == want[c], (want["doc_id"], c, have[c], want[c])
+        con.close()
+
+
 class TestCharLmScore:
     def test_outlier_scores_higher_than_typical(self, spark):
         from pramen_spark.operators.text import char_lm_score
