@@ -892,15 +892,19 @@ def minhash_dedup_against(
 
     bb = _band_rows(batch_sigs, id_col, num_bands, rows_per_band)
     sb = _band_rows(seen_sigs, id_col, num_bands, rows_per_band).select(
-        F.col(id_col).alias("_seen_id"), "band_idx", "band_hash"
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
-    cand_vs_seen = (
+    # ONE candidate stream, oriented (earlier/indexed id_a, batch id_b):
+    # index matches and within-batch pairs verify in the same join pass.
+    # Ids must be unique across the index and every batch (the incremental
+    # contract: one global id space, same id = same document).
+    cands = (
         bb.join(sb, ["band_idx", "band_hash"])
-        .select(id_col, "_seen_id")
+        .select(F.col("id_a"), F.col(id_col).alias("id_b"))
+        .unionByName(
+            minhash_lsh_candidates(batch_sigs, id_col, num_bands, rows_per_band)
+        )
         .distinct()
-    )
-    cand_in_batch = minhash_lsh_candidates(
-        batch_sigs, id_col, num_bands, rows_per_band
     )
 
     if verify == "exact":
@@ -915,34 +919,28 @@ def minhash_dedup_against(
                 "shingle_h",
                 "left_anti",
             )
+        # cached: the a- and b-legs of the verification join both read it
         sets = kept.groupBy(id_col).agg(
             F.collect_set("shingle_h").alias("_shset")
         ).join(sizes, id_col).cache()
-
-        def exact_match(cands, left_id, right_id):
-            a = sets.select(
-                F.col(id_col).alias(left_id),
-                F.col("_shset").alias("_sh_a"),
-                F.col("_n").alias("_n_a"),
-            )
-            b = sets.select(
-                F.col(id_col).alias(right_id),
-                F.col("_shset").alias("_sh_b"),
-                F.col("_n").alias("_n_b"),
-            )
-            n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
-            jac = n_common.cast("double") / (
-                F.col("_n_a") + F.col("_n_b") - n_common
-            )
-            return (
-                cands.join(a, left_id)
-                .join(b, right_id)
-                .filter(jac >= threshold)
-            )
-
-        dup_vs_seen = exact_match(cand_vs_seen, id_col, "_seen_id").select(id_col)
-        dup_in_batch = exact_match(cand_in_batch, "id_a", "id_b").select(
-            F.col("id_b").alias(id_col)
+        a = sets.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_shset").alias("_sh_a"),
+            F.col("_n").alias("_n_a"),
+        )
+        b = sets.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_shset").alias("_sh_b"),
+            F.col("_n").alias("_n_b"),
+        )
+        n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
+        jac = n_common.cast("double") / (F.col("_n_a") + F.col("_n_b") - n_common)
+        dropped = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(jac >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
         )
     else:
         est = (
@@ -954,24 +952,10 @@ def minhash_dedup_against(
             ).cast("double")
             / F.lit(num_hashes)
         )
-        sig_a = batch_sigs.select(
-            F.col(id_col), F.col("signature").alias("_sig_a")
-        )
-        dup_vs_seen = (
-            cand_vs_seen.join(sig_a, id_col)
-            .join(
-                seen_sigs.select(
-                    F.col(id_col).alias("_seen_id"),
-                    F.col("signature").alias("_sig_b"),
-                ),
-                "_seen_id",
-            )
-            .filter(est >= threshold)
-            .select(id_col)
-        )
-        dup_in_batch = (
-            cand_in_batch.join(
-                batch_sigs.select(
+        all_sigs = batch_sigs.unionByName(seen_sigs)
+        dropped = (
+            cands.join(
+                all_sigs.select(
                     F.col(id_col).alias("id_a"), F.col("signature").alias("_sig_a")
                 ),
                 "id_a",
@@ -984,9 +968,9 @@ def minhash_dedup_against(
             )
             .filter(est >= threshold)
             .select(F.col("id_b").alias(id_col))
+            .distinct()
         )
 
-    dropped = dup_vs_seen.unionByName(dup_in_batch).distinct()
     return (
         df.join(batch_sigs, id_col)
         .join(dropped, id_col, "left_anti")
