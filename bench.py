@@ -75,6 +75,12 @@ HEADLINE = [
     "ngram_novelty_documents",
     "snapshot_diff_documents",
     "minhash_incremental_batch",
+    # round-7 wave 2: streaming parity, retrieval scoring, MOSS
+    # fingerprints, cluster-aware eval split
+    "stream_windowed_counts",
+    "bm25_relevance_documents",
+    "winnow_fingerprint_documents",
+    "leakage_safe_split_documents",
 ]
 
 

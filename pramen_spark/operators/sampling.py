@@ -417,3 +417,49 @@ def materialize_mixture(
             F.col("copy_idx").cast("long").alias("copy_idx"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: Dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/eval split: documents connected by any pair in
+    ``pairs`` (a near-duplicate edge list, e.g. from ngram_jaccard_pairs
+    or minhash_lsh candidates) are split as a UNIT — the whole duplicate
+    cluster lands on one side, so no eval document has a near-copy in
+    train. Plain hash_split leaks: two 95%-identical documents hash
+    independently and straddle the boundary ~2*p*(1-p) of the time.
+
+    Returns (id, cluster_label, split) for EVERY input document:
+    cluster_label is the component id (min reachable doc id) for
+    pair-involved docs and the doc's own id otherwise; split is the
+    deterministic hash_split of the LABEL (salted md5), so singleton docs
+    split exactly as hash_split would and clustered docs inherit their
+    cluster's draw.
+
+    Scale (100 TB): the pair graph is orders of magnitude smaller than
+    the corpus (high-threshold near-dup pairs are rare), so
+    connected_components runs on the edge list only — never the corpus —
+    and the label join back to the corpus is a join against that small
+    component map (AQE broadcasts it under the threshold; isolated docs
+    never enter the join's build side). No shuffle carries text.
+    """
+    from pramen_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "vertex", id_col
+    )
+    labeled = (
+        df.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .withColumn("cluster_label", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    return hash_split(labeled, "cluster_label", fractions, salt=salt).select(
+        id_col, "cluster_label", "split"
+    )

@@ -4419,6 +4419,222 @@ def q_shard_assignment(spark, sf_dir):
     )
 
 
+@query(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Structured Streaming parity: watermarked hourly tumbling-window "
+    "counts over the events stream equal the batch aggregate",
+    tags=("streaming",),
+)
+def q_stream_windowed_counts(spark, sf_dir):
+    """The engine's streaming aggregation path run FOR REAL — a file
+    readStream over the events table, watermarked tumbling-window
+    counts+sums (streaming/stream.py::windowed_aggregation), availableNow
+    trigger, memory sink — checked against the batch SQL twin. Streaming
+    and batch MUST agree on a bounded input; this is the parity audit the
+    reference's batch/streaming split (SURVEY §1.5) implies.
+
+    Scale: the stateful window aggregate combines partially per
+    micro-batch and the watermark bounds state; on a real cluster the
+    memory sink becomes a metastore foreach_batch sink
+    (streaming/stream.py::metastore_foreach_batch_sink) — the plan shape
+    (one keyed state exchange) is the same."""
+    from pramen_spark.streaming.stream import (
+        read_file_stream,
+        windowed_aggregation,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file streaming source requires a directory or a GLOB root (a
+    # bare file path makes it set basePath to the file and fail); the
+    # single-character class makes this a glob matching exactly one file.
+    glob_path = f"{sf_dir}/events.parque[t]"
+    # Parquet stores ts as TIMESTAMP_NTZ; Spark's event-time watermark
+    # requires an instant (TIMESTAMP_LTZ), so cast on the way in and cast
+    # the window bound back on the way out (identity under the session's
+    # UTC timezone — the contract the testdata is generated under).
+    stream = read_file_stream(spark, glob_path, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = windowed_aggregation(
+        stream,
+        "ts",
+        "1 hour",
+        watermark="30 minutes",
+        group_cols=("event_type",),
+        value_col="value",
+    )
+    sink = "stream_windowed_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@query(
+    "bm25_relevance_documents",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM t
+        WHERE token IN ('spark', 'stream', 'vector', 'window')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN dfreq d USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    """,
+    "Okapi BM25 relevance of every document against a fixed query term "
+    "bag (k1=1.2, b=0.75)",
+    tags=("text", "ranking"),
+)
+def q_bm25_relevance_documents(spark, sf_dir):
+    """Lexical retrieval scoring (operators/text.py::bm25_scores): rank
+    the corpus against a topical query — the candidate-pool builder for
+    retrieval-based curation. One tokenize pass feeds doc lengths and
+    query-term frequencies; (N, avgdl) and the per-term document
+    frequencies are broadcast scalars, never corpus-joined."""
+    from pramen_spark.operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "stream", "vector", "window"])
+
+
+@query(
+    "winnow_fingerprint_documents",
+    """
+    WITH d AS (
+        SELECT doc_id, substr(lower(text), 1, 1000) AS s FROM documents
+        WHERE length(substr(lower(text), 1, 1000)) >= 11
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS i,
+               length(s) - 7 AS n_grams,
+               ('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, s, unnest(range(1, length(s) - 6)) AS i FROM d)
+    ),
+    wmin AS (
+        SELECT doc_id, n_grams, i,
+               MIN(h) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+               ) AS fp
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           MIN(fp) AS min_fingerprint
+    FROM wmin
+    WHERE i <= n_grams - 3
+    GROUP BY doc_id
+    """,
+    "winnowing (MOSS) fingerprint selection: min k-gram hash per sliding "
+    "window, per-doc selected-set audit",
+    tags=("text", "dedup"),
+)
+def q_winnow_fingerprint_documents(spark, sf_dir):
+    """Winnowing fingerprints (operators/text.py::winnow_fingerprints,
+    k=8 w=4): the index-builder audit for substring-level copy detection —
+    any shared >=11-char span guarantees a shared fingerprint. The gram
+    explode amplifies ~1000x per doc, so the narrow raw scan is spread
+    first; only 8-byte hashes shuffle, once, and the per-doc aggregate
+    reuses the window's partitioning."""
+    from pramen_spark.operators.text import winnow_fingerprints
+
+    d = load_documents_spread(spark, sf_dir)
+    return winnow_fingerprints(d, k=8, w=4, prefix_chars=1000)
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_SHINGLE_ORACLE}),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, w) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.v, u.b FROM reach r JOIN und u ON r.w = u.a
+    ),
+    comp AS (
+        SELECT v AS vertex, LEAST(v, MIN(w)) AS component FROM reach GROUP BY v
+    ),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_label
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex
+    )
+    SELECT doc_id, cluster_label,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster_label AS VARCHAR) || 'split'), 1, 8))::BIGINT
+                     / 4294967296.0 < 0.9
+                THEN 'train' ELSE 'eval' END AS split
+    FROM labeled
+"""
+
+
+@query(
+    "leakage_safe_split_documents",
+    _LEAKAGE_SPLIT_ORACLE,
+    "near-dup-cluster-aware train/eval split: no eval document has a "
+    "near-copy in train",
+    tags=("sampling", "dedup"),
+)
+def q_leakage_safe_split_documents(spark, sf_dir):
+    """Leakage-safe eval split (operators/sampling.py::leakage_safe_split):
+    connected components over the exact ngram-Jaccard pair graph label
+    each near-dup cluster, and the cluster — not the document — draws the
+    split. Plain hash_split would put a document and its 95%-copy on
+    opposite sides of the train/eval boundary; here the whole component
+    inherits one salted-md5 draw, and isolated documents split exactly as
+    hash_split does. The component map is pair-involved docs only, so the
+    corpus-side join build is tiny."""
+    from pramen_spark.operators.dedup import ngram_jaccard_pairs
+    from pramen_spark.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        load_documents_spread(spark, sf_dir),
+        shingle_size=3,
+        threshold=0.05,
+        max_shingle_freq=1000,
+    )
+    return leakage_safe_split(d, pairs, {"train": 0.9, "eval": 0.1})
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

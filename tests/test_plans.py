@@ -287,3 +287,20 @@ class TestNewOperatorPlans:
         # map-side-combined groupBy -> exactly 1 exchange
         plan = plan_of(spark, sf_dir, "shard_assignment")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+    def test_winnow_single_exchange(self, spark, sf_dir):
+        # winnowing's per-doc ordered window is the only exchange; the
+        # follow-up per-doc aggregate must reuse its hashpartitioning —
+        # and only 8-byte hashes shuffle, never gram text
+        plan = plan_of(spark, sf_dir, "winnow_fingerprint_documents")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "SinglePartition" not in plan, plan
+
+    def test_bm25_stats_broadcast_no_cartesian(self, spark, sf_dir):
+        # df_t (<= |query| rows) and (N, avgdl) are broadcast; the 1-row
+        # stats crossJoin must plan as a broadcast loop join, never a
+        # CartesianProduct; nothing drops to Python
+        plan = plan_of(spark, sf_dir, "bm25_relevance_documents")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -2348,3 +2348,129 @@ class TestMaterializeMixture:
         out = materialize_mixture(df, {"a": 1.0}, total_tokens=2000.0).collect()
         realized = sum(r.n_tokens for r in out)
         assert 1600 <= realized <= 2400  # within ~20% of budget at 200 keys
+
+
+class TestBM25:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        rows = [
+            (1, "spark spark spark engine engine"),
+            (2, "spark engine"),
+            (3, "rare engine word word word word word word"),
+            (4, "nothing matching here at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from pramen_spark.operators.text import bm25_scores
+
+        out = bm25_scores(df, ["spark", "rare"])
+        return {r.doc_id: r.bm25 for r in out.collect()}
+
+    def test_only_matching_docs_scored(self, scored):
+        assert set(scored) == {1, 2, 3}
+
+    def test_higher_tf_scores_higher(self, scored):
+        # doc 1 repeats 'spark'; doc 2 mentions it once (similar lengths)
+        assert scored[1] > scored[2]
+
+    def test_rarer_term_outscores_common(self, scored):
+        # 'rare' appears in 1/4 docs, 'spark' in 2/4: one hit of 'rare'
+        # must outweigh one hit of 'spark' net of the length penalty —
+        # doc 3 is LONGER than doc 2, so only idf can explain a win
+        assert scored[3] > scored[2]
+
+    def test_scores_positive(self, scored):
+        assert all(v > 0 for v in scored.values())
+
+
+def _winnow_reference(text: str, k: int, w: int) -> tuple[int, set]:
+    """Sequential winnowing reference (Schleimer et al. fig. 5 semantics
+    as implemented: min hash per window of w consecutive k-gram hashes)."""
+    import hashlib
+
+    s = text.lower()
+    grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    fps = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    return len(hs), fps
+
+
+class TestWinnowing:
+    K, W = 4, 3
+
+    def _run(self, spark, rows):
+        from pramen_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = winnow_fingerprints(df, k=self.K, w=self.W, prefix_chars=200)
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_matches_sequential_reference(self, spark):
+        rows = [
+            (1, "abcdefghijabcdefghij"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "aaaaaaaaaaaaaaaa"),
+            (4, "spark catalyst tungsten adaptive execution"),
+        ]
+        got = self._run(spark, rows)
+        for doc_id, text in rows:
+            n_grams, fps = _winnow_reference(text, self.K, self.W)
+            assert got[doc_id].n_grams == n_grams, doc_id
+            assert got[doc_id].n_fingerprints == len(fps), doc_id
+            assert got[doc_id].min_fingerprint == min(fps), doc_id
+
+    def test_shared_span_guarantee(self, spark):
+        # any shared substring of length >= k + w - 1 must contribute a
+        # shared fingerprint (the winnowing guarantee) — check via the
+        # reference sets on documents embedding a common span
+        span = "xqzjvkwpyt"  # len 10 >= 4 + 3 - 1
+        _, fps_a = _winnow_reference(f"left pad {span} tail a", self.K, self.W)
+        _, fps_b = _winnow_reference(f"other beginning {span} z", self.K, self.W)
+        assert fps_a & fps_b
+
+    def test_short_docs_dropped(self, spark):
+        got = self._run(spark, [(1, "abcde"), (2, "abcdefgh")])
+        assert 1 not in got  # len 5 < k + w - 1 = 6
+        assert 2 in got
+
+
+class TestLeakageSafeSplit:
+    @pytest.fixture(scope="class")
+    def split_out(self, spark):
+        from pramen_spark.operators.sampling import leakage_safe_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 21)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9), (10, 11)], "id_a long, id_b long"
+        )
+        out = leakage_safe_split(
+            docs, pairs, {"train": 0.7, "eval": 0.3}, id_col="doc_id"
+        )
+        return {r.doc_id: (r.cluster_label, r.split) for r in out.collect()}
+
+    def test_every_doc_assigned_once(self, split_out):
+        assert set(split_out) == set(range(1, 21))
+
+    def test_cluster_members_share_split(self, split_out):
+        for cluster in ([1, 2, 3], [7, 9], [10, 11]):
+            labels = {split_out[d][0] for d in cluster}
+            sides = {split_out[d][1] for d in cluster}
+            assert labels == {min(cluster)}, cluster
+            assert len(sides) == 1, cluster
+
+    def test_singletons_match_plain_hash_split(self, spark, split_out):
+        from pramen_spark.operators.sampling import hash_split
+
+        singles = [d for d in range(1, 21) if d not in {1, 2, 3, 7, 9, 10, 11}]
+        docs = spark.createDataFrame([(d,) for d in singles], "doc_id long")
+        plain = {
+            r.doc_id: r.split
+            for r in hash_split(docs, "doc_id", {"train": 0.7, "eval": 0.3}).collect()
+        }
+        for d in singles:
+            assert split_out[d][0] == d
+            assert split_out[d][1] == plain[d], d
+
+    def test_both_sides_used(self, split_out):
+        assert {s for _, s in split_out.values()} == {"train", "eval"}
