@@ -81,6 +81,10 @@ HEADLINE = [
     "bm25_relevance_documents",
     "winnow_fingerprint_documents",
     "leakage_safe_split_documents",
+    # round-7 wave 3: table profiling + event analytics
+    "profile_documents_table",
+    "cohort_retention_events",
+    "funnel_events",
 ]
 
 

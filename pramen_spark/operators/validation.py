@@ -81,3 +81,64 @@ def validate_expectations(
         F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias("violations"),
         (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column data profile in ONE aggregation pass:
+    (col_name, n_rows, n_null, n_distinct, min_value, max_value) — the
+    table-shape summary a pipeline records alongside the reference's
+    record-count stats (metastore/persistence.py) before publishing, and
+    the first thing an operator looks at when a feed drifts. min/max are
+    cast to string so heterogeneous columns share one output schema.
+
+    Every column contributes its aggregates to the same `agg(...)` call:
+    one job, map-side combined, then an array-of-structs explode pivots
+    the single wide row into per-column rows (no F.expr string
+    interpolation — column names go through Column objects only, so
+    arbitrary names are safe).
+
+    Scale (100 TB): with ``exact_distinct`` each distinct count adds an
+    Expand branch (rows x columns duplication before the partial
+    aggregate) — exact, oracle-checkable, fine into the tens of columns;
+    at extreme width or cardinality pass ``exact_distinct=False`` to use
+    approx_count_distinct (HLL, one pass, ~2% error) like the sketch
+    queries do.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    distinct_of = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__cnt_{i}"),
+            distinct_of(c).alias(f"__dst_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("__n_rows") - F.col(f"__cnt_{i}"))
+                .cast("long")
+                .alias("n_null"),
+                F.col(f"__dst_{i}").cast("long").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_value"),
+                F.col(f"__max_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(
+        F.col("__n_rows").cast("long").alias("n_rows"), F.explode(per_col).alias("p")
+    ).select(
+        "p.col_name", "n_rows", "p.n_null", "p.n_distinct", "p.min_value", "p.max_value"
+    )

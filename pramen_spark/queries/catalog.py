@@ -4635,6 +4635,155 @@ def q_leakage_safe_split_documents(spark, sf_dir):
     return leakage_safe_split(d, pairs, {"train": 0.9, "eval": 0.1})
 
 
+_PROFILE_COL_TEMPLATE = """
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM documents
+"""
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    _PROFILE_COL_TEMPLATE.format(c=c)
+    for c in ("doc_id", "text", "lang", "source", "n_chars")
+)
+
+
+@query(
+    "profile_documents_table",
+    _PROFILE_ORACLE,
+    "one-pass per-column table profile: null count, exact distinct count, "
+    "min/max per column",
+    tags=("validation", "monitoring"),
+)
+def q_profile_documents_table(spark, sf_dir):
+    """Column profiling (operators/validation.py::profile_columns): the
+    pre-publish table summary — every column's null/distinct/min/max from
+    ONE aggregation job (exact distincts expand map-side; the HLL variant
+    is the 100 TB default). Extends the reference's record-count stats
+    (metastore/persistence.py record counting) to column granularity."""
+    from pramen_spark.operators.validation import profile_columns
+
+    d = load_table(spark, sf_dir, "documents")
+    return profile_columns(d)
+
+
+@query(
+    "cohort_retention_events",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    f AS (
+        SELECT user_id, day,
+               MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM e
+    )
+    SELECT cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f
+    GROUP BY cohort_day, day_offset
+    """,
+    "cohort retention triangle: users active N days after their "
+    "first-seen day, grouped by first-seen cohort",
+    tags=("analytics",),
+)
+def q_cohort_retention_events(spark, sf_dir):
+    """Classic product-analytics rollup: each user's cohort is their
+    first active day; the triangle counts distinct users per
+    (cohort_day, day_offset). Two shuffles total — the per-user window
+    for the cohort day, then the counting aggregate (distinct users
+    expand inside it); no self-join of events against its own minimum.
+    At 100 TB the window shuffle carries (user_id, date) pairs only."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    f = e.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return f.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+@query(
+    "funnel_events",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+    "ordered conversion funnel signup -> view -> purchase: users "
+    "completing each stage strictly after the previous one",
+    tags=("analytics",),
+)
+def q_funnel_events(spark, sf_dir):
+    """Ordered funnel: stage N counts users whose earliest stage-N event
+    falls strictly AFTER their stage-(N-1) completion time — the
+    sequence-sensitive metric a naive per-type count gets wrong. Each
+    stage is a filtered aggregate joined to the previous stage's per-user
+    completion times; every shuffle and join keys on user_id, so AQE
+    reuses one partitioning across the chain and only (user_id,
+    timestamp) pairs move."""
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("signup").alias("stage"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    return out.select("stage", F.col("n_users").cast("long").alias("n_users"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -304,3 +304,18 @@ class TestNewOperatorPlans:
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_profile_single_aggregation_job(self, spark, sf_dir):
+        # every column's null/distinct/min/max comes from ONE aggregate:
+        # the plan may Expand for the distincts but must contain exactly
+        # one scan of the table and no join
+        plan = plan_of(spark, sf_dir, "profile_documents_table")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "Join" not in plan, plan
+
+    def test_cohort_retention_no_self_join(self, spark, sf_dir):
+        # cohort day comes from a per-user window, not a join of events
+        # against its own per-user minimum
+        plan = plan_of(spark, sf_dir, "cohort_retention_events")
+        assert "Join" not in plan, plan
+        assert "Window" in plan, plan

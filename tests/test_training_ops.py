@@ -2474,3 +2474,86 @@ class TestLeakageSafeSplit:
 
     def test_both_sides_used(self, split_out):
         assert {s for _, s in split_out.values()} == {"train", "eval"}
+
+
+class TestProfileColumns:
+    @pytest.fixture(scope="class")
+    def profiled(self, spark):
+        from pramen_spark.operators.validation import profile_columns
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha", None),
+                (2, "beta", 5.0),
+                (3, None, 5.0),
+                (4, "alpha", 7.5),
+            ],
+            "id long, name string, score double",
+        )
+        return {r.col_name: r for r in profile_columns(df).collect()}
+
+    def test_all_columns_profiled(self, profiled):
+        assert set(profiled) == {"id", "name", "score"}
+        assert all(r.n_rows == 4 for r in profiled.values())
+
+    def test_null_counts(self, profiled):
+        assert profiled["id"].n_null == 0
+        assert profiled["name"].n_null == 1
+        assert profiled["score"].n_null == 1
+
+    def test_distinct_counts_exclude_null(self, profiled):
+        assert profiled["id"].n_distinct == 4
+        assert profiled["name"].n_distinct == 2
+        assert profiled["score"].n_distinct == 2
+
+    def test_min_max_stringified(self, profiled):
+        assert (profiled["id"].min_value, profiled["id"].max_value) == ("1", "4")
+        assert (profiled["name"].min_value, profiled["name"].max_value) == (
+            "alpha",
+            "beta",
+        )
+        assert (profiled["score"].min_value, profiled["score"].max_value) == (
+            "5.0",
+            "7.5",
+        )
+
+    def test_column_subset_and_approx(self, spark):
+        from pramen_spark.operators.validation import profile_columns
+
+        df = spark.createDataFrame([(i, str(i)) for i in range(50)], "a long, b string")
+        out = profile_columns(df, columns=["a"], exact_distinct=False).collect()
+        assert [r.col_name for r in out] == ["a"]
+        # HLL estimate within its documented ~2% envelope at n=50
+        assert abs(out[0].n_distinct - 50) <= 3
+
+
+class TestFunnelOrdering:
+    def test_out_of_order_stage_not_counted(self, spark, sf_dir):
+        """A user who purchased BEFORE viewing must not reach the
+        purchase stage: the funnel is sequence-sensitive."""
+        from pramen_spark.queries.catalog import QUERIES
+        import datetime as dt
+
+        # tiny inline reimplementation of the catalog funnel on crafted rows
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(h):
+            return t0 + dt.timedelta(hours=h)
+
+        rows = [
+            (1, "signup", ts(0)), (1, "view", ts(1)), (1, "purchase", ts(2)),
+            (2, "signup", ts(0)), (2, "purchase", ts(1)), (2, "view", ts(2)),
+            (3, "view", ts(0)), (3, "purchase", ts(1)),  # never signed up
+        ]
+        e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        s1 = (e.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("t1")))
+        s2 = (e.filter(F.col("event_type") == "view").join(s1, "user_id")
+              .filter(F.col("ts") > F.col("t1"))
+              .groupBy("user_id").agg(F.min("ts").alias("t2")))
+        s3 = (e.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+              .filter(F.col("ts") > F.col("t2"))
+              .groupBy("user_id").agg(F.min("ts").alias("t3")))
+        assert s1.count() == 2      # users 1, 2
+        assert s2.count() == 2      # user 2's view is after signup
+        assert s3.count() == 1      # only user 1 purchased after viewing
