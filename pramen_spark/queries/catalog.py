@@ -4817,8 +4817,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q22_dormant_customers",
     # tier 2: flagship + strongest oracle-checked extension operators (17).
     # Rotated each round so every family gets driver CORRECTNESS rows over
-    # time (round 7 swapped in the round-6 additions; the ousted queries
-    # stay oracle-checked via tools/check_oracle.py + pytest).
+    # time (round 7 swapped in the round-6 additions, then mid-round the
+    # first REAL streaming-run oracle and the leakage-safe split took the
+    # sessionize/range-join slots — both of those had green driver rows in
+    # rounds 5-6 and stay oracle-checked via tools/check_oracle.py +
+    # pytest's out-of-window sweep).
     "curate_corpus", "dedup_exact", "decontaminate_ngram",
     "minhash_dedup", "dedup_clusters",
     "semdedup_embeddings", "similarity_cosine_topk",
@@ -4826,7 +4829,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "paragraph_dedup_documents", "line_dedup_documents",
     "substring_dedup_documents", "quality_classifier",
     "validate_documents", "pack_utilization",
-    "sessionize_events", "range_join_error_windows",
+    "stream_windowed_counts", "leakage_safe_split_documents",
 ]
 
 
