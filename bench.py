@@ -85,6 +85,10 @@ HEADLINE = [
     "profile_documents_table",
     "cohort_retention_events",
     "funnel_events",
+    # round-7 wave 4: CDC / warehouse maintenance
+    "apply_cdc_orders",
+    "scd2_customer_status",
+    "incremental_agg_lineitem",
 ]
 
 

@@ -1,0 +1,166 @@
+"""Change-data-capture and warehouse-maintenance operators: latest-wins
+upsert/delete merge, SCD Type 2 history construction, and incremental
+aggregate maintenance.
+
+The reference engine exists to orchestrate exactly these incremental
+pipelines (SURVEY §2.6-2.7: offset-tracked incremental ingestion into
+date-partitioned metastore tables); these operators are the
+transformation-side counterparts a warehouse team runs inside such a
+pipeline. Reference parity: pramen's incremental jobs deliver the change
+batches (core/.../OffsetManager, IncrementalIngestionJob); applying them
+is left to user transformers — here the standard appliers ship with the
+engine, Spark-first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest-wins CDC merge: apply a change batch (upserts + deletes) to
+    a snapshot, producing the next snapshot.
+
+    ``changes`` carries the snapshot's columns plus ``op_col`` (any value;
+    rows whose op equals ``delete_op`` are deletes) and ``seq_col``, a
+    per-key monotonically increasing sequence (log offset, LSN, commit
+    timestamp). For each key only the HIGHEST-sequence change applies:
+    a delete removes the key, anything else replaces the row. Keys
+    untouched by the batch pass through. (``seq_col`` must be unique per
+    key — equal sequences for one key make "latest" undefined; ties break
+    on the op column only to keep the output deterministic.)
+
+    Scale (100 TB): the change batch is ranked per key in one shuffle
+    (window on key, carrying only batch rows — batches are small relative
+    to the snapshot), and the snapshot is touched by exactly one
+    hash-partitioned LEFT ANTI join on the key columns (AQE broadcasts
+    the distinct-key set when the batch is small, the common case). The
+    snapshot is never windowed or re-sorted; the union appends the
+    surviving upserts. Chained batches = chained calls, each paying only
+    O(snapshot scan + batch)."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col, seq_col)
+    touched = latest.select(*keys)
+    kept = snapshot.join(touched, keys, "left_anti")
+    return kept.unionByName(upserts)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    date_col: str,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Build a Slowly-Changing-Dimension Type 2 history from a change log:
+    one row per (key, version) with ``effective_from`` / ``effective_to``
+    / ``is_current``, where a new version opens only when the tracked
+    attributes actually CHANGE (consecutive identical observations
+    collapse into one version).
+
+    ``tiebreak_cols`` makes the per-key ordering total when several
+    change rows share a date (required for determinism — pass the source
+    primary key). ``effective_to`` is the next version's start (half-open
+    intervals, the warehouse convention); the last version has NULL and
+    ``is_current = true``.
+
+    Scale (100 TB): both window passes (change detection via lag, then
+    interval closing via lead over the surviving versions) partition by
+    the SAME key columns — one exchange, two in-partition sorts; nothing
+    but key, attrs, and dates ever moves. This is the standard dimension
+    build: run it over the full change log on backfill, or over
+    (current_dim ∪ new_batch) incrementally."""
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    ties = list(tiebreak_cols or [])
+    order = [F.col(date_col)] + [F.col(c) for c in ties]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    attr_struct = F.struct(*[F.col(a) for a in attrs])
+    # tiebreak cols ride along: the second window sorts by them too
+    with_prev = changes.select(
+        *keys,
+        *attrs,
+        F.col(date_col),
+        *ties,
+        F.lag(attr_struct).over(w).alias("_prev"),
+    )
+    # a version opens at the first observation and whenever any attribute
+    # differs from the previous observation (null-safe compare)
+    changed = with_prev.filter(
+        F.col("_prev").isNull() | ~attr_struct.eqNullSafe(F.col("_prev"))
+    ).drop("_prev")
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return changed.select(
+        *keys,
+        *attrs,
+        F.col(date_col).alias("effective_from"),
+        F.lead(date_col).over(w2).alias("effective_to"),
+        F.lead(date_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def merge_agg_state(
+    state: Optional[DataFrame],
+    batch: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch into a running
+    per-group aggregate WITHOUT recomputing history. The state schema is
+    (group..., count, sum_<c>..., min_<c>..., max_<c>...) — all
+    associative/commutative merges, so chaining
+    ``merge_agg_state(merge_agg_state(None, b1), b2)`` over any batch
+    split equals the one-shot aggregate over the union (averages derive
+    as sum/count downstream; non-mergeable aggregates like exact
+    distincts need sketches instead).
+
+    This is THE incremental-pipeline aggregation pattern the reference's
+    offset-tracked ingestion feeds (SURVEY §2.6): each day's batch
+    updates daily/rolling rollups in O(batch + |state|), not O(history).
+
+    Scale (100 TB of history, GB-scale batches): the batch aggregates
+    map-side first (its shuffle carries per-group partials, not rows);
+    the state merge is a group-keyed union+agg whose cost is bounded by
+    the number of GROUPS, not history rows. Persist the state
+    bucketed/partitioned by the group columns (metastore writer options)
+    and the merge's exchange disappears on the state side."""
+    groups = list(group_cols)
+    batch_agg = batch.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    )
+    if state is None:
+        return batch_agg
+    return (
+        state.unionByName(batch_agg)
+        .groupBy(*groups)
+        .agg(
+            F.sum(count_col).cast("long").alias(count_col),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],
+            *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
+        )
+    )

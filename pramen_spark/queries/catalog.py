@@ -4784,6 +4784,207 @@ def q_funnel_events(spark, sf_dir):
     return out.select("stage", F.col("n_users").cast("long").alias("n_users"))
 
 
+@query(
+    "apply_cdc_orders",
+    """
+    WITH snap AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, 'U' AS op, 1 AS seq
+        FROM snap WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 2
+        FROM snap WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', 100.0, 'I', 1
+        FROM snap WHERE o_orderkey % 11 = 0
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, op DESC
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    ),
+    kept AS (
+        SELECT s.* FROM snap s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM latest l WHERE l.o_orderkey = s.o_orderkey
+        )
+    ),
+    merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM kept
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM latest WHERE op <> 'D'
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM merged
+    """,
+    "latest-wins CDC merge: apply an upsert/delete change batch to a "
+    "snapshot (updates, deletes, inserts, delete-beats-update conflicts)",
+    tags=("cdc", "incremental"),
+)
+def q_apply_cdc_orders(spark, sf_dir):
+    """CDC apply (operators/cdc.py::apply_cdc): the change batch updates
+    every 5th order (price doubled), deletes every 7th, inserts one per
+    11th under a shifted key — with %35 keys receiving BOTH an update and
+    a higher-sequence delete, so latest-wins conflict resolution is
+    exercised, not just disjoint ops. The snapshot pays one anti-join on
+    the key; only the (small) batch is windowed."""
+    from pramen_spark.operators.cdc import apply_cdc
+
+    snap = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = snap.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dels = snap.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    ins = snap.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    merged = apply_cdc(snap, changes, ["o_orderkey"], "seq")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "scd2_customer_status",
+    """
+    WITH obs AS (
+        SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+               o_orderkey
+        FROM orders
+    ),
+    with_prev AS (
+        SELECT o_custkey, o_orderstatus, d, o_orderkey,
+               LAG(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY d, o_orderkey
+               ) AS prev
+        FROM obs
+    ),
+    versions AS (
+        SELECT o_custkey, o_orderstatus, d, o_orderkey FROM with_prev
+        WHERE prev IS NULL OR o_orderstatus <> prev
+    )
+    SELECT o_custkey, o_orderstatus,
+           d AS effective_from,
+           LEAD(d) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ) AS effective_to,
+           LEAD(d) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ) IS NULL AS is_current
+    FROM versions
+    """,
+    "SCD Type 2 dimension build: per-key attribute versions with "
+    "half-open effective_from/effective_to intervals and is_current",
+    tags=("cdc", "incremental"),
+)
+def q_scd2_customer_status(spark, sf_dir):
+    """SCD2 history (operators/cdc.py::scd2_history): each customer's
+    order-status observations collapse into versions that open only when
+    the status CHANGES; the order-key tiebreak makes same-day
+    observations deterministic. Both window passes share one key
+    exchange; intervals are half-open with a NULL-ended current row."""
+    from pramen_spark.operators.cdc import scd2_history
+
+    obs = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    return scd2_history(
+        obs,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderstatus"],
+        date_col="d",
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+@query(
+    "incremental_agg_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+           CAST(MAX(l_shipdate) AS DATE) AS max_shipdate
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "incremental aggregate maintenance: three chained batch merges equal "
+    "the one-shot aggregate over the whole table",
+    tags=("cdc", "incremental"),
+)
+def q_incremental_agg_lineitem(spark, sf_dir):
+    """Running-rollup maintenance (operators/cdc.py::merge_agg_state):
+    lineitem splits into three disjoint batches (by l_orderkey % 3) that
+    fold into the state one at a time — the associative merge must equal
+    the single-pass GROUP BY the oracle runs. Each merge costs
+    O(batch + groups), never O(history); this is the aggregation pattern
+    an offset-tracked incremental pipeline (SURVEY §2.6) runs per batch."""
+    from pramen_spark.operators.cdc import merge_agg_state
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        F.to_date("l_shipdate").alias("l_shipdate"),
+    )
+    state = None
+    for i in range(3):
+        batch = li.filter(F.col("l_orderkey") % 3 == i).drop("l_orderkey")
+        state = merge_agg_state(
+            state,
+            batch,
+            group_cols=["l_returnflag", "l_linestatus"],
+            sum_cols=["l_quantity", "l_extendedprice"],
+            min_cols=["l_shipdate"],
+            max_cols=["l_shipdate"],
+        )
+    return state.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+        F.col("min_l_shipdate").alias("min_shipdate"),
+        F.col("max_l_shipdate").alias("max_shipdate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

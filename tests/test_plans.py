@@ -319,3 +319,18 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "cohort_retention_events")
         assert "Join" not in plan, plan
         assert "Window" in plan, plan
+
+    def test_apply_cdc_snapshot_anti_join_only(self, spark, sf_dir):
+        # the snapshot side is touched by exactly one LEFT ANTI join; the
+        # row_number window runs over the change batch only, and nothing
+        # drops to Python
+        plan = plan_of(spark, sf_dir, "apply_cdc_orders")
+        assert "LeftAnti" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_scd2_windows_share_one_exchange(self, spark, sf_dir):
+        # change detection (lag) and interval closing (lead) partition by
+        # the same key: one exchange, two in-partition sorts, no join
+        plan = plan_of(spark, sf_dir, "scd2_customer_status")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "Join" not in plan, plan

@@ -2557,3 +2557,128 @@ class TestFunnelOrdering:
         assert s1.count() == 2      # users 1, 2
         assert s2.count() == 2      # user 2's view is after signup
         assert s3.count() == 1      # only user 1 purchased after viewing
+
+
+class TestApplyCdc:
+    @pytest.fixture(scope="class")
+    def merged(self, spark):
+        from pramen_spark.operators.cdc import apply_cdc
+
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "k long, attr string, val double",
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", 21.0, "U", 1),   # update
+                (3, "c2", 31.0, "U", 1),   # update...
+                (3, "c2", 31.0, "D", 2),   # ...then delete (delete wins)
+                (4, "d2", 41.0, "D", 1),   # delete...
+                (4, "d3", 42.0, "U", 2),   # ...then re-insert (update wins)
+                (9, "new", 90.0, "I", 1),  # insert
+            ],
+            "k long, attr string, val double, op string, seq int",
+        )
+        out = apply_cdc(snap, changes, ["k"], "seq")
+        return {r.k: (r.attr, r.val) for r in out.collect()}
+
+    def test_untouched_passthrough(self, merged):
+        assert merged[1] == ("a", 10.0)
+
+    def test_update_applied(self, merged):
+        assert merged[2] == ("b2", 21.0)
+
+    def test_delete_beats_earlier_update(self, merged):
+        assert 3 not in merged
+
+    def test_update_beats_earlier_delete(self, merged):
+        assert merged[4] == ("d3", 42.0)
+
+    def test_insert_new_key(self, merged):
+        assert merged[9] == ("new", 90.0)
+
+    def test_chained_batches_compose(self, spark):
+        from pramen_spark.operators.cdc import apply_cdc
+
+        snap = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        b1 = spark.createDataFrame([(1, 2.0, "U", 1), (2, 5.0, "U", 1)],
+                                   "k long, v double, op string, seq int")
+        b2 = spark.createDataFrame([(1, 0.0, "D", 2)],
+                                   "k long, v double, op string, seq int")
+        s2 = apply_cdc(apply_cdc(snap, b1, ["k"], "seq"), b2, ["k"], "seq")
+        assert {r.k: r.v for r in s2.collect()} == {2: 5.0}
+
+
+class TestScd2History:
+    def test_versions_open_on_change_only(self, spark):
+        from pramen_spark.operators.cdc import scd2_history
+        import datetime as dt
+
+        d = dt.date
+        obs = spark.createDataFrame(
+            [
+                (1, "bronze", d(2024, 1, 1), 10),
+                (1, "bronze", d(2024, 2, 1), 11),  # no change: collapses
+                (1, "gold", d(2024, 3, 1), 12),
+                (1, "gold", d(2024, 4, 1), 13),    # no change: collapses
+                (2, "silver", d(2024, 1, 5), 20),
+            ],
+            "k long, tier string, day date, src_id long",
+        )
+        out = scd2_history(obs, ["k"], ["tier"], "day", tiebreak_cols=["src_id"])
+        rows = sorted(
+            ((r.k, r.tier, r.effective_from, r.effective_to, r.is_current)
+             for r in out.collect())
+        )
+        assert rows == [
+            (1, "bronze", d(2024, 1, 1), d(2024, 3, 1), False),
+            (1, "gold", d(2024, 3, 1), None, True),
+            (2, "silver", d(2024, 1, 5), None, True),
+        ]
+
+    def test_reverting_attribute_reopens_version(self, spark):
+        from pramen_spark.operators.cdc import scd2_history
+        import datetime as dt
+
+        d = dt.date
+        obs = spark.createDataFrame(
+            [(1, "a", d(2024, 1, 1), 1), (1, "b", d(2024, 2, 1), 2),
+             (1, "a", d(2024, 3, 1), 3)],
+            "k long, tier string, day date, src_id long",
+        )
+        out = scd2_history(obs, ["k"], ["tier"], "day", tiebreak_cols=["src_id"])
+        assert out.count() == 3  # a, b, a again — three versions
+
+
+class TestMergeAggState:
+    def test_chained_merges_equal_one_shot(self, spark):
+        from pramen_spark.operators.cdc import merge_agg_state
+
+        df = spark.createDataFrame(
+            [(i % 3, float(i), i % 10) for i in range(100)],
+            "g int, x double, d int",
+        )
+        state = None
+        for i in range(4):
+            state = merge_agg_state(
+                state, df.filter(F.col("d") % 4 == i),
+                group_cols=["g"], sum_cols=["x"], min_cols=["x"], max_cols=["x"],
+            )
+        got = {r.g: (r.n_rows, r.sum_x, r.min_x, r.max_x) for r in state.collect()}
+        want = {
+            r.g: (r.n_rows, r.sum_x, r.min_x, r.max_x)
+            for r in df.groupBy("g").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("x").alias("sum_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_none_state_is_plain_aggregate(self, spark):
+        from pramen_spark.operators.cdc import merge_agg_state
+
+        df = spark.createDataFrame([(1, 2.0), (1, 3.0)], "g int, x double")
+        out = merge_agg_state(None, df, ["g"], sum_cols=["x"]).collect()
+        assert len(out) == 1 and out[0].n_rows == 2 and out[0].sum_x == 5.0
