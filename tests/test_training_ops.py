@@ -2682,3 +2682,97 @@ class TestMergeAggState:
         df = spark.createDataFrame([(1, 2.0), (1, 3.0)], "g int, x double")
         out = merge_agg_state(None, df, ["g"], sum_cols=["x"]).collect()
         assert len(out) == 1 and out[0].n_rows == 2 and out[0].sum_x == 5.0
+
+
+class TestCdcFuzz:
+    """Property-based equivalence of the distributed CDC appliers against
+    sequential in-memory references: random change logs, any batch split."""
+
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),       # key
+                st.integers(min_value=0, max_value=3),       # attr value
+                st.sampled_from(["U", "D"]),                 # op
+            ),
+            min_size=0,
+            max_size=15,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_apply_cdc_matches_sequential(self, spark, data):
+        from pramen_spark.operators.cdc import apply_cdc
+
+        snap_rows = [(k, -1) for k in range(1, 4)]  # keys 1-3 pre-exist
+        changes = [(k, v, op, seq) for seq, (k, v, op) in enumerate(data, 1)]
+
+        # sequential reference: replay in sequence order
+        state = dict(snap_rows)
+        for k, v, op, _seq in changes:
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+
+        snap = spark.createDataFrame(snap_rows, "k long, v long")
+        if changes:
+            ch = spark.createDataFrame(changes, "k long, v long, op string, seq long")
+            out = apply_cdc(snap, ch, ["k"], "seq")
+        else:
+            out = snap
+        assert {r.k: r.v for r in out.collect()} == state
+
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),   # key
+                st.integers(min_value=0, max_value=2),   # attr
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_scd2_matches_sequential(self, spark, obs):
+        from pramen_spark.operators.cdc import scd2_history
+        import datetime as dt
+
+        rows = [
+            (k, f"a{v}", dt.date(2024, 1, 1) + dt.timedelta(days=i), i)
+            for i, (k, v) in enumerate(obs)
+        ]
+        # sequential reference: per key in (date, id) order, version opens
+        # on first observation or attribute change; effective_to = next open
+        per_key: dict = {}
+        for k, a, d, i in sorted(rows, key=lambda r: (r[2], r[3])):
+            per_key.setdefault(k, [])
+            if not per_key[k] or per_key[k][-1][0] != a:
+                per_key[k].append((a, d))
+        want = set()
+        for k, versions in per_key.items():
+            for j, (a, d) in enumerate(versions):
+                nxt = versions[j + 1][1] if j + 1 < len(versions) else None
+                want.add((k, a, d, nxt, nxt is None))
+
+        df = spark.createDataFrame(rows, "k long, attr string, day date, src long")
+        out = scd2_history(df, ["k"], ["attr"], "day", tiebreak_cols=["src"])
+        got = {
+            (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+            for r in out.collect()
+        }
+        assert got == want
+
+    def test_leakage_split_empty_pairs_degrades_to_hash_split(self, spark):
+        from pramen_spark.operators.sampling import hash_split, leakage_safe_split
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(docs, pairs, {"train": 0.8, "eval": 0.2}).collect()
+        }
+        plain = {
+            r.doc_id: r.split
+            for r in hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.2}).collect()
+        }
+        assert out == plain
