@@ -79,3 +79,62 @@ class TestExamples:
         )
         assert shards.count() == n_out
         assert shards.select("shard_id").distinct().count() == 4
+
+    def test_cdc_ingestion_example(self, spark, tmp_path, sf_dir):
+        from pramen_spark.cli import main
+        import pyspark.sql.functions as F
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        ).limit(500)
+        snap_landing = str(tmp_path / "snap_landing")
+        orders.write.parquet(snap_landing)
+        # change batch: update every 5th price, delete every 7th key
+        upd = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).withColumn("op", F.lit("U")).withColumn("seq", F.lit(1))
+        dels = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "op", F.lit("D")
+        ).withColumn("seq", F.lit(2))
+        changes_landing = str(tmp_path / "changes_landing")
+        upd.unionByName(dels).write.parquet(changes_landing)
+
+        conf = _materialize(
+            "cdc_ingestion.conf",
+            tmp_path,
+            {
+                "%BOOKKEEPING%": str(tmp_path / "bk"),
+                "%MS_SNAP%": str(tmp_path / "ms_snap"),
+                "%MS_CHANGES%": str(tmp_path / "ms_changes"),
+                "%MS_CURRENT%": str(tmp_path / "ms_current"),
+                "%MS_HISTORY%": str(tmp_path / "ms_history"),
+                "%SNAP_LANDING%": snap_landing,
+                "%CHANGES_LANDING%": changes_landing,
+            },
+        )
+        sys.path.insert(0, EXAMPLES)
+        try:
+            assert main(["--workflow", conf, "--date", "2024-01-10"]) == 0
+        finally:
+            sys.path.remove(EXAMPLES)
+
+        current = spark.read.parquet(str(tmp_path / "ms_current"))
+        # deletes removed (delete beats the %35 update), updates applied
+        assert current.filter(F.col("o_orderkey") % 7 == 0).count() == 0
+        survivors_updated = current.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)
+        ).count()
+        assert survivors_updated > 0
+        merged_keys = {r.o_orderkey for r in current.select("o_orderkey").collect()}
+        want_keys = {
+            r.o_orderkey
+            for r in orders.filter(F.col("o_orderkey") % 7 != 0).collect()
+        }
+        assert merged_keys == want_keys
+
+        history = spark.read.parquet(str(tmp_path / "ms_history"))
+        assert {"o_custkey", "o_orderstatus", "effective_from",
+                "effective_to", "is_current"} <= set(history.columns)
+        # every key has exactly one current version
+        per_key = history.filter("is_current").groupBy("o_custkey").count()
+        assert per_key.filter("count != 1").count() == 0
