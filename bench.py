@@ -85,10 +85,11 @@ HEADLINE = [
     "profile_documents_table",
     "cohort_retention_events",
     "funnel_events",
-    # round-7 wave 4: CDC / warehouse maintenance
+    # round-7 wave 4: CDC / warehouse maintenance + copy reconciliation
     "apply_cdc_orders",
     "scd2_customer_status",
     "incremental_agg_lineitem",
+    "reconcile_orders_copy",
 ]
 
 

@@ -4985,6 +4985,88 @@ def q_incremental_agg_lineitem(spark, sf_dir):
     )
 
 
+@query(
+    "reconcile_orders_copy",
+    """
+    WITH lft AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+        FROM orders
+    ),
+    rgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(
+                   CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR) AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    la AS (
+        SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 64 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_left,
+               bit_xor(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || chr(31)
+                   || CAST(o_custkey AS VARCHAR) || chr(31)
+                   || o_orderstatus || chr(31) || price), 1, 15))::BIGINT)
+                   AS digest_left
+        FROM lft GROUP BY 1
+    ),
+    ra AS (
+        SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 64 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_right,
+               bit_xor(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || chr(31)
+                   || CAST(o_custkey AS VARCHAR) || chr(31)
+                   || o_orderstatus || chr(31) || price), 1, 15))::BIGINT)
+                   AS digest_right
+        FROM rgt GROUP BY 1
+    )
+    SELECT COALESCE(la.bucket, ra.bucket) AS bucket,
+           CAST(COALESCE(n_left, 0) AS BIGINT) AS n_left,
+           CAST(COALESCE(n_right, 0) AS BIGINT) AS n_right,
+           digest_left, digest_right,
+           (COALESCE(n_left, 0) = COALESCE(n_right, 0)
+            AND COALESCE(digest_left = digest_right, FALSE)) AS match
+    FROM la FULL OUTER JOIN ra ON la.bucket = ra.bucket
+    """,
+    "Merkle-style table reconciliation: per-bucket row counts and XOR "
+    "content digests expose where a drifted copy diverges",
+    tags=("validation", "monitoring"),
+)
+def q_reconcile_orders_copy(spark, sf_dir):
+    """Copy-integrity audit (operators/reconcile.py::reconcile_tables):
+    the 'copy' drops every 97th order and doubles every 89th price — the
+    per-bucket count+digest comparison must flag exactly those buckets
+    while the untouched ones match. Each side is one map-side-combined
+    aggregation to 64 rows; nothing but (bucket, count, digest) partials
+    ever shuffles, at any table size. The double column is pre-cast to
+    DECIMAL(18,2) so its string form is engine-portable."""
+    from pramen_spark.operators.reconcile import reconcile_tables
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    left = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", price.alias("price")
+    )
+    drifted_price = (
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,2)")
+        .cast("string")
+    )
+    right = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", drifted_price.alias("price")
+    )
+    return reconcile_tables(
+        left,
+        right,
+        key_cols=["o_orderkey"],
+        value_cols=["o_custkey", "o_orderstatus", "price"],
+        num_buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -334,3 +334,12 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "scd2_customer_status")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
         assert "Join" not in plan, plan
+
+    def test_reconcile_aggregates_before_join(self, spark, sf_dir):
+        # each side collapses to <= num_buckets rows BEFORE the compare:
+        # the full-outer join must sit above two aggregates, and no more
+        # than the two per-side agg exchanges plus the bucket-join
+        # exchange pair appear
+        plan = plan_of(spark, sf_dir, "reconcile_orders_copy")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

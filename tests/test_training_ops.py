@@ -2776,3 +2776,46 @@ class TestCdcFuzz:
             for r in hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.2}).collect()
         }
         assert out == plain
+
+
+class TestReconcileTables:
+    def _run(self, spark, left_rows, right_rows, **kw):
+        from pramen_spark.operators.reconcile import reconcile_tables
+
+        schema = "k long, v string"
+        left = spark.createDataFrame(left_rows, schema)
+        right = spark.createDataFrame(right_rows, schema)
+        return reconcile_tables(left, right, ["k"], ["v"], **kw).collect()
+
+    def test_identical_tables_all_match(self, spark):
+        rows = [(i, f"v{i}") for i in range(40)]
+        out = self._run(spark, rows, rows, num_buckets=8)
+        assert out and all(r.match for r in out)
+        assert sum(r.n_left for r in out) == 40
+
+    def test_changed_row_flips_exactly_its_bucket(self, spark):
+        rows = [(i, f"v{i}") for i in range(40)]
+        drifted = [(k, "CHANGED" if k == 7 else v) for k, v in rows]
+        out = self._run(spark, rows, drifted, num_buckets=8)
+        bad = [r for r in out if not r.match]
+        assert len(bad) == 1
+        # counts agree — only the digest exposes the value change
+        assert bad[0].n_left == bad[0].n_right
+        assert bad[0].digest_left != bad[0].digest_right
+
+    def test_missing_row_changes_count(self, spark):
+        rows = [(i, f"v{i}") for i in range(40)]
+        out = self._run(spark, rows, rows[:-1], num_buckets=8)
+        bad = [r for r in out if not r.match]
+        assert len(bad) == 1
+        assert bad[0].n_left == bad[0].n_right + 1
+
+    def test_row_order_irrelevant(self, spark):
+        rows = [(i, f"v{i}") for i in range(30)]
+        out_a = {r.bucket: (r.digest_left, r.digest_right)
+                 for r in self._run(spark, rows, list(reversed(rows)), num_buckets=4)}
+        assert all(dl == dr for dl, dr in out_a.values())
+
+    def test_null_value_distinct_from_empty(self, spark):
+        out = self._run(spark, [(1, None)], [(1, "")], num_buckets=2)
+        assert not any(r.match for r in out if r.n_left or r.n_right)
