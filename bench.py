@@ -90,6 +90,9 @@ HEADLINE = [
     "scd2_customer_status",
     "incremental_agg_lineitem",
     "reconcile_orders_copy",
+    # round-7 wave 5: index compression + hopping-window streaming parity
+    "quantize_embeddings_int8",
+    "stream_sliding_counts",
 ]
 
 

@@ -464,3 +464,57 @@ def semdedup(
 
     out = base.groupBy("cell").applyInPandas(fn, "id long, cell long, keep boolean")
     return out.withColumnRenamed("id", id_col)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column:
+    (id, scale, qvec, max_abs_err). Per-vector scale = max|x| / 127, each
+    component rounds to round(x / scale) in [-127, 127], and
+    ``max_abs_err`` audits the reconstruction bound (<= scale/2 by
+    construction — the exactness property a quantization job verifies
+    before swapping the float index out). All-zero vectors quantize to
+    zeros with scale 0.
+
+    The 4x memory cut (and SIMD int8 dot products) is what makes
+    billion-vector ANN serving affordable; candidate generation runs on
+    qvec, exact re-scoring on the float source (the two-stage pattern
+    cosine_topk/ivf_topk already use).
+
+    Scale (100 TB): a pure projection — per-row array expressions, no
+    shuffle, no Python; quantizing a corpus is one codegen'd map over
+    the vectors."""
+    x_abs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = (x_abs.cast("double") / F.lit(127.0)).alias("scale")
+    s = df.select(F.col(id_col), F.col(vec_col), scale)
+    xd = lambda x: x.cast("double")  # noqa: E731  (promote float exactly)
+    q_of = lambda x: F.round(xd(x) / F.col("scale"))  # noqa: E731
+    qvec = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(F.col(vec_col), lambda x: q_of(x).cast("int"))
+    )
+    err = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.abs(xd(x) - q_of(x) * F.col("scale")),
+            )
+        )
+    )
+    # two selects: qvec/err must see the UNROUNDED scale — rounding the
+    # published scale in the same projection would let the lambda's
+    # outer 'scale' reference bind to the rounded alias
+    out = s.select(
+        F.col(id_col), F.col("scale"), qvec.alias("qvec"), err.alias("_err")
+    )
+    return out.select(
+        id_col,
+        F.round("scale", 6).alias("scale"),
+        "qvec",
+        F.round("_err", 6).alias("max_abs_err"),
+    )

@@ -5067,6 +5067,106 @@ def q_reconcile_orders_copy(spark, sf_dir):
     )
 
 
+@query(
+    "quantize_embeddings_int8",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(
+                    embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+           END AS qvec,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE ROUND(list_max(list_transform(
+                    embedding,
+                    x -> abs(CAST(x AS DOUBLE)
+                             - round(CAST(x AS DOUBLE) / scale) * scale))), 6)
+           END AS max_abs_err
+    FROM s
+    """,
+    "symmetric int8 embedding quantization with per-vector scale and "
+    "reconstruction-error audit",
+    tags=("similarity", "embeddings"),
+)
+def q_quantize_embeddings_int8(spark, sf_dir):
+    """Index compression (operators/similarity.py::quantize_embeddings):
+    per-vector symmetric int8 with the max_abs_err <= scale/2 bound as an
+    audit column — the check run before serving ANN candidates from the
+    4x-smaller int8 index. Pure codegen projection: zero shuffles."""
+    from pramen_spark.operators.similarity import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e)
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS w0, event_type FROM events
+    ),
+    ex AS (
+        SELECT w0 AS window_start, event_type FROM w
+        UNION ALL
+        SELECT w0 - INTERVAL 1 HOUR, event_type FROM w
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ex GROUP BY 1, 2
+    """,
+    "Structured Streaming parity for HOPPING windows: 2h windows sliding "
+    "by 1h — every event counts in exactly two windows",
+    tags=("streaming",),
+)
+def q_stream_sliding_counts(spark, sf_dir):
+    """Sliding (hopping) window parity, run as a REAL streaming query like
+    stream_windowed_counts: 2-hour windows every hour mean each event
+    belongs to the two windows starting at trunc_hour(ts) and the hour
+    before — which is exactly how the batch oracle expands it. The
+    stateful aggregate keys on (window, type); the watermark bounds how
+    many open windows the store holds."""
+    from pramen_spark.streaming.stream import (
+        read_file_stream,
+        windowed_aggregation,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    glob_path = f"{sf_dir}/events.parque[t]"
+    stream = read_file_stream(spark, glob_path, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = windowed_aggregation(
+        stream,
+        "ts",
+        "2 hours",
+        slide_duration="1 hour",
+        watermark="30 minutes",
+        group_cols=("event_type",),
+    )
+    sink = "stream_sliding_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

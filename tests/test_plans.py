@@ -343,3 +343,9 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "reconcile_orders_copy")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_quantize_is_shuffle_free_projection(self, spark, sf_dir):
+        # int8 quantization is a pure codegen map over the vectors
+        plan = plan_of(spark, sf_dir, "quantize_embeddings_int8")
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

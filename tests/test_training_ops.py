@@ -2819,3 +2819,56 @@ class TestReconcileTables:
     def test_null_value_distinct_from_empty(self, spark):
         out = self._run(spark, [(1, None)], [(1, "")], num_buckets=2)
         assert not any(r.match for r in out if r.n_left or r.n_right)
+
+
+class TestQuantizeEmbeddings:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        from pramen_spark.operators.similarity import quantize_embeddings
+
+        rows = [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),          # all-zero vector
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return {r.vec_id: r for r in quantize_embeddings(df).collect()}
+
+    def test_extremes_hit_127(self, out):
+        assert max(abs(v) for v in out[1].qvec) == 127
+        assert list(out[3].qvec) == [-127, 127, 64, -64]
+
+    def test_zero_vector_zero_scale(self, out):
+        assert out[2].scale == 0.0
+        assert list(out[2].qvec) == [0, 0, 0, 0]
+        assert out[2].max_abs_err == 0.0
+
+    def test_error_bound_half_scale(self, out):
+        for r in out.values():
+            assert r.max_abs_err <= r.scale / 2 + 1e-9, r
+
+    def test_err_uses_unrounded_scale(self, spark):
+        """Regression: the published scale is rounded for display, but
+        qvec/max_abs_err must be computed against the UNROUNDED scale —
+        a same-projection lateral alias once bound the lambda's 'scale'
+        reference to the rounded column, shifting every error value."""
+        import math
+        from pramen_spark.operators.similarity import quantize_embeddings
+
+        vec = [0.010725324, 0.3023430131]  # scale with a long tail
+        df = spark.createDataFrame(
+            [(1, vec)], "vec_id long, embedding array<float>"
+        )
+        r = quantize_embeddings(df).collect()[0]
+        true_scale = max(abs(x) for x in [float(np_f32(v)) for v in vec]) / 127.0
+        errs = [
+            abs(float(np_f32(x)) - round(float(np_f32(x)) / true_scale) * true_scale)
+            for x in vec
+        ]
+        assert math.isclose(r.max_abs_err, round(max(errs), 6), abs_tol=1e-9)
+
+
+def np_f32(x):
+    import numpy as np
+
+    return np.float32(x)
