@@ -93,6 +93,7 @@ HEADLINE = [
     # round-7 wave 5: index compression + hopping-window streaming parity
     "quantize_embeddings_int8",
     "stream_sliding_counts",
+    "pagerank_purchase_graph",
 ]
 
 

@@ -224,3 +224,86 @@ def dedup_cluster_sizes(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list: (vertex, rank) after exactly
+    ``n_iter`` synchronous power iterations from the uniform start —
+    deterministic, so the result is oracle-checkable against an unrolled
+    SQL replay. Dangling vertices (no out-edges) redistribute their mass
+    uniformly each round, the standard formulation:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/deg(u) + dangling_mass/N)
+
+    Ranks sum to 1 every iteration (a convergence audit the caller can
+    assert). Duplicate edges count as parallel edges (each contributes).
+
+    Scale (100 TB graph): the edge list joins the current ranks on the
+    SOURCE key and aggregates contributions on the DESTINATION key —
+    per iteration one co-keyed join plus one map-side-combined groupBy,
+    the Pregel message pattern on DataFrames. The out-degree table is
+    computed once and reused; dangling mass is a 1-row aggregate
+    broadcast into the update expression; ranks persist each round with
+    periodically truncated lineage (localCheckpoint) so the 10-iteration
+    plan never re-derives round 1. Vertex count stays a scalar."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .persist()
+    )
+    verts = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()  # also materializes the persisted vertex set
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d")).persist()
+    ranks = verts.select("v", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    base = (1.0 - damping) / n
+    for i in range(n_iter):
+        with_deg = ranks.join(deg, ranks["v"] == deg["a"], "left")
+        dangling = (
+            with_deg.filter(F.col("d").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m"))
+        )
+        contribs = (
+            e.join(ranks, e["a"] == ranks["v"])
+            .join(deg, "a")
+            .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            verts.join(contribs, "v", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("m") / F.lit(float(n))
+                    )
+                ).alias("r"),
+            )
+        )
+        # truncate lineage every few rounds: the logical plan would
+        # otherwise nest one join+agg per iteration
+        if (i + 1) % 3 == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    # materialize before dropping the cached inputs the plan references
+    out = ranks.select(
+        F.col("v").alias("vertex"), F.col("r").alias("rank")
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    verts.unpersist()
+    return out

@@ -5167,6 +5167,79 @@ def q_stream_sliding_counts(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
+    """Unrolled PageRank replay: one CTE trio (dangling mass, contribs,
+    new ranks) per iteration — recursive CTEs cannot aggregate over the
+    recursive term, so a FIXED iteration count unrolls instead."""
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    verts AS MATERIALIZED (SELECT a AS v FROM edges UNION SELECT b FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    deg AS MATERIALIZED (SELECT a, COUNT(*) AS dd FROM edges GROUP BY a),
+    pr0 AS MATERIALIZED (SELECT v, 1.0 / nn.n AS r FROM verts CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        p = f"pr{i - 1}"
+        steps.append(
+            f"""
+    dang{i} AS MATERIALIZED (
+        SELECT COALESCE(SUM(p.r), 0) AS m
+        FROM {p} p LEFT JOIN deg ON p.v = deg.a WHERE deg.a IS NULL
+    ),
+    contrib{i} AS MATERIALIZED (
+        SELECT e.b AS v, SUM(p.r / deg.dd) AS c
+        FROM edges e JOIN {p} p ON e.a = p.v JOIN deg ON deg.a = e.a
+        GROUP BY e.b
+    ),
+    pr{i} AS MATERIALIZED (
+        SELECT t.v,
+               (1 - {d}) / nn.n + {d} * (COALESCE(c.c, 0) + g.m / nn.n) AS r
+        FROM verts t CROSS JOIN nn CROSS JOIN dang{i} g
+        LEFT JOIN contrib{i} c ON c.v = t.v
+    )"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT v AS vertex, ROUND(r, 8) AS pr FROM pr{n_iter}
+    """
+    )
+
+
+@query(
+    "pagerank_purchase_graph",
+    _pagerank_oracle(),
+    "PageRank (10 synchronous iterations, damping 0.85, dangling-mass "
+    "redistribution) over the directed customer -> supplier purchase graph",
+    tags=("graph",),
+)
+def q_pagerank_purchase_graph(spark, sf_dir):
+    """Iterative graph algorithm checked exactly (operators/graph.py::
+    pagerank): the purchase graph is bipartite and directed — customers
+    have only out-edges, suppliers only in-edges — so every supplier is
+    DANGLING and the uniform mass redistribution is exercised every
+    round, not just on edge cases. Fixed iteration count makes the
+    result deterministic; the oracle replays the same 10 synchronous
+    updates unrolled. Per iteration: one co-keyed join + one map-side
+    combined aggregate (Pregel messages on DataFrames), a 1-row dangling
+    broadcast, and lineage truncated every 3 rounds."""
+    from pramen_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    ranks = pagerank(edges, damping=0.85, n_iter=10)
+    return ranks.select("vertex", F.round("rank", 8).alias("pr"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -2872,3 +2872,55 @@ def np_f32(x):
     import numpy as np
 
     return np.float32(x)
+
+
+def _pagerank_reference(edge_list, d=0.85, n_iter=10):
+    verts = sorted({v for e in edge_list for v in e})
+    n = len(verts)
+    deg = {}
+    for a, _b in edge_list:
+        deg[a] = deg.get(a, 0) + 1
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(n_iter):
+        dangling = sum(r[v] for v in verts if v not in deg)
+        contrib = {v: 0.0 for v in verts}
+        for a, b in edge_list:
+            contrib[b] += r[a] / deg[a]
+        r = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n)
+            for v in verts
+        }
+    return r
+
+
+class TestPagerank:
+    def _run(self, spark, edge_list, **kw):
+        from pramen_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        return {r.vertex: r.rank for r in pagerank(edges, **kw).collect()}
+
+    def test_matches_sequential_reference(self, spark):
+        edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2)]  # dup edge
+        got = self._run(spark, edge_list)
+        want = _pagerank_reference(edge_list)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+    def test_ranks_sum_to_one(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (5, 6)])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_all_dangling_targets_uniform_chain(self, spark):
+        # star: one hub points at 3 sinks; sinks are dangling and must
+        # redistribute, leaving the hub above (1-d)/n
+        got = self._run(spark, [(0, 1), (0, 2), (0, 3)], n_iter=10)
+        assert got[1] == got[2] == got[3]
+        assert got[1] > got[0] > 0.0375  # sinks beat the hub; hub beats base
+
+    def test_iteration_count_matters(self, spark):
+        e = [(1, 2), (2, 1), (1, 3)]
+        r2 = self._run(spark, e, n_iter=2)
+        r10 = self._run(spark, e, n_iter=10)
+        assert any(abs(r2[v] - r10[v]) > 1e-6 for v in r2)
