@@ -268,3 +268,69 @@ def metastore_foreach_batch_sink(
             metastore.save_table(table_name, slice_df, d)
 
     return write_batch
+
+
+def neardup_foreach_batch_sink(
+    index_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: incremental NEAR-dup dedup under Structured
+    Streaming. Each micro-batch dedups against the persisted signature
+    index (operators/dedup.py::minhash_dedup_against), survivors append
+    to ``output_path`` and their signatures extend ``index_path`` — so a
+    document stream dedups continuously with per-batch cost
+    O(batch + candidates), never O(corpus), and the index carries
+    signatures only (64 longs/doc), never text.
+
+    foreachBatch batches run sequentially with replay-safe ids, so the
+    chained result equals batch-mode chained minhash_dedup_against calls
+    over the same batch split; a restarted query resumes from the
+    checkpoint and the already-extended index. (Exactly-once caveat: a
+    crash BETWEEN the two appends can re-deliver a batch; at 100 TB,
+    stage both writes under one transactional table format or key the
+    appends by batch_id for idempotent replay.)"""
+    from pyspark.sql import types as T
+
+    from pramen_spark.operators.dedup import minhash_dedup_against
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            idx = spark.read.parquet(index_path).select(id_col, "signature")
+        except Exception:
+            idx = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(id_col, T.LongType()),
+                        T.StructField(
+                            "signature", T.ArrayType(T.LongType(), False)
+                        ),
+                    ]
+                ),
+            )
+        survivors = minhash_dedup_against(
+            batch_df,
+            idx,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_size=shingle_size,
+            num_bands=num_bands,
+            threshold=threshold,
+            max_shingle_freq=max_shingle_freq,
+        ).persist()
+        survivors.drop("signature").write.mode("append").parquet(output_path)
+        survivors.select(id_col, "signature").write.mode("append").parquet(
+            index_path
+        )
+        survivors.unpersist()
+
+    return write_batch

@@ -182,3 +182,80 @@ class TestSessionizeBatch:
             (1, base + dt.timedelta(hours=2), 5),
             (2, base, 1),
         }
+
+
+class TestStreamingNearDupDedup:
+    """The incremental near-dup contract under Structured Streaming: a
+    document stream processed by neardup_foreach_batch_sink must produce
+    EXACTLY the corpus that batch-mode chained minhash_dedup_against
+    calls produce over the same batch split, and the signature index must
+    carry one row per survivor."""
+
+    def _docs(self, spark, lo, hi, dup_of=None):
+        rows = []
+        for i in range(lo, hi):
+            if dup_of and i in dup_of:
+                # near-copy of an earlier doc: its template + tiny suffix
+                o = dup_of[i]
+                rows.append((i, f"unique content {o} with distinct tokens "
+                                f"alpha{o} beta{o} gamma{o} delta{o} epsilon{o} x"))
+            else:
+                rows.append((i, f"unique content {i} with distinct tokens "
+                                f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_streamed_batches_equal_chained_batch_mode(self, spark, tmp_path):
+        from pramen_spark.operators.dedup import minhash_dedup_against
+        from pramen_spark.streaming.stream import neardup_foreach_batch_sink
+
+        kw = dict(num_hashes=32, num_bands=16, threshold=0.5, shingle_size=3)
+        # batch 1: docs 0-19; batch 2: docs 20-39 where 25/26 near-copy 3
+        # and 30 near-copies 21 (within... across batches)
+        dup_of = {25: 3, 26: 3, 30: 3}
+        b1 = self._docs(spark, 0, 20)
+        b2 = self._docs(spark, 20, 40, dup_of=dup_of)
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        b1.coalesce(1).write.parquet(str(landing / "f1"))
+        index_path = str(tmp_path / "sig_index")
+        output_path = str(tmp_path / "clean_docs")
+        ckpt = str(tmp_path / "ckpt")
+        sink = neardup_foreach_batch_sink(index_path, output_path, **kw)
+        schema = b1.schema
+
+        def run_stream():
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(str(landing / "*"))
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_stream()                      # processes f1
+        b2.coalesce(1).write.parquet(str(landing / "f2"))
+        run_stream()                      # resumes from checkpoint: only f2
+
+        got = {r.doc_id for r in spark.read.parquet(output_path).collect()}
+
+        # batch-mode chained reference over the same split
+        from pyspark.sql import types as T
+        empty = spark.createDataFrame(
+            [], T.StructType([T.StructField("doc_id", T.LongType()),
+                              T.StructField("signature",
+                                            T.ArrayType(T.LongType(), False))]))
+        s1 = minhash_dedup_against(b1, empty, **kw).persist()
+        idx1 = s1.select("doc_id", "signature")
+        s2 = minhash_dedup_against(b2, idx1, **kw)
+        want = ({r.doc_id for r in s1.collect()}
+                | {r.doc_id for r in s2.collect()})
+        assert got == want
+        # the cross-batch near-dups of doc 3 must have been dropped
+        assert got.isdisjoint({25, 26, 30})
+        # index carries exactly one signature row per survivor
+        idx = spark.read.parquet(index_path)
+        assert idx.count() == len(got)
+        assert {r.doc_id for r in idx.select("doc_id").collect()} == got
