@@ -94,6 +94,8 @@ HEADLINE = [
     "quantize_embeddings_int8",
     "stream_sliding_counts",
     "pagerank_purchase_graph",
+    "incremental_distinct_hll",
+    "value_percentiles_daily",
 ]
 
 

@@ -5240,6 +5240,86 @@ def q_pagerank_purchase_graph(spark, sf_dir):
     return ranks.select("vertex", F.round("rank", 8).alias("pr"))
 
 
+@query(
+    "incremental_distinct_hll",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    "incremental distinct-user maintenance: three chained HLL sketch "
+    "merges must estimate the one-shot exact distinct within 5%",
+    tags=("cdc", "incremental", "sketch"),
+)
+def q_incremental_distinct_hll(spark, sf_dir):
+    """Mergeable distinct state (operators/cdc.py::merge_distinct_state):
+    exact distincts cannot fold across batches, HLL sketches can — three
+    disjoint event batches merge into one sketch per event_type, and the
+    query CARRIES ITS OWN CHECK (the approx_aggregates_selfcheck
+    pattern): it outputs the exact distinct count (oracle-matched) plus
+    a within-5% verdict computed from the sketch estimate, so estimator
+    drift fails the driver gate even though sketch binaries cannot
+    hash-match another engine."""
+    from pramen_spark.operators.cdc import estimate_distinct, merge_distinct_state
+
+    e = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    state = None
+    for i in range(3):
+        state = merge_distinct_state(
+            state,
+            e.filter(F.col("event_id") % 3 == i),
+            group_cols=["event_type"],
+            key_col="user_id",
+        )
+    est = estimate_distinct(state)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "value_percentiles_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY 1
+    """,
+    "daily P50/P95/P99 of the event value (exact interpolated "
+    "percentiles)",
+    tags=("analytics", "monitoring"),
+)
+def q_value_percentiles_daily(spark, sf_dir):
+    """Daily latency-style percentile monitoring: exact interpolated
+    percentiles per day (Spark `percentile` and DuckDB `quantile_cont`
+    implement the same p*(n-1) linear interpolation). Exact grouped
+    percentiles sort each day's values inside the aggregate — fine for
+    day-sized groups; at 100 TB swap in approx_percentile and keep the
+    within-tolerance self-check (the sketch pattern
+    approx_aggregates_selfcheck / incremental_distinct_hll use)."""
+    e = load_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return e.groupBy("day").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p50"),
+        F.round(F.element_at(pct, 2), 4).alias("p95"),
+        F.round(F.element_at(pct, 3), 4).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

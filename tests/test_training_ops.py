@@ -2924,3 +2924,52 @@ class TestPagerank:
         r2 = self._run(spark, e, n_iter=2)
         r10 = self._run(spark, e, n_iter=10)
         assert any(abs(r2[v] - r10[v]) > 1e-6 for v in r2)
+
+
+class TestMergeDistinctState:
+    def test_chained_sketches_estimate_union(self, spark):
+        from pramen_spark.operators.cdc import (
+            estimate_distinct,
+            merge_distinct_state,
+        )
+
+        # 300 keys, overlapping across batches: naive per-batch distinct
+        # sums would double-count; the merged sketch must not
+        df = spark.createDataFrame(
+            [(i % 2, i % 300) for i in range(1000)], "g int, k int"
+        )
+        state = None
+        for i in range(4):
+            state = merge_distinct_state(
+                state, df.filter(F.col("k") % 4 == i), ["g"], "k"
+            )
+        est = {r.g: r.n_distinct_est for r in estimate_distinct(state).collect()}
+        exact = {
+            r.g: r.n
+            for r in df.groupBy("g")
+            .agg(F.countDistinct("k").alias("n"))
+            .collect()
+        }
+        for g in exact:
+            assert abs(est[g] - exact[g]) <= 0.05 * exact[g], (g, est[g], exact[g])
+
+    def test_batch_split_invariance(self, spark):
+        from pramen_spark.operators.cdc import (
+            estimate_distinct,
+            merge_distinct_state,
+        )
+
+        df = spark.createDataFrame([(0, i) for i in range(500)], "g int, k int")
+        a = merge_distinct_state(
+            merge_distinct_state(None, df.filter("k < 100"), ["g"], "k"),
+            df.filter("k >= 100"),
+            ["g"],
+            "k",
+        )
+        b = merge_distinct_state(None, df, ["g"], "k")
+        ea = estimate_distinct(a).collect()[0].n_distinct_est
+        eb = estimate_distinct(b).collect()[0].n_distinct_est
+        # a UNIONED sketch loses the single-sketch sparse-mode exactness
+        # (Datasketches HLL_4 union goes through the estimator), so split
+        # invariance holds within the error envelope, not bitwise
+        assert abs(ea - 500) <= 25 and abs(eb - 500) <= 25, (ea, eb)
