@@ -264,6 +264,12 @@ def pagerank(
         .persist()
     )
     n = verts.count()  # also materializes the persisted vertex set
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        return verts.select(
+            F.col("v").alias("vertex"), F.lit(0.0).alias("rank")
+        )
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d")).persist()
     ranks = verts.select("v", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     base = (1.0 - damping) / n

@@ -302,9 +302,11 @@ def neardup_foreach_batch_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
         try:
             idx = spark.read.parquet(index_path).select(id_col, "signature")
-        except Exception:
+        except AnalysisException:  # first batch: no index yet
             idx = spark.createDataFrame(
                 [],
                 T.StructType(

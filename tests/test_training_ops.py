@@ -2973,3 +2973,13 @@ class TestMergeDistinctState:
         # (Datasketches HLL_4 union goes through the estimator), so split
         # invariance holds within the error envelope, not bitwise
         assert abs(ea - 500) <= 25 and abs(eb - 500) <= 25, (ea, eb)
+
+
+class TestPagerankEdgeCases:
+    def test_empty_edges_returns_empty(self, spark):
+        from pramen_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([], "src long, dst long")
+        out = pagerank(edges)
+        assert out.columns == ["vertex", "rank"]
+        assert out.count() == 0
