@@ -96,6 +96,7 @@ HEADLINE = [
     "pagerank_purchase_graph",
     "incremental_distinct_hll",
     "value_percentiles_daily",
+    "weighted_sample_documents",
 ]
 
 

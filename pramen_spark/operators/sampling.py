@@ -463,3 +463,55 @@ def leakage_safe_split(
     return hash_split(labeled, "cluster_label", fractions, salt=salt).select(
         id_col, "cluster_label", "split"
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis exponential-sort trick, derandomized): each row
+    draws u = hash-unit(key, salt) and scores ln(u) / weight — a
+    monotone transform of the classic u^(1/w) key — and the top-k scores
+    (per group, if given) are the sample. Inclusion probability is
+    proportional to weight, the selection is reproducible from the key
+    hash alone, and re-runs never swap rows in and out (the
+    hash_sample/hash_split stability property, now weight-aware — the
+    tool for quality-weighted corpus selection where better documents
+    should be MORE likely, not certain, to be kept). Rows with
+    non-positive weight are excluded.
+
+    Scale (100 TB): scoring is a projection; the global top-k plans as
+    TakeOrderedAndProject (no full sort, no single-partition window) and
+    grouped top-k is one window per group partition. Output carries
+    (key, group..., weight, score) — callers join survivors back by key,
+    the same pattern the dedup survivors use."""
+    u = _hash_unit("_salted")
+    score = F.log(u) / F.col(weight_col)
+    base = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(
+            "_salted", F.concat(F.col(key_col).cast("string"), F.lit(salt))
+        )
+        .withColumn("_score", score)
+        .drop("_salted")
+    )
+    groups = list(group_cols)
+    if not groups:
+        out = base.orderBy(F.desc("_score"), F.col(key_col)).limit(k)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*groups).orderBy(
+            F.desc("_score"), F.col(key_col)
+        )
+        out = (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return out.withColumnRenamed("_score", "sample_score")

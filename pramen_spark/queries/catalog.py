@@ -5320,6 +5320,46 @@ def q_value_percentiles_daily(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_sample_documents",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS weight,
+               ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 8))::BIGINT
+                  / 4294967296.0) / n_chars AS s
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, weight, ROUND(s, 8) AS sample_score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY s DESC, doc_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 50
+    """,
+    "deterministic weighted sampling without replacement (derandomized "
+    "Efraimidis-Spirakis): per-language top-50 by ln(u)/weight",
+    tags=("sampling",),
+)
+def q_weighted_sample_documents(spark, sf_dir):
+    """Quality-weighted selection (operators/sampling.py::
+    weighted_sample_topk): longer documents are proportionally MORE
+    likely — never certain — to be kept, per language, and the draw is
+    reproducible from the doc-id hash (re-runs never swap the sample).
+    Scoring is a projection; the per-group top-k is one window per
+    language partition."""
+    from pramen_spark.operators.sampling import weighted_sample_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("weight")
+    )
+    out = weighted_sample_topk(
+        d, "weight", 50, key_col="doc_id", group_cols=["lang"]
+    )
+    return out.select(
+        "doc_id", "lang", "weight", F.round("sample_score", 8).alias("sample_score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -349,3 +349,8 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "quantize_embeddings_int8")
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_weighted_sample_grouped_no_single_partition(self, spark, sf_dir):
+        # per-language top-k windows over lang partitions; nothing global
+        plan = plan_of(spark, sf_dir, "weighted_sample_documents")
+        assert "SinglePartition" not in plan, plan

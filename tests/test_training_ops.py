@@ -2983,3 +2983,52 @@ class TestPagerankEdgeCases:
         out = pagerank(edges)
         assert out.columns == ["vertex", "rank"]
         assert out.count() == 0
+
+
+class TestWeightedSampleTopk:
+    def test_deterministic_across_partitioning(self, spark):
+        from pramen_spark.operators.sampling import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 7)) for i in range(200)], "k long, w double"
+        )
+        a = {r.k for r in weighted_sample_topk(df, "w", 30, "k").collect()}
+        b = {r.k for r in weighted_sample_topk(
+            df.repartition(13), "w", 30, "k").collect()}
+        assert a == b and len(a) == 30
+
+    def test_weight_proportional_inclusion(self, spark):
+        from pramen_spark.operators.sampling import weighted_sample_topk
+
+        # two strata: keys 0-99 weight 1, keys 100-199 weight 10; across
+        # many salts the heavy stratum must dominate the sample
+        df = spark.createDataFrame(
+            [(i, 1.0 if i < 100 else 10.0) for i in range(200)],
+            "k long, w double",
+        )
+        heavy = 0
+        for salt in ("s1", "s2", "s3", "s4"):
+            got = weighted_sample_topk(df, "w", 40, "k", salt=salt).collect()
+            heavy += sum(1 for r in got if r.k >= 100)
+        # E[heavy share] >> 50%; 4x40 draws make < 60% astronomically unlikely
+        assert heavy / 160 > 0.6
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from pramen_spark.operators.sampling import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 5.0)], "k long, w double"
+        )
+        got = {r.k for r in weighted_sample_topk(df, "w", 10, "k").collect()}
+        assert got == {3}
+
+    def test_grouped_k_per_group(self, spark):
+        from pramen_spark.operators.sampling import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(i, "g" + str(i % 3), 1.0 + i) for i in range(90)],
+            "k long, g string, w double",
+        )
+        got = weighted_sample_topk(df, "w", 5, "k", group_cols=["g"]).collect()
+        from collections import Counter
+        assert Counter(r.g for r in got) == {"g0": 5, "g1": 5, "g2": 5}
