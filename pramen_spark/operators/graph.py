@@ -244,14 +244,17 @@ def pagerank(
     Ranks sum to 1 every iteration (a convergence audit the caller can
     assert). Duplicate edges count as parallel edges (each contributes).
 
-    Scale (100 TB graph): the edge list joins the current ranks on the
-    SOURCE key and aggregates contributions on the DESTINATION key —
-    per iteration one co-keyed join plus one map-side-combined groupBy,
-    the Pregel message pattern on DataFrames. The out-degree table is
-    computed once and reused; dangling mass is a 1-row aggregate
-    broadcast into the update expression; ranks persist each round with
-    periodically truncated lineage (localCheckpoint) so the 10-iteration
-    plan never re-derives round 1. Vertex count stays a scalar."""
+    Scale (100 TB graph): the degree-annotated edge list and the
+    dangling vertex set are built ONCE; per iteration the current ranks
+    join the edges on the SOURCE key and contributions aggregate
+    map-side on the DESTINATION key — the Pregel message pattern on
+    DataFrames. When the vertex set fits the broadcast envelope
+    (<= 1M vertices, 16 B each) the rank table broadcasts into both
+    joins, so the edge list is NEVER reshuffled after its initial
+    co-keyed degree join; above it the joins shuffle co-keyed. Dangling
+    mass is a 1-row aggregate broadcast into the update expression;
+    lineage truncates every 3 rounds (localCheckpoint) so iteration N
+    never replans rounds 1..N-1. Vertex count stays a scalar."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -270,18 +273,30 @@ def pagerank(
         return verts.select(
             F.col("v").alias("vertex"), F.lit(0.0).alias("rank")
         )
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d")).persist()
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # static per-iteration inputs, computed ONCE: the degree-annotated
+    # edge list (the old shape re-joined deg every round) and the
+    # dangling vertex set (no out-edges)
+    e_deg = e.join(deg, "a").select("a", "b", "d").persist()
+    dangling_vs = verts.join(
+        deg.withColumnRenamed("a", "v"), "v", "left_anti"
+    ).persist()
+    dangling_vs.count()
+    # the rank table is (vertex, double) — 16 bytes/vertex; under the
+    # envelope it broadcasts into both per-iteration joins, so the big
+    # edge list is never reshuffled after its one e⋈deg co-keyed join
+    small = n <= 1_000_000
     ranks = verts.select("v", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     base = (1.0 - damping) / n
     for i in range(n_iter):
-        with_deg = ranks.join(deg, ranks["v"] == deg["a"], "left")
+        r_in = F.broadcast(ranks) if small else ranks
+        d_vs = F.broadcast(dangling_vs) if small else dangling_vs
         dangling = (
-            with_deg.filter(F.col("d").isNull())
+            ranks.join(d_vs, "v", "left_semi")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m"))
         )
         contribs = (
-            e.join(ranks, e["a"] == ranks["v"])
-            .join(deg, "a")
+            e_deg.join(r_in, e_deg["a"] == r_in["v"])
             .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("contrib"))
@@ -310,6 +325,7 @@ def pagerank(
         F.col("v").alias("vertex"), F.col("r").alias("rank")
     ).localCheckpoint(eager=True)
     e.unpersist()
-    deg.unpersist()
+    e_deg.unpersist()
+    dangling_vs.unpersist()
     verts.unpersist()
     return out
