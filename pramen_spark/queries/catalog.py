@@ -5398,14 +5398,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # sessionize/range-join slots — both of those had green driver rows in
     # rounds 5-6 and stay oracle-checked via tools/check_oracle.py +
     # pytest's out-of-window sweep).
-    "curate_corpus", "dedup_exact", "decontaminate_ngram",
+    "curate_corpus", "dedup_exact",
     "minhash_dedup", "dedup_clusters",
-    "semdedup_embeddings", "similarity_cosine_topk",
+    "semdedup_embeddings",
     "gopher_quality_filter", "char_lm_quality",
     "paragraph_dedup_documents", "line_dedup_documents",
     "substring_dedup_documents", "quality_classifier",
     "validate_documents", "pack_utilization",
     "stream_windowed_counts", "leakage_safe_split_documents",
+    # round-7 mid-round wave-4/5 flagships (ousted: decontaminate_ngram,
+    # similarity_cosine_topk — driver-green since round 4, still swept
+    # by pytest's out-of-window oracle test)
+    "apply_cdc_orders", "pagerank_purchase_graph",
 ]
 
 
