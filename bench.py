@@ -97,6 +97,7 @@ HEADLINE = [
     "incremental_distinct_hll",
     "value_percentiles_daily",
     "weighted_sample_documents",
+    "hits_purchase_graph",
 ]
 
 

@@ -329,3 +329,98 @@ def pagerank(
     dangling_vs.unpersist()
     verts.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over a directed edge list:
+    (vertex, hub, authority) after exactly ``n_iter`` synchronous
+    iterations from the all-ones start, each score vector max-normalized
+    per iteration (deterministic, division-only — replayable in an
+    unrolled SQL oracle like :func:`pagerank`). On a bipartite graph
+    (e.g. customer->supplier purchases) hubs rank the left side by how
+    much weight they send to strong authorities and vice versa — the
+    mutual-reinforcement ranking PageRank's single score cannot express.
+
+        a_i(v) = sum over u->v of h_{i-1}(u),  then a_i /= max(a_i)
+        h_i(v) = sum over v->w of a_i(w),      then h_i /= max(h_i)
+
+    Vertices with no in-edges keep authority 0; no out-edges, hub 0.
+
+    Scale (100 TB): the edge list is static; per iteration one
+    source-keyed join + destination-keyed aggregate for authorities and
+    the mirror for hubs, each normalization a 1-row max broadcast. Under
+    the same <= 1M-vertex envelope as pagerank the score tables
+    broadcast into the joins, so edges never reshuffle; lineage
+    truncates every other round."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .persist()
+    )
+    verts = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        return verts.select(
+            F.col("v").alias("vertex"),
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        )
+    small = n <= 1_000_000
+    h = verts.select("v", F.lit(1.0).alias("s"))
+    a = None
+    for i in range(n_iter):
+        h_in = F.broadcast(h) if small else h
+        a_raw = (
+            e.join(h_in, e["a"] == h_in["v"])
+            .groupBy(e["b"].alias("v"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        a_max = a_raw.agg(F.max("raw").alias("mx"))
+        a = (
+            verts.join(a_raw, "v", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "v",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("mx")).alias("s"),
+            )
+        )
+        a_in = F.broadcast(a) if small else a
+        h_raw = (
+            e.join(a_in, e["b"] == a_in["v"])
+            .groupBy(e["a"].alias("v"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        h = (
+            verts.join(h_raw, "v", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "v",
+                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("mx")).alias("s"),
+            )
+        )
+        if (i + 1) % 2 == 0 and i + 1 < n_iter:
+            h = h.localCheckpoint(eager=True)
+            a = a.localCheckpoint(eager=True)
+    out = (
+        h.withColumnRenamed("s", "hub")
+        .join(a.withColumnRenamed("s", "authority"), "v")
+        .select("v", "hub", "authority")
+        .withColumnRenamed("v", "vertex")
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    verts.unpersist()
+    return out

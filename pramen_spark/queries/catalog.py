@@ -5360,6 +5360,85 @@ def q_weighted_sample_documents(spark, sf_dir):
     )
 
 
+def _hits_oracle(n_iter: int = 8) -> str:
+    """Unrolled HITS replay (same mechanism as the pagerank oracle):
+    one (authority-raw, authority, hub-raw, hub) CTE quad per iteration,
+    every level MATERIALIZED so references do not inline exponentially."""
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    verts AS MATERIALIZED (SELECT a AS v FROM edges UNION SELECT b FROM edges),
+    h0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS s FROM verts)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""
+    araw{i} AS MATERIALIZED (
+        SELECT e.b AS v, SUM(p.s) AS raw
+        FROM edges e JOIN h{i - 1} p ON e.a = p.v GROUP BY e.b
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT t.v, COALESCE(r.raw, 0) / m.mx AS s
+        FROM verts t
+        CROSS JOIN (SELECT MAX(raw) AS mx FROM araw{i}) m
+        LEFT JOIN araw{i} r ON r.v = t.v
+    ),
+    hraw{i} AS MATERIALIZED (
+        SELECT e.a AS v, SUM(p.s) AS raw
+        FROM edges e JOIN a{i} p ON e.b = p.v GROUP BY e.a
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT t.v, COALESCE(r.raw, 0) / m.mx AS s
+        FROM verts t
+        CROSS JOIN (SELECT MAX(raw) AS mx FROM hraw{i}) m
+        LEFT JOIN hraw{i} r ON r.v = t.v
+    )"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT h.v AS vertex, ROUND(h.s, 8) AS hub, ROUND(a.s, 8) AS authority
+    FROM h{n_iter} h JOIN a{n_iter} a ON h.v = a.v
+    """
+    )
+
+
+@query(
+    "hits_purchase_graph",
+    _hits_oracle(),
+    "HITS hubs and authorities (8 max-normalized iterations) over the "
+    "directed customer -> supplier purchase graph",
+    tags=("graph",),
+)
+def q_hits_purchase_graph(spark, sf_dir):
+    """Mutual-reinforcement ranking (operators/graph.py::hits): on the
+    bipartite purchase graph hubs rank customers by how much volume they
+    send to strong suppliers and authorities rank suppliers by the
+    strength of their buyers — the two-sided structure a single PageRank
+    score flattens. Max normalization keeps every step division-only,
+    so the unrolled oracle replays it exactly. Same iteration scaffolding
+    as pagerank: static edges, broadcast score tables under the 1M-vertex
+    envelope, lineage truncated every other round."""
+    from pramen_spark.operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    out = hits(edges, n_iter=8)
+    return out.select(
+        "vertex",
+        F.round("hub", 8).alias("hub"),
+        F.round("authority", 8).alias("authority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

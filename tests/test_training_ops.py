@@ -3032,3 +3032,53 @@ class TestWeightedSampleTopk:
         got = weighted_sample_topk(df, "w", 5, "k", group_cols=["g"]).collect()
         from collections import Counter
         assert Counter(r.g for r in got) == {"g0": 5, "g1": 5, "g2": 5}
+
+
+def _hits_reference(edge_list, n_iter=8):
+    verts = sorted({v for e in edge_list for v in e})
+    h = {v: 1.0 for v in verts}
+    a = {}
+    for _ in range(n_iter):
+        a = {v: 0.0 for v in verts}
+        for u, v in edge_list:
+            a[v] += h[u]
+        mx = max(a.values())
+        a = {v: x / mx for v, x in a.items()}
+        h = {v: 0.0 for v in verts}
+        for u, v in edge_list:
+            h[u] += a[v]
+        mx = max(h.values())
+        h = {v: x / mx for v, x in h.items()}
+    return h, a
+
+
+class TestHits:
+    def test_matches_sequential_reference(self, spark):
+        from pramen_spark.operators.graph import hits
+
+        edge_list = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (2, 10)]
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r.vertex: (r.hub, r.authority) for r in hits(edges).collect()}
+        h, a = _hits_reference(edge_list)
+        assert set(got) == set(h)
+        for v in h:
+            assert abs(got[v][0] - h[v]) < 1e-12, ("hub", v)
+            assert abs(got[v][1] - a[v]) < 1e-12, ("auth", v)
+
+    def test_bipartite_roles(self, spark):
+        from pramen_spark.operators.graph import hits
+
+        # left side points right: hubs live left, authorities right
+        edges = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 10)], "src long, dst long"
+        )
+        got = {r.vertex: r for r in hits(edges).collect()}
+        assert got[1].hub == 1.0          # strongest hub normalizes to 1
+        assert got[10].authority == 1.0   # strongest authority likewise
+        assert got[10].hub == 0.0 and got[1].authority == 0.0
+
+    def test_empty_edges(self, spark):
+        from pramen_spark.operators.graph import hits
+
+        edges = spark.createDataFrame([], "src long, dst long")
+        assert hits(edges).count() == 0
