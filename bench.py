@@ -98,6 +98,7 @@ HEADLINE = [
     "value_percentiles_daily",
     "weighted_sample_documents",
     "hits_purchase_graph",
+    "trend_slope_daily",
 ]
 
 

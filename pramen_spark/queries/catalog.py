@@ -5439,6 +5439,54 @@ def q_hits_purchase_graph(spark, sf_dir):
     )
 
 
+@query(
+    "trend_slope_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS x,
+               SUM(value) AS y
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(regr_slope(y, x), 4) AS slope,
+           ROUND(regr_intercept(y, x), 4) AS intercept,
+           ROUND(corr(y, x) * corr(y, x), 4) AS r2
+    FROM daily
+    GROUP BY event_type
+    """,
+    "per-type daily-volume trend: closed-form OLS slope/intercept/r2 "
+    "over the day index",
+    tags=("analytics", "monitoring"),
+)
+def q_trend_slope_daily(spark, sf_dir):
+    """Trend monitoring as two map-side-combined aggregations: daily
+    volumes per type, then the closed-form OLS fit from covariance
+    aggregates — slope = covar_pop(y,x)/var_pop(x), intercept from the
+    means, r2 from corr — exactly DuckDB's regr_* definitions, so the
+    fit is oracle-exact. The trend a freshness/volume alert consumes; at
+    any scale the regression state is six running sums per group."""
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("double")
+            .alias("x"),
+        )
+        .agg(F.sum("value").alias("y"))
+    )
+    slope = F.covar_pop("y", "x") / F.var_pop("x")
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(F.corr("y", "x") * F.corr("y", "x"), 4).alias("r2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -354,3 +354,10 @@ class TestNewOperatorPlans:
         # per-language top-k windows over lang partitions; nothing global
         plan = plan_of(spark, sf_dir, "weighted_sample_documents")
         assert "SinglePartition" not in plan, plan
+
+    def test_trend_two_aggregations_no_join(self, spark, sf_dir):
+        # OLS from covariance aggregates: two map-side-combined groupBys,
+        # no join, nothing in Python
+        plan = plan_of(spark, sf_dir, "trend_slope_daily")
+        assert "Join" not in plan, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
