@@ -411,9 +411,12 @@ def hits(
                 (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("mx")).alias("s"),
             )
         )
-        if (i + 1) % 2 == 0 and i + 1 < n_iter:
-            h = h.localCheckpoint(eager=True)
-            a = a.localCheckpoint(eager=True)
+        # materialize BOTH score tables every round: each is consumed
+        # twice (its own max scalar + the next join), so a lazy plan
+        # re-evaluates the whole round chain multiplicatively — eager
+        # truncation keeps every round O(1) jobs over KB-scale tables
+        h = h.localCheckpoint(eager=True)
+        a = a.localCheckpoint(eager=True)
     out = (
         h.withColumnRenamed("s", "hub")
         .join(a.withColumnRenamed("s", "authority"), "v")
