@@ -357,6 +357,8 @@ def hits(
     the same <= 1M-vertex envelope as pagerank the score tables
     broadcast into the joins, so edges never reshuffle; lineage
     truncates every other round."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
