@@ -99,6 +99,7 @@ HEADLINE = [
     "weighted_sample_documents",
     "hits_purchase_graph",
     "trend_slope_daily",
+    "reconcile_drilldown_orders",
 ]
 
 

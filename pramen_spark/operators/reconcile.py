@@ -22,6 +22,33 @@ _SEP = "\x1f"
 _NULL = "\x1e[[null]]\x1e"
 
 
+def bucket_expr(key_cols: Sequence[str], num_buckets: int) -> F.Column:
+    """The bucket assignment reconcile_tables uses, as a reusable column
+    expression — callers re-apply it to FILTER a table down to suspect
+    buckets for the Merkle descent (drill into a mismatched bucket with
+    a finer num_buckets, touching only that bucket's rows)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        _SEP,
+                        *[
+                            F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                            for c in key_cols
+                        ],
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(num_buckets),
+    )
+
+
 def _digest(cols: Sequence[str]) -> F.Column:
     """Order-independent-aggregatable row digest: md5 of the
     null-sentineled, separator-joined column values, first 15 hex chars
@@ -65,26 +92,7 @@ def reconcile_tables(
     vals = list(value_cols) if value_cols is not None else [
         c for c in left.columns if c not in keys
     ]
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        _SEP,
-                        *[
-                            F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-                            for c in keys
-                        ],
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(num_buckets),
-    )
+    bucket = bucket_expr(keys, num_buckets)
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return (
@@ -115,4 +123,39 @@ def reconcile_tables(
                 F.col("digest_left") == F.col("digest_right"), F.lit(False)
             )
         ).alias("match"),
+    )
+
+
+def reconcile_drilldown(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Optional[Sequence[str]] = None,
+    coarse_buckets: int = 16,
+    fine_buckets: int = 256,
+) -> DataFrame:
+    """One step of the Merkle descent: reconcile coarsely, then
+    re-reconcile ONLY the rows of mismatched coarse buckets at fine
+    granularity. Output schema is reconcile_tables' at the fine level;
+    matching coarse buckets contribute nothing, so the second pass scans
+    a fraction of each table proportional to the damage. Iterating this
+    (filter by ``bucket_expr`` on the suspect fine buckets, re-bucket
+    finer) narrows a 100 TB diff to the changed keys in O(log) passes,
+    each an aggregate — rows still never move.
+
+    The mismatched coarse-bucket ids are collected to the driver — a
+    control-plane list of at most ``coarse_buckets`` integers, the same
+    envelope class as a file listing. No mismatches → empty output."""
+    keys = list(key_cols)
+    coarse = reconcile_tables(left, right, keys, value_cols, coarse_buckets)
+    bad = [
+        r["bucket"] for r in coarse.filter(~F.col("match")).select("bucket").collect()
+    ]
+    b = bucket_expr(keys, coarse_buckets)
+    return reconcile_tables(
+        left.filter(b.isin(bad)),
+        right.filter(b.isin(bad)),
+        keys,
+        value_cols,
+        fine_buckets,
     )

@@ -5487,6 +5487,108 @@ def q_trend_slope_daily(spark, sf_dir):
     )
 
 
+_RECON_KEY_SQL = "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT"
+_RECON_DIG_SQL = (
+    "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || chr(31) "
+    "|| CAST(o_custkey AS VARCHAR) || chr(31) || o_orderstatus || chr(31) "
+    "|| price), 1, 15))::BIGINT"
+)
+
+_DRILLDOWN_ORACLE = f"""
+    WITH lft AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+        FROM orders
+    ),
+    rgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(
+                   CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR) AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    cl AS (
+        SELECT {_RECON_KEY_SQL} % 16 AS b, CAST(COUNT(*) AS BIGINT) AS n_l,
+               bit_xor({_RECON_DIG_SQL}) AS x_l
+        FROM lft GROUP BY 1
+    ),
+    cr AS (
+        SELECT {_RECON_KEY_SQL} % 16 AS b, CAST(COUNT(*) AS BIGINT) AS n_r,
+               bit_xor({_RECON_DIG_SQL}) AS x_r
+        FROM rgt GROUP BY 1
+    ),
+    bad AS (
+        SELECT COALESCE(cl.b, cr.b) AS b
+        FROM cl FULL OUTER JOIN cr ON cl.b = cr.b
+        WHERE NOT (COALESCE(n_l, 0) = COALESCE(n_r, 0)
+                   AND COALESCE(x_l = x_r, FALSE))
+    ),
+    fl AS (
+        SELECT {_RECON_KEY_SQL} % 256 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_left,
+               bit_xor({_RECON_DIG_SQL}) AS digest_left
+        FROM lft WHERE {_RECON_KEY_SQL} % 16 IN (SELECT b FROM bad)
+        GROUP BY 1
+    ),
+    fr AS (
+        SELECT {_RECON_KEY_SQL} % 256 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_right,
+               bit_xor({_RECON_DIG_SQL}) AS digest_right
+        FROM rgt WHERE {_RECON_KEY_SQL} % 16 IN (SELECT b FROM bad)
+        GROUP BY 1
+    )
+    SELECT COALESCE(fl.bucket, fr.bucket) AS bucket,
+           CAST(COALESCE(n_left, 0) AS BIGINT) AS n_left,
+           CAST(COALESCE(n_right, 0) AS BIGINT) AS n_right,
+           digest_left, digest_right,
+           (COALESCE(n_left, 0) = COALESCE(n_right, 0)
+            AND COALESCE(digest_left = digest_right, FALSE)) AS match
+    FROM fl FULL OUTER JOIN fr ON fl.bucket = fr.bucket
+"""
+
+
+@query(
+    "reconcile_drilldown_orders",
+    _DRILLDOWN_ORACLE,
+    "Merkle descent step: fine-grained re-reconciliation of ONLY the "
+    "coarse buckets the first pass flagged",
+    tags=("validation", "monitoring"),
+)
+def q_reconcile_drilldown_orders(spark, sf_dir):
+    """The descent reconcile_tables' docstring promises, run for real
+    (operators/reconcile.py::reconcile_drilldown): a 16-bucket coarse
+    pass flags the damaged buckets (same injected drift as
+    reconcile_orders_copy), and the 256-bucket second pass touches only
+    those buckets' rows — the scan shrinks proportionally to the damage,
+    and iterating narrows a 100 TB diff to the changed keys in O(log)
+    aggregate-only passes. The only driver traffic is the <= 16
+    mismatched coarse ids."""
+    from pramen_spark.operators.reconcile import reconcile_drilldown
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    left = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", price.alias("price")
+    )
+    drifted_price = (
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,2)")
+        .cast("string")
+    )
+    right = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", drifted_price.alias("price")
+    )
+    return reconcile_drilldown(
+        left,
+        right,
+        key_cols=["o_orderkey"],
+        value_cols=["o_custkey", "o_orderstatus", "price"],
+        coarse_buckets=16,
+        fine_buckets=256,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

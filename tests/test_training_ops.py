@@ -3082,3 +3082,36 @@ class TestHits:
 
         edges = spark.createDataFrame([], "src long, dst long")
         assert hits(edges).count() == 0
+
+
+class TestReconcileDrilldown:
+    def test_descent_touches_only_bad_buckets(self, spark):
+        from pramen_spark.operators.reconcile import (
+            bucket_expr,
+            reconcile_drilldown,
+        )
+        from pyspark.sql import functions as SF
+
+        rows = [(i, f"v{i}") for i in range(200)]
+        drifted = [(k, "X" if k == 42 else v) for k, v in rows]
+        left = spark.createDataFrame(rows, "k long, v string")
+        right = spark.createDataFrame(drifted, "k long, v string")
+        out = reconcile_drilldown(
+            left, right, ["k"], ["v"], coarse_buckets=4, fine_buckets=64
+        ).collect()
+        # output covers exactly the rows of the ONE damaged coarse bucket
+        bad_coarse = left.filter(SF.col("k") == 42).select(
+            bucket_expr(["k"], 4).alias("b")
+        ).collect()[0].b
+        n_in_bad = left.filter(bucket_expr(["k"], 4) == bad_coarse).count()
+        assert sum(r.n_left for r in out) == n_in_bad
+        fine_bad = [r for r in out if not r.match]
+        assert len(fine_bad) == 1 and fine_bad[0].n_left == fine_bad[0].n_right
+
+    def test_identical_tables_empty_descent(self, spark):
+        from pramen_spark.operators.reconcile import reconcile_drilldown
+
+        rows = [(i, f"v{i}") for i in range(50)]
+        df = spark.createDataFrame(rows, "k long, v string")
+        out = reconcile_drilldown(df, df, ["k"], ["v"], 4, 64)
+        assert out.count() == 0
