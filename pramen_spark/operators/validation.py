@@ -142,3 +142,34 @@ def profile_columns(
     ).select(
         "p.col_name", "n_rows", "p.n_null", "p.n_distinct", "p.min_value", "p.max_value"
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row join/shuffle-skew diagnostic for a candidate key: per-key
+    counts, then their distribution summary — (n_rows, n_keys, max_rows,
+    top1_share, p50/p90/p99 of rows-per-key, mean, skew_ratio =
+    max/mean). This is the measurement behind every salting / AQE-skew
+    decision in this repo (operators/partitioning.py, the dedup bucket
+    caps): before shuffling 100 TB on a key, ask the data how lopsided
+    the key is.
+
+    Two aggregations — a map-side-combined count per key, then a global
+    summary over one row per key (exact interpolating percentiles over
+    the already-aggregated counts, matching DuckDB quantile_cont). The
+    second pass reduces n_keys rows to one; no raw row is shuffled twice.
+    """
+    counts = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("rows_per_key")
+    )
+    c = F.col("rows_per_key")
+    return counts.agg(
+        F.sum(c).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max(c).cast("long").alias("max_rows"),
+        F.round(F.max(c) / F.sum(c), 6).alias("top1_share"),
+        F.percentile(c, F.lit(0.5)).alias("p50_rows"),
+        F.percentile(c, F.lit(0.9)).alias("p90_rows"),
+        F.percentile(c, F.lit(0.99)).alias("p99_rows"),
+        F.round(F.avg(c), 6).alias("mean_rows"),
+        F.round(F.max(c) / F.avg(c), 6).alias("skew_ratio"),
+    )

@@ -5589,6 +5589,147 @@ def q_reconcile_drilldown_orders(spark, sf_dir):
     )
 
 
+@query(
+    "anomaly_mad_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, median(cnt) AS m FROM daily GROUP BY 1
+    ),
+    mads AS (
+        SELECT d.event_type, median(abs(cnt - m)) AS mad
+        FROM daily d JOIN med USING (event_type) GROUP BY 1
+    )
+    SELECT d.event_type, day, cnt,
+           ROUND(m, 4) AS median_value,
+           ROUND(mad, 4) AS mad,
+           ROUND(CASE WHEN mad > 0 THEN abs(cnt - m) / (1.4826 * mad)
+                      WHEN abs(cnt - m) = 0 THEN 0.0
+                      ELSE NULL END, 4) AS robust_z,
+           CASE WHEN mad > 0 THEN abs(cnt - m) / (1.4826 * mad) > 3.0
+                ELSE abs(cnt - m) > 0 END AS is_anomaly
+    FROM daily d JOIN med USING (event_type) JOIN mads USING (event_type)
+    """,
+    "robust anomaly detection: median/MAD z-scores over daily event "
+    "counts per type, 3-sigma flag",
+    tags=("analytics", "monitoring"),
+)
+def q_anomaly_mad_daily(spark, sf_dir):
+    """Robust outlier gate (operators/anomaly.py::mad_anomalies) over the
+    daily volume series: median and MAD per event type (both EXACT
+    interpolating percentiles, matching DuckDB's median), then flag days
+    whose deviation exceeds 3 robust sigmas. Unlike mean/stddev z-scores
+    the spike being hunted cannot mask itself. The detector's input is
+    already an aggregate (days x types), so the exact per-group
+    percentile sorts a bounded set — the raw 100 TB is reduced by the
+    first map-side-combined count."""
+    from pramen_spark.operators.anomaly import mad_anomalies
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    out = mad_anomalies(daily, ["event_type"], "cnt", threshold=3.0)
+    return out.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round("median_value", 4).alias("median_value"),
+        F.round("mad", 4).alias("mad"),
+        F.round("robust_z", 4).alias("robust_z"),
+        "is_anomaly",
+    )
+
+
+@query(
+    "event_transitions_markov",
+    """
+    WITH nxt AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    cnt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n_transitions,
+           ROUND(n_transitions * 1.0
+                 / SUM(n_transitions) OVER (PARTITION BY src), 6) AS prob
+    FROM cnt
+    """,
+    "Markov transition matrix over per-user ordered event streams: "
+    "(src, dst, count, probability)",
+    tags=("analytics", "sequences"),
+)
+def q_event_transitions_markov(spark, sf_dir):
+    """First-order Markov chain of user behavior (operators/sequences.py::
+    transition_matrix): one entity-partitioned window forms adjacent
+    (src, dst) state pairs (event_id tiebreak makes the order total),
+    one map-side-combined count aggregates them, and the per-source
+    normalization windows over the tiny distinct-pairs result — two
+    shuffles of the raw events, both on high-cardinality keys. Feeds
+    next-event baselines, churn-path audits, and UI-flow monitoring."""
+    from pramen_spark.operators.sequences import transition_matrix
+
+    e = load_events(spark, sf_dir)
+    out = transition_matrix(e, "user_id", "event_type", ["ts", "event_id"])
+    return out.select(
+        "src", "dst", "n_transitions", F.round("prob", 6).alias("prob")
+    )
+
+
+@query(
+    "skew_profile_orders",
+    """
+    WITH counts AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_rows,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top1_share,
+           ROUND(quantile_cont(c, 0.5), 6) AS p50_rows,
+           ROUND(quantile_cont(c, 0.9), 6) AS p90_rows,
+           ROUND(quantile_cont(c, 0.99), 6) AS p99_rows,
+           ROUND(AVG(c), 6) AS mean_rows,
+           ROUND(MAX(c) * 1.0 / AVG(c), 6) AS skew_ratio
+    FROM counts
+    """,
+    "join/shuffle-skew diagnostic: distribution summary of rows-per-key "
+    "for a candidate shuffle key",
+    tags=("validation", "monitoring"),
+)
+def q_skew_profile_orders(spark, sf_dir):
+    """The measurement behind every salting / AQE-skew decision
+    (operators/validation.py::key_skew_profile): per-key counts then a
+    one-row distribution summary (max, top-1 share, exact interpolating
+    p50/p90/p99 of rows-per-key, skew ratio). Two aggregations; the
+    second reduces one-row-per-key to one row total — the cheap question
+    to ask before shuffling 100 TB on a key."""
+    from pramen_spark.operators.validation import key_skew_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    prof = key_skew_profile(o, "o_custkey")
+    return prof.select(
+        "n_rows",
+        "n_keys",
+        "max_rows",
+        "top1_share",
+        F.round("p50_rows", 6).alias("p50_rows"),
+        F.round("p90_rows", 6).alias("p90_rows"),
+        F.round("p99_rows", 6).alias("p99_rows"),
+        "mean_rows",
+        "skew_ratio",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
