@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -515,3 +515,36 @@ def weighted_sample_topk(
             .drop("_rn")
         )
     return out.withColumnRenamed("_score", "sample_score")
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Curriculum-learning bucket assignment: NTILE(``n_buckets``) over
+    a total order (score, tiebreak) — optionally within
+    ``partition_col`` groups — so a training loader can feed easy-to-hard
+    phases (short-to-long documents, clean-to-noisy quality scores).
+    Returns the input plus ``bucket`` (1-based).
+
+    The tiebreak makes the order total, which makes the assignment
+    deterministic and oracle-exact (Spark and DuckDB share NTILE's
+    remainder-to-first-buckets rule). Scale: WITH a partition column the
+    window hash-partitions and sorts per group — the normal path. The
+    unpartitioned variant collapses to a single-partition sort; for a
+    corpus-sized unpartitioned curriculum use quantile *thresholds*
+    (one percentile aggregate + a threshold CASE) instead and accept
+    approximate bucket boundaries.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    order = [F.col(score_col), F.col(tiebreak_col)]
+    w = (
+        Window.partitionBy(partition_col).orderBy(*order)
+        if partition_col is not None
+        else Window.orderBy(*order)
+    )
+    return df.withColumn("bucket", F.ntile(n_buckets).over(w))

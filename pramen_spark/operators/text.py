@@ -702,3 +702,43 @@ def winnow_fingerprints(
         F.countDistinct("fp").cast("long").alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document from three regex counts — words
+    (\\S+ runs), sentences ([.!?]+ runs, floored at 1), and syllables
+    (vowel-group runs [aeiouy]+ in the lowercased text, the standard
+    cheap approximation, floored at the word count so no word counts
+    zero). FRE = 206.835 - 1.015 * words/sentence - 84.6 * syllables/word.
+
+    The readability axis of the curation gate family (quality_score /
+    gopher_quality_filter / char_lm_score): a grade-level-ish signal for
+    curriculum ordering and audience filters. Pure column expressions —
+    three regexp_extract_all counts inside one codegen'd projection, zero
+    shuffles, and the regexes have identical semantics in DuckDB, so the
+    score is oracle-exact."""
+    t = F.col(text_col)
+    words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0))),
+        words,
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * words / sentences
+        - F.lit(84.6) * syllables / words
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when(words > 0, fre).otherwise(F.lit(None).cast("double")).alias(
+            "flesch_reading_ease"
+        ),
+    )

@@ -5730,6 +5730,96 @@ def q_skew_profile_orders(spark, sf_dir):
     )
 
 
+@query(
+    "readability_documents",
+    r"""
+    WITH c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(greatest(v, w) AS BIGINT) AS n_syllables,
+           ROUND(CASE WHEN w > 0
+                      THEN 206.835 - 1.015 * w / s
+                           - 84.6 * greatest(v, w) / w
+                 END, 4) AS flesch_reading_ease
+    FROM c
+    """,
+    "Flesch reading ease per document from regex word/sentence/"
+    "vowel-group counts",
+    tags=("text",),
+)
+def q_readability_documents(spark, sf_dir):
+    """The readability axis of the curation gate family
+    (operators/text.py::readability_scores): FRE from three
+    regexp_extract_all counts — words, sentence-ending punctuation runs,
+    vowel-group syllable approximation — inside one codegen'd projection.
+    Zero shuffles; the regexes carry identical semantics in DuckDB so
+    the score is oracle-exact. Feeds audience filters and the
+    easy-to-hard curriculum ordering."""
+    from pramen_spark.operators.text import readability_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = readability_scores(d)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round("flesch_reading_ease", 4).alias("flesch_reading_ease"),
+    )
+
+
+@query(
+    "curriculum_buckets_documents",
+    """
+    WITH b AS (
+        SELECT lang, n_chars,
+               ntile(10) OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+        FROM documents
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM b GROUP BY 1, 2
+    """,
+    "curriculum-learning deciles: per-language NTILE(10) over document "
+    "length, with per-bucket stats",
+    tags=("sampling", "training"),
+)
+def q_curriculum_buckets_documents(spark, sf_dir):
+    """Easy-to-hard phase assignment for a training loader
+    (operators/sampling.py::curriculum_buckets): NTILE(10) over the
+    total order (n_chars, doc_id) within each language, then per-bucket
+    occupancy and length stats. The doc_id tiebreak makes the decile
+    assignment deterministic (Spark and DuckDB share NTILE's
+    remainder-to-first rule). The window partitions by language — a
+    hash-partitioned per-group sort, not a global one — and the
+    summary aggregation is map-side combined."""
+    from pramen_spark.operators.sampling import curriculum_buckets
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    b = curriculum_buckets(
+        d, "n_chars", "doc_id", n_buckets=10, partition_col="lang"
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

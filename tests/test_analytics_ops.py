@@ -120,3 +120,79 @@ class TestKeySkewProfile:
         r = key_skew_profile(df, "k").collect()[0]
         assert r["skew_ratio"] == pytest.approx(1.0)
         assert r["top1_share"] == pytest.approx(0.2)
+
+
+class TestReadabilityScores:
+    def test_known_sentence(self, spark):
+        from pramen_spark.operators.text import readability_scores
+
+        # "the cat sat." -> words=3, sentences=1, vowel groups:
+        # e, a, a -> 3 syllables
+        df = spark.createDataFrame([(1, "the cat sat.")], "doc_id int, text string")
+        r = readability_scores(df).collect()[0]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 1, 3)
+        expected = 206.835 - 1.015 * 3 / 1 - 84.6 * 3 / 3
+        assert r["flesch_reading_ease"] == pytest.approx(expected)
+
+    def test_syllables_floored_at_words(self, spark):
+        from pramen_spark.operators.text import readability_scores
+
+        # consonant-only tokens still count one syllable each via the floor
+        df = spark.createDataFrame([(1, "hmm pfft grr")], "doc_id int, text string")
+        r = readability_scores(df).collect()[0]
+        assert r["n_words"] == 3
+        assert r["n_syllables"] == 3
+
+    def test_empty_text_is_null(self, spark):
+        from pramen_spark.operators.text import readability_scores
+
+        df = spark.createDataFrame([(1, "")], "doc_id int, text string")
+        r = readability_scores(df).collect()[0]
+        assert r["n_words"] == 0
+        assert r["flesch_reading_ease"] is None
+
+    def test_multi_sentence(self, spark):
+        from pramen_spark.operators.text import readability_scores
+
+        df = spark.createDataFrame(
+            [(1, "Go now! Stop... Why?")], "doc_id int, text string"
+        )
+        r = readability_scores(df).collect()[0]
+        assert r["n_sentences"] == 3
+        assert r["n_words"] == 4
+
+
+class TestCurriculumBuckets:
+    def test_deciles_partition_evenly_with_remainder_first(self, spark):
+        from pramen_spark.operators.sampling import curriculum_buckets
+
+        rows = [(i, "en", float(i)) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id int, lang string, score double")
+        out = curriculum_buckets(df, "score", "doc_id", n_buckets=5,
+                                 partition_col="lang")
+        got = sorted((r["doc_id"], r["bucket"]) for r in out.collect())
+        # 12 rows over 5 buckets: sizes 3,3,2,2,2 (remainder to first)
+        sizes = {}
+        for _, b in got:
+            sizes[b] = sizes.get(b, 0) + 1
+        assert sizes == {1: 3, 2: 3, 3: 2, 4: 2, 5: 2}
+        # ordering: lowest scores land in bucket 1
+        assert [b for _, b in got[:3]] == [1, 1, 1]
+        assert [b for _, b in got[-2:]] == [5, 5]
+
+    def test_partitions_are_independent(self, spark):
+        from pramen_spark.operators.sampling import curriculum_buckets
+
+        rows = [(1, "en", 5.0), (2, "en", 1.0), (3, "de", 9.0), (4, "de", 2.0)]
+        df = spark.createDataFrame(rows, "doc_id int, lang string, score double")
+        out = curriculum_buckets(df, "score", "doc_id", n_buckets=2,
+                                 partition_col="lang")
+        got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+        assert got == {2: 1, 1: 2, 4: 1, 3: 2}
+
+    def test_rejects_bad_bucket_count(self, spark):
+        from pramen_spark.operators.sampling import curriculum_buckets
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id int, score double")
+        with pytest.raises(ValueError):
+            curriculum_buckets(df, "score", "doc_id", n_buckets=0)
