@@ -1,0 +1,162 @@
+"""Skew-ACTION operators: salted aggregation and a salt-replicated join.
+
+:func:`pramen_spark.operators.validation.key_skew_profile` MEASURES how
+lopsided a candidate shuffle key is; these operators ACT on that
+measurement. A hot key in a plain ``groupBy`` funnels all its rows through
+one reducer regardless of cluster size (AQE's skew handling splits JOIN
+partitions, not aggregation keys), and a hot key on the probe side of a
+shuffle join pins the whole partition on one task. Salting breaks the hot
+key across ``n_salts`` reducers at the cost of one extra (tiny) merge pass
+or a ``n_salts``-fold replication of the SMALL side.
+
+Reference parity: the reference exposes per-table "good throughput"
+thresholds (core/.../app/config/Keys.scala:27-28 ``goodThroughputRps`` /
+``badThroughputRps``) as the ops hook that tells a user a job is
+shuffle-bound; this module is the transformation-side remedy the engine
+itself can apply. ``recommend_salts`` closes the loop: profile -> decide
+-> act.
+
+All outputs are salt-invariant: the salt only changes WHERE partial rows
+are computed, never WHAT the final rows are (associative/commutative
+merges only — the same algebra :func:`~pramen_spark.operators.cdc.
+merge_agg_state` relies on).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pramen_spark.operators.validation import key_skew_profile
+
+
+def _salt_expr(df: DataFrame, salt_cols: Optional[Sequence[str]], n_salts: int):
+    """Deterministic per-row salt in [0, n_salts): xxhash64 of the given
+    columns (default: every column), so re-runs and retries place each row
+    on the same salt — no RNG, no partition-id dependence."""
+    cols = list(salt_cols) if salt_cols else list(df.columns)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    n_salts: int = 16,
+    salt_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: aggregate on (group..., salt)
+    first — the hot key's rows spread over ``n_salts`` reducers — then
+    merge the per-salt partials on the group columns alone. The second
+    exchange carries at most ``n_keys * n_salts`` rows, so its cost is
+    negligible no matter how hot the key was.
+
+    Output schema matches :func:`~pramen_spark.operators.cdc.
+    merge_agg_state`: (group..., count, sum_<c>..., min_<c>..., max_<c>...)
+    — all associative merges, so the salted result is bit-identical to the
+    unsalted ``groupBy`` (integer/decimal sums exactly; double sums up to
+    the same reordering ulp any partitioning change causes). Averages
+    derive as sum/count downstream.
+
+    Scale (100 TB): a key holding 10% of the table turns a 1000-executor
+    aggregation into a 1-task tail; salted, the same key becomes
+    ``n_salts`` tasks of 1/n_salts each. Spark's own partial aggregation
+    (map-side combine) already helps LOW-cardinality hot keys; salting is
+    the remedy when per-map-task cardinality is too high for the hash map
+    (combiner spills) or when the agg carries wide state. The cost — one
+    extra exchange of n_keys*n_salts pre-aggregated rows — is paid only
+    when you opt in; wire :func:`recommend_salts` to decide from data.
+    """
+    if n_salts <= 0:
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
+    groups = list(group_cols)
+    salted = df.withColumn("_salt", _salt_expr(df, salt_cols, n_salts))
+    partial = salted.groupBy(*groups, "_salt").agg(
+        F.count(F.lit(1)).cast("long").alias(count_col),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    )
+    return partial.groupBy(*groups).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],
+        *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Skew-safe shuffle join: the LEFT (large, skewed) side gets a
+    deterministic row salt; the RIGHT (small — dimension/aggregate) side
+    is replicated once per salt value; the join runs on (keys..., salt).
+    A hot left key that would pin one task now spreads across ``n_salts``
+    tasks, each joining against its own replica of the right rows.
+
+    Only ``inner`` and ``left`` joins are supported: replicating the right
+    side would duplicate unmatched right rows under right/full outer
+    semantics (and a semi/anti join should just use the unsalted form —
+    its right side carries no payload to replicate).
+
+    Scale (100 TB): use when BOTH broadcast is impossible (right side over
+    the broadcast cap) AND the left key histogram is hot
+    (:func:`~pramen_spark.operators.validation.key_skew_profile` top1_share
+    high). Replication multiplies the right side's shuffle volume by
+    ``n_salts`` — that is the explicit price, so keep n_salts near
+    max_rows/p99_rows (what :func:`recommend_salts` computes), don't
+    default it high. AQE's skew-join split solves the sort-merge case at
+    runtime; salting remains the remedy for hash aggregation feeding the
+    join and for deterministic plan shape."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(replicating the right side breaks right/full outer semantics)"
+        )
+    if n_salts <= 0:
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
+    keys = list(on)
+    l_salted = left.withColumn("_salt", _salt_expr(left, salt_cols, n_salts))
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(r_replicated, keys + ["_salt"], how).drop("_salt")
+
+
+def recommend_salts(
+    df: DataFrame,
+    key_col: str,
+    skew_threshold: float = 4.0,
+    max_salts: int = 64,
+) -> int:
+    """Profile -> decision: run :func:`~pramen_spark.operators.validation.
+    key_skew_profile` on the candidate key and return the salt count a
+    salted aggregation/join should use — ``1`` (don't salt) when the
+    hottest key is within ``skew_threshold``× of the p90 key, else
+    ``ceil(max_rows / p90_rows)`` clamped to ``max_salts``: enough salts
+    that the hot key's per-reducer share shrinks to an ordinary-heavy
+    key's load, and no more (each salt multiplies the merge pass /
+    replication). p90 — not p99 or the mean — is the robust baseline:
+    with few distinct keys p99 interpolates toward the max itself, and
+    one giant key inflates the mean; both would mask real skew.
+
+    The profile is ONE extra aggregation over the key column (collect of
+    a single summary row — a control-plane scalar, the documented collect
+    pattern). Cache the result per (table, key) in a real pipeline; the
+    histogram of a key drifts slowly."""
+    row = key_skew_profile(df, key_col).collect()[0]
+    baseline = max(float(row.p90_rows), 1.0)
+    if float(row.max_rows) <= skew_threshold * baseline:
+        return 1
+    return max(1, min(max_salts, math.ceil(float(row.max_rows) / baseline)))

@@ -5820,6 +5820,124 @@ def q_curriculum_buckets_documents(spark, sf_dir):
     )
 
 
+@query(
+    "salted_agg_lineitem",
+    """
+    WITH t AS (
+        SELECT CASE WHEN l_suppkey % 10 = 0 THEN 0 ELSE l_suppkey END
+                   AS skew_key,
+               l_quantity, l_extendedprice, CAST(l_shipdate AS DATE) AS sd
+        FROM lineitem
+    )
+    SELECT skew_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           MIN(sd) AS min_shipdate,
+           MAX(sd) AS max_shipdate
+    FROM t GROUP BY skew_key
+    """,
+    "skew-safe two-phase aggregation: salted (key, salt) partials merged "
+    "on key equal the plain GROUP BY on a deliberately hot key",
+    tags=("skew", "scale"),
+)
+def q_salted_agg_lineitem(spark, sf_dir):
+    """Skew ACTION, not just measurement (operators/skew.py::salted_agg,
+    closing the loop key_skew_profile opened): ``skew_key`` deliberately
+    funnels every 10th supplier's lineitems onto one hot key (~10% of the
+    table on one reducer in a plain groupBy). recommend_salts profiles
+    the key (one control-plane summary row) and picks the salt count;
+    salted_agg then aggregates on (key, salt) — the hot key spreads over
+    that many reducers — and merges partials on the key alone. The merge
+    exchange carries n_keys*n_salts pre-aggregated rows, noise at any
+    scale. Sums run in DECIMAL so the salted result is bit-identical to
+    the oracle's one-phase GROUP BY."""
+    from pramen_spark.operators.skew import recommend_salts, salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("skew_key"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.to_date("l_shipdate").alias("sd"),
+    )
+    n_salts = recommend_salts(li, "skew_key")
+    agg = salted_agg(
+        li,
+        ["skew_key"],
+        sum_cols=["qty", "price"],
+        min_cols=["sd"],
+        max_cols=["sd"],
+        n_salts=n_salts,
+    )
+    return agg.select(
+        "skew_key",
+        "n_rows",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sum_price").cast("double"), 2).alias("sum_price"),
+        F.col("min_sd").alias("min_shipdate"),
+        F.col("max_sd").alias("max_shipdate"),
+    )
+
+
+@query(
+    "salted_join_lineitem",
+    """
+    WITH t AS (
+        SELECT CASE WHEN l_suppkey % 10 = 0 THEN 0 ELSE l_suppkey END
+                   AS skew_key,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        FROM lineitem
+    ),
+    d AS (
+        SELECT skew_key, COUNT(*) AS n, SUM(qty) AS s
+        FROM t GROUP BY skew_key
+    )
+    SELECT t.skew_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN t.qty * d.n > d.s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_avg
+    FROM t JOIN d USING (skew_key)
+    GROUP BY t.skew_key
+    """,
+    "salt-replicated join: fact side salted, per-key aggregate side "
+    "replicated per salt; equals the plain join on a deliberately hot key",
+    tags=("skew", "scale"),
+)
+def q_salted_join_lineitem(spark, sf_dir):
+    """The join-side skew remedy (operators/skew.py::salted_join) composed
+    with salted_agg: the per-key dimension (count + exact DECIMAL sum —
+    avg as a ratio, never a float) is built by the two-phase salted
+    aggregation, then joined back to the salted fact side on
+    (key, salt) — the hot key's probe rows spread across the salt space,
+    each salt joining its own replica of the (tiny) dim row. The
+    above-average test multiplies through by the count
+    (qty * n > sum) so both engines compare exact decimals — no
+    float-boundary flakes. Use when the dim side is over the broadcast
+    cap AND the fact key is hot; replication cost = n_salts * |dim|."""
+    from pramen_spark.operators.skew import salted_agg, salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("skew_key"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    dim = salted_agg(li, ["skew_key"], sum_cols=["qty"], n_salts=8).select(
+        "skew_key",
+        F.col("n_rows").alias("_n"),
+        F.col("sum_qty").alias("_s"),
+    )
+    joined = salted_join(li, dim, ["skew_key"], n_salts=8)
+    return joined.groupBy("skew_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("qty") * F.col("_n") > F.col("_s")).cast("long"))
+        .cast("long")
+        .alias("n_above_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

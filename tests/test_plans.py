@@ -355,6 +355,16 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "weighted_sample_documents")
         assert "SinglePartition" not in plan, plan
 
+    def test_salted_agg_two_phase_exchange(self, spark, sf_dir):
+        # the skew remedy's signature plan: partial aggregate exchanged on
+        # (key, _salt) — the hot key spreads over the salt space — then the
+        # tiny merge exchanged on the key alone; exactly two exchanges
+        plan = plan_of(spark, sf_dir, "salted_agg_lineitem")
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert any("_salt" in p and "skew_key" in p for p in parts), parts
+        assert any("_salt" not in p and "skew_key" in p for p in parts), parts
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
     def test_trend_two_aggregations_no_join(self, spark, sf_dir):
         # OLS from covariance aggregates: two map-side-combined groupBys,
         # no join, nothing in Python
