@@ -535,9 +535,10 @@ def curriculum_buckets(
     remainder-to-first-buckets rule). Scale: WITH a partition column the
     window hash-partitions and sorts per group — the normal path. The
     unpartitioned variant collapses to a single-partition sort; for a
-    corpus-sized unpartitioned curriculum use quantile *thresholds*
-    (one percentile aggregate + a threshold CASE) instead and accept
-    approximate bucket boundaries.
+    corpus-sized unpartitioned curriculum use
+    :func:`curriculum_thresholds` (one percentile aggregate + a
+    broadcast threshold comparison, no global window) and accept
+    occupancy drift at tied scores.
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
@@ -548,3 +549,56 @@ def curriculum_buckets(
         else Window.orderBy(*order)
     )
     return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def curriculum_thresholds(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Scale-safe GLOBAL curriculum bucketing: instead of NTILE over a
+    single-partition global sort (:func:`curriculum_buckets` without a
+    partition column — correct, but one task sorts the corpus), compute
+    the ``n_buckets - 1`` interior quantile boundaries in ONE aggregation,
+    broadcast the 1-row boundary array, and assign
+    ``bucket = 1 + #{boundaries strictly below the score}`` as a pure
+    projection. Returns the input plus ``bucket`` (1-based).
+
+    Exactness contract: boundaries use Spark's exact interpolating
+    ``percentile`` (DuckDB ``quantile_cont`` computes the identical
+    formula), ROUNDed to ``round_to`` decimals on both engines so the
+    strict ``>`` comparison can never straddle an ulp. Scores EQUAL to a
+    rounded boundary fall in the lower bucket, so bucket occupancies are
+    equal only up to ties — the price of removing the global sort; the
+    ASSIGNMENT itself is deterministic and oracle-exact.
+
+    Scale (100 TB): the percentile aggregate is map-side combined into a
+    1-row result (a control-plane scalar — the same shape as q15's MAX);
+    the crossJoin against it plans as a broadcast nested-loop over one
+    row, and the bucket expression is whole-stage codegen. No Window
+    node, no SinglePartition sort anywhere near corpus-sized data. Swap
+    in ``percentile_approx`` for the boundary pass when the score column
+    is too hot even for one exact percentile buffer per partition."""
+    if n_buckets <= 1:
+        raise ValueError(f"n_buckets must be > 1, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.array(
+            *[
+                F.round(F.percentile(F.col(score_col), F.lit(q)), round_to)
+                for q in qs
+            ]
+        ).alias("_bounds")
+    )
+    scored = df.crossJoin(F.broadcast(bounds))
+    bucket = (
+        F.size(
+            F.filter(
+                F.col("_bounds"),
+                lambda b: F.col(score_col).cast("double") > b,
+            )
+        )
+        + 1
+    )
+    return scored.withColumn("bucket", bucket).drop("_bounds")

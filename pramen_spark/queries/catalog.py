@@ -5821,6 +5821,62 @@ def q_curriculum_buckets_documents(spark, sf_dir):
 
 
 @query(
+    "curriculum_global_documents",
+    """
+    WITH b AS (
+        SELECT list_transform(
+                   quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   x -> ROUND(x, 6)) AS bounds
+        FROM documents
+    ),
+    assigned AS (
+        SELECT d.doc_id, d.n_chars,
+               CAST(1 + len(list_filter(
+                   b.bounds, x -> CAST(d.n_chars AS DOUBLE) > x))
+                    AS INTEGER) AS bucket
+        FROM documents d, b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(SUM(CAST(n_chars AS DECIMAL(18,0)))
+                 / COUNT(*), 4) AS avg_chars
+    FROM assigned GROUP BY bucket
+    """,
+    "scale-safe GLOBAL curriculum deciles: quantile thresholds from one "
+    "aggregate + a broadcast comparison — no single-partition NTILE sort",
+    tags=("sampling", "training", "scale"),
+)
+def q_curriculum_global_documents(spark, sf_dir):
+    """The corpus-sized answer to curriculum_buckets' unpartitioned
+    hazard (operators/sampling.py::curriculum_thresholds): the nine
+    interior decile boundaries come from ONE exact-percentile aggregate
+    (map-side combined to a single row — DuckDB quantile_cont computes
+    the identical interpolation, ROUND(6) on both engines kills any ulp),
+    the 1-row boundary array broadcasts, and bucket assignment is a pure
+    codegen'd strict-> comparison count. No Window node anywhere; a
+    plan test asserts it. Occupancy is even only up to score ties —
+    the documented price of removing the global sort."""
+    from pramen_spark.operators.sampling import curriculum_thresholds
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = curriculum_thresholds(d, "n_chars", n_buckets=10)
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("avg_chars"),
+    )
+
+
+@query(
     "salted_agg_lineitem",
     """
     WITH t AS (

@@ -196,3 +196,57 @@ class TestCurriculumBuckets:
         df = spark.createDataFrame([(1, 1.0)], "doc_id int, score double")
         with pytest.raises(ValueError):
             curriculum_buckets(df, "score", "doc_id", n_buckets=0)
+
+
+class TestCurriculumThresholds:
+    def test_matches_ntile_on_distinct_scores(self, spark):
+        """With all-distinct scores and bucket-divisible n, threshold
+        bucketing equals the NTILE assignment — the no-ties case where
+        both definitions coincide."""
+        from pramen_spark.operators.sampling import (
+            curriculum_buckets,
+            curriculum_thresholds,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 3 + 1).cast("double").alias("score")
+        )
+        via_ntile = {
+            r.doc_id: r.bucket
+            for r in curriculum_buckets(df, "score", "doc_id", n_buckets=5).collect()
+        }
+        via_thresh = {
+            r.doc_id: r.bucket
+            for r in curriculum_thresholds(df, "score", n_buckets=5).collect()
+        }
+        assert via_ntile == via_thresh
+
+    def test_ties_fall_to_lower_bucket(self, spark):
+        from pramen_spark.operators.sampling import curriculum_thresholds
+        from pyspark.sql import functions as F
+
+        # 10 rows, all the same score: every boundary equals the score,
+        # strict > puts everything in bucket 1 (deterministic, documented)
+        df = spark.range(10).select(F.lit(7.0).alias("score"))
+        got = curriculum_thresholds(df, "score", n_buckets=4).collect()
+        assert all(r.bucket == 1 for r in got)
+
+    def test_no_window_in_plan(self, spark):
+        from pramen_spark.operators.sampling import curriculum_thresholds
+        from pyspark.sql import functions as F
+
+        df = spark.range(50).select((F.col("id") % 17).cast("double").alias("s"))
+        out = curriculum_thresholds(df, "s", n_buckets=4)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Window" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+
+    def test_rejects_single_bucket(self, spark):
+        from pramen_spark.operators.sampling import curriculum_thresholds
+
+        df = spark.createDataFrame([(1.0,)], "score double")
+        with pytest.raises(ValueError):
+            curriculum_thresholds(df, "score", n_buckets=1)

@@ -355,6 +355,14 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "weighted_sample_documents")
         assert "SinglePartition" not in plan, plan
 
+    def test_curriculum_global_no_single_partition_window(self, spark, sf_dir):
+        # the global curriculum must never sort the corpus in one task:
+        # boundary pass is a 1-row aggregate, assignment is a broadcast
+        # comparison — no Window node at all
+        plan = plan_of(spark, sf_dir, "curriculum_global_documents")
+        assert "Window" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+
     def test_salted_agg_two_phase_exchange(self, spark, sf_dir):
         # the skew remedy's signature plan: partial aggregate exchanged on
         # (key, _salt) — the hot key spreads over the salt space — then the
