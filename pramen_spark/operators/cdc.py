@@ -142,9 +142,14 @@ def merge_agg_state(
     Scale (100 TB of history, GB-scale batches): the batch aggregates
     map-side first (its shuffle carries per-group partials, not rows);
     the state merge is a group-keyed union+agg whose cost is bounded by
-    the number of GROUPS, not history rows. Persist the state
-    bucketed/partitioned by the group columns (metastore writer options)
-    and the merge's exchange disappears on the state side."""
+    the number of GROUPS, not history rows. The union+agg form shown
+    here always re-exchanges the state side (a union has no preserved
+    distribution); when the state lives in a table persisted with
+    :func:`persist_agg_state` (bucketed by the group columns), fold
+    batches with :func:`merge_agg_state_join` instead — the state scan
+    already satisfies the join's distribution and only the batch
+    partials shuffle (asserted by
+    ``test_training_ops.py::TestAggStateBucketing``)."""
     groups = list(group_cols)
     batch_agg = batch.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("long").alias(count_col),
@@ -164,6 +169,94 @@ def merge_agg_state(
             *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
         )
     )
+
+
+def merge_agg_state_join(
+    state: DataFrame,
+    batch: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`merge_agg_state`'s merge step as a FULL OUTER JOIN instead
+    of a union+agg — same result (asserted by equivalence tests), but a
+    join preserves the state side's storage distribution where a union
+    cannot: against a state table persisted with :func:`persist_agg_state`
+    (bucketed by the group columns), the state scan satisfies the join's
+    required distribution in place and ONLY the batch partials are
+    exchanged. This is the layout+operator pair that makes per-batch cost
+    independent of state size, exactly like the dedup hash ledger
+    (operators/dedup.py::persist_hash_ledger).
+
+    Groups present on one side only pass through (full outer + null-aware
+    merges: counts/sums add where both exist, min/max via least/greatest
+    which skip NULLs); a NULL sum meeting a non-NULL sum keeps the
+    non-NULL one, preserving SUM's all-NULL semantics across batches."""
+    groups = list(group_cols)
+    batch_agg = batch.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    )
+    rename = {c: f"_b_{c}" for c in batch_agg.columns if c not in groups}
+    b = batch_agg.withColumnsRenamed(rename)
+    joined = state.join(b, groups, "full_outer")
+
+    def add(col: str):
+        s, bb = F.col(col), F.col(f"_b_{col}")
+        return (
+            F.when(s.isNull(), bb).when(bb.isNull(), s).otherwise(s + bb)
+        )
+
+    return joined.select(
+        *groups,
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col(f"_b_{count_col}"), F.lit(0))
+        )
+        .cast("long")
+        .alias(count_col),
+        *[add(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        *[
+            F.least(F.col(f"min_{c}"), F.col(f"_b_min_{c}")).alias(f"min_{c}")
+            for c in min_cols
+        ],
+        *[
+            F.greatest(F.col(f"max_{c}"), F.col(f"_b_max_{c}")).alias(f"max_{c}")
+            for c in max_cols
+        ],
+    )
+
+
+def persist_agg_state(
+    state: DataFrame,
+    table: str,
+    group_cols: Sequence[str],
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> str:
+    """Persist a :func:`merge_agg_state` state BUCKETED by its group
+    columns — the storage layout under which :func:`merge_agg_state_join`
+    folds each batch with NO exchange on the state side (the scan's
+    bucket distribution satisfies the join). The
+    :func:`~pramen_spark.operators.dedup.persist_hash_ledger` pattern,
+    applied to aggregate state: per-run cost O(batch + groups touched),
+    never O(state), no matter how many groups the rollup has accumulated.
+
+    Reference semantics: the bookkeeper's persisted per-table record
+    store (core/.../bookkeeper/BookkeeperBase.scala), specialized to
+    mergeable aggregate state. Returns the table name for chaining."""
+    (
+        state.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *list(group_cols))
+        .sortBy(*list(group_cols))
+        .saveAsTable(table)
+    )
+    return table
 
 
 def merge_distinct_state(

@@ -4986,6 +4986,66 @@ def q_incremental_agg_lineitem(spark, sf_dir):
 
 
 @query(
+    "incremental_agg_join_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+           CAST(MAX(l_shipdate) AS DATE) AS max_shipdate
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "incremental aggregate maintenance via the FULL OUTER JOIN merge "
+    "(bucketed-state form): chained folds equal the one-shot GROUP BY",
+    tags=("cdc", "incremental", "scale"),
+)
+def q_incremental_agg_join_lineitem(spark, sf_dir):
+    """The bucketed-state counterpart of incremental_agg_lineitem
+    (operators/cdc.py::merge_agg_state_join): the same three chained
+    batch folds, but each merge is a full-outer join on the group columns
+    instead of union+agg. Against a state persisted with
+    persist_agg_state (bucketed by the groups) the state side of this
+    join needs NO exchange — per-batch cost O(batch + touched groups),
+    independent of state size (plan-asserted by
+    TestAggStateBucketing). Here the state stays in memory so both
+    merge forms are exercised oracle-equal."""
+    from pramen_spark.operators.cdc import merge_agg_state, merge_agg_state_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        F.to_date("l_shipdate").alias("l_shipdate"),
+    )
+    kw = dict(
+        group_cols=["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+        min_cols=["l_shipdate"],
+        max_cols=["l_shipdate"],
+    )
+    state = None
+    for i in range(3):
+        batch = li.filter(F.col("l_orderkey") % 3 == i).drop("l_orderkey")
+        if state is None:
+            state = merge_agg_state(None, batch, **kw)
+        else:
+            state = merge_agg_state_join(state, batch, **kw)
+    return state.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+        F.col("min_l_shipdate").alias("min_shipdate"),
+        F.col("max_l_shipdate").alias("max_shipdate"),
+    )
+
+
+@query(
     "reconcile_orders_copy",
     """
     WITH lft AS (

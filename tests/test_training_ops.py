@@ -2684,6 +2684,105 @@ class TestMergeAggState:
         assert len(out) == 1 and out[0].n_rows == 2 and out[0].sum_x == 5.0
 
 
+class TestMergeAggStateJoin:
+    def test_join_merge_equals_union_merge(self, spark):
+        from pramen_spark.operators.cdc import merge_agg_state, merge_agg_state_join
+
+        df = spark.createDataFrame(
+            [(i % 5, float(i), i % 10) for i in range(120)],
+            "g int, x double, d int",
+        )
+        kw = dict(group_cols=["g"], sum_cols=["x"], min_cols=["x"], max_cols=["x"])
+        state = merge_agg_state(None, df.filter("d < 5"), **kw)
+        via_union = merge_agg_state(state, df.filter("d >= 5"), **kw)
+        via_join = merge_agg_state_join(state, df.filter("d >= 5"), **kw)
+        key = lambda r: (r.g, r.n_rows, r.sum_x, r.min_x, r.max_x)
+        assert sorted(map(key, via_union.collect())) == sorted(
+            map(key, via_join.collect())
+        )
+
+    def test_one_sided_groups_pass_through(self, spark):
+        from pramen_spark.operators.cdc import merge_agg_state, merge_agg_state_join
+
+        old = spark.createDataFrame([(1, 2.0), (1, 4.0)], "g int, x double")
+        new = spark.createDataFrame([(2, 10.0)], "g int, x double")
+        state = merge_agg_state(None, old, ["g"], sum_cols=["x"], min_cols=["x"])
+        merged = merge_agg_state_join(
+            state, new, ["g"], sum_cols=["x"], min_cols=["x"]
+        )
+        got = {r.g: (r.n_rows, r.sum_x, r.min_x) for r in merged.collect()}
+        assert got == {1: (2, 6.0, 2.0), 2: (1, 10.0, 10.0)}
+
+    def test_null_sums_preserved_across_merge(self, spark):
+        from pramen_spark.operators.cdc import merge_agg_state, merge_agg_state_join
+
+        old = spark.createDataFrame([(1, None)], "g int, x double")
+        new = spark.createDataFrame([(1, None), (2, 3.0)], "g int, x double")
+        state = merge_agg_state(None, old, ["g"], sum_cols=["x"])
+        merged = merge_agg_state_join(state, new, ["g"], sum_cols=["x"])
+        got = {r.g: (r.n_rows, r.sum_x) for r in merged.collect()}
+        # group 1 saw only NULLs in both batches: SUM stays NULL (as the
+        # one-shot SUM over the union would be); counts still add
+        assert got == {1: (2, None), 2: (1, 3.0)}
+
+
+class TestAggStateBucketing:
+    def test_state_side_merges_without_exchange(self, spark):
+        """The persisted state is bucketed by the group columns: folding a
+        batch must shuffle ONLY the batch partials — re-exchanging the
+        whole state per batch is the scale killer merge_agg_state's
+        docstring warns about."""
+        import re
+
+        from pramen_spark.operators.cdc import (
+            merge_agg_state,
+            merge_agg_state_join,
+            persist_agg_state,
+        )
+
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.sql("DROP TABLE IF EXISTS agg_state_bucket_test")
+        try:
+            df = spark.createDataFrame(
+                [(i % 40, float(i)) for i in range(400)], "g int, x double"
+            )
+            state = merge_agg_state(
+                None, df.filter("x < 200"), ["g"], sum_cols=["x"]
+            )
+            persist_agg_state(state, "agg_state_bucket_test", ["g"], n_buckets=4)
+            merged = merge_agg_state_join(
+                spark.table("agg_state_bucket_test"),
+                df.filter("x >= 200"),
+                ["g"],
+                sum_cols=["x"],
+            )
+            plan = merged._sc._jvm.PythonSQLUtils.explainString(
+                merged._jdf.queryExecution(), "formatted"
+            )
+            assert "Bucketed: true" in plan, plan
+            # exchanges touch the batch side only (its partial agg, plus
+            # possibly a re-bucketing to the state's bucket count); the
+            # state scan itself must feed the join with no exchange above it
+            n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+            assert n_exchanges <= 2, plan
+            # correctness: equals the one-shot aggregate
+            want = {
+                (r.g, r.n_rows, r.sum_x)
+                for r in df.groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("x").alias("sum_x"),
+                )
+                .collect()
+            }
+            got = {(r.g, r.n_rows, r.sum_x) for r in merged.collect()}
+            assert got == want
+        finally:
+            spark.sql("DROP TABLE IF EXISTS agg_state_bucket_test")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
 class TestCdcFuzz:
     """Property-based equivalence of the distributed CDC appliers against
     sequential in-memory references: random change logs, any batch split."""
