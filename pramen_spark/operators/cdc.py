@@ -86,8 +86,9 @@ def scd2_history(
     interval closing via lead over the surviving versions) partition by
     the SAME key columns — one exchange, two in-partition sorts; nothing
     but key, attrs, and dates ever moves. This is the standard dimension
-    build: run it over the full change log on backfill, or over
-    (current_dim ∪ new_batch) incrementally."""
+    build: run it over the full change log on backfill; fold later
+    batches with :func:`scd2_merge` (O(batch) per fold, chained ==
+    one-shot, fuzz-asserted)."""
     keys = list(key_cols)
     attrs = list(attr_cols)
     ties = list(tiebreak_cols or [])
@@ -115,6 +116,67 @@ def scd2_history(
         F.lead(date_col).over(w2).alias("effective_to"),
         F.lead(date_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def scd2_merge(
+    state: Optional[DataFrame],
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    date_col: str,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a NEW change batch into an
+    existing Type 2 dimension (the output schema of :func:`scd2_history`)
+    without replaying history. Chaining date-ordered batches equals the
+    one-shot :func:`scd2_history` over the full log (property-fuzzed in
+    ``test_training_ops.py::TestCdcFuzz::test_scd2_merge_chained_equals_one_shot``).
+
+    Precondition — in-order arrival: every date in the batch must be
+    strictly GREATER than every date already observed for that key (the
+    normal CDC feed: batch N+1 is a later extract window than batch N).
+    An out-of-order date could not be honored anyway without reopening
+    closed intervals; replay :func:`scd2_history` over the full log to
+    repair late data.
+
+    How the open-version handoff works (the half-open-interval trap this
+    function exists to get right): for keys the batch touches, the
+    state's OPEN version re-enters change detection as a synthetic
+    observation at its own ``effective_from`` — so a batch row with
+    IDENTICAL attributes collapses into it (no spurious version), and the
+    first genuinely different batch row closes it at that row's date.
+    Closed versions and untouched keys pass through verbatim.
+
+    Scale (100 TB dimension, GB-scale batches): the rebuild windows run
+    over (touched open rows + batch) ONLY — O(batch); closed history is
+    never windowed, sorted, or shuffled (it passes through a union — with
+    the state persisted as a table, a scan-append). The touched-key
+    semi/anti joins probe the state with the batch's distinct keys (AQE
+    broadcasts them for a small batch, the common case)."""
+    if state is None:
+        return scd2_history(batch, key_cols, attr_cols, date_col, tiebreak_cols)
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    ties = list(tiebreak_cols or [])
+    touched = batch.select(*keys).distinct()
+    cur = F.col("is_current")
+    open_touched = state.filter(cur).join(touched, keys, "left_semi")
+    open_untouched = state.filter(cur).join(touched, keys, "left_anti")
+    closed = state.filter(~cur)
+    # the open version re-enters as an observation at its effective_from;
+    # tiebreak values are irrelevant (the precondition forbids a batch
+    # date equal to it), but must exist with the batch's types
+    state_obs = open_touched.select(
+        *keys,
+        *attrs,
+        F.col("effective_from").alias(date_col),
+        *[F.lit(None).cast(batch.schema[t].dataType).alias(t) for t in ties],
+    )
+    batch_obs = batch.select(*keys, *attrs, F.col(date_col), *ties)
+    rebuilt = scd2_history(
+        state_obs.unionByName(batch_obs), keys, attrs, date_col, ties
+    )
+    return closed.unionByName(open_untouched).unionByName(rebuilt)
 
 
 def merge_agg_state(

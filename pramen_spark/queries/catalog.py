@@ -4931,6 +4931,80 @@ def q_scd2_customer_status(spark, sf_dir):
 
 
 @query(
+    "scd2_incremental_customer",
+    """
+    WITH obs AS (
+        SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+               o_orderkey
+        FROM orders
+    ),
+    with_prev AS (
+        SELECT o_custkey, o_orderstatus, d, o_orderkey,
+               LAG(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY d, o_orderkey
+               ) AS prev
+        FROM obs
+    ),
+    versions AS (
+        SELECT o_custkey, o_orderstatus, d, o_orderkey FROM with_prev
+        WHERE prev IS NULL OR o_orderstatus <> prev
+    )
+    SELECT o_custkey, o_orderstatus,
+           d AS effective_from,
+           LEAD(d) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ) AS effective_to,
+           LEAD(d) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ) IS NULL AS is_current
+    FROM versions
+    """,
+    "incremental SCD2 maintenance: three date-ordered batch folds equal "
+    "the one-shot dimension build over the full change log",
+    tags=("cdc", "incremental"),
+)
+def q_scd2_incremental_customer(spark, sf_dir):
+    """The open-version handoff under test at catalog scale
+    (operators/cdc.py::scd2_merge): the order-status change log splits at
+    1997-01-01 and 1999-01-01 into three strictly date-ordered batches
+    that fold into the dimension one at a time. Each fold rebuilds ONLY
+    (touched open versions + batch) — closed history passes through
+    unwindowed — yet the chained result must match the oracle's one-shot
+    build exactly, including versions that collapse because a later
+    batch re-observes an unchanged status across the boundary. The fuzz
+    twin (TestCdcFuzz::test_scd2_merge_chained_equals_one_shot) proves
+    the property over random logs/cuts;
+    this query pins it on real data every round."""
+    from pramen_spark.operators.cdc import scd2_merge
+
+    obs = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    cuts = ["1997-01-01", "1999-01-01"]
+    batches = [
+        obs.filter(F.col("d") < cuts[0]),
+        obs.filter((F.col("d") >= cuts[0]) & (F.col("d") < cuts[1])),
+        obs.filter(F.col("d") >= cuts[1]),
+    ]
+    state = None
+    for b in batches:
+        state = scd2_merge(
+            state,
+            b,
+            key_cols=["o_custkey"],
+            attr_cols=["o_orderstatus"],
+            date_col="d",
+            tiebreak_cols=["o_orderkey"],
+        )
+    return state.select(
+        "o_custkey", "o_orderstatus", "effective_from", "effective_to", "is_current"
+    )
+
+
+@query(
     "incremental_agg_lineitem",
     """
     SELECT l_returnflag, l_linestatus,

@@ -2861,6 +2861,83 @@ class TestCdcFuzz:
         }
         assert got == want
 
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),   # key
+                st.integers(min_value=0, max_value=2),   # attr
+            ),
+            min_size=1,
+            max_size=14,
+        ),
+        cuts=st.sets(st.integers(min_value=1, max_value=13), max_size=3),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_scd2_merge_chained_equals_one_shot(self, spark, obs, cuts):
+        """THE half-open-interval property: date-split batches folded with
+        scd2_merge reproduce the one-shot scd2_history over the full log —
+        including collapse of an unchanged attribute across the batch
+        boundary and closing of the open version by the first change."""
+        from pramen_spark.operators.cdc import scd2_history, scd2_merge
+        import datetime as dt
+
+        rows = [
+            (k, f"a{v}", dt.date(2024, 1, 1) + dt.timedelta(days=i), i)
+            for i, (k, v) in enumerate(obs)
+        ]
+        df = spark.createDataFrame(rows, "k long, attr string, day date, src long")
+        one_shot = scd2_history(df, ["k"], ["attr"], "day", tiebreak_cols=["src"])
+        want = {
+            (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+            for r in one_shot.collect()
+        }
+
+        # split the log at the cut indices: batch i holds days in
+        # [cut_{i-1}, cut_i) — strictly date-ordered, the precondition
+        bounds = sorted(cuts | {len(rows)})
+        state = None
+        lo = 0
+        for hi in bounds:
+            batch = df.filter((F.col("src") >= lo) & (F.col("src") < hi))
+            if batch.count() == 0:
+                lo = hi
+                continue
+            state = scd2_merge(state, batch, ["k"], ["attr"], "day",
+                               tiebreak_cols=["src"])
+            lo = hi
+        got = {
+            (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+            for r in state.collect()
+        }
+        assert got == want
+
+    def test_scd2_merge_collapses_unchanged_across_boundary(self, spark):
+        """A batch re-observing the open version's attributes must NOT
+        open a new version — the exact spot half-open-interval bugs live."""
+        from pramen_spark.operators.cdc import scd2_history, scd2_merge
+        import datetime as dt
+
+        d = lambda i: dt.date(2024, 1, i)
+        b1 = spark.createDataFrame(
+            [(1, "x", d(1), 0), (1, "y", d(2), 1)], "k long, attr string, day date, src long"
+        )
+        b2 = spark.createDataFrame(
+            [(1, "y", d(3), 2), (1, "z", d(4), 3), (2, "w", d(5), 4)],
+            "k long, attr string, day date, src long",
+        )
+        state = scd2_merge(None, b1, ["k"], ["attr"], "day", tiebreak_cols=["src"])
+        state = scd2_merge(state, b2, ["k"], ["attr"], "day", tiebreak_cols=["src"])
+        got = {
+            (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+            for r in state.collect()
+        }
+        assert got == {
+            (1, "x", d(1), d(2), False),
+            (1, "y", d(2), d(4), False),   # NOT re-opened at d(3)
+            (1, "z", d(4), None, True),
+            (2, "w", d(5), None, True),
+        }
+
     def test_leakage_split_empty_pairs_degrades_to_hash_split(self, spark):
         from pramen_spark.operators.sampling import hash_split, leakage_safe_split
 
