@@ -5955,6 +5955,68 @@ def q_curriculum_buckets_documents(spark, sf_dir):
 
 
 @query(
+    "image_dimensions_documents",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'gif' END AS image_format,
+           CAST(16 + doc_id % 317 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 7) % 211 AS INTEGER) AS height
+    FROM documents
+    """,
+    "REAL image header decode: PNG IHDR / JPEG SOF / GIF descriptors "
+    "written by an independent encoder, parsed back by the byte walker",
+    tags=("multimodal",),
+)
+def q_image_dimensions_documents(spark, sf_dir):
+    """The multimodal decode that IS implementable without media libs
+    (operators/multimodal.py::parse_image_header + image_dimensions):
+    each document id deterministically derives (format, width, height);
+    encode_image_header writes a well-formed PNG/JPEG/GIF header from the
+    format specs (struct-packed, CRC'd IHDR, a JFIF APP0 the JPEG walker
+    must skip), and image_dimensions parses the bytes back through the
+    Arrow-batched mapInPandas path. The oracle recomputes the dims from
+    the id arithmetic alone — a parser/encoder disagreement on any of the
+    three formats breaks the match. Both stages are pure maps: no
+    shuffle; blobs never leave their partition."""
+    from pramen_spark.operators.multimodal import (
+        encode_image_header,
+        image_dimensions,
+    )
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    fmts = ["png", "jpeg", "gif"]
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        encode_image_header(
+                            fmts[i % 3], int(16 + i % 317), int(16 + (i * 7) % 211)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(encode, enc_schema)
+    return image_dimensions(media).select(
+        F.col("media_id").alias("doc_id"), "image_format", "width", "height"
+    )
+
+
+@query(
     "curriculum_global_documents",
     """
     WITH b AS (

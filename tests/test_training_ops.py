@@ -362,6 +362,85 @@ class TestMultimodalPlumbing:
         assert {r["frame_idx"] for r in out} == {0, 1, 2, 3, 4}
 
 
+class TestImageHeaderDecode:
+    """The REAL decode tier: pure-Python header parsing must invert the
+    independent spec-packed writer for all three formats and degrade to
+    NULLs (never task failure) on garbage."""
+
+    def test_round_trip_all_formats(self):
+        from pramen_spark.operators.multimodal import (
+            encode_image_header,
+            parse_image_header,
+        )
+
+        for fmt, w, h in [
+            ("png", 1, 1), ("png", 65535, 3), ("jpeg", 640, 480),
+            ("jpeg", 1, 65535), ("gif", 320, 200), ("gif", 1, 1),
+        ]:
+            assert parse_image_header(encode_image_header(fmt, w, h)) == (fmt, w, h)
+
+    def test_jpeg_walker_skips_leading_segments(self):
+        """Real JPEGs bury SOF behind APPn/DQT/COM segments — the walker
+        must skip arbitrarily many before finding the frame header."""
+        import struct
+
+        from pramen_spark.operators.multimodal import parse_image_header
+
+        com = b"some comment"
+        dqt = bytes(65)
+        sof2 = struct.pack(">BHHB", 8, 77, 99, 3) + bytes(9)  # progressive
+        b = (
+            b"\xff\xd8"
+            + b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+            + b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+            + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+        )
+        assert parse_image_header(b) == ("jpeg", 99, 77)
+
+    def test_garbage_and_truncation_yield_nulls(self):
+        from pramen_spark.operators.multimodal import (
+            encode_image_header,
+            parse_image_header,
+        )
+
+        assert parse_image_header(None) == (None, None, None)
+        assert parse_image_header(b"") == (None, None, None)
+        assert parse_image_header(b"not an image at all") == (None, None, None)
+        # right magic, truncated before the dimensions
+        assert parse_image_header(encode_image_header("png", 5, 5)[:20]) == (
+            None, None, None,
+        )
+        assert parse_image_header(b"\xff\xd8\xff") == (None, None, None)
+        # desynchronized JPEG stream (segment byte not 0xFF)
+        assert parse_image_header(b"\xff\xd8\x00\x00\x00\x00") == (None, None, None)
+
+    def test_image_dimensions_distributed(self, spark):
+        from pramen_spark.operators.multimodal import (
+            encode_image_header,
+            image_dimensions,
+        )
+
+        rows = [
+            (1, encode_image_header("png", 10, 20)),
+            (2, encode_image_header("jpeg", 30, 40)),
+            (3, encode_image_header("gif", 50, 60)),
+            (4, b"garbage"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {
+            r.media_id: (r.image_format, r.width, r.height)
+            for r in image_dimensions(df).collect()
+        }
+        assert got == {
+            1: ("png", 10, 20),
+            2: ("jpeg", 30, 40),
+            3: ("gif", 50, 60),
+            4: (None, None, None),
+            5: (None, None, None),
+        }
+
+
 class TestEmbeddingNearDups:
     @pytest.fixture(scope="class")
     def embeddings(self, spark, sf_dir):
