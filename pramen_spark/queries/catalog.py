@@ -6223,23 +6223,27 @@ _DRIVER_WINDOW_PRIORITY = [
     "q22_dormant_customers",
     # tier 2: flagship + strongest oracle-checked extension operators (17).
     # Rotated each round so every family gets driver CORRECTNESS rows over
-    # time (round 7 swapped in the round-6 additions, then mid-round the
-    # first REAL streaming-run oracle and the leakage-safe split took the
-    # sessionize/range-join slots — both of those had green driver rows in
-    # rounds 5-6 and stay oracle-checked via tools/check_oracle.py +
-    # pytest's out-of-window sweep).
-    "curate_corpus", "dedup_exact",
-    "minhash_dedup", "dedup_clusters",
-    "semdedup_embeddings",
-    "gopher_quality_filter", "char_lm_quality",
-    "paragraph_dedup_documents", "line_dedup_documents",
-    "substring_dedup_documents", "quality_classifier",
-    "validate_documents", "pack_utilization",
+    # time. Round 8 (the VERDICT r7 ask #3 rotation): in = the eight
+    # queries that never had a driver row (scd2, reconcile, hits, weighted
+    # sample, incremental minhash, MAD anomaly, skew profile, readability)
+    # plus the six new round-8 operators; out = the round-6/7 flagships
+    # with green driver rows in BOTH r6 and r7 (curate_corpus, dedup_exact,
+    # minhash_dedup, dedup_clusters, semdedup, gopher, char_lm,
+    # paragraph/line/substring dedup, validate, pack_utilization,
+    # apply_cdc, pagerank — all still oracle-checked every round by
+    # tools/check_oracle.py + pytest's out-of-window sweep).
+    "scd2_customer_status", "reconcile_orders_copy",
+    "hits_purchase_graph", "weighted_sample_documents",
+    "minhash_incremental_batch", "anomaly_mad_daily",
+    "skew_profile_orders", "readability_documents",
+    # round-8 additions: skew action, global curriculum, real image
+    # header decode, incremental SCD2, bucketed-state join merge
+    "salted_agg_lineitem", "salted_join_lineitem",
+    "curriculum_global_documents", "image_dimensions_documents",
+    "scd2_incremental_customer", "incremental_agg_join_lineitem",
+    # continuity keepers (one green driver row each, round 7)
     "stream_windowed_counts", "leakage_safe_split_documents",
-    # round-7 mid-round wave-4/5 flagships (ousted: decontaminate_ngram,
-    # similarity_cosine_topk — driver-green since round 4, still swept
-    # by pytest's out-of-window oracle test)
-    "apply_cdc_orders", "pagerank_purchase_graph",
+    "quality_classifier",
 ]
 
 
