@@ -164,6 +164,26 @@ class TestPlanShapes:
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+class TestPlanInventoryCurrent:
+    def test_plans_md_covers_every_catalog_query(self):
+        """The plan inventory is the review artifact for scale audits and
+        must never lag the catalog (the round-7 hygiene miss: 5 queries
+        shipped without PLANS.md rows). A catalog commit that skips
+        `python tools/plan_audit.py` fails here."""
+        import os
+        import re
+
+        plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+        with open(plans_path) as f:
+            txt = f.read()
+        audited = set(re.findall(r"^\| (\w+) \| \d", txt, flags=re.M))
+        catalog = set(QUERIES)
+        missing = sorted(catalog - audited)
+        stale = sorted(audited - catalog)
+        assert not missing, f"queries missing from PLANS.md (rerun tools/plan_audit.py): {missing}"
+        assert not stale, f"PLANS.md rows for queries no longer in the catalog: {stale}"
+
+
 class TestDriverSessionCompat:
     """Regression gate for environment drift in the DRIVER-owned session
     (the round-4 breakage: PySpark 4.1 started inferring tz-less parquet
