@@ -100,6 +100,17 @@ HEADLINE = [
     "hits_purchase_graph",
     "trend_slope_daily",
     "reconcile_drilldown_orders",
+    # round-8: skew action, global curriculum, bucketed-state/incremental
+    # CDC merges, real image-header decode
+    "salted_agg_lineitem",
+    "salted_join_lineitem",
+    "curriculum_global_documents",
+    "incremental_agg_join_lineitem",
+    "scd2_incremental_customer",
+    "image_dimensions_documents",
+    "skew_profile_orders",
+    "anomaly_mad_daily",
+    "readability_documents",
 ]
 
 
@@ -147,18 +158,45 @@ def main() -> None:
 
     timings = {name: round(median(ts), 4) for name, ts in raw.items()}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": raw,
-                "sf": sf,
-            }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": raw,
+        "sf": sf,
+    }
+
+    # The driver records only a 2 KB stdout tail in BENCH_r{N}.json, which
+    # truncates the medians/reps dicts — so round-over-round comparisons
+    # need the FULL result as a committed repo artifact. Infer the round
+    # from the driver's own BENCH_r files (this run feeds r = max + 1) and
+    # write bench_full/bench_r{N}_full.json alongside the stdout line.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n = (max(rounds) if rounds else 0) + 1
+        full_dir = os.path.join(repo, "bench_full")
+        os.makedirs(full_dir, exist_ok=True)
+        full = dict(
+            payload,
+            env={
+                "sf_dir": sf_dir,
+                "reps": reps,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                "spark_version": spark.version,
+            },
         )
-    )
+        with open(os.path.join(full_dir, f"bench_r{n}_full.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # never let artifact persistence break the bench line
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
