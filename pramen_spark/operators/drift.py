@@ -118,3 +118,111 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def ks_binned(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over a fixed bin grid: the
+    maximum absolute gap between the two empirical CDFs, evaluated at the
+    bin edges. Complements :func:`psi` (which weights every bucket) with
+    the classic worst-gap test a monitoring gate thresholds on; the exact
+    (unbinned) KS needs a global sort of both samples — the binned form
+    trades edge resolution for ONE map-side-combined aggregation per side,
+    which is the only version that makes sense at 100 TB anyway.
+
+    Returns one row: (ks_stat, n_ref, n_cur). Deterministic: integer bin
+    counts cumulate exactly; each CDF value is a single division, and the
+    max-of-abs-diffs is order-free.
+
+    Scale: histograms reduce each side to ``num_buckets`` rows; the
+    full-outer bucket join, cumulative window, and max all run on
+    <= 2*num_buckets rows (the window's single partition holds bucket
+    summaries, never raw data)."""
+    h_ref = value_histogram(ref, col, lo, hi, num_buckets).withColumnRenamed("n", "n_ref")
+    h_cur = value_histogram(cur, col, lo, hi, num_buckets).withColumnRenamed("n", "n_cur")
+    both = (
+        h_ref.join(h_cur, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cdf = both.select(
+        F.sum("n_ref").over(w_cum).alias("c_ref"),
+        F.sum("n_cur").over(w_cum).alias("c_cur"),
+        F.sum("n_ref").over(w_all).alias("t_ref"),
+        F.sum("n_cur").over(w_all).alias("t_cur"),
+    )
+    gap = F.abs(
+        F.col("c_ref") / F.col("t_ref") - F.col("c_cur") / F.col("t_cur")
+    )
+    return cdf.agg(
+        F.round(F.max(gap), 6).alias("ks_stat"),
+        F.max("t_ref").cast("long").alias("n_ref"),
+        F.max("t_cur").cast("long").alias("n_cur"),
+    )
+
+
+def chi2_categorical(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Chi-square drift decomposition for a CATEGORICAL column (PSI/KS
+    cover numeric grids): per category, observed counts on each side vs
+    the expected counts under the pooled distribution, and the category's
+    additive chi-square contribution — the rows a drift dashboard sorts
+    to answer "WHICH category moved". Sum the contributions for the
+    classic test statistic (df = categories - 1).
+
+    Returns (category, n_ref, n_cur, contrib) with
+    ``contrib = (o_r - e_r)^2/e_r + (o_c - e_c)^2/e_c`` where
+    ``e_side = (n_ref_cat + n_cur_cat) * N_side / N``. Per-category
+    contributions are each a handful of exact-integer-derived divisions
+    (deterministic, ROUND(6)); emitting the decomposition instead of one
+    summed scalar keeps the oracle order-free.
+
+    Scale: one map-side-combined count per side, a full-outer join on the
+    (small) category set, and four broadcast scalars — nothing touches
+    raw rows twice."""
+    cnt = lambda df: df.where(F.col(col).isNotNull()).groupBy(
+        F.col(col).alias("category")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h_ref = cnt(ref).withColumnRenamed("n", "n_ref")
+    h_cur = cnt(cur).withColumnRenamed("n", "n_cur")
+    both = (
+        h_ref.join(h_cur, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = both.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    j = both.crossJoin(F.broadcast(totals))
+    pooled = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    n = (F.col("t_ref") + F.col("t_cur")).cast("double")
+    e_ref = pooled * F.col("t_ref") / n
+    e_cur = pooled * F.col("t_cur") / n
+    contrib = (
+        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
+        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur
+    )
+    return j.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.round(contrib, 6).alias("contrib"),
+    )

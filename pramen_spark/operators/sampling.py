@@ -602,3 +602,84 @@ def curriculum_thresholds(
         + 1
     )
     return scored.withColumn("bucket", bucket).drop("_bounds")
+
+
+def rank_normalize(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_col: str,
+    partition_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-transform a score to [0, 1]: percent_rank over (score,
+    tiebreak), optionally per group — the calibration step that makes
+    quality scores COMPARABLE across heterogeneous sources/languages
+    before a global curriculum or mixture decision (a 0.8 from one
+    scorer's scale and a 0.8 from another's mean different things; their
+    rank positions don't). Adds ``rank_unit``.
+
+    percent_rank = (rank - 1) / (n - 1) with ties sharing a rank — the
+    same definition in Spark and DuckDB, so the output is oracle-exact
+    after rounding. Single-row partitions yield 0.0.
+
+    Scale: per group the window hash-partitions and sorts per key; an
+    UNPARTITIONED call is the same single-partition hazard as
+    :func:`curriculum_buckets` — for a corpus-sized global calibration
+    use :func:`curriculum_thresholds` with many buckets instead."""
+    order = [F.col(score_col), F.col(tiebreak_col)]
+    w = (
+        Window.partitionBy(partition_col).orderBy(*order)
+        if partition_col is not None
+        else Window.orderBy(*order)
+    )
+    return df.withColumn(
+        "rank_unit", F.round(F.percent_rank().over(w), round_to)
+    )
+
+
+def quota_split(
+    df: DataFrame,
+    quotas: Dict[str, int],
+    key_col: str,
+    group_col: Optional[str] = None,
+    salt: str = "quota",
+) -> DataFrame:
+    """Exact-COUNT splits (vs :func:`hash_split`'s exact-PROBABILITY
+    splits): assign the first ``quotas[name]`` rows of the deterministic
+    md5 order to each named split, remaining rows to ``train`` — per
+    group when ``group_col`` is given. The tool for "exactly 500 eval
+    docs per language, the rest train": a fractional split can only hit
+    500 in expectation.
+
+    The order is (hash_unit(key + salt), key) — reproducible across runs
+    and engines, and stable under corpus growth in the hash_sample sense
+    EXCEPT at the quota boundary (a new doc hashing into the first N
+    displaces the N-th; bounded churn, unlike a re-randomized split).
+
+    Scale: one window per group partition (row_number over the hash
+    order). Grouped usage is the designed path; ungrouped runs one
+    global sort — acceptable for eval-set carving (quotas are small),
+    wrong for corpus-sized assignment."""
+    u = _hash_unit("_salted")
+    base = df.withColumn(
+        "_salted", F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    ).withColumn("_u", u).drop("_salted")
+    order = [F.col("_u"), F.col(key_col)]
+    w = (
+        Window.partitionBy(group_col).orderBy(*order)
+        if group_col is not None
+        else Window.orderBy(*order)
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    expr = None
+    acc = 0
+    for name, n in quotas.items():
+        acc += int(n)
+        cond = F.col("_rn") <= acc
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit("train")) if expr is not None else F.lit("train")
+    return ranked.withColumn("split", expr).drop("_u", "_rn")

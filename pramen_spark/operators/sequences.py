@@ -58,3 +58,69 @@ def transition_matrix(
             "prob"
         ),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    window_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch marketing/product attribution: for every CONVERSION
+    event, the most recent preceding TOUCH event by the same user within
+    ``window_seconds`` — the standard "which click gets credit for this
+    purchase" assignment. Returns one row per conversion:
+    (conversion id/user/ts, touch_event_id, touch_type, touch_ts,
+    gap_us — microsecond-exact, so window boundaries never depend on
+    second truncation), with NULL touch columns for organic conversions
+    (no touch inside the window).
+
+    Deterministic: events order per user by (ts, id); "preceding" is
+    strict in that total order, so a touch sharing a timestamp with the
+    conversion attributes only if its id sorts first.
+
+    Scale (100 TB of events): ONE window pass partitioned by user — the
+    carried state is a single struct (the running last touch via
+    ``last(..., ignorenulls=True)``), never a join of conversions against
+    the event history (the self-join formulation shuffles the events
+    table twice and explodes on hot users). The window check is applied
+    as a post-filter on the one carried candidate, which is exactly the
+    last-touch semantics (an older in-window touch never wins over a
+    newer one)."""
+    is_touch = F.col(type_col).isin(list(touch_types))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            F.col(ts_col).alias("t_ts"),
+            F.col(id_col).alias("t_id"),
+            F.col(type_col).alias("t_type"),
+        ),
+    )
+    with_touch = events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(type_col),
+        F.last(touch_struct, ignorenulls=True).over(w).alias("_touch"),
+    )
+    conv = with_touch.filter(F.col(type_col) == conversion_type)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_touch.t_ts"))
+    in_window = F.col("_touch").isNotNull() & (
+        gap_us <= F.lit(int(window_seconds) * 1_000_000)
+    )
+    return conv.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col).alias("conversion_ts"),
+        F.when(in_window, F.col("_touch.t_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("_touch.t_type")).alias("touch_type"),
+        F.when(in_window, F.col("_touch.t_ts")).alias("touch_ts"),
+        F.when(in_window, gap_us).cast("long").alias("gap_us"),
+    )

@@ -742,3 +742,60 @@ def readability_scores(
             "flesch_reading_ease"
         ),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage audit: build the corpus's top-``vocab_size``
+    token vocabulary (by document frequency, token text as the
+    deterministic tiebreak) and score every document's out-of-vocabulary
+    token share — the proxy for "how much of this document will a fixed
+    tokenizer shatter into bytes". High OOV flags boilerplate-free noise,
+    wrong-language leakage, and encoding damage; the per-source OOV
+    profile is a standard pre-training corpus report.
+
+    Returns (id, n_tokens, n_oov, oov_rate) counting token OCCURRENCES
+    (not distinct types); tokens are lowercased [a-z0-9]+ runs so both
+    engines tokenize identically. Empty/tokenless documents report
+    0 tokens and NULL rate.
+
+    Scale (100 TB): document frequency aggregates map-side over (token,
+    doc) pairs; the top-k vocabulary is a TakeOrderedAndProject (never a
+    global sort) whose k rows broadcast into the scoring join — the
+    corpus-side explode joins a KB-scale build side, then re-aggregates
+    per document on the id it is already exploded from. No shuffle
+    carries text except the (token, id) pairs themselves."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("token")
+    )
+    docfreq = (
+        exploded.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    vocab = docfreq.orderBy(F.desc("df"), F.col("token")).limit(vocab_size)
+    scored = exploded.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("_in_vocab"))),
+        "token",
+        "left",
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.col("token")).cast("long").alias("n_tokens"),
+        F.sum(
+            (F.col("token").isNotNull() & F.col("_in_vocab").isNull()).cast("long")
+        )
+        .cast("long")
+        .alias("n_oov"),
+    )
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+    )
+    return agg.select(id_col, "n_tokens", "n_oov", rate.alias("oov_rate"))

@@ -5955,6 +5955,271 @@ def q_curriculum_buckets_documents(spark, sf_dir):
 
 
 @query(
+    "attribution_events",
+    """
+    WITH ordered AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END IGNORE NULLS) OVER w AS t_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER w AS t_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                   OVER w AS t_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+                     event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS conversion_us,
+           CASE WHEN ok THEN t_id END AS touch_event_id,
+           CASE WHEN ok THEN t_type END AS touch_type,
+           CASE WHEN ok THEN CAST(epoch_us(t_ts) AS BIGINT) END AS touch_us,
+           CASE WHEN ok THEN epoch_us(ts) - epoch_us(t_ts) END AS gap_us
+    FROM (SELECT *, t_ts IS NOT NULL
+                    AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000 AS ok
+          FROM ordered)
+    WHERE event_type = 'purchase'
+    """,
+    "last-touch attribution: each purchase credited to the latest "
+    "preceding click/view by the same user within 7 days",
+    tags=("analytics", "sequences"),
+)
+def q_attribution_events(spark, sf_dir):
+    """Which touch gets credit (operators/sequences.py::
+    last_touch_attribution): ONE window pass per user carries the running
+    last-touch struct via last(ignorenulls) — never a conversions-vs-
+    history self-join (which shuffles events twice and explodes on hot
+    users). Strict (ts, event_id) ordering makes same-timestamp behavior
+    deterministic; the 7-day window applies microsecond-exact to the one
+    carried candidate, which IS last-touch semantics (an older in-window
+    touch never outranks a newer one)."""
+    from pramen_spark.operators.sequences import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = last_touch_attribution(
+        ev, ["click", "view"], "purchase", window_seconds=7 * 86400
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("conversion_ts").alias("conversion_us"),
+        "touch_event_id",
+        "touch_type",
+        F.unix_micros("touch_ts").alias("touch_us"),
+        "gap_us",
+    )
+
+
+@query(
+    "rank_normalize_documents",
+    """
+    SELECT doc_id, lang, n_chars,
+           ROUND(percent_rank() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS rank_unit
+    FROM documents
+    """,
+    "per-language percent-rank calibration of a score column to [0,1]",
+    tags=("sampling", "training"),
+)
+def q_rank_normalize_documents(spark, sf_dir):
+    """Cross-source score calibration (operators/sampling.py::
+    rank_normalize): raw scores from heterogeneous scorers aren't
+    comparable, rank positions are — percent_rank over (score, id) per
+    language, the input a global mixture/curriculum decision actually
+    wants. One hash-partitioned per-group window; Spark and DuckDB share
+    the (rank-1)/(n-1) definition so the unit is oracle-exact."""
+    from pramen_spark.operators.sampling import rank_normalize
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return rank_normalize(d, "n_chars", "doc_id", partition_col="lang")
+
+
+@query(
+    "quota_split_documents",
+    """
+    WITH u AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'quota'), 1, 8))
+                   ::BIGINT / 4294967296.0 AS uu
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY uu, doc_id)
+                   AS rn
+        FROM u
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= 40 THEN 'val'
+                WHEN rn <= 80 THEN 'test'
+                ELSE 'train' END AS split
+    FROM ranked
+    """,
+    "exact-count eval carving: the first N docs of the deterministic md5 "
+    "order per language go to val/test, the rest to train",
+    tags=("sampling", "training"),
+)
+def q_quota_split_documents(spark, sf_dir):
+    """Exact-COUNT splits where hash_split gives exact probabilities
+    (operators/sampling.py::quota_split): exactly 40 val + 40 test docs
+    per language, assigned by row_number over the salted-md5 order —
+    reproducible across runs and engines, bounded churn under corpus
+    growth (only quota-boundary displacement). One per-group window; the
+    grouped path is the designed scale path."""
+    from pramen_spark.operators.sampling import quota_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_split(
+        d, {"val": 40, "test": 40}, key_col="doc_id", group_col="lang"
+    ).select("doc_id", "lang", "split")
+
+
+@query(
+    "oov_rate_documents",
+    """
+    WITH tok AS (
+        SELECT d.doc_id, t.token
+        FROM documents d,
+             unnest(list_filter(
+                 string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                 x -> x != '')) AS t(token)
+    ),
+    df_t AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    vocab AS (SELECT token FROM df_t ORDER BY df DESC, token LIMIT 500),
+    cnt AS (
+        SELECT d.doc_id,
+               COUNT(t.token) AS n_tokens,
+               COALESCE(SUM(CASE WHEN t.token IS NOT NULL AND v.token IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS n_oov
+        FROM documents d
+        LEFT JOIN tok t ON d.doc_id = t.doc_id
+        LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(n_oov * 1.0 / n_tokens, 6) END AS oov_rate
+    FROM cnt
+    """,
+    "vocabulary-coverage audit: per-document OOV token share against the "
+    "corpus top-500 document-frequency vocabulary",
+    tags=("text", "training"),
+)
+def q_oov_rate_documents(spark, sf_dir):
+    """How much of each document a fixed tokenizer would shatter
+    (operators/text.py::oov_rate): document frequency aggregates map-side
+    over (token, doc) pairs, the top-500 vocabulary plans as
+    TakeOrderedAndProject (never a global sort) and broadcasts into the
+    scoring join, and per-doc occurrence counts re-aggregate on the id.
+    High OOV flags wrong-language leakage and encoding damage; the
+    per-source profile is a standard pre-training corpus report."""
+    from pramen_spark.operators.text import oov_rate
+
+    d = load_documents_spread(spark, sf_dir)
+    return oov_rate(d, vocab_size=500)
+
+
+@query(
+    "ks_drift_events",
+    """
+    WITH t AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+               CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 49) AS BIGINT)
+                   AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+        SELECT bucket,
+               SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM t GROUP BY bucket
+    ),
+    cdf AS (
+        SELECT SUM(n_ref) OVER (ORDER BY bucket) AS c_ref,
+               SUM(n_cur) OVER (ORDER BY bucket) AS c_cur,
+               SUM(n_ref) OVER () AS t_ref,
+               SUM(n_cur) OVER () AS t_cur
+        FROM h
+    )
+    SELECT ROUND(MAX(ABS(c_ref * 1.0 / t_ref - c_cur * 1.0 / t_cur)), 6)
+               AS ks_stat,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur
+    FROM cdf
+    """,
+    "binned two-sample Kolmogorov-Smirnov drift statistic between two "
+    "event populations",
+    tags=("drift", "monitoring"),
+)
+def q_ks_drift_events(spark, sf_dir):
+    """The worst-CDF-gap drift test (operators/drift.py::ks_binned),
+    complementing PSI's bucket-weighted score: both event halves (by id
+    parity) histogram in one map-side-combined pass each, the CDFs
+    cumulate over the 50-bucket grid, and the max gap is order-free.
+    Exact KS would need a global sort of both samples; the binned form is
+    the version that exists at 100 TB, and every post-histogram stage
+    runs on bucket summaries only."""
+    from pramen_spark.operators.drift import ks_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return ks_binned(ref, cur, "value", 0.0, 500.0, num_buckets=50)
+
+
+@query(
+    "chi2_drift_events",
+    """
+    WITH t AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+               event_type AS category
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    h AS (
+        SELECT category,
+               SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM t GROUP BY category
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM h)
+    SELECT category,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(
+               POW(n_ref - (n_ref + n_cur) * 1.0 * t_ref / (t_ref + t_cur), 2)
+                   / ((n_ref + n_cur) * 1.0 * t_ref / (t_ref + t_cur))
+               + POW(n_cur - (n_ref + n_cur) * 1.0 * t_cur / (t_ref + t_cur), 2)
+                   / ((n_ref + n_cur) * 1.0 * t_cur / (t_ref + t_cur)), 6)
+               AS contrib
+    FROM h, tot
+    """,
+    "chi-square drift decomposition for a categorical column: "
+    "per-category contribution vs the pooled expectation",
+    tags=("drift", "monitoring"),
+)
+def q_chi2_drift_events(spark, sf_dir):
+    """WHICH category moved (operators/drift.py::chi2_categorical): the
+    per-category chi-square contributions against pooled expectations,
+    the categorical sibling of PSI/KS. One count per side, a full-outer
+    join on the category set, four broadcast scalars; contributions stay
+    per-row so the oracle never sums doubles in engine-dependent order."""
+    from pramen_spark.operators.drift import chi2_categorical
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return chi2_categorical(ref, cur, "event_type")
+
+
+@query(
     "image_dimensions_documents",
     """
     SELECT doc_id,
