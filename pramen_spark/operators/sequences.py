@@ -124,3 +124,66 @@ def last_touch_attribution(
         F.when(in_window, F.col("_touch.t_ts")).alias("touch_ts"),
         F.when(in_window, gap_us).cast("long").alias("gap_us"),
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency measurement: per user, the FIRST ``start_type``
+    event and the first ``end_type`` event strictly after it (in (ts, id)
+    order), with the microsecond gap — the funnel's "how long" complement
+    to the funnel's "how many" (queries/catalog.py::q_funnel_events).
+    Users who started but never converted keep NULL conversion columns;
+    users who never started are absent.
+
+    Deterministic: "first" is an argmin over the total order (ts, id),
+    computed as MIN over a struct — no row_number window needed, so each
+    side is one map-side-combined aggregation.
+
+    Scale (100 TB of events): two filtered per-user aggregations and one
+    user-keyed join — all co-partitioned on the user key after a single
+    exchange each; no window over raw events, no self-join of the full
+    stream (only the start/end subsets move)."""
+    us = lambda c: F.unix_micros(F.col(c))
+    starts = (
+        events.filter(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(
+            F.min(
+                F.struct(us(ts_col).alias("us"), F.col(id_col).alias("id"))
+            ).alias("s")
+        )
+    )
+    ends = events.filter(F.col(type_col) == end_type).select(
+        F.col(user_col), us(ts_col).alias("e_us"), F.col(id_col).alias("e_id")
+    )
+    after = (
+        ends.join(starts, user_col)
+        .filter(
+            (F.col("e_us") > F.col("s.us"))
+            | ((F.col("e_us") == F.col("s.us")) & (F.col("e_id") > F.col("s.id")))
+        )
+        .groupBy(user_col)
+        .agg(
+            F.min(
+                F.struct(F.col("e_us").alias("us"), F.col("e_id").alias("id"))
+            ).alias("c")
+        )
+    )
+    return (
+        starts.join(after, user_col, "left")
+        .select(
+            F.col(user_col),
+            F.col("s.us").alias("start_us"),
+            F.col("s.id").alias("start_event_id"),
+            F.col("c.us").alias("convert_us"),
+            F.col("c.id").alias("convert_event_id"),
+            (F.col("c.us") - F.col("s.us")).cast("long").alias("gap_us"),
+        )
+    )

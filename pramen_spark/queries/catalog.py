@@ -5955,6 +5955,81 @@ def q_curriculum_buckets_documents(spark, sf_dir):
 
 
 @query(
+    "time_to_convert_events",
+    """
+    WITH s AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS rn
+        FROM events WHERE event_type = 'signup'
+    ),
+    starts AS (SELECT user_id, us AS start_us, event_id AS start_event_id
+               FROM s WHERE rn = 1),
+    e AS (
+        SELECT e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS us,
+               e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id)
+                   AS rn
+        FROM events e JOIN starts st ON e.user_id = st.user_id
+        WHERE e.event_type = 'purchase'
+          AND (epoch_us(CAST(e.ts AS TIMESTAMP)) > st.start_us
+               OR (epoch_us(CAST(e.ts AS TIMESTAMP)) = st.start_us
+                   AND e.event_id > st.start_event_id))
+    )
+    SELECT st.user_id,
+           CAST(st.start_us AS BIGINT) AS start_us,
+           st.start_event_id,
+           CAST(e.us AS BIGINT) AS convert_us,
+           e.event_id AS convert_event_id,
+           CAST(e.us - st.start_us AS BIGINT) AS gap_us
+    FROM starts st LEFT JOIN e ON st.user_id = e.user_id AND e.rn = 1
+    """,
+    "conversion latency: first signup to first subsequent purchase per "
+    "user, microsecond-exact, NULLs for never-converted",
+    tags=("analytics", "sequences"),
+)
+def q_time_to_convert_events(spark, sf_dir):
+    """The funnel's latency complement (operators/sequences.py::
+    time_to_convert): first signup and first strictly-later purchase per
+    user via MIN-over-struct argmins — two filtered map-side-combined
+    aggregations and one user-keyed join; no window over the raw stream,
+    no stream self-join. Never-converted users keep NULL conversion
+    columns for downstream survival analysis."""
+    from pramen_spark.operators.sequences import time_to_convert
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_to_convert(ev, "signup", "purchase")
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    _ngram_shingle_oracle(0.3),
+    "exact threshold-Jaccard pairs via AllPairs/PPJoin prefix filtering: "
+    "only each doc's rarest n - ceil(t*n) + 1 shingles generate candidates",
+    tags=("dedup", "scale"),
+)
+def q_prefix_filter_jaccard_pairs(spark, sf_dir):
+    """The high-threshold exact-dup path that beats both co-occurrence
+    pairing and LSH (operators/dedup.py::prefix_filter_jaccard_pairs):
+    order shingles rarest-first, expose only the provably-sufficient
+    prefix as join keys (two sets at Jaccard >= t share their smallest
+    common shingle inside BOTH prefixes — the AllPairs lemma), verify
+    survivors by array intersection. Must reproduce the brute-force
+    oracle EXACTLY — same pair set, same jaccard values — while the
+    candidate stream touches only rare shingles. The third member of the
+    exact-jaccard family (ngram_jaccard_pairs = co-occurrence, minhash =
+    probabilistic), sharing their oracle at t=0.3."""
+    from pramen_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load_documents_spread(spark, sf_dir)
+    return prefix_filter_jaccard_pairs(
+        d, shingle_size=3, threshold=0.3, max_shingle_freq=1000
+    )
+
+
+@query(
     "attribution_events",
     """
     WITH ordered AS (

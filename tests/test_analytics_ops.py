@@ -446,3 +446,52 @@ class TestOovRate:
         assert out[2].n_tokens == 3 and out[2].n_oov == 2  # zz x2
         assert out[2].oov_rate == round(2 / 3, 6)
         assert out[3].n_tokens == 0 and out[3].oov_rate is None
+
+
+class TestTimeToConvert:
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (eid, uid, base + dt.timedelta(seconds=s), et)
+            for eid, uid, s, et in rows
+        ]
+        return spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+
+    def test_first_start_first_subsequent_end(self, spark):
+        from pramen_spark.operators.sequences import time_to_convert
+
+        ev = self._events(
+            spark,
+            [
+                (1, 7, 0, "signup"),
+                (2, 7, 5, "purchase"),
+                (3, 7, 9, "purchase"),   # later purchase ignored
+                (4, 7, 10, "signup"),    # later signup ignored
+            ],
+        )
+        out = time_to_convert(ev, "signup", "purchase").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.start_event_id == 1 and r.convert_event_id == 2
+        assert r.gap_us == 5_000_000
+
+    def test_purchase_before_signup_does_not_count(self, spark):
+        from pramen_spark.operators.sequences import time_to_convert
+
+        ev = self._events(
+            spark, [(1, 7, 0, "purchase"), (2, 7, 10, "signup")]
+        )
+        r = time_to_convert(ev, "signup", "purchase").collect()[0]
+        assert r.start_event_id == 2 and r.convert_event_id is None
+        assert r.gap_us is None
+
+    def test_never_started_absent(self, spark):
+        from pramen_spark.operators.sequences import time_to_convert
+
+        ev = self._events(spark, [(1, 7, 0, "purchase"), (2, 8, 1, "signup")])
+        got = {r.user_id for r in time_to_convert(ev, "signup", "purchase").collect()}
+        assert got == {8}

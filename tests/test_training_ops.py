@@ -3370,3 +3370,48 @@ class TestReconcileDrilldown:
         df = spark.createDataFrame(rows, "k long, v string")
         out = reconcile_drilldown(df, df, ["k"], ["v"], 4, 64)
         assert out.count() == 0
+
+
+class TestPrefixFilterJaccard:
+    def test_equals_cooccurrence_pairs(self, spark, docs):
+        from pramen_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_jaccard_pairs,
+        )
+
+        for t in (0.2, 0.5, 0.8):
+            a = sorted(map(str, prefix_filter_jaccard_pairs(docs, threshold=t).collect()))
+            b = sorted(map(str, ngram_jaccard_pairs(docs, threshold=t).collect()))
+            assert a == b, (t, a, b)
+
+    def test_freq_cap_mirrors_cooccurrence(self, spark, docs):
+        from pramen_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_jaccard_pairs,
+        )
+
+        a = sorted(
+            map(str, prefix_filter_jaccard_pairs(docs, threshold=0.3, max_shingle_freq=2).collect())
+        )
+        b = sorted(
+            map(str, ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_freq=2).collect())
+        )
+        assert a == b
+
+    def test_prefix_explodes_fewer_shingles_than_full(self, spark, docs):
+        """The point of the algorithm: at a high threshold the exploded
+        prefix stream must be strictly smaller than the full shingle
+        stream co-occurrence pairing explodes."""
+        from pramen_spark.operators.dedup import hashed_shingles
+        from pyspark.sql import functions as F
+
+        base = hashed_shingles(docs, "doc_id", "text", 3)
+        full = base.count()
+        t = 0.8
+        docs_arr = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        prefix_total = docs_arr.select(
+            F.sum(
+                F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
+            ).alias("s")
+        ).collect()[0].s
+        assert prefix_total < full
