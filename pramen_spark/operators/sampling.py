@@ -683,3 +683,45 @@ def quota_split(
         )
     expr = expr.otherwise(F.lit("train")) if expr is not None else F.lit("train")
     return ranked.withColumn("split", expr).drop("_u", "_rn")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    group_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Winsorization: clip a value column at its (per-group) ``lo_q`` /
+    ``hi_q`` exact percentiles — the standard outlier-taming transform
+    before averaging noisy metrics (a single fat-finger value no longer
+    owns the mean). Adds ``<value>_w`` (clipped, double), ``clipped_low``
+    and ``clipped_high`` flags; NULL values pass through unclipped.
+
+    Bounds are exact interpolating percentiles ROUNDed to ``round_to``
+    (the same cross-engine determinism contract as
+    :func:`curriculum_thresholds`); clipping compares against the rounded
+    bound so the decision can never straddle an ulp.
+
+    Scale: ONE map-side-combined percentile aggregation (per group or
+    global 1-row), broadcast back over the data — no window, no sort of
+    the raw rows."""
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.round(F.percentile(v, F.lit(lo_q)), round_to).alias("_lo"),
+        F.round(F.percentile(v, F.lit(hi_q)), round_to).alias("_hi"),
+    ]
+    if group_col is not None:
+        bounds = df.groupBy(group_col).agg(*aggs)
+        joined = df.join(F.broadcast(bounds), group_col)
+    else:
+        bounds = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(bounds))
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        joined.withColumn(f"{value_col}_w", F.round(clipped, round_to))
+        .withColumn("clipped_low", v < F.col("_lo"))
+        .withColumn("clipped_high", v > F.col("_hi"))
+        .drop("_lo", "_hi")
+    )

@@ -173,3 +173,41 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.round(F.avg(c), 6).alias("mean_rows"),
         F.round(F.max(c) / F.avg(c), 6).alias("skew_ratio"),
     )
+
+
+def orphan_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Referential-integrity audit between a fact table and a dimension:
+    one row with (n_child, n_orphan_child, n_parent, n_childless_parent)
+    — the pre-publish check that every foreign key resolves (orphaned
+    facts silently vanish from inner joins downstream; the count here is
+    the difference between "join looks fine" and "we dropped 2% of
+    revenue"). Counts are ROW counts, so duplicate keys weigh what they
+    weigh in downstream joins.
+
+    Scale: one lazy plan — two count-only scans plus two anti-join
+    counts, each a hash-partitioned pass with the distinct-key probe side
+    AQE-broadcast when small; the four 1-row aggregates crossJoin into
+    the single result row (broadcast loop joins over one row each). No
+    full join is materialized and nothing collects on the driver."""
+    keys = list(on)
+    cnt = lambda df, name: df.agg(F.count(F.lit(1)).cast("long").alias(name))
+    n_child = cnt(child, "n_child")
+    n_parent = cnt(parent, "n_parent")
+    n_orphan = cnt(
+        child.join(parent.select(*keys).distinct(), keys, "left_anti"),
+        "n_orphan_child",
+    )
+    n_childless = cnt(
+        parent.join(child.select(*keys).distinct(), keys, "left_anti"),
+        "n_childless_parent",
+    )
+    return (
+        n_child.crossJoin(n_orphan)
+        .crossJoin(n_parent)
+        .crossJoin(n_childless)
+        .select("n_child", "n_orphan_child", "n_parent", "n_childless_parent")
+    )

@@ -1322,9 +1322,7 @@ def q_similarity_ivf_topk(spark, sf_dir):
     )
 
 
-@query(
-    "lang_id",
-    r"""
+_LANG_ID_ORACLE = r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
     ),
@@ -1347,7 +1345,12 @@ def q_similarity_ivf_topk(spark, sf_dir):
             ELSE 'unknown'
         END AS lang_pred
     FROM votes
-    """,
+    """
+
+
+@query(
+    "lang_id",
+    _LANG_ID_ORACLE,
     "stopword-vote language identification",
     tags=("text",),
 )
@@ -5951,6 +5954,188 @@ def q_curriculum_buckets_documents(spark, sf_dir):
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "winsorize_lineitem",
+    """
+    WITH b AS (
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    w AS (
+        SELECT l.l_returnflag,
+               LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi) AS vw,
+               l.l_extendedprice < b.lo AS clo,
+               l.l_extendedprice > b.hi AS chi
+        FROM lineitem l JOIN b USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN clo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN chi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           ROUND(AVG(vw), 4) AS avg_winsorized
+    FROM w GROUP BY l_returnflag
+    """,
+    "per-group winsorization at exact p05/p95: clip counts and the tamed "
+    "mean",
+    tags=("validation", "monitoring"),
+)
+def q_winsorize_lineitem(spark, sf_dir):
+    """Outlier taming before averaging (operators/sampling.py::
+    winsorize): per-returnflag exact p05/p95 bounds from ONE map-side-
+    combined percentile aggregation, broadcast back, values clipped
+    against the ROUND(6) bounds so the clip decision is ulp-proof on
+    both engines. No window, no sort of raw rows; the summary shows how
+    much mass the tails held."""
+    from pramen_spark.operators.sampling import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    w = winsorize(li, "l_extendedprice", 0.05, 0.95, group_col="l_returnflag")
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("clipped_low").cast("long")).cast("long").alias("n_low"),
+        F.sum(F.col("clipped_high").cast("long")).cast("long").alias("n_high"),
+        F.round(F.avg("l_extendedprice_w"), 4).alias("avg_winsorized"),
+    )
+
+
+@query(
+    "orphan_audit_lineitem",
+    """
+    WITH parent AS (
+        SELECT DISTINCT o_orderkey AS l_orderkey FROM orders
+        WHERE o_orderstatus = 'O'
+    ),
+    childkeys AS (SELECT DISTINCT l_orderkey FROM lineitem)
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT l_orderkey FROM parent))
+               AS n_orphan_child,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O')
+               AS n_parent,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O'
+            AND o_orderkey NOT IN (SELECT l_orderkey FROM childkeys))
+               AS n_childless_parent
+    """,
+    "referential-integrity audit: orphaned fact rows and childless "
+    "dimension rows between lineitem and the open-orders subset",
+    tags=("validation", "monitoring"),
+)
+def q_orphan_audit_lineitem(spark, sf_dir):
+    """The join-silently-drops-rows detector (operators/validation.py::
+    orphan_audit): lineitem audited against the OPEN orders subset (a
+    deliberately incomplete parent so both orphan directions are
+    non-trivial). Two anti-join counts plus two count-only scans fold
+    into one lazy row via broadcast loop joins — at 100 TB this is the
+    difference between "the join ran" and "we know we dropped 2% of
+    revenue"."""
+    from pramen_spark.operators.validation import orphan_audit
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return orphan_audit(li, o, ["l_orderkey"])
+
+
+@query(
+    "triangle_count_suppliers",
+    """
+    WITH pairs AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    co AS (SELECT s1, s2, COUNT(*) AS c FROM pairs GROUP BY s1, s2),
+    thr AS (SELECT ROUND(quantile_cont(c, 0.95), 6) AS t FROM co),
+    edges AS (SELECT s1 AS a, s2 AS b FROM co, thr WHERE c >= t),
+    deg AS (
+        SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY v
+    ),
+    o AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS w
+        FROM edges e
+        JOIN deg da ON da.v = e.a
+        JOIN deg db ON db.v = e.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*)
+            FROM o e1 JOIN o e2 ON e1.w = e2.u
+            JOIN o e3 ON e3.u = e1.u AND e3.w = e2.w) AS n_triangles
+    """,
+    "exact degree-ordered triangle count over the strong co-supply "
+    "graph (suppliers co-occurring in the top-5% of shared orders)",
+    tags=("graph",),
+)
+def q_triangle_count_suppliers(spark, sf_dir):
+    """Graph cohesion done scale-right (operators/graph.py::
+    triangle_count): supplier pairs co-occurring in >= the p95 shared-
+    order count form the strong co-supply graph; edges orient from the
+    (degree, id)-smaller endpoint so each triangle is counted exactly
+    once AND every out-neighborhood is O(sqrt(E)) — the wedge join
+    cannot explode on a hub (Suri & Vassilvitskii's "last reducer"
+    problem). Pair generation explodes per-order supplier SETS (JVM-side
+    ordered pairs, ~C(7,2) rows per order), never a raw self-join of
+    lineitem."""
+    from pramen_spark.operators.dedup import _ordered_pairs
+    from pramen_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
+    co = (
+        per_order.select(F.explode(_ordered_pairs(F.col("ss"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("s1"), F.col("p.id_b").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = co.agg(F.round(F.percentile(F.col("c"), F.lit(0.95)), 6).alias("t"))
+    edges = co.crossJoin(F.broadcast(thr)).filter(F.col("c") >= F.col("t"))
+    return triangle_count(edges, src="s1", dst="s2")
+
+
+@query(
+    "langid_confusion_documents",
+    f"""
+    WITH pred AS ({_LANG_ID_ORACLE})
+    SELECT d.lang, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    """,
+    "language-ID confusion matrix: labeled lang vs stopword-vote "
+    "prediction, one count per (truth, predicted) cell",
+    tags=("text", "monitoring"),
+)
+def q_langid_confusion_documents(spark, sf_dir):
+    """Classifier quality audit without leaving the engine
+    (operators/text.py::language_id vs the labeled lang column): the
+    confusion matrix is the first artifact a curation team checks before
+    trusting a filter at 100 TB. The prediction is the same zero-shuffle
+    stopword vote lang_id runs; one extra co-keyed join against the
+    labels and one map-side-combined count."""
+    from pramen_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = language_id(d).select("doc_id", "lang_pred")
+    truth = d.select("doc_id", "lang")
+    return truth.join(pred, "doc_id").groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
 
 

@@ -495,3 +495,108 @@ class TestTimeToConvert:
         ev = self._events(spark, [(1, 7, 0, "purchase"), (2, 8, 1, "signup")])
         got = {r.user_id for r in time_to_convert(ev, "signup", "purchase").collect()}
         assert got == {8}
+
+
+class TestWinsorize:
+    def test_tails_clipped_exactly(self, spark):
+        from pramen_spark.operators.sampling import winsorize
+        from pyspark.sql import functions as F
+
+        # 0..100 uniform: p05 = 5.0, p95 = 95.0 exactly
+        df = spark.range(101).select(F.col("id").cast("double").alias("v"))
+        out = winsorize(df, "v", 0.05, 0.95)
+        rows = {r.v: r for r in out.collect()}
+        assert rows[0.0].v_w == 5.0 and rows[0.0].clipped_low
+        assert rows[100.0].v_w == 95.0 and rows[100.0].clipped_high
+        assert rows[50.0].v_w == 50.0 and not rows[50.0].clipped_low
+
+    def test_groups_independent(self, spark):
+        from pramen_spark.operators.sampling import winsorize
+        from pyspark.sql import functions as F
+
+        df = spark.range(202).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.when(F.col("id") % 2 == 0, F.col("id"))
+            .otherwise(F.col("id") * 100)
+            .cast("double")
+            .alias("v"),
+        )
+        out = winsorize(df, "v", 0.1, 0.9, group_col="g")
+        n_clip = {
+            r.g: r.n
+            for r in out.groupBy("g")
+            .agg(
+                F.sum((F.col("clipped_low") | F.col("clipped_high")).cast("long")).alias("n")
+            )
+            .collect()
+        }
+        # each group clips its own ~20% tails regardless of scale
+        assert n_clip["0"] > 0 and n_clip["1"] > 0
+
+
+class TestOrphanAudit:
+    def test_counts_all_four_quantities(self, spark):
+        from pramen_spark.operators.validation import orphan_audit
+
+        child = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z"), (9, "orphan")], "k long, p string"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        r = orphan_audit(child, parent, ["k"]).collect()[0]
+        assert (r.n_child, r.n_orphan_child, r.n_parent, r.n_childless_parent) == (
+            4, 1, 3, 1,
+        )
+
+    def test_clean_tables_zero_orphans(self, spark):
+        from pramen_spark.operators.validation import orphan_audit
+        from pyspark.sql import functions as F
+
+        parent = spark.range(10).select(F.col("id").alias("k"))
+        child = spark.range(30).select((F.col("id") % 10).alias("k"))
+        r = orphan_audit(child, parent, ["k"]).collect()[0]
+        assert r.n_orphan_child == 0 and r.n_childless_parent == 0
+
+
+class TestTriangleCount:
+    def test_k4_with_noise(self, spark):
+        from pramen_spark.operators.graph import triangle_count
+
+        edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+        edges += [(3, 9), (1, 0), (2, 2)]  # pendant, reverse-dup, self-loop
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        assert (r.n_vertices, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+    def test_triangle_free_graph(self, spark):
+        from pramen_spark.operators.graph import triangle_count
+
+        # C4 cycle + star: no triangles
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0), (7, 8), (7, 9)], "src long, dst long"
+        )
+        r = triangle_count(df).collect()[0]
+        assert r.n_triangles == 0 and r.n_edges == 6
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        from itertools import combinations
+
+        from pramen_spark.operators.graph import triangle_count
+
+        # deterministic pseudo-random graph
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for i in range(400)
+                for a, b in [((i * 7919) % 30, (i * 104729 + 13) % 30)]
+                if a != b
+            }
+        )
+        es = set(edges)
+        want = sum(
+            1
+            for x, y, z in combinations(range(30), 3)
+            if (x, y) in es and (y, z) in es and (x, z) in es
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        assert r.n_triangles == want and r.n_edges == len(edges)
