@@ -187,3 +187,47 @@ def time_to_convert(
             (F.col("c.us") - F.col("s.us")).cast("long").alias("gap_us"),
         )
     )
+
+
+def burst_dedup(
+    events: DataFrame,
+    gap_seconds: float,
+    group_cols: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Collapse event bursts: within each group, consecutive events
+    closer than ``gap_seconds`` chain into one burst (retry storms,
+    double-clicks, sensor chatter) and only the burst's FIRST event
+    survives, annotated with ``burst_n_events`` and ``burst_span_us`` —
+    the event-stream counterpart of exact document dedup, with the same
+    keep-first convention. Chain semantics (gap measured to the previous
+    event, sessionization-style), so a storm emitting every N-1 seconds
+    for an hour is ONE row, which is what you want from a retry storm.
+
+    Scale: the sessionize_batch plan — one exchange on the group key,
+    two in-partition window passes (lag gap-flag, cumulative burst id),
+    one aggregation; only (group, ts, id) move."""
+    groups = [F.col(c) for c in group_cols]
+    gap_us = int(gap_seconds * 1_000_000)
+    w = Window.partitionBy(*groups).orderBy(F.col(ts_col), F.col(id_col))
+    tus = F.unix_micros(F.col(ts_col))
+    prev = F.lag(tus).over(w)
+    marked = events.withColumn(
+        "_new", (prev.isNull() | (tus - prev > gap_us)).cast("int")
+    ).withColumn("_burst", F.sum("_new").over(w))
+    return (
+        marked.groupBy(*groups, F.col("_burst"))
+        .agg(
+            F.min(F.struct(tus.alias("us"), F.col(id_col).alias("id"))).alias("f"),
+            F.count(F.lit(1)).cast("long").alias("burst_n_events"),
+            (F.max(tus) - F.min(tus)).cast("long").alias("burst_span_us"),
+        )
+        .select(
+            F.col("f.id").alias(id_col),
+            *group_cols,
+            F.col("f.us").alias("first_us"),
+            "burst_n_events",
+            "burst_span_us",
+        )
+    )

@@ -518,3 +518,145 @@ def quantize_embeddings(
         "qvec",
         F.round("_err", 6).alias("max_abs_err"),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    query vector, the single most-similar corpus vector with a DIFFERENT
+    label — the "looks like X but isn't X" examples that teach a model
+    its decision boundary (random negatives are trivially far; hard ones
+    carry the gradient). Returns (query_id, query_label, neg_id,
+    neg_label, cosine).
+
+    Deterministic: cosines are ROUNDed before the argmax and ties break
+    to the lowest corpus id via a lexicographic struct MAX — which also
+    makes the reduction a map-side-combined aggregation (no per-query
+    window holding the whole corpus on one reducer).
+
+    Scale (100 TB corpus, thousands of queries): the query set broadcasts
+    (its size is the fan-out multiplier — keep it batched); the corpus is
+    read ONCE, each row scoring against all queries JVM-side
+    (aggregate/zip_with fold, no Python), and the only shuffle carries
+    one partial-max row per (query, partition). For corpus-scale query
+    sets use the LSH/IVF candidate paths in this module instead of the
+    exhaustive product."""
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                F.try_divide(
+                    dot(F.col("cv"), F.col("qv")),
+                    F.sqrt(dot(F.col("cv"), F.col("cv")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv"))),
+                ),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    best = scored.groupBy("query_id", "query_label").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("neg_id")).alias("nid"),
+                F.col("neg_label").alias("nl"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        "query_label",
+        (-F.col("b.nid")).cast("long").alias("neg_id"),
+        F.col("b.nl").alias("neg_label"),
+        F.col("b.c").alias("cosine"),
+    )
+
+
+def label_centroid_cohesion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space class-quality report: per label, the centroid
+    (dimension-wise mean) and the members' mean/min cosine to their own
+    centroid — low cohesion flags a mislabeled or multi-modal class
+    before anyone trains on it, the embedding sibling of the lang-ID
+    confusion audit. Returns (label, n_vecs, mean_cosine, min_cosine).
+
+    Determinism: centroid dimensions ROUND(6) before any cosine (the sum
+    order inside the per-dimension average differs between engines at ulp
+    level; rounding pins it), and the final mean rounds to 4.
+
+    Scale (100 TB of vectors): dimensions explode to (label, dim) partial
+    sums — map-side combined, shuffle carries labels x dims rows; the
+    centroid table (labels x dim doubles, KB-scale) broadcasts back into
+    a single pass over the vectors; per-label stats map-side combine.
+    No vector-vector pair is ever formed — cohesion via centroids is
+    O(N·d), not the O(N^2) intra-class pair matrix."""
+    base = df.select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dims = base.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("c")))
+                ),
+                lambda s: s.c,
+            ).alias("centroid")
+        )
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = base.join(F.broadcast(cent), "label").select(
+        "label",
+        # try_divide: a zero centroid (exactly opposing members) or zero
+        # vector yields NULL cosine instead of an ANSI divide-by-zero —
+        # the degenerate class surfaces as NULL in the report
+        F.round(
+            F.try_divide(
+                dot(F.col("v"), F.col("centroid")),
+                F.sqrt(dot(F.col("v"), F.col("v")))
+                * F.sqrt(dot(F.col("centroid"), F.col("centroid"))),
+            ),
+            6,
+        ).alias("cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("cos"), 4).alias("mean_cosine"),
+        F.min("cos").alias("min_cosine"),
+    )

@@ -5958,6 +5958,231 @@ def q_curriculum_buckets_documents(spark, sf_dir):
 
 
 @query(
+    "burst_dedup_events",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                            OR tus - lag(tus) OVER w > 86400000000
+                       THEN 1 ELSE 0 END AS nb
+        FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                            ORDER BY tus, event_id)
+    ),
+    b AS (
+        SELECT *, SUM(nb) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tus, event_id) AS bid
+        FROM marked
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type, bid
+                                     ORDER BY tus, event_id) AS rn
+        FROM b
+    ),
+    agg AS (
+        SELECT user_id, event_type, bid,
+               MIN(tus) AS first_us,
+               COUNT(*) AS burst_n_events,
+               MAX(tus) - MIN(tus) AS burst_span_us
+        FROM b GROUP BY 1, 2, 3
+    )
+    SELECT r.event_id, r.user_id, r.event_type,
+           CAST(a.first_us AS BIGINT) AS first_us,
+           CAST(a.burst_n_events AS BIGINT) AS burst_n_events,
+           CAST(a.burst_span_us AS BIGINT) AS burst_span_us
+    FROM ranked r
+    JOIN agg a USING (user_id, event_type, bid)
+    WHERE r.rn = 1
+    """,
+    "event burst collapse: chains of same-(user, type) events within a "
+    "1-day gap keep only their first event, annotated with burst size",
+    tags=("analytics", "sequences", "dedup"),
+)
+def q_burst_dedup_events(spark, sf_dir):
+    """Retry-storm / double-fire dedup (operators/sequences.py::
+    burst_dedup): the event-stream counterpart of exact document dedup —
+    keep-first over gap-chained bursts per (user, type), with burst size
+    and span kept for the audit trail. Chain semantics (gap to the
+    PREVIOUS event) so an hour-long storm is one row. Plan is the
+    sessionization shape: one exchange on the group key, two in-partition
+    windows, one aggregation."""
+    from pramen_spark.operators.sequences import burst_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    return burst_dedup(ev, gap_seconds=86400)
+
+
+@query(
+    "label_centroid_cohesion",
+    """
+    WITH dims AS (
+        SELECT label, CAST(i AS INTEGER) AS dim,
+               CAST(embedding AS DOUBLE[])[CAST(i + 1 AS INTEGER)] AS x
+        FROM embeddings, unnest(range(len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT label, dim, ROUND(AVG(x), 6) AS c FROM dims GROUP BY 1, 2
+    ),
+    carr AS (
+        SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT e.label,
+               ROUND(
+                   list_inner_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(c.centroid, c.centroid))),
+                   6) AS cos
+        FROM embeddings e JOIN carr c USING (label)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(cos), 4) AS mean_cosine,
+           MIN(cos) AS min_cosine
+    FROM scored GROUP BY label
+    """,
+    "embedding class-quality report: per-label centroid and members' "
+    "mean/min cosine to their own centroid",
+    tags=("similarity", "monitoring"),
+)
+def q_label_centroid_cohesion(spark, sf_dir):
+    """Mislabeled/multi-modal class detector (operators/similarity.py::
+    label_centroid_cohesion): cohesion via centroids is O(N*d) — the
+    dimension explode partial-sums map-side (labels x dims rows in the
+    shuffle), the KB-scale centroid table broadcasts back, and no
+    vector-vector pair is ever formed (the intra-class pair matrix is
+    the O(N^2) trap). Centroid dims ROUND(6) before any cosine pins the
+    engines' summation-order ulps."""
+    from pramen_spark.operators.similarity import label_centroid_cohesion
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_cohesion(e)
+
+
+@query(
+    "hard_negatives_embeddings",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, q.query_label, e.vec_id AS neg_id,
+               e.label AS neg_label,
+               ROUND(
+                   list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.label <> q.query_label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, query_label, neg_id, neg_label, cosine
+    FROM ranked WHERE rn = 1
+    """,
+    "hard-negative mining: per query vector, the most-similar corpus "
+    "vector with a different label (exact, deterministic argmax)",
+    tags=("similarity", "training"),
+)
+def q_hard_negatives_embeddings(spark, sf_dir):
+    """The contrastive-training data miner (operators/similarity.py::
+    hard_negatives): every 50th vector queries for its most-similar
+    DIFFERENT-label neighbor — the boundary examples that carry the
+    gradient. The query set broadcasts, the corpus is read once scoring
+    JVM-side (aggregate/zip_with fold — sequential like DuckDB's
+    list_inner_product, so doubles match bit-for-bit), and the argmax is
+    a lexicographic struct MAX: map-side combined, rounded-cosine ties
+    to the lowest id, no per-query window holding the corpus."""
+    from pramen_spark.operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return hard_negatives(e, queries)
+
+
+@query(
+    "stream_session_counts",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+    ),
+    marked AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess AS (
+        SELECT user_id, tus,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    "Structured Streaming parity: built-in session_window (30 min gap) "
+    "over a real file stream equals batch lag/cumsum sessionization",
+    tags=("streaming", "sessionization"),
+)
+def q_stream_session_counts(spark, sf_dir):
+    """The THIRD streaming parity proof, now for MERGING state (tumbling
+    and hopping windows have fixed boundaries; session windows must merge
+    as late events bridge gaps): Spark's built-in ``session_window`` with
+    a 30-minute gap over a real file readStream, availableNow trigger,
+    memory sink — checked against the batch lag->cumsum->agg twin, the
+    same oracle the applyInPandasWithState custom operator
+    (streaming/stream.py::sessionize) is tested against. Bounds are
+    aggregated as min/max event micros (session_window's own window.end
+    adds the gap padding by definition — the raw extrema are the
+    engine-portable form).
+
+    Scale: session state is per-user and merges in the state store;
+    watermarking (dropped here: bounded availableNow input, complete
+    mode) bounds it on an unbounded stream."""
+    from pramen_spark.streaming.stream import read_file_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    glob_path = f"{sf_dir}/events.parque[t]"
+    stream = read_file_stream(spark, glob_path, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        stream.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        ).agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    sink = "stream_session_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+@query(
     "winsorize_lineitem",
     """
     WITH b AS (

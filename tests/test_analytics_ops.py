@@ -600,3 +600,90 @@ class TestTriangleCount:
         df = spark.createDataFrame(edges, "src long, dst long")
         r = triangle_count(df).collect()[0]
         assert r.n_triangles == want and r.n_edges == len(edges)
+
+
+class TestBurstDedup:
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (eid, uid, base + dt.timedelta(seconds=s), et)
+            for eid, uid, s, et in rows
+        ]
+        return spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+
+    def test_chain_collapses_keep_first(self, spark):
+        from pramen_spark.operators.sequences import burst_dedup
+
+        ev = self._events(
+            spark,
+            [
+                (1, 7, 0, "click"),
+                (2, 7, 5, "click"),     # 5s after 1 -> same burst
+                (3, 7, 9, "click"),     # 4s after 2 -> chained in
+                (4, 7, 100, "click"),   # new burst
+                (5, 7, 6, "view"),      # different type: own burst
+            ],
+        )
+        out = {r.event_id: r for r in burst_dedup(ev, gap_seconds=6).collect()}
+        assert set(out) == {1, 4, 5}
+        assert out[1].burst_n_events == 3 and out[1].burst_span_us == 9_000_000
+        assert out[4].burst_n_events == 1 and out[4].burst_span_us == 0
+
+    def test_boundary_gap_exactly_equal_chains(self, spark):
+        from pramen_spark.operators.sequences import burst_dedup
+
+        ev = self._events(spark, [(1, 7, 0, "click"), (2, 7, 6, "click")])
+        out = burst_dedup(ev, gap_seconds=6).collect()
+        assert len(out) == 1 and out[0].burst_n_events == 2  # gap <= N chains
+
+
+class TestHardNegatives:
+    def test_picks_most_similar_other_label(self, spark):
+        from pramen_spark.operators.similarity import hard_negatives
+
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),   # same label: never a negative
+            (2, [0.8, 0.6], 1),   # closest other-label to vec 0
+            (3, [0.0, 1.0], 1),
+            (4, [-1.0, 0.0], 2),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        q = df.filter("vec_id = 0")
+        out = hard_negatives(df, q).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.neg_id == 2 and r.neg_label == 1
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        from pramen_spark.operators.similarity import hard_negatives
+
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (5, [0.0, 1.0], 1),
+            (3, [0.0, 1.0], 1),   # identical vector, same cosine -> id 3 wins
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        out = hard_negatives(df, df.filter("vec_id = 0")).collect()
+        assert out[0].neg_id == 3
+
+
+class TestLabelCentroidCohesion:
+    def test_tight_cluster_cohesion_one(self, spark):
+        from pramen_spark.operators.similarity import label_centroid_cohesion
+
+        rows = [(i, [1.0, 0.0], 0) for i in range(4)] + [
+            (10, [0.0, 1.0], 1),
+            (11, [0.0, -1.0], 1),  # opposing pair: centroid orthogonal-ish
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        out = {r.label: r for r in label_centroid_cohesion(df).collect()}
+        assert out[0].mean_cosine == 1.0 and out[0].min_cosine == 1.0
+        assert out[0].n_vecs == 4
+        # label 1's centroid is the zero vector -> cosine NULL (0/0);
+        # engines agree it is NULL, the report surfaces the degenerate class
+        assert out[1].n_vecs == 2
