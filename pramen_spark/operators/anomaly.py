@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # scale factor making MAD a consistent estimator of sigma under normality
@@ -73,4 +73,63 @@ def mad_anomalies(
         F.when(sigma > 0, z > threshold)
         .otherwise(dev > 0)
         .alias("is_anomaly"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """CUSUM change-point localization over an (already aggregated)
+    per-group series: the running sum of deviations from the group mean
+    peaks in magnitude exactly where the level shifts, so
+    ``argmax |CUSUM_t|`` is the classic single-change-point estimate
+    (Page's statistic, offline form). Complements this module's MAD
+    detector (WHICH points are outliers) with WHERE the regime changed.
+    Returns one row per group: (group..., n_points, changepoint_at,
+    max_abs_cusum) with the earliest position winning ties.
+
+    Determinism: the running sum follows the total (order, value) series
+    order — identical sequential fold in both engines — and rounds
+    before the argmax so the tie-break is ulp-proof.
+
+    Scale: input is a per-group SERIES (one row per bucket, e.g. daily
+    aggregates) — the window partitions by group over already-reduced
+    rows, never raw events; the argmax is a lexicographic struct MAX,
+    map-side combined."""
+    groups = [F.col(c) for c in group_cols]
+    w_all = Window.partitionBy(*groups)
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(value_col).cast("double")
+    with_mean = series.withColumn(
+        "_mean", F.avg(v).over(w_all)
+    )
+    cusum = with_mean.withColumn(
+        "_cusum", F.round(F.sum(v - F.col("_mean")).over(w_cum), round_to)
+    )
+    neg_order = (-F.unix_micros(F.col(order_col).cast("timestamp"))
+                 if dict(series.dtypes).get(order_col) in ("date", "timestamp")
+                 else -F.col(order_col))
+    best = cusum.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max(
+            F.struct(
+                F.abs(F.col("_cusum")).alias("a"),
+                neg_order.alias("no"),
+                F.col(order_col).alias("at"),
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        *group_cols,
+        "n_points",
+        F.col("b.at").alias("changepoint_at"),
+        F.col("b.a").alias("max_abs_cusum"),
     )

@@ -231,3 +231,43 @@ def burst_dedup(
             "burst_span_us",
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average (TWAP-style): each observation's value holds
+    until the NEXT observation, so the mean weights each value by its
+    holding duration instead of letting burst-sampled moments dominate —
+    the correct "average state" for irregularly sampled series (prices,
+    gauge metrics, queue depths). The last observation has no holding
+    interval and contributes no weight. Returns (user, n_events,
+    span_us, twap); singleton users report NULL twap (zero total
+    weight).
+
+    Scale: ONE window pass per key (lead over (ts, id)) computes holding
+    gaps; the weighted mean is a map-side-combined aggregation. Exact
+    integer microsecond gaps; only the final products are doubles."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    tus = F.unix_micros(F.col(ts_col))
+    gap = (F.lead(tus).over(w) - tus).cast("long")
+    weighted = events.select(
+        F.col(user_col),
+        tus.alias("tus"),
+        F.col(value_col).cast("double").alias("v"),
+        gap.alias("gap_us"),
+    )
+    return weighted.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("tus") - F.min("tus")).cast("long").alias("span_us"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("v") * F.col("gap_us")), F.sum("gap_us")
+            ),
+            4,
+        ).alias("twap"),
+    )

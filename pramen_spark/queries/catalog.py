@@ -5958,6 +5958,271 @@ def q_curriculum_buckets_documents(spark, sf_dir):
 
 
 @query(
+    "twap_events",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, v, tus,
+               lead(tus) OVER (PARTITION BY user_id
+                               ORDER BY tus, event_id) - tus AS gap_us
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(tus) - MIN(tus) AS BIGINT) AS span_us,
+           ROUND(SUM(v * gap_us) / SUM(gap_us), 4) AS twap
+    FROM g GROUP BY user_id
+    """,
+    "time-weighted average: each value weighted by its holding duration "
+    "until the next observation, per user",
+    tags=("analytics", "timeseries"),
+)
+def q_twap_events(spark, sf_dir):
+    """The correct 'average state' for irregular sampling
+    (operators/sequences.py::time_weighted_avg): burst-sampled moments
+    stop dominating the mean because each value weighs its holding
+    interval (lead-gap in exact integer micros; only the final products
+    are doubles). One window pass per user + one map-side-combined
+    aggregation; the last observation holds nothing and singleton users
+    surface NULL via try_divide."""
+    from pramen_spark.operators.sequences import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev)
+
+
+@query(
+    "cusum_changepoint_daily",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    with_mean AS (
+        SELECT *, AVG(x) OVER (PARTITION BY event_type) AS m FROM series
+    ),
+    cus AS (
+        SELECT event_type, d,
+               ROUND(SUM(x - m) OVER (PARTITION BY event_type ORDER BY d),
+                     4) AS c
+        FROM with_mean
+    ),
+    ranked AS (
+        SELECT event_type, d, ABS(c) AS a,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(c) DESC, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM cus
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           d AS changepoint_at, a AS max_abs_cusum
+    FROM ranked WHERE rn = 1
+    """,
+    "CUSUM change-point localization: argmax |running deviation sum| "
+    "over each type's daily-count series",
+    tags=("anomaly", "monitoring"),
+)
+def q_cusum_changepoint_daily(spark, sf_dir):
+    """WHERE the regime changed (operators/anomaly.py::
+    cusum_changepoint), completing the anomaly family: MAD says which
+    points are outliers, OLS says the trend, CUSUM localizes the level
+    shift as the peak of the running deviation sum (Page's statistic,
+    offline form). The window runs over the per-(type, day) SERIES —
+    already reduced, never raw events — and the argmax is a
+    lexicographic struct MAX with the earliest day winning rounded
+    ties."""
+    from pramen_spark.operators.anomaly import cusum_changepoint
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return cusum_changepoint(series, ["event_type"], "d", "x")
+
+
+@query(
+    "zorder_cluster_lineitem",
+    f"""
+    WITH keyed AS (
+        SELECT ((l_partkey * 7919) % 1024) AS x,
+               ((l_suppkey * 104729) % 1024) AS y,
+               ({" + ".join(
+                   f"((((l_partkey * 7919) % 1024) >> {i}) & 1) * {1 << (2 * i)}"
+                   f" + ((((l_suppkey * 104729) % 1024) >> {i}) & 1) * {1 << (2 * i + 1)}"
+                   for i in range(10)
+               )}) AS zkey
+        FROM lineitem
+    )
+    SELECT CAST(zkey // 65536 AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+    FROM keyed GROUP BY 1
+    """,
+    "Z-order clustering audit: Morton-interleaved (partkey, suppkey) "
+    "tiles with per-tile min/max showing two-dimensional locality",
+    tags=("scale", "partitioning"),
+)
+def q_zorder_cluster_lineitem(spark, sf_dir):
+    """The lakehouse locality transform (operators/partitioning.py::
+    zorder_key / repartition_by_zorder — what Delta/Iceberg Z-ORDER
+    maintenance computes): interleaving the bits of two dimensions makes
+    every contiguous key range a compact 2-D tile, so files written in
+    key order get NARROW min/max on BOTH columns and two-column
+    predicates prune most of a 100 TB scan. The audit groups by the
+    top-4-bit tile and shows each tile's bounded x/y extent; the key is
+    a pure codegen'd bit expression — no UDF, no shuffle beyond the
+    audit's own aggregate."""
+    from pramen_spark.operators.partitioning import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        ((F.col("l_partkey") * 7919) % 1024).alias("x"),
+        ((F.col("l_suppkey") * 104729) % 1024).alias("y"),
+    )
+    keyed = zorder_key(li, "x", "y", bits=10)
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 16).cast("long").alias("tile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+    )
+
+
+@query(
+    "hll_accuracy_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    "sketch-accuracy contract: HLL distinct-user estimate per type must "
+    "land within 5% of the exact count (the oracle asserts the bound)",
+    tags=("sketch", "monitoring"),
+)
+def q_hll_accuracy_events(spark, sf_dir):
+    """The accuracy CONTRACT behind every sketch this engine ships
+    (incremental_distinct_hll, approx profiles): per event type, the
+    HyperLogLog++ estimate must land within 5% of the exact distinct
+    count — emitted as a boolean the oracle pins to TRUE, so estimator
+    drift fails correctness, not just a dashboard. Both counts come from
+    ONE aggregation pass (the exact side is the two-phase Expand
+    distinct; the sketch side merges partials map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id").cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            / F.countDistinct("user_id")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "orders_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_P,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          ELSE 0 END), 2) AS revenue_F
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot: order counts per priority spread across status columns, plus "
+    "a pivoted revenue measure",
+    tags=("relational",),
+)
+def q_orders_pivot_status(spark, sf_dir):
+    """The pivot surface (df.groupBy().pivot(col, values)): explicit
+    pivot VALUES pin the output schema (omitting them adds a
+    distinct-scan job and makes the schema data-dependent — never do
+    that in a pipeline), and the pivot compiles to exactly the oracle's
+    conditional aggregation: one map-side-combined pass, no extra
+    shuffle vs the plain groupBy."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("price").alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F_cnt", F.lit(0)).cast("long").alias("status_F"),
+        F.coalesce("O_cnt", F.lit(0)).cast("long").alias("status_O"),
+        F.coalesce("P_cnt", F.lit(0)).cast("long").alias("status_P"),
+        F.round(
+            F.coalesce(F.col("F_rev"), F.lit(0).cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("revenue_F"),
+    )
+
+
+@query(
+    "lineitem_unpivot_charges",
+    """
+    SELECT l_orderkey, l_linenumber, charge_kind,
+           ROUND(amount, 2) AS amount
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               unnest(['extendedprice', 'discount', 'tax']) AS charge_kind,
+               unnest([l_extendedprice, l_discount, l_tax]) AS amount
+        FROM lineitem
+    )
+    WHERE l_orderkey % 100 = 0
+    """,
+    "unpivot/melt: the three lineitem charge measures as (kind, amount) "
+    "rows — the long form feeding generic per-measure pipelines",
+    tags=("relational",),
+)
+def q_lineitem_unpivot_charges(spark, sf_dir):
+    """The unpivot surface (df.unpivot — Spark's melt): wide measures to
+    (variable, value) rows as a zero-shuffle projection+generate. The
+    long form is what generic per-measure validators/drift monitors
+    consume without knowing the schema; the id filter keeps the catalog
+    output bounded. Unpivot multiplies rows by the measure count — do it
+    AFTER filters, never before a join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "charge_kind",
+        "amount",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("charge_kind", "^l_", "").alias("charge_kind"),
+        F.round("amount", 2).alias("amount"),
+    )
+
+
+@query(
     "burst_dedup_events",
     """
     WITH e AS (

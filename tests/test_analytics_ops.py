@@ -687,3 +687,100 @@ class TestLabelCentroidCohesion:
         # label 1's centroid is the zero vector -> cosine NULL (0/0);
         # engines agree it is NULL, the report surfaces the degenerate class
         assert out[1].n_vecs == 2
+
+
+class TestTimeWeightedAvg:
+    def test_holding_durations_weight_values(self, spark):
+        import datetime as dt
+
+        from pramen_spark.operators.sequences import time_weighted_avg
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # value 10 held 1s, value 0 held 9s -> twap = 1.0
+            (1, 7, base, 10.0),
+            (2, 7, base + dt.timedelta(seconds=1), 0.0),
+            (3, 7, base + dt.timedelta(seconds=10), 99.0),  # last: no weight
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        r = time_weighted_avg(ev).collect()[0]
+        assert r.twap == 1.0 and r.span_us == 10_000_000 and r.n_events == 3
+
+    def test_singleton_user_null(self, spark):
+        import datetime as dt
+
+        from pramen_spark.operators.sequences import time_weighted_avg
+
+        ev = spark.createDataFrame(
+            [(1, 7, dt.datetime(2024, 1, 1), 5.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        assert time_weighted_avg(ev).collect()[0].twap is None
+
+
+class TestCusumChangepoint:
+    def test_finds_level_shift(self, spark):
+        from pramen_spark.operators.anomaly import cusum_changepoint
+
+        # level 10 for t=0..9, level 20 for t=10..19: |CUSUM| peaks at t=9
+        rows = [("a", t, 10.0 if t < 10 else 20.0) for t in range(20)]
+        df = spark.createDataFrame(rows, "g string, t long, x double")
+        r = cusum_changepoint(df, ["g"], "t", "x").collect()[0]
+        assert r.changepoint_at == 9 and r.n_points == 20
+        assert r.max_abs_cusum == 50.0  # 10 * (10 - 15)
+
+    def test_flat_series_zero(self, spark):
+        from pramen_spark.operators.anomaly import cusum_changepoint
+
+        rows = [("a", t, 5.0) for t in range(8)]
+        df = spark.createDataFrame(rows, "g string, t long, x double")
+        r = cusum_changepoint(df, ["g"], "t", "x").collect()[0]
+        assert r.max_abs_cusum == 0.0 and r.changepoint_at == 0  # earliest tie
+
+
+class TestZorder:
+    def test_interleaves_bits(self, spark):
+        from pramen_spark.operators.partitioning import zorder_key
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+        )
+        got = {(r.x, r.y): r.zkey for r in zorder_key(df, "x", "y", bits=3).collect()}
+        # morton(3=0b011, 5=0b101) = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 0b100111
+        assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+        assert got[(3, 5)] == 0b100111
+
+    def test_tiles_bound_both_dimensions(self, spark):
+        from pramen_spark.operators.partitioning import zorder_key
+        from pyspark.sql import functions as F
+
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+        )
+        keyed = zorder_key(df, "x", "y", bits=6)
+        tiles = (
+            keyed.groupBy(F.shiftright("zkey", 8).alias("tile"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+            .collect()
+        )
+        # every 256-key tile is a 16x16 square: both ranges <= 15. A
+        # single-column sort would leave one dimension's range at 63.
+        assert tiles and all(r.rx <= 15 and r.ry <= 15 for r in tiles)
+
+    def test_range_repartition_plan(self, spark):
+        from pramen_spark.operators.partitioning import repartition_by_zorder
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(
+            (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+        )
+        out = repartition_by_zorder(df, "x", "y", bits=4, num_partitions=4)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "rangepartitioning(zkey" in plan, plan
