@@ -5958,6 +5958,89 @@ def q_curriculum_buckets_documents(spark, sf_dir):
 
 
 @query(
+    "json_props_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "semi-structured JSON properties: typed extraction from the props "
+    "column and per-type aggregation",
+    tags=("relational", "json"),
+)
+def q_json_props_events(spark, sf_dir):
+    """The semi-structured path every event pipeline needs: ``props``
+    carries JSON; ``get_json_object`` extracts ``$.k`` JVM-side (codegen,
+    no Python) and the cast-to-long feeds ordinary aggregation. At
+    100 TB prefer ``from_json`` with an explicit schema once the shape
+    is known (single parse, columnar struct access) — per-path
+    extraction re-parses per path; this query has one path so they tie.
+    Malformed/missing keys become NULLs and drop out of COUNT(col)/SUM
+    identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(k).cast("long").alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, order_year), (n_name), (order_year))
+    """,
+    "GROUPING SETS: nation x year, nation-only, and year-only revenue "
+    "rollups in one pass (the subtotal shapes CUBE can't pick freely)",
+    tags=("relational", "olap"),
+)
+def q_grouping_sets_revenue(spark, sf_dir):
+    """The free-form subtotal surface (CUBE/ROLLUP's general form,
+    SURVEY's OLAP family): three chosen grouping shapes — (nation, year),
+    (nation), (year) — computed in ONE pass via Expand (each input row
+    replicates once per grouping set, then a single hash aggregation;
+    never three scans). Dimension joins broadcast; the decimal revenue
+    is exact under every grouping."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).cast("long").alias("order_year"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = o.join(
+        F.broadcast(c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])),
+        o["o_custkey"] == c["c_custkey"],
+    ).select("n_name", "order_year", "price")
+    joined.createOrReplaceTempView("_gs_rev")
+    return joined.sparkSession.sql(
+        """
+        SELECT n_name, order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(price), 2) AS DOUBLE) AS revenue
+        FROM _gs_rev
+        GROUP BY GROUPING SETS ((n_name, order_year), (n_name), (order_year))
+        """
+    )
+
+
+@query(
     "twap_events",
     """
     WITH e AS (
