@@ -111,6 +111,16 @@ HEADLINE = [
     "skew_profile_orders",
     "anomaly_mad_daily",
     "readability_documents",
+    # round-8 waves 2-7: drift stats, attribution, OOV audit, prefix
+    # filtering, triangles, streaming sessions, TWAP, JSON extraction
+    "ks_drift_events",
+    "attribution_events",
+    "oov_rate_documents",
+    "prefix_filter_jaccard_pairs",
+    "triangle_count_suppliers",
+    "stream_session_counts",
+    "twap_events",
+    "json_props_events",
 ]
 
 
