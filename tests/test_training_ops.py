@@ -2810,7 +2810,12 @@ class TestAggStateBucketing:
         """The persisted state is bucketed by the group columns: folding a
         batch must shuffle ONLY the batch partials — re-exchanging the
         whole state per batch is the scale killer merge_agg_state's
-        docstring warns about."""
+        docstring warns about.
+
+        Runs in a fresh sibling session (shared catalog, independent
+        conf) with the bucketed-read confs pinned: the assertion is about
+        THIS plan shape, not about whichever conf a previously-run test
+        happened to leave behind (the full-suite flake round 8 hit)."""
         import re
 
         from pramen_spark.operators.cdc import (
@@ -2819,11 +2824,14 @@ class TestAggStateBucketing:
             persist_agg_state,
         )
 
-        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.sql("DROP TABLE IF EXISTS agg_state_bucket_test")
+        s = spark.newSession()
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScanEnabled", "true")
+        s.sql("DROP TABLE IF EXISTS agg_state_bucket_test")
         try:
-            df = spark.createDataFrame(
+            df = s.createDataFrame(
                 [(i % 40, float(i)) for i in range(400)], "g int, x double"
             )
             state = merge_agg_state(
@@ -2831,7 +2839,7 @@ class TestAggStateBucketing:
             )
             persist_agg_state(state, "agg_state_bucket_test", ["g"], n_buckets=4)
             merged = merge_agg_state_join(
-                spark.table("agg_state_bucket_test"),
+                s.table("agg_state_bucket_test"),
                 df.filter("x >= 200"),
                 ["g"],
                 sum_cols=["x"],
@@ -2858,8 +2866,7 @@ class TestAggStateBucketing:
             got = {(r.g, r.n_rows, r.sum_x) for r in merged.collect()}
             assert got == want
         finally:
-            spark.sql("DROP TABLE IF EXISTS agg_state_bucket_test")
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            s.sql("DROP TABLE IF EXISTS agg_state_bucket_test")
 
 
 class TestCdcFuzz:
