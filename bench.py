@@ -121,6 +121,19 @@ HEADLINE = [
     "stream_session_counts",
     "twap_events",
     "json_props_events",
+    # round-8 wave 8: bloom-pruned join, sketch contracts, basket mining,
+    # privacy audit, token entropy
+    "bloom_prune_join_lineitem",
+    "approx_quantile_contract_lineitem",
+    "assoc_pairs_orders",
+    "k_anonymity_customers",
+    "token_entropy_documents",
+    # round-8 wave 9: information/cluster/linkage/privacy analytics
+    "mutual_info_events",
+    "covariance_embeddings",
+    "kmeans_step_embeddings",
+    "edit_distance_pairs_documents",
+    "dp_counts_customers",
 ]
 
 

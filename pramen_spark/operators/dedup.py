@@ -1100,3 +1100,54 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: Sequence[str] = ("lang",),
+    prefix_chars: int = 16,
+    head_chars: int = 200,
+    max_dist: int = 40,
+) -> DataFrame:
+    """Blocked Levenshtein near-duplicate pairs — the record-linkage
+    string-similarity join (Sorted-Neighborhood/standard-blocking
+    family), catching small-edit duplicates that token-level Jaccard
+    blurs (single-char typos barely move shingle sets but have edit
+    distance 1).
+
+    Candidates must share the blocking key: ``block_cols`` plus the
+    first ``prefix_chars`` of the normalized text (lower/trim). Exact
+    Levenshtein runs on the first ``head_chars`` only; pairs with
+    distance <= ``max_dist`` survive. Prefix blocking trades recall for
+    the self-join's size exactly like LSH banding — a duplicate edited
+    within its first ``prefix_chars`` is missed (document the recall
+    envelope; run the MinHash pass alongside for those).
+
+    Scale: the self-join is CO-KEYED on the blocking key (one hash
+    partition), the quadratic cost is per-block only, and the O(n*m)
+    Levenshtein DP runs on ``head_chars``-bounded heads inside codegen
+    (built-in ``levenshtein``, no Python). ``id_a < id_b`` halves the
+    symmetric pairs.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.substring(norm, 1, prefix_chars).alias("_block"),
+        F.substring(norm, 1, head_chars).alias("_head"),
+    )
+    keys = list(block_cols) + ["_block"]
+    a = base.select(
+        *keys, F.col("id").alias("id_a"), F.col("_head").alias("_head_a")
+    )
+    b = base.select(
+        *keys, F.col("id").alias("id_b"), F.col("_head").alias("_head_b")
+    )
+    pairs = a.join(b, keys).where(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_head_a", "_head_b").cast("long").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= max_dist)

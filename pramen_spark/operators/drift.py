@@ -226,3 +226,49 @@ def chi2_categorical(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         "n_cur",
         F.round(contrib, 6).alias("contrib"),
     )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pointwise and aggregate mutual information between two categorical
+    columns — the dependence measure behind feature-selection and
+    leakage screens (a feature with high MI against the label column is
+    either predictive or leaking it), complementing chi2_categorical's
+    significance decomposition with an information-theoretic effect
+    size.
+
+    Returns one row per observed (x, y) cell: joint count, PMI
+    log2(p(x,y) / (p(x) p(y))) and the cell's MI contribution
+    p(x,y) * PMI; SUM(mi_contrib) over the result is the mutual
+    information in bits.
+
+    Scale: ONE shuffle — the (x, y) contingency aggregation with
+    map-side combine. Marginals and the grand total re-aggregate the
+    contingency table itself (|X|*|Y| rows, KB-scale) and join back
+    broadcast; the raw table is scanned once.
+    """
+    joint = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    pmi = F.log2(
+        F.col("n_xy").cast("double") * F.col("n")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.round(pmi, 6).alias("pmi"),
+            F.round(
+                F.col("n_xy").cast("double") / F.col("n") * pmi, 9
+            ).alias("mi_contrib"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Frequent-itemset / association-rule mining over baskets (the
+market-basket co-occurrence analysis a feature-engineering or
+recommender pipeline runs over transaction logs).
+
+Apriori-pruned pair mining, expressed as exact relational algebra:
+
+1. baskets reduce to DISTINCT (basket, item) — presence, not multiplicity;
+2. item supports aggregate map-side; items below ``min_support`` are
+   dropped BEFORE any pair is formed (the Apriori monotonicity lemma: a
+   pair can only be frequent if both items are), which is what keeps the
+   candidate space polynomial at scale;
+3. surviving (basket, item) rows self-join CO-KEYED on the basket id
+   (``item_a < item_b`` cuts the symmetric half), so the only shuffle is
+   hash-partitioning by basket — the quadratic blow-up is bounded per
+   basket by the frequent-item count, never corpus-wide;
+4. pair counts roll up with map-side combine; support / confidence /
+   lift derive from the broadcast 1-row basket total.
+
+Reference parity: pramen has no mining operators (it is an orchestration
+framework); this extends the engine's training-data analytics the way
+PLANS.md documents for the other corpus-statistics families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.02,
+) -> DataFrame:
+    """Association pairs with support, directional confidence and lift.
+
+    Returns (item_a, item_b, pair_count, support, confidence_a_to_b,
+    confidence_b_to_a, lift) for every unordered frequent pair, exact
+    counts. ``support`` = P(a, b), ``confidence_a_to_b`` = P(b | a),
+    ``lift`` = P(a, b) / (P(a) P(b)); doubles are NOT rounded here —
+    round at the presentation edge.
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+    totals = baskets.agg(
+        F.countDistinct("basket").cast("double").alias("n_baskets")
+    )
+
+    item_counts = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("item_count")
+    )
+    frequent = (
+        item_counts.crossJoin(F.broadcast(totals))
+        .where(F.col("item_count") >= F.col("n_baskets") * F.lit(min_support))
+        .select("item", "item_count")
+    )
+
+    kept = baskets.join(F.broadcast(frequent), "item").select(
+        "basket", "item", "item_count"
+    )
+    a = kept.select(
+        "basket",
+        F.col("item").alias("item_a"),
+        F.col("item_count").alias("count_a"),
+    )
+    b = kept.select(
+        "basket",
+        F.col("item").alias("item_b"),
+        F.col("item_count").alias("count_b"),
+    )
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b", "count_a", "count_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+    )
+    return pairs.crossJoin(F.broadcast(totals)).select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        (F.col("pair_count") / F.col("n_baskets")).alias("support"),
+        (F.col("pair_count") / F.col("count_a")).alias("confidence_a_to_b"),
+        (F.col("pair_count") / F.col("count_b")).alias("confidence_b_to_a"),
+        (
+            F.col("pair_count") * F.col("n_baskets")
+            / (F.col("count_a") * F.col("count_b"))
+        ).alias("lift"),
+    )

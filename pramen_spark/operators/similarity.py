@@ -660,3 +660,126 @@ def label_centroid_cohesion(
         F.round(F.avg("cos"), 4).alias("mean_cosine"),
         F.min("cos").alias("min_cosine"),
     )
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dims: Sequence[int] = tuple(range(1, 9))
+) -> DataFrame:
+    """Upper-triangular covariance entries of selected embedding
+    dimensions — the feature-correlation audit run before whitening /
+    PCA / decorrelation of an embedding table (near-duplicate dimensions
+    show up as high off-diagonal covariance).
+
+    Returns (i, j, cov) for i <= j over ``dims`` (1-based positions),
+    population covariance rounded to 6.
+
+    Scale: ONE aggregation pass computes all |dims|^2/2 covariances as
+    parallel map-side-combined ``covar_pop`` expressions — no explode,
+    no self-join, no shuffle of vectors; the unpivot to (i, j, cov) rows
+    happens on the single result row. For full high-d matrices swap to
+    the blocked-numpy Gram path (one mapInPandas over Arrow batches
+    emitting X^T X partials) — this expression form is for audit-sized
+    dimension subsets.
+    """
+    el = lambda i: F.element_at(F.col(vec_col), i).cast("double")
+    pairs = [(i, j) for i in dims for j in dims if i <= j]
+    aggs = [
+        F.covar_pop(el(i), el(j)).alias(f"c_{i}_{j}") for (i, j) in pairs
+    ]
+    one = df.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("i"),
+                F.lit(j).cast("long").alias("j"),
+                F.round(F.col(f"c_{i}_{j}"), 6).alias("cov"),
+            )
+            for (i, j) in pairs
+        ]
+    )
+    return one.select(F.explode(cells).alias("cell")).select(
+        "cell.i", "cell.j", "cell.cov"
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2), exactly.
+
+    ``centroids`` is a control-plane table (k rows); it is collected and
+    inlined as literal arrays, so assignment is a ZERO-shuffle map:
+    each row evaluates k sequential-fold distance expressions
+    (``aggregate(zip_with(...))`` — the same fold order DuckDB's
+    ``list_inner_product`` uses, so oracles reproduce the doubles
+    bit-for-bit) and takes ``array_min`` over (dist2, cid) structs —
+    deterministic tie-break on centroid id.
+
+    Returns the input columns plus (cid, dist2). This is the inner step
+    of distributed Lloyd iterations AND of IVF cell routing: at 100 TB
+    each iteration is this map plus one map-side-combined re-estimation
+    aggregate — no join touches the vectors.
+    """
+    seeds = [
+        (r[cid_col], [float(x) for x in r[cvec_col]])
+        for r in centroids.select(cid_col, cvec_col).collect()
+    ]
+    if not seeds:
+        raise ValueError("centroids table is empty")
+    v = F.col(vec_col).cast("array<double>")
+    cands = []
+    for cid, cvec in sorted(seeds):
+        d = F.zip_with(v, F.lit(cvec), lambda x, y: x - y)
+        cands.append(
+            F.struct(
+                _dot(d, d).alias("dist2"), F.lit(cid).cast("long").alias("cid")
+            )
+        )
+    best = F.array_min(F.array(*cands))
+    return df.withColumn("_best", best).select(
+        "*", F.col("_best.cid").alias("cid"), F.col("_best.dist2").alias("dist2")
+    ).drop("_best")
+
+
+def kmeans_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    report_dims: Sequence[int] = (1, 2, 3, 4),
+) -> DataFrame:
+    """One distributed Lloyd iteration as a per-cluster report:
+    (cluster_id, n_members, inertia, c1..c_k) where c_i are the
+    re-estimated centroid's ``report_dims`` components (ROUND 6 — the
+    cross-partition mean is the one order-dependent reduction, rounding
+    pins it; inertia rounds to 4 for the same reason).
+
+    Scale: assignment is the zero-shuffle literal-centroid map from
+    ``kmeans_assign``; re-estimation is ONE map-side-combined aggregate
+    keyed by cluster id. Empty clusters drop out (re-seed policy is the
+    caller's). Iterating = feeding the new centroids back in; each round
+    is one job, one shuffle of k * d partial sums.
+    """
+    assigned = kmeans_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        cid_col=cid_col, cvec_col=cvec_col,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.sum("dist2"), 4).alias("inertia"),
+    ] + [
+        F.round(F.avg(F.element_at(v, i)), 6).alias(f"c{i}")
+        for i in report_dims
+    ]
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(*aggs)
+    )

@@ -799,3 +799,51 @@ def oov_rate(
         F.round(F.col("n_oov") / F.col("n_tokens"), 6),
     )
     return agg.select(id_col, "n_tokens", "n_oov", rate.alias("oov_rate"))
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density score that separates natural prose (high
+    entropy, many distinct tokens at moderate frequency) from
+    keyword-stuffed / template / repeated-boilerplate text (low entropy)
+    in a pre-training quality gate. Complements repetition_stats: that
+    catches verbatim runs, entropy catches skewed-but-shuffled token
+    mixes.
+
+    H = log2(N) - (sum_t c_t*log2(c_t)) / N over token counts c_t, plus
+    the type count and type/token ratio. Tokens are lowercased
+    [a-z0-9]+ runs (the oov_rate tokenizer). Returns (id, n_tokens,
+    n_types, entropy, norm_entropy) where norm_entropy = H / log2(types)
+    in [0, 1] (NULL for <=1 type).
+
+    Scale (100 TB): explode -> (id, token) count -> per-id fold. Both
+    aggregations combine map-side and are keyed by (id, token) then id,
+    so partials stay distributed with the documents; no window, no join,
+    no driver state. The explode multiplies rows by tokens/doc — run it
+    on the spread input like the other shingling consumers.
+    """
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("_s"),
+    )
+    h = F.log2(F.col("n_tokens").cast("double")) - F.col("_s") / F.col("n_tokens")
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        F.round(h, 6).alias("entropy"),
+        F.when(
+            F.col("n_types") > 1, F.round(h / F.log2(F.col("n_types").cast("double")), 6)
+        ).alias("norm_entropy"),
+    )

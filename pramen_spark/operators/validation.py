@@ -211,3 +211,88 @@ def orphan_audit(
         .crossJoin(n_childless)
         .select("n_child", "n_orphan_child", "n_parent", "n_childless_parent")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: the k-anonymity profile of a quasi-identifier set.
+
+    A release is k-anonymous when every combination of the
+    quasi-identifier columns (`qi_cols`) is shared by at least ``k``
+    rows — singleton combinations re-identify individuals. Returns one
+    row per observed GROUP SIZE: (group_size, n_groups, n_rows,
+    below_k), so ``min(group_size)`` is the dataset's k-anonymity level
+    and the ``below_k`` rows quantify exactly how much data a
+    suppress-below-k policy would drop.
+
+    Scale: two aggregations — the first shuffles on the QI combination
+    (map-side combined, output is one row per combination), the second
+    groups the combination SIZES (domain = distinct group sizes, tiny).
+    No window, no join; the raw table is touched once.
+    """
+    sizes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            "n_groups",
+            "n_rows",
+            (F.col("group_size") < F.lit(k)).alias("below_k"),
+        )
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differential-privacy-style noisy group counts: exact counts plus
+    Laplace(1/epsilon) noise via the inverse CDF over a DERANDOMIZED
+    md5-hash uniform of the group key — the release pattern for sharing
+    aggregate statistics of a sensitive corpus. Deterministic by design
+    (same groups + seed => same noise) so pipelines re-running a
+    backfill publish identical numbers and the DuckDB oracle reproduces
+    them; a production release would rotate ``seed`` per publication.
+
+    Returns (group_cols..., n_true, n_noisy, epsilon). n_noisy =
+    n_true + noise rounded to 6 (n_true stays for auditability —
+    drop it at the release edge).
+
+    Scale: one map-side-combined aggregation; the noise is a pure
+    column expression over the group key. Count sensitivity is 1, so
+    the Laplace scale is 1/epsilon.
+    """
+    # uniform [0,1) from the md5 of the seeded group key (the
+    # sampling._hash_unit construction, kept oracle-portable)
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols], F.lit(seed)
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        float(16 ** 8)
+    )
+    # inverse-CDF Laplace; |u - 0.5| clamped below 0.5 so ln(0) can't
+    # fire on the (2^-32-probability) all-zero hash prefix
+    centered = F.least(F.abs(u - F.lit(0.5)), F.lit(0.5 - 1e-12))
+    sign = F.when(u >= F.lit(0.5), F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -sign * F.log(F.lit(1.0) - F.lit(2.0) * centered) / F.lit(
+        float(epsilon)
+    )
+    return (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .select(
+            *group_cols,
+            "n_true",
+            F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+    )

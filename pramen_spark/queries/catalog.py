@@ -7288,6 +7288,443 @@ def q_salted_join_lineitem(spark, sf_dir):
     )
 
 
+@query(
+    "bloom_prune_join_lineitem",
+    """
+    SELECT s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal > 5000
+    GROUP BY s_suppkey
+    """,
+    "bloom-pruned join: lineitem filtered through a 16 KiB bitmap of the "
+    "rich-supplier keys before the join shuffle; result exactly equals "
+    "the plain join",
+    tags=("scale", "join"),
+)
+def q_bloom_prune_join_lineitem(spark, sf_dir):
+    """The explicit bloom-filter join (operators/joins.py::
+    bloom_prune_join — Spark's runtime row-level bloom filter made
+    persistent and cross-stage): the dim side folds its keys into a
+    CONSTANT 16 KiB bitmap (distributed bit_or build, <= 2048 words
+    reach the driver regardless of dim size), the fact scan probes it
+    with pure-codegen xxhash64 + bit math BEFORE its join exchange, and
+    the join itself removes the bloom's false positives — so the oracle
+    is simply the unpruned join. At 100 TB a selective dim prunes >99%
+    of the fact shuffle at O(bitmap) memory, where a broadcast join
+    would hold O(|dim|) per executor."""
+    from pramen_spark.operators.joins import bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") > 5000
+    )
+    joined = bloom_prune_join(li, dim, "l_suppkey", "s_suppkey")
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "approx_quantile_contract_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+           TRUE AS p50_within, TRUE AS p90_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "sketch-accuracy contract: approx_percentile (accuracy 10000) must "
+    "land inside the exact +-0.1%-rank quantile envelope per return flag",
+    tags=("sketch", "monitoring"),
+)
+def q_approx_quantile_contract_lineitem(spark, sf_dir):
+    """The quantile twin of hll_accuracy_events: the Greenwald-Khanna
+    sketch behind approx_percentile guarantees rank error <= n/accuracy
+    (1e-4 here); the contract pins each approximate quantile inside the
+    EXACT interpolated quantiles at q +- 0.001 — a 10x margin that still
+    fails on real estimator drift. Both sides come from one aggregation
+    pass; the oracle recomputes the exact envelope and asserts the
+    booleans TRUE, so a sketch regression fails correctness, not just a
+    dashboard. At 100 TB only the sketch side survives (exact grouped
+    percentiles sort each group); the contract is what licenses that
+    swap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.array(*[F.lit(x) for x in (0.5, 0.9, 0.499, 0.501, 0.899, 0.901)])
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice"), qs).alias("ex"),
+        F.percentile_approx(
+            F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("ap"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("ex", 1), 4).alias("p50_exact"),
+        F.round(F.element_at("ex", 2), 4).alias("p90_exact"),
+        F.element_at("ap", 1).between(
+            F.element_at("ex", 3), F.element_at("ex", 4)
+        ).alias("p50_within"),
+        F.element_at("ap", 2).between(
+            F.element_at("ex", 5), F.element_at("ex", 6)
+        ).alias("p90_within"),
+    )
+
+
+@query(
+    "assoc_pairs_orders",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS n_baskets
+            FROM baskets),
+    ic AS (SELECT item, COUNT(*) AS item_count FROM baskets GROUP BY item),
+    freq AS (SELECT item, item_count FROM ic, tot
+             WHERE item_count >= n_baskets * 0.05),
+    kept AS (SELECT b.basket, b.item, f.item_count
+             FROM baskets b JOIN freq f USING (item)),
+    pairs AS (
+        SELECT a.item AS brand_a, b.item AS brand_b,
+               a.item_count AS count_a, b.item_count AS count_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM kept a JOIN kept b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT brand_a, brand_b, pair_count,
+           ROUND(pair_count / n_baskets, 6) AS support,
+           ROUND(CAST(pair_count AS DOUBLE) / count_a, 6) AS conf_a_b,
+           ROUND(pair_count * n_baskets
+                 / (CAST(count_a AS DOUBLE) * count_b), 6) AS lift
+    FROM pairs, tot
+    ORDER BY pair_count DESC, brand_a, brand_b
+    LIMIT 30
+    """,
+    "market-basket association rules: Apriori-pruned brand pairs per "
+    "order with support, confidence and lift (top-30 by co-occurrence)",
+    tags=("analytics", "itemsets"),
+)
+def q_assoc_pairs_orders(spark, sf_dir):
+    """Frequent-pair mining (operators/itemsets.py::basket_pairs):
+    orders are baskets, part brands are items. The Apriori lemma prunes
+    items below 5% support BEFORE any pair forms, the pair self-join is
+    CO-KEYED on the order key (one hash partitioning, quadratic only
+    within a basket and only over frequent items), and supports derive
+    from a broadcast 1-row total — no corpus-wide cross product at any
+    scale. The frequent-item build side is bounded by
+    avg_basket_size / min_support rows, so its broadcast is KB-scale
+    however large the log grows."""
+    from pramen_spark.operators.itemsets import basket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    pairs = basket_pairs(baskets, "l_orderkey", "p_brand", min_support=0.05)
+    return (
+        pairs.select(
+            F.col("item_a").alias("brand_a"),
+            F.col("item_b").alias("brand_b"),
+            "pair_count",
+            F.round("support", 6).alias("support"),
+            F.round("confidence_a_to_b", 6).alias("conf_a_b"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy(F.desc("pair_count"), "brand_a", "brand_b")
+        .limit(30)
+    )
+
+
+@query(
+    "k_anonymity_customers",
+    """
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows,
+           group_size < 5 AS below_k
+    FROM g GROUP BY group_size
+    """,
+    "k-anonymity audit: group-size profile of the (segment, nation) "
+    "quasi-identifier — min size is the dataset's k; below-k rows are "
+    "the re-identification exposure",
+    tags=("privacy", "validation"),
+)
+def q_k_anonymity_customers(spark, sf_dir):
+    """The privacy gate next to redact_pii (operators/validation.py::
+    k_anonymity_audit): every (mktsegment, nationkey) combination's
+    population, histogrammed by group size — min(group_size) IS the
+    release's k-anonymity level, and the below_k rows quantify exactly
+    what a suppress-below-k policy drops. Two map-side-combined
+    aggregations (QI combination, then the tiny size domain); no window,
+    no join, one scan — the shape is identical at 100 TB because the
+    second aggregate's input is one row per QI combination."""
+    from pramen_spark.operators.validation import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_mktsegment", "c_nationkey"], k=5)
+
+
+@query(
+    "token_entropy_documents",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+        FROM documents
+    ),
+    c AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               SUM(c * log2(c)) AS s
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(log2(n_tokens) - s / n_tokens, 6) AS entropy,
+           CASE WHEN n_types > 1
+                THEN ROUND((log2(n_tokens) - s / n_tokens) / log2(n_types), 6)
+           END AS norm_entropy
+    FROM agg
+    """,
+    "per-document Shannon entropy of the token distribution (information "
+    "density), plus type count and normalized entropy",
+    tags=("text", "quality"),
+)
+def q_token_entropy_documents(spark, sf_dir):
+    """Information-density quality signal (operators/text.py::
+    token_entropy): H = log2(N) - sum(c*log2 c)/N over per-document
+    token counts — low entropy flags keyword stuffing and shuffled
+    boilerplate that repetition_stats' verbatim-run detector misses.
+    Two map-side-combined aggregations keyed (doc, token) then doc; the
+    explode amplification runs on the spread input like every shingling
+    consumer; no window, no join, no driver state — the per-document
+    fold is embarrassingly parallel at any corpus size."""
+    from pramen_spark.operators.text import token_entropy
+
+    return token_entropy(load_documents_spread(spark, sf_dir))
+
+
+@query(
+    "mutual_info_events",
+    """
+    WITH joint AS (
+        SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(n_xy) AS n_x FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(n_xy) AS n_y FROM joint GROUP BY y),
+    tot AS (SELECT SUM(n_xy) AS n FROM joint)
+    SELECT x, y, n_xy,
+           ROUND(log2(CAST(n_xy AS DOUBLE) * n
+                      / (CAST(n_x AS DOUBLE) * n_y)), 6) AS pmi,
+           ROUND(CAST(n_xy AS DOUBLE) / n
+                 * log2(CAST(n_xy AS DOUBLE) * n
+                        / (CAST(n_x AS DOUBLE) * n_y)), 9) AS mi_contrib
+    FROM joint JOIN mx USING (x) JOIN my USING (y), tot
+    """,
+    "pointwise mutual information between event type and hour of day; "
+    "SUM(mi_contrib) is the MI in bits (feature/leakage screen)",
+    tags=("analytics", "drift"),
+)
+def q_mutual_info_events(spark, sf_dir):
+    """Information-theoretic dependence screen (operators/drift.py::
+    mutual_information): PMI per (event_type, hour) cell plus each
+    cell's MI contribution — the feature-selection / label-leakage
+    measure beside chi2_categorical's significance test. ONE shuffle
+    (the contingency aggregation, map-side combined); marginals and the
+    grand total re-aggregate the KB-scale contingency table and join
+    back broadcast — the raw log is scanned once at any scale."""
+    from pramen_spark.operators.drift import mutual_information
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    )
+    out = mutual_information(ev, "event_type", "hour")
+    return out.select(
+        F.col("x"), F.col("y"), "n_xy", "pmi", "mi_contrib"
+    )
+
+
+@query(
+    "covariance_embeddings",
+    """
+    WITH p AS (
+        SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j
+        FROM range(1, 9) t1(i), range(1, 9) t2(j) WHERE t1.i <= t2.j
+    )
+    SELECT i, j,
+           ROUND(covar_pop(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE),
+                           CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE)),
+                 6) AS cov
+    FROM embeddings, p GROUP BY i, j
+    """,
+    "upper-triangular covariance of the first 8 embedding dimensions in "
+    "one aggregation pass (pre-whitening feature audit)",
+    tags=("similarity", "analytics"),
+)
+def q_covariance_embeddings(spark, sf_dir):
+    """The feature-correlation audit before whitening/PCA
+    (operators/similarity.py::covariance_matrix): all 36 upper-triangle
+    covariances of dims 1-8 as parallel map-side-combined covar_pop
+    expressions in ONE aggregation — no explode, no self-join, the
+    vectors shuffle nowhere; the unpivot to (i, j, cov) runs on the
+    single result row. Full high-d matrices switch to the blocked-numpy
+    Gram path (X^T X partials over Arrow batches) documented on the
+    operator."""
+    from pramen_spark.operators.similarity import covariance_matrix
+
+    return covariance_matrix(
+        load_table(spark, sf_dir, "embeddings"), "embedding", tuple(range(1, 9))
+    )
+
+
+@query(
+    "kmeans_step_embeddings",
+    """
+    WITH seeds AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+        FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ),
+    dists AS (
+        SELECT e.vec_id, s.cid, CAST(e.embedding AS DOUBLE[]) AS v,
+               list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        - s.c[CAST(i AS INTEGER)]) AS d
+        FROM embeddings e, seeds s
+    ),
+    assign AS (
+        SELECT vec_id, cid, v, list_inner_product(d, d) AS dist2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_inner_product(d, d), cid) AS rn
+        FROM dists
+    )
+    SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(SUM(dist2), 4) AS inertia,
+           ROUND(AVG(v[1]), 6) AS c1, ROUND(AVG(v[2]), 6) AS c2,
+           ROUND(AVG(v[3]), 6) AS c3, ROUND(AVG(v[4]), 6) AS c4
+    FROM assign WHERE rn = 1 GROUP BY cid
+    """,
+    "one distributed Lloyd iteration: nearest-centroid assignment from "
+    "4 seed vectors + per-cluster size, inertia and re-estimated "
+    "centroid head",
+    tags=("similarity", "clustering"),
+)
+def q_kmeans_step_embeddings(spark, sf_dir):
+    """Distributed k-means (operators/similarity.py::kmeans_step — the
+    Lloyd iteration IVF's coarse quantizer needs at corpus scale, where
+    the driver-sample training shortcut stops being representative):
+    centroids are a k-row control-plane table inlined as literals, so
+    ASSIGNMENT IS A ZERO-SHUFFLE MAP — k sequential-fold distance
+    expressions per row (the fold order DuckDB's list_inner_product
+    uses, so the oracle reproduces every double bit-for-bit) with
+    array_min tie-broken on centroid id; re-estimation is one
+    map-side-combined aggregate of k*d partial sums. Per iteration at
+    100 TB: one job, one k*d-row shuffle, vectors never join."""
+    from pramen_spark.operators.similarity import kmeans_step
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    return kmeans_step(e, seeds)
+
+
+@query(
+    "edit_distance_pairs_documents",
+    """
+    WITH n AS (
+        SELECT doc_id, lang,
+               substr(lower(trim(text)), 1, 16) AS blk,
+               substr(lower(trim(text)), 1, 200) AS head
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM n a JOIN n b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 40
+    """,
+    "blocked Levenshtein near-duplicate pairs: same (lang, 16-char "
+    "prefix) block, exact edit distance <= 40 on the 200-char head",
+    tags=("dedup", "linkage"),
+)
+def q_edit_distance_pairs_documents(spark, sf_dir):
+    """The record-linkage string-similarity join (operators/dedup.py::
+    edit_distance_pairs): standard blocking on (lang, normalized
+    16-char prefix), then exact codegen'd Levenshtein on bounded
+    200-char heads — catches single-character-edit duplicates that
+    shingle Jaccard barely moves. The self-join is CO-KEYED on the
+    block (one hash partition, quadratic only within a block); the
+    prefix block trades recall for join size exactly like LSH banding
+    (early-edit duplicates are the MinHash pass's job). The O(n*m) DP
+    cost is capped by head_chars^2, independent of document length."""
+    from pramen_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dp_counts_customers",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_true,
+           ROUND(COUNT(*)
+                 + -(CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * LEAST(ABS(u - 0.5), 0.5 - 1e-12))
+                   / 1.0, 6) AS n_noisy,
+           1.0 AS epsilon
+    FROM (
+        SELECT c_mktsegment,
+               ('0x' || substr(md5(c_mktsegment || chr(31) || 'dp'), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+        FROM customer
+    )
+    GROUP BY c_mktsegment, u
+    """,
+    "differentially-private release pattern: per-segment counts with "
+    "deterministic seeded Laplace(1/eps) noise (eps = 1.0)",
+    tags=("privacy", "validation"),
+)
+def q_dp_counts_customers(spark, sf_dir):
+    """The release half of the privacy story (operators/validation.py::
+    dp_noisy_counts, beside k_anonymity_customers' audit half): exact
+    group counts plus inverse-CDF Laplace noise driven by a
+    DERANDOMIZED md5-uniform of the seeded group key — deterministic so
+    a re-run backfill publishes identical numbers and the oracle
+    replays the noise exactly; production rotates the seed per
+    publication. One map-side-combined aggregation; the noise is a pure
+    column expression; sensitivity 1 => scale 1/epsilon."""
+    from pramen_spark.operators.validation import dp_noisy_counts
+
+    return dp_noisy_counts(
+        load_table(spark, sf_dir, "customer"), ["c_mktsegment"],
+        epsilon=1.0, seed="dp",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
