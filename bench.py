@@ -134,6 +134,13 @@ HEADLINE = [
     "kmeans_step_embeddings",
     "edit_distance_pairs_documents",
     "dp_counts_customers",
+    # round-8 wave 10: sketch contracts, rolling actives, ANN recall
+    # gate, bootstrap error bars, BPE merge counting
+    "cms_frequency_events",
+    "trailing_active_users_events",
+    "lsh_recall_audit",
+    "bootstrap_ci_events",
+    "bpe_merge_candidates_documents",
 ]
 
 

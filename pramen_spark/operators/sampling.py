@@ -725,3 +725,92 @@ def winsorize(
         .withColumn("clipped_high", v > F.col("_hi"))
         .drop("_lo", "_hi")
     )
+
+
+# Poisson(1) CDF thresholds for the derandomized bootstrap weights; the
+# literal strings are shared verbatim with the DuckDB oracle so both
+# engines parse the identical doubles
+POISSON1_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712",
+)
+
+
+def _poisson_weight(u: F.Column) -> F.Column:
+    """Poisson(1) inverse CDF over a uniform [0,1): the per-row resample
+    multiplicity of the Poisson bootstrap (Chamandy et al.'s distributed
+    bootstrap — multinomial resampling needs global coordination,
+    independent Poisson(1) weights need none)."""
+    w = F.lit(7)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(float(POISSON1_CDF[k])), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 50,
+    alpha: float = 0.05,
+    seed: str = "boot",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean, fully
+    distributed and DERANDOMIZED: resample b gives each row a
+    Poisson(1) weight from the md5-uniform of (id, seed, b), so reruns
+    and the oracle reproduce the interval exactly.
+
+    Returns ONE row: (n_rows, mean_value, ci_lo, ci_hi, n_boot), the
+    (alpha/2, 1-alpha/2) percentile interval over the ``n_boot``
+    weighted resample means (quantile_cont interpolation).
+
+    Scale: all ``2 * n_boot`` weighted sums evaluate in ONE map-side
+    combined aggregation pass — no data duplication, no shuffle beyond
+    the single 1-row reduce; the quantile runs on the n_boot-element
+    array inside that row. This is how you put error bars on corpus
+    statistics at 100 TB without 50 scans.
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(value_col)).alias("_sx"),
+    ]
+    for b in range(n_boot):
+        key = F.concat(
+            F.col(id_col).cast("string"), F.lit("\x1f"), F.lit(seed), F.lit(str(b))
+        )
+        u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+            float(16 ** 8)
+        )
+        w = _poisson_weight(u).cast("double")
+        aggs.append(F.sum(w * F.col(value_col)).alias(f"_swx_{b}"))
+        aggs.append(F.sum(w).alias(f"_sw_{b}"))
+    one = df.agg(*aggs)
+    means = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.try_divide(F.col(f"_swx_{b}"), F.col(f"_sw_{b}"))
+                    for b in range(n_boot)
+                ]
+            ),
+            lambda m: m.isNotNull(),
+        )
+    )
+
+    def _qcont(arr, q):
+        n = F.size(arr)
+        pos = (n - F.lit(1)).cast("double") * F.lit(q)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        lo_v = F.element_at(arr, lo + 1)
+        hi_v = F.element_at(arr, F.least(lo + 2, n))
+        return lo_v + frac * (hi_v - lo_v)
+
+    return one.select(
+        "n_rows",
+        F.round(F.col("_sx") / F.col("n_rows"), 6).alias("mean_value"),
+        F.round(_qcont(means, alpha / 2.0), 6).alias("ci_lo"),
+        F.round(_qcont(means, 1.0 - alpha / 2.0), 6).alias("ci_hi"),
+        F.lit(n_boot).cast("long").alias("n_boot"),
+    )

@@ -783,3 +783,31 @@ def kmeans_step(
         assigned.groupBy(F.col("cid").alias("cluster_id"))
         .agg(*aggs)
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the quality gate every ANN index (LSH, IVF) must publish next to
+    its latency. Both inputs are (query_id, vec_id, ...) top-k tables;
+    returns (query_id, n_overlap, recall_at_k).
+
+    Scale: both sides are already k rows per query (KB-scale); the
+    overlap join is co-keyed on (query, id) and the count re-aggregates
+    per query. The expensive parts are the inputs, not this audit."""
+    e = exact.select(query_id_col, id_col)
+    a = approx.select(
+        query_id_col, id_col, F.lit(1).alias("_hit")
+    )
+    hit = e.join(a, [query_id_col, id_col], "left")
+    return hit.groupBy(query_id_col).agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap"),
+        F.round(
+            F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(float(k)), 4
+        ).alias(f"recall_at_{k}"),
+    )

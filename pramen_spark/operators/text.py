@@ -847,3 +847,46 @@ def token_entropy(
             F.col("n_types") > 1, F.round(h / F.log2(F.col("n_types").cast("double")), 6)
         ).alias("norm_entropy"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """The distributed core of BPE vocabulary training: the
+    frequency-ranked adjacent-character-pair candidates for the FIRST
+    merge, weighted by word frequency. Iterating (apply merge ->
+    recount) is tokenizer training; this operator is one round's count
+    step, the part that must scale to the corpus.
+
+    Returns (pair, weight): top-``top_n`` two-char pairs by total
+    occurrence count across all word instances (pair text as the
+    deterministic tiebreak).
+
+    Scale (100 TB): the Zipf trick — the corpus collapses to the
+    DISTINCT-WORD vocabulary with counts first (the only stage that
+    sees corpus volume, one map-side-combined aggregation); pair
+    explosion then runs over the VOCABULARY (millions of rows, not
+    trillions) with each pair weighted by its word's count. Top-N is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = vocab.select(
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(top_n)
+    )

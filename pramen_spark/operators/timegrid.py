@@ -69,3 +69,41 @@ def bucket_gapfill(
     return filled.withColumn(
         "value_locf", F.last("total_value", ignorenulls=True).over(w)
     )
+
+
+def trailing_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct counting — the rolling 7-day-active-users
+    metric. For every day with data: the exact distinct ``key_col``
+    count over [day - window_days + 1, day].
+
+    Scale (100 TB of events): the raw log first collapses to DISTINCT
+    (day, key) — the only stage that sees event volume, one map-side
+    combined aggregation. Each surviving pair then EXPLODES to the
+    ``window_days`` target days it serves (a bounded sequence, no
+    self-join, no range join) and a second distinct-count keyed by
+    target day finishes. Shuffle volume is window_days * |active
+    (day, key) pairs|, independent of event count; the calendar
+    membership filter is a broadcast semi-join against the day list.
+    For month-scale windows swap the explode for per-day HLL sketches
+    merged across the window (the incremental_distinct_hll state).
+    """
+    du = df.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(key_col).alias("k")
+    ).distinct()
+    days = du.select("day").distinct()
+    spread = du.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+        ).alias("off"),
+        "day",
+        "k",
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("day"), "k")
+    present = spread.join(F.broadcast(days), "day", "left_semi")
+    return present.groupBy("day").agg(
+        F.countDistinct("k").cast("long").alias(f"active_{window_days}d")
+    )

@@ -7725,6 +7725,228 @@ def q_dp_counts_customers(spark, sf_dir):
     )
 
 
+@query(
+    "cms_frequency_events",
+    """
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_exact, TRUE AS overestimates, TRUE AS within_bound
+    FROM c ORDER BY n_exact DESC, user_id LIMIT 10
+    """,
+    "count-min sketch contract: the 4x1024 sketch's estimate for each "
+    "top-10 user must be >= the exact count and <= exact + e*N/width",
+    tags=("sketch", "monitoring"),
+)
+def q_cms_frequency_events(spark, sf_dir):
+    """The frequency sibling of hll_accuracy_events (operators/
+    sketches.py::cms_build / cms_estimate): the depth*width counter
+    table is built in one exploded map-side-combined aggregation (<=
+    4096 rows whatever the input), estimates probe it broadcast with
+    min-over-depth, and the contract pins BOTH CMS guarantees — the
+    estimate never undercounts (structural) and overshoots by at most
+    e*N/width (the Markov envelope, deterministic here because the
+    hashes are fixed). The sketch is mergeable across batches by
+    summing cells — the merge_agg_state algebra — which is what makes
+    it the 100 TB heavy-hitter first pass."""
+    from pramen_spark.operators.sketches import (
+        cms_build, cms_error_bound, cms_estimate,
+    )
+
+    ev = load_events(spark, sf_dir).select("user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    top = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(10)
+    sketch = cms_build(ev, "user_id", width=1024, depth=4)
+    est = cms_estimate(sketch, top, "user_id", width=1024, depth=4)
+    n_rows = ev.count()
+    bound = cms_error_bound(n_rows, width=1024)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        (F.col("est") >= F.col("n_exact")).alias("overestimates"),
+        (F.col("est") <= F.col("n_exact") + F.lit(bound)).alias("within_bound"),
+    )
+
+
+@query(
+    "trailing_active_users_events",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    "rolling 7-day active users per day (exact trailing-window distinct)",
+    tags=("analytics", "timegrid"),
+)
+def q_trailing_active_users_events(spark, sf_dir):
+    """The rolling-actives metric (operators/timegrid.py::
+    trailing_distinct): the log collapses to DISTINCT (day, user) first
+    — the only stage that sees event volume — then each pair EXPLODES
+    to the <= 7 target days it serves and a second distinct-count
+    finishes per day. No range join, no self-join: shuffle volume is
+    7 * |active pairs|, independent of event count; day membership is
+    a broadcast semi-join against the calendar-sized day list. Month
+    windows swap the explode for merged per-day HLL sketches."""
+    from pramen_spark.operators.timegrid import trailing_distinct
+
+    return trailing_distinct(
+        load_events(spark, sf_dir), "ts", "user_id", window_days=7
+    )
+
+
+@query(
+    "lsh_recall_audit",
+    f"""
+    WITH lsh AS ({_lsh_topk_oracle()}),
+    brute AS (
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 4
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(q.qv, q.qv))) AS cosine
+            FROM embeddings e, q
+        )
+        SELECT query_id, vec_id
+        FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    )
+    SELECT b.query_id,
+           CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           ROUND(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0, 4) AS recall_at_10
+    FROM brute b LEFT JOIN lsh l
+      ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+    GROUP BY b.query_id
+    """,
+    "recall@10 of the hyperplane-LSH index against brute-force cosine "
+    "per query (the ANN quality gate)",
+    tags=("similarity", "monitoring"),
+)
+def q_lsh_recall_audit(spark, sf_dir):
+    """The audit every ANN index must publish (operators/similarity.py::
+    topk_recall): LSH top-10 (the production path) overlapped against
+    brute-force top-10 (the ground truth) per query. Both inputs are
+    k-rows-per-query tables, so the overlap join and per-query count
+    are KB-scale; the oracle recomputes BOTH sides exactly (the
+    deterministic plane literals replay the index). Recall < 1 here is
+    the LSH design working as specified, not a bug — the contract is
+    that the number is MEASURED and tracked, the multi-probe/plane
+    knobs trade it against candidate volume."""
+    from pramen_spark.operators.similarity import (
+        cosine_topk, lsh_topk, topk_recall,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_topk(e, q, k=10, num_planes=4, dim=64, multi_probe=2)
+    brute = cosine_topk(e, q, k=10)
+    return topk_recall(lsh, brute, k=10)
+
+
+@query(
+    "bootstrap_ci_events",
+    """
+    WITH w AS (
+        SELECT b, value,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238463 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    WHEN u < 0.999916758850712 THEN 6
+                    ELSE 7 END AS w
+        FROM (
+            SELECT b.b AS b, e.value,
+                   ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                                       || chr(31) || 'boot'
+                                       || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+            FROM events e, range(0, 50) b(b)
+        )
+    ),
+    m AS (SELECT b, SUM(w * value) / SUM(w) AS mb FROM w GROUP BY b)
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows,
+           ROUND((SELECT SUM(value) FROM events)
+                 / (SELECT COUNT(*) FROM events), 6) AS mean_value,
+           ROUND(quantile_cont(mb, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(mb, 0.975), 6) AS ci_hi,
+           CAST(50 AS BIGINT) AS n_boot
+    FROM m
+    """,
+    "derandomized Poisson-bootstrap 95% CI for the mean event value: 50 "
+    "hash-weighted resample means in one aggregation pass",
+    tags=("analytics", "sampling"),
+)
+def q_bootstrap_ci_events(spark, sf_dir):
+    """Error bars on corpus statistics without 50 scans (operators/
+    sampling.py::bootstrap_mean_ci — the Poisson bootstrap, the
+    distributed resampling scheme that needs no global coordination):
+    each resample weights every row Poisson(1) via the md5-uniform of
+    (id, seed, b), ALL 100 weighted sums evaluate in ONE map-side
+    combined aggregation, and the percentile interval interpolates over
+    the 50-element means array inside the single result row. The oracle
+    replays weights and quantile_cont interpolation exactly."""
+    from pramen_spark.operators.sampling import bootstrap_mean_ci
+
+    ev = load_events(spark, sf_dir).select("event_id", "value")
+    return bootstrap_mean_ci(ev, "value", "event_id", n_boot=50, alpha=0.05)
+
+
+@query(
+    "bpe_merge_candidates_documents",
+    r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    bg AS (
+        SELECT c, unnest(list_transform(range(1, length(w)),
+                   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+        FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS weight
+    FROM bg GROUP BY pair ORDER BY weight DESC, pair LIMIT 20
+    """,
+    "BPE tokenizer training, round one: top-20 adjacent character pairs "
+    "weighted by word frequency (the merge-candidate count step)",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_merge_candidates_documents(spark, sf_dir):
+    """The count step of BPE vocabulary training (operators/text.py::
+    bpe_merge_candidates): the corpus collapses to the distinct-word
+    vocabulary with counts FIRST (the Zipf trick — the only stage that
+    sees corpus volume), then pair explosion runs over the vocabulary
+    with each pair weighted by its word count; top-20 is a
+    TakeOrderedAndProject. Full tokenizer training iterates
+    apply-merge -> recount; every iteration is this shape."""
+    from pramen_spark.operators.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(load_documents_spread(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
