@@ -141,6 +141,12 @@ HEADLINE = [
     "lsh_recall_audit",
     "bootstrap_ci_events",
     "bpe_merge_candidates_documents",
+    # round-8 wave 11: feature engineering + experiment analytics
+    "target_encode_orders",
+    "vocab_truncate_documents",
+    "churn_labels_events",
+    "event_trigrams_events",
+    "ab_ttest_events",
 ]
 
 

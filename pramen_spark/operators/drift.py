@@ -272,3 +272,51 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ).alias("mi_contrib"),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two groups of
+    a numeric column — the A/B experiment readout (and the parametric
+    sibling of ks_binned's distribution-free test). Welch rather than
+    pooled Student: arm variances in real experiments are never equal.
+
+    Returns ONE row: (n_a, n_b, mean_a, mean_b, t_stat, dof) with the
+    Welch-Satterthwaite degrees of freedom; means and the statistic
+    round to 6.
+
+    Scale: a single aggregation pass with conditional aggregates —
+    count/mean/variance per arm computed map-side combined; every
+    downstream value is scalar arithmetic on the one result row. No
+    shuffle beyond the 1-row reduce.
+    """
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col)
+    agg = df.where(a | b).agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(a, v)).alias("_ma"),
+        F.avg(F.when(b, v)).alias("_mb"),
+        F.var_samp(F.when(a, v)).alias("_va"),
+        F.var_samp(F.when(b, v)).alias("_vb"),
+    )
+    sa = F.col("_va") / F.col("n_a")
+    sb = F.col("_vb") / F.col("n_b")
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(sa + sb)
+    dof = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )

@@ -1,0 +1,91 @@
+"""Feature-engineering transforms for tabular ML pipelines: smoothed
+target encoding and long-tail category collapse.
+
+Both are fit-transform shapes where the "fit" artifact is a KB-scale
+aggregate (per-category statistics, the frequent-category set) that
+broadcasts back into a single pass over the data — the same
+build-small/probe-big pattern as the vocabulary and centroid operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column:
+    ``enc = (sum_cat + m * global_mean) / (n_cat + m)`` — the empirical
+    Bayes shrinkage that keeps rare categories near the global mean
+    instead of memorizing their few targets (the leakage-prone naive
+    mean encoder's failure mode).
+
+    Returns the encoder table (category, n, enc) to be broadcast-joined
+    onto train/serve data. Target sums run in DECIMAL so they are exact
+    and order-independent; every double op afterwards is a fixed scalar
+    expression — the encoder is bit-reproducible across runs and
+    engines.
+
+    Scale: one map-side-combined aggregation keyed by category; the
+    global mean derives from re-aggregating the category table
+    (KB-scale) and broadcasts. The raw table is scanned once.
+    """
+    per_cat = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(target_col).cast(decimal_type)).alias("_sum"),
+    )
+    glob = per_cat.agg(
+        (
+            F.sum("_sum").cast("double") / F.sum("n").cast("double")
+        ).alias("_gmean")
+    )
+    m = float(smoothing)
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        "category",
+        "n",
+        F.round(
+            (F.col("_sum").cast("double") + F.lit(m) * F.col("_gmean"))
+            / (F.col("n") + F.lit(m)),
+            6,
+        ).alias("enc"),
+    )
+
+
+def collapse_rare(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Collapse long-tail categories below ``min_count`` occurrences
+    into ``other_label`` — vocabulary truncation for categorical
+    features (and the `<unk>` mapping of token vocabularies): unbounded
+    category domains become fixed-width one-hot/embedding tables and
+    singleton categories stop memorizing individual rows.
+
+    Returns ``df`` with ``col`` replaced by the collapsed value.
+
+    Scale: the FREQUENT set (bounded above by |rows| / min_count,
+    KB-scale for any real threshold) builds in one map-side-combined
+    aggregation and broadcast-joins back; rows map in a single pass,
+    no shuffle of the data itself.
+    """
+    frequent = (
+        df.groupBy(F.col(col).alias("_cat"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("_cat", F.lit(True).alias("_keep"))
+    )
+    joined = df.join(
+        F.broadcast(frequent), df[col] == frequent["_cat"], "left"
+    )
+    return joined.withColumn(
+        col,
+        F.when(F.col("_keep"), F.col(col)).otherwise(F.lit(other_label)),
+    ).drop("_cat", "_keep")

@@ -271,3 +271,80 @@ def time_weighted_avg(
             4,
         ).alias("twap"),
     )
+
+
+def churn_labels(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    inactive_days: int = 7,
+) -> DataFrame:
+    """Churn labeling against the dataset horizon: per user, the last
+    active day, days inactive relative to the global max day, and the
+    boolean churn label (inactive > ``inactive_days``) — the standard
+    supervised-churn target generator.
+
+    Returns (user, last_day, days_inactive, churned).
+
+    Scale: one map-side-combined per-user MAX, then a 1-row broadcast
+    of the global horizon; no window, no self-join. (The per-user table
+    is the thing that shuffles — one row per user.)
+    """
+    per_user = df.groupBy(F.col(user_col)).agg(
+        F.max(F.to_date(F.col(ts_col))).alias("last_day")
+    )
+    horizon = per_user.agg(F.max("last_day").alias("_max_day"))
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        user_col,
+        "last_day",
+        F.datediff(F.col("_max_day"), F.col("last_day"))
+        .cast("long")
+        .alias("days_inactive"),
+        (
+            F.datediff(F.col("_max_day"), F.col("last_day"))
+            > F.lit(int(inactive_days))
+        ).alias("churned"),
+    )
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    order_col: str = "event_id",
+    n: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Frequent event-path n-grams: the top consecutive event
+    subsequences across user journeys — the exploratory step before
+    funnel definition (which paths actually happen?) and the n>2
+    extension of the Markov transition matrix.
+
+    Returns the top-``top_n`` n-grams as (step_1..step_n, n_paths),
+    ordered by count with the full tuple as the deterministic tiebreak.
+    Ordering within a user is (ts, ``order_col``) so timestamp ties
+    cannot flip results between runs or engines.
+
+    Scale: ONE window pass partitioned by user (n-1 LEADs share the
+    same frame), then a map-side-combined count and a TakeOrdered
+    top-N. Per-user ordering shuffles each user's events to one
+    partition — the sessionize/funnel shape; a hot synthetic user is
+    the salted_agg case."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, n)
+    ]
+    grams = df.select(
+        *[s.alias(f"step_{i + 1}") for i, s in enumerate(steps)]
+    ).where(F.col(f"step_{n}").isNotNull())
+    return (
+        grams.groupBy(*[f"step_{i + 1}" for i in range(n)])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), *[F.asc(f"step_{i + 1}") for i in range(n)]
+        )
+        .limit(top_n)
+    )

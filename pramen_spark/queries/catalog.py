@@ -7947,6 +7947,190 @@ def q_bpe_merge_candidates_documents(spark, sf_dir):
     return bpe_merge_candidates(load_documents_spread(spark, sf_dir))
 
 
+@query(
+    "target_encode_orders",
+    """
+    WITH per AS (
+        SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        FROM orders GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS gm
+          FROM per)
+    SELECT category, n,
+           ROUND((CAST(s AS DOUBLE) + 10.0 * gm) / (n + 10.0), 6) AS enc
+    FROM per, g
+    """,
+    "smoothed target encoding: per-priority mean order value shrunk "
+    "toward the global mean (m = 10 empirical-Bayes prior)",
+    tags=("features", "ml"),
+)
+def q_target_encode_orders(spark, sf_dir):
+    """The categorical encoder table (operators/features.py::
+    target_encode): enc = (sum_cat + m*global_mean) / (n_cat + m) —
+    empirical-Bayes shrinkage so rare categories sit near the prior
+    instead of memorizing their few rows. Target sums run in DECIMAL
+    (exact, order-independent — a plain double sum drifts ~1e-2 at this
+    magnitude across partition orders), so the encoder is
+    bit-reproducible. One map-side-combined aggregation; the global
+    mean re-aggregates the KB-scale category table and broadcasts."""
+    from pramen_spark.operators.features import target_encode
+
+    return target_encode(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority",
+        "o_totalprice", smoothing=10.0,
+    )
+
+
+@query(
+    "vocab_truncate_documents",
+    r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+    mapped AS (
+        SELECT CASE WHEN n >= 20 THEN token ELSE '__unk__' END AS token_out,
+               n
+        FROM freq
+    )
+    SELECT token_out, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM mapped GROUP BY 1
+    ORDER BY n_occurrences DESC, token_out LIMIT 20
+    """,
+    "vocabulary truncation: token histogram after collapsing tokens "
+    "with fewer than 20 occurrences into __unk__ (top-20)",
+    tags=("features", "text"),
+)
+def q_vocab_truncate_documents(spark, sf_dir):
+    """Long-tail collapse (operators/features.py::collapse_rare) applied
+    to the token vocabulary — the `<unk>` mapping every fixed-vocab
+    tokenizer performs. The FREQUENT set (bounded by total_tokens /
+    min_count) builds in one map-side-combined aggregation and
+    broadcast-joins back over the token stream; the histogram then
+    counts the collapsed column. No shuffle carries raw text beyond
+    the (token) explode itself; top-20 is a TakeOrderedAndProject."""
+    from pramen_spark.operators.features import collapse_rare
+
+    toks = F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    )
+    tok_df = load_documents_spread(spark, sf_dir).select(
+        F.explode(toks).alias("token")
+    )
+    collapsed = collapse_rare(tok_df, "token", min_count=20,
+                              other_label="__unk__")
+    return (
+        collapsed.groupBy(F.col("token").alias("token_out"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token_out"))
+        .limit(20)
+    )
+
+
+@query(
+    "churn_labels_events",
+    """
+    WITH pu AS (
+        SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY 1
+    ),
+    h AS (SELECT MAX(last_day) AS mx FROM pu)
+    SELECT user_id, last_day,
+           CAST(mx - last_day AS BIGINT) AS days_inactive,
+           (mx - last_day) > 7 AS churned
+    FROM pu, h
+    """,
+    "supervised churn target: per user last active day, inactivity vs "
+    "the dataset horizon, and the churned label (> 7 days)",
+    tags=("analytics", "ml"),
+)
+def q_churn_labels_events(spark, sf_dir):
+    """The churn-label generator (operators/sequences.py::
+    churn_labels): per-user MAX day in one map-side-combined
+    aggregation, a 1-row broadcast of the global horizon, and pure
+    column arithmetic — no window, no self-join; only the one-row-per-
+    user table shuffles. The label feeds the classifier pipeline the
+    same way quality_classifier's labels feed curation."""
+    from pramen_spark.operators.sequences import churn_labels
+
+    return churn_labels(load_events(spark, sf_dir), inactive_days=7)
+
+
+@query(
+    "event_trigrams_events",
+    """
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS s2,
+               LEAD(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS step_1, s2 AS step_2, s3 AS step_3,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM o WHERE s3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step_1, step_2, step_3 LIMIT 20
+    """,
+    "top-20 consecutive event trigrams across user journeys (path "
+    "mining before funnel definition)",
+    tags=("analytics", "sequences"),
+)
+def q_event_trigrams_events(spark, sf_dir):
+    """Path n-gram mining (operators/sequences.py::path_ngrams — the
+    n>2 extension of the Markov transition matrix): ONE window pass
+    partitioned by user (both LEADs share the frame; ordering is
+    (ts, event_id) so timestamp ties cannot flip engines), then a
+    map-side-combined count and a TakeOrdered top-20. Per-user
+    ordering is the sessionize shape — a pathological hot user is the
+    salted_agg case."""
+    from pramen_spark.operators.sequences import path_ngrams
+
+    return path_ngrams(load_events(spark, sf_dir), n=3, top_n=20)
+
+
+@query(
+    "ab_ttest_events",
+    """
+    WITH agg AS (
+        SELECT
+            CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_b,
+            AVG(CASE WHEN event_type = 'click' THEN value END) AS ma,
+            AVG(CASE WHEN event_type = 'view' THEN value END) AS mb,
+            VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS va,
+            VAR_SAMP(CASE WHEN event_type = 'view' THEN value END) AS vb
+        FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+           ROUND((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                 / ((va / n_a) * (va / n_a) / (n_a - 1)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6) AS dof
+    FROM agg
+    """,
+    "Welch two-sample t-test of event value between the click and view "
+    "arms (A/B readout with Welch-Satterthwaite dof)",
+    tags=("analytics", "drift"),
+)
+def q_ab_ttest_events(spark, sf_dir):
+    """The A/B experiment readout (operators/drift.py::welch_ttest —
+    the parametric sibling of ks_binned): per-arm count/mean/variance
+    as conditional aggregates in a SINGLE map-side-combined pass, then
+    scalar Welch arithmetic on the one result row (squares written as
+    products, not pow(), so both engines compute identical doubles).
+    Nothing shuffles but the 1-row reduce at any scale."""
+    from pramen_spark.operators.drift import welch_ttest
+
+    return welch_ttest(
+        load_events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
