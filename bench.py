@@ -147,6 +147,12 @@ HEADLINE = [
     "churn_labels_events",
     "event_trigrams_events",
     "ab_ttest_events",
+    # round-8 wave 12: eval metrics + time-axis ML hygiene
+    "auc_documents",
+    "gini_orders",
+    "temporal_split_events",
+    "overdispersion_events",
+    "weekday_seasonality_events",
 ]
 
 

@@ -133,3 +133,41 @@ def cusum_changepoint(
         F.col("b.at").alias("changepoint_at"),
         F.col("b.a").alias("max_abs_cusum"),
     )
+
+
+def overdispersion(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Overdispersion check of per-entity counts within each group: the
+    dispersion index ``var / mean`` of how many rows each entity
+    contributes. Poisson arrivals give ~1; substantially above 1 means
+    burstiness / heavy users (plan for salting and skew joins),
+    below 1 means capped or quota'd behavior. The load-model companion
+    to key_skew_profile.
+
+    Returns per group: (group, n_entities, mean_count, var_count,
+    dispersion, overdispersed).
+
+    Scale: two map-side-combined aggregations — (group, entity) counts,
+    then per-group moments over the one-row-per-entity table. No
+    window, no join.
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(entity_col).alias("ent")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.avg("c").alias("_m"),
+        F.var_samp(F.col("c").cast("double")).alias("_v"),
+    )
+    disp = F.col("_v") / F.col("_m")
+    return agg.select(
+        F.col("grp"),
+        "n_entities",
+        F.round("_m", 6).alias("mean_count"),
+        F.round("_v", 6).alias("var_count"),
+        F.round(disp, 6).alias("dispersion"),
+        (disp > F.lit(1.0)).alias("overdispersed"),
+    )

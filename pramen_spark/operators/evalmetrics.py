@@ -1,0 +1,101 @@
+"""Model-evaluation metrics computed sort-free at corpus scale.
+
+AUC here is the exact Mann-Whitney U statistic, computed WITHOUT ever
+globally sorting the row-level data: scores aggregate to a (score,
+n_pos, n_neg) histogram first, the running negative count runs over
+that DOMAIN-sized table, and the U statistic folds back to integers —
+so the result is exact (ties get the standard half credit) and
+bit-reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC of ``score_col`` against boolean/0-1 ``label_col``.
+
+    Returns ONE row (n_pos, n_neg, auc): the probability a random
+    positive outranks a random negative, ties counted half (the
+    Mann-Whitney U / rank-sum estimator) — computed from the integer
+    identity ``2U = sum_s n_pos(s) * (2 * cum_neg(<s) + n_neg(s))``, so
+    every intermediate is an exact BIGINT and the only double op is the
+    final division.
+
+    Scale: the row-level data reduces to the per-score histogram in one
+    map-side-combined aggregation — the ONLY stage that sees data
+    volume. The running window is ordered over that histogram, bounded
+    by the score DOMAIN, not the row count (quantize continuous scores
+    first to cap it, the standard streaming-AUC move). NULL scores or
+    labels are excluded.
+    """
+    lab = df.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    ).where(F.col("s").isNotNull() & F.col("y").isNotNull())
+    h = lab.groupBy("s").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn")
+    )
+    t = cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cum_nn") + F.col("nn"))
+        ).cast("long").alias("_u2"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("_u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def gini(df: DataFrame, value_col: str, id_col: str,
+         decimal_type: str = "decimal(18,2)") -> DataFrame:
+    """Gini coefficient of a non-negative value across entities — the
+    inequality summary (how concentrated is spend / token mass /
+    traffic?) that turns key_skew_profile's head-vs-body picture into
+    one number.
+
+    Returns ONE row (n, total, gini) from the sorted-rank identity
+    ``G = (2 * sum_i i * x_(i)) / (n * sum x) - (n + 1) / n`` with rank
+    ties broken by ``id_col``. Values are summed in DECIMAL so both
+    rank-weighted and plain sums are exact; the Gini itself is a fixed
+    scalar expression over them.
+
+    Scale: ranks come from one window over the PER-ENTITY table (one
+    row per id — entity domain, not event volume; aggregate first).
+    The global ordering is the one inherently serial step; for
+    monitoring at extreme entity counts switch to the binned/quantile
+    approximation and keep this exact form as its oracle.
+    """
+    v = F.col(value_col).cast(decimal_type)
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    ranked = df.select(
+        v.alias("x"), F.row_number().over(w).cast("long").alias("i")
+    )
+    t = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("_t"),
+        F.sum(F.col("i") * F.col("x")).alias("_s"),
+    )
+    g = (
+        F.lit(2.0) * F.col("_s").cast("double") / F.col("_t").cast("double")
+        - (F.col("n") + F.lit(1))
+    ) / F.col("n")
+    return t.select(
+        "n",
+        F.col("_t").cast("double").alias("total"),
+        F.round(g, 6).alias("gini"),
+    )

@@ -814,3 +814,37 @@ def bootstrap_mean_ci(
         F.round(_qcont(means, 1.0 - alpha / 2.0), 6).alias("ci_hi"),
         F.lit(n_boot).cast("long").alias("n_boot"),
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    test_days: int = 10,
+    embargo_days: int = 2,
+) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap — the
+    leakage-safe protocol for temporally correlated data (financial /
+    user-behavior ML): rows within ``embargo_days`` before the test
+    window are DROPPED from training so near-boundary leakage
+    (sessions, labels computed over trailing windows) cannot cross the
+    split. The group-disjoint sibling is leakage_safe_split; this is
+    the time axis.
+
+    Returns ``df`` plus a ``split`` column ('train' / 'embargo' /
+    'test') derived from the dataset horizon: test = the last
+    ``test_days`` days, embargo = the ``embargo_days`` before them.
+
+    Scale: the horizon is a 1-row broadcast; assignment is a pure
+    column expression — no shuffle at all. Filtering split == 'train'
+    after this is a pushed-down predicate.
+    """
+    day = F.to_date(F.col(ts_col))
+    horizon = df.agg(F.max(day).alias("_max_day"))
+    test_start = F.date_sub(F.col("_max_day"), int(test_days) - 1)
+    embargo_start = F.date_sub(test_start, int(embargo_days))
+    return df.crossJoin(F.broadcast(horizon)).withColumn(
+        "split",
+        F.when(day >= test_start, F.lit("test"))
+        .when(day >= embargo_start, F.lit("embargo"))
+        .otherwise(F.lit("train")),
+    ).drop("_max_day")

@@ -107,3 +107,34 @@ def trailing_distinct(
     return present.groupBy("day").agg(
         F.countDistinct("k").cast("long").alias(f"active_{window_days}d")
     )
+
+
+def weekday_seasonality(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonality profile: per weekday (0 = Monday), the
+    row count, mean value, and the seasonality index mean / global_mean
+    — the first decomposition any daily metric gets before alerting
+    thresholds are set (trend_slope handles the trend axis, this the
+    weekly cycle).
+
+    Scale: one 7-group map-side-combined aggregation; the global mean
+    re-aggregates the 7-row table and broadcasts. Weekday is computed
+    ISO-style (Monday = 0) to stay engine-portable.
+    """
+    per = df.groupBy(F.weekday(F.col(ts_col)).cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col)).alias("_s"),
+    )
+    glob = per.agg(
+        (F.sum("_s") / F.sum("n")).alias("_gmean")
+    )
+    mean = F.col("_s") / F.col("n")
+    return per.crossJoin(F.broadcast(glob)).select(
+        "dow",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(mean / F.col("_gmean"), 6).alias("seasonality_index"),
+    )

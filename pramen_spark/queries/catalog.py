@@ -8131,6 +8131,212 @@ def q_ab_ttest_events(spark, sf_dir):
     )
 
 
+@query(
+    "auc_documents",
+    """
+    WITH lab AS (
+        SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    h AS (
+        SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+        FROM lab GROUP BY s
+    ),
+    w AS (
+        SELECT np, nn,
+               COALESCE(SUM(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_nn
+        FROM h
+    ),
+    t AS (
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS u2
+        FROM w
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM t
+    """,
+    "exact Mann-Whitney ROC AUC of document length predicting "
+    "lang = 'en', computed sort-free over the score histogram",
+    tags=("ml", "evaluation"),
+)
+def q_auc_documents(spark, sf_dir):
+    """Exact AUC without a global sort (operators/evalmetrics.py::auc):
+    rows reduce to the per-score histogram in one map-side-combined
+    aggregation — the only stage that sees data volume — the running
+    negative count windows over the score DOMAIN (quantize continuous
+    scores to cap it, the streaming-AUC move), and 2U folds to exact
+    BIGINTs (ties get half credit), so the only double op is the final
+    division and the metric is bit-reproducible. The demo scores
+    length against the English label; any (classifier score, label)
+    pair plugs in."""
+    from pramen_spark.operators.evalmetrics import auc
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return auc(d, "s", "y")
+
+
+@query(
+    "gini_orders",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT CAST(x AS DECIMAL(18,2)) AS xd,
+               ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        FROM spend
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(xd) AS tt,
+               SUM(i * xd) AS ss
+        FROM r
+    )
+    SELECT n, CAST(tt AS DOUBLE) AS total,
+           ROUND((2.0 * CAST(ss AS DOUBLE) / CAST(tt AS DOUBLE) - (n + 1))
+                 / n, 6) AS gini
+    FROM t
+    """,
+    "Gini coefficient of customer spend concentration (rank-weighted "
+    "exact-decimal identity)",
+    tags=("analytics", "validation"),
+)
+def q_gini_orders(spark, sf_dir):
+    """Inequality in one number (operators/evalmetrics.py::gini — the
+    scalar summary behind key_skew_profile's head/body picture):
+    G = 2*sum(i * x_(i)) / (n * sum x) - (n+1)/n over rank-ordered
+    per-customer spend, DECIMAL sums so both the rank-weighted and the
+    plain total are exact and the Gini is a fixed scalar expression.
+    Ranks come from one window over the PER-ENTITY table (one row per
+    customer — entity domain, not order volume); ties break on the
+    customer key so the ordering is engine-stable."""
+    from pramen_spark.operators.evalmetrics import gini
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    return gini(spend, "spend", "o_custkey")
+
+
+@query(
+    "temporal_split_events",
+    """
+    WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+    s AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CASE WHEN CAST(ts AS DATE) >= mx - 9 THEN 'test'
+                    WHEN CAST(ts AS DATE) >= mx - 11 THEN 'embargo'
+                    ELSE 'train' END AS split
+        FROM events, h
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(day) AS min_day, MAX(day) AS max_day
+    FROM s GROUP BY split
+    """,
+    "temporal train/test split with a 2-day embargo gap before the "
+    "10-day test window (leakage-safe time split summary)",
+    tags=("sampling", "ml"),
+)
+def q_temporal_split_events(spark, sf_dir):
+    """The time-axis leakage guard (operators/sampling.py::
+    temporal_split, the temporal sibling of leakage_safe_split): the
+    last 10 days are test, the 2 days before them are EMBARGOED out of
+    training so trailing-window features and session spillover cannot
+    cross the boundary. The horizon is a 1-row broadcast and the
+    assignment a pure column expression — zero shuffle; the summary
+    aggregation here is the audit a pipeline logs before training."""
+    from pramen_spark.operators.sampling import temporal_split
+
+    s = temporal_split(
+        load_events(spark, sf_dir), "ts", test_days=10, embargo_days=2
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min(F.to_date("ts")).alias("min_day"),
+        F.max(F.to_date("ts")).alias("max_day"),
+    )
+
+
+@query(
+    "overdispersion_events",
+    """
+    WITH per AS (
+        SELECT event_type AS grp, user_id, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_entities, AVG(c) AS m,
+               VAR_SAMP(CAST(c AS DOUBLE)) AS v
+        FROM per GROUP BY 1
+    )
+    SELECT grp, n_entities, ROUND(m, 6) AS mean_count,
+           ROUND(v, 6) AS var_count, ROUND(v / m, 6) AS dispersion,
+           v / m > 1.0 AS overdispersed
+    FROM agg
+    """,
+    "overdispersion check: variance/mean of per-user event counts per "
+    "type (Poisson ~ 1; above = bursty heavy users)",
+    tags=("analytics", "monitoring"),
+)
+def q_overdispersion_events(spark, sf_dir):
+    """The load-model companion to key_skew_profile (operators/
+    anomaly.py::overdispersion): the dispersion index var/mean of
+    per-entity counts — Poisson arrivals sit near 1, heavy/bursty
+    users push it up (provision salting), quota'd behavior pulls it
+    below. Two map-side-combined aggregations ((group, entity) counts,
+    then per-group moments over the one-row-per-entity table); no
+    window, no join."""
+    from pramen_spark.operators.anomaly import overdispersion
+
+    return overdispersion(load_events(spark, sf_dir), "event_type", "user_id")
+
+
+@query(
+    "weekday_seasonality_events",
+    """
+    WITH per AS (
+        SELECT isodow(ts) - 1 AS dow, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS s
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT SUM(s) / SUM(n) AS gm FROM per)
+    SELECT CAST(dow AS BIGINT) AS dow, n, ROUND(s / n, 6) AS mean_value,
+           ROUND((s / n) / gm, 6) AS seasonality_index
+    FROM per, g
+    """,
+    "day-of-week seasonality profile of the event value (Monday = 0): "
+    "mean per weekday and index vs the global mean",
+    tags=("analytics", "timegrid"),
+)
+def q_weekday_seasonality_events(spark, sf_dir):
+    """The weekly-cycle half of metric decomposition (operators/
+    timegrid.py::weekday_seasonality; trend_slope_daily is the trend
+    half): one 7-group map-side-combined aggregation, the global mean
+    re-aggregated from the 7-row table and broadcast. Weekday is
+    ISO-Monday-0 on both engines (Spark weekday(), DuckDB isodow - 1)
+    so the profile is portable."""
+    from pramen_spark.operators.timegrid import weekday_seasonality
+
+    return weekday_seasonality(load_events(spark, sf_dir), "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
