@@ -153,6 +153,13 @@ HEADLINE = [
     "temporal_split_events",
     "overdispersion_events",
     "weekday_seasonality_events",
+    # round-8 wave 13: calibration, graded ANN quality, proportion CIs,
+    # embedding health, Zipf corpus fit
+    "calibration_bins_documents",
+    "ndcg_lsh_audit",
+    "wilson_ctr_events",
+    "embedding_health_embeddings",
+    "zipf_slope_documents",
 ]
 
 

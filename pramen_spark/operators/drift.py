@@ -320,3 +320,41 @@ def welch_ttest(
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("dof"),
     )
+
+
+def proportion_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score interval per group for a boolean success column —
+    the small-sample-safe CTR/conversion readout (the naive normal
+    interval collapses or exits [0,1] at extreme rates; Wilson never
+    does). Deterministic closed form, so the oracle replays it exactly.
+
+    Returns (group, n, successes, rate, ci_lo, ci_hi) rounded to 6.
+
+    Scale: one map-side-combined aggregation; the interval is scalar
+    arithmetic on (n, successes). No window, no join.
+    """
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes") / n
+    z2 = F.lit(float(z) * float(z))
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        "grp",
+        "n",
+        "successes",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )

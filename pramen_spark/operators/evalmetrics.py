@@ -99,3 +99,101 @@ def gini(df: DataFrame, value_col: str, id_col: str,
         F.col("_t").cast("double").alias("total"),
         F.round(g, 6).alias("gini"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic score: per
+    fixed-width probability bin, the member count, mean predicted
+    probability, observed positive fraction, and |gap| — the table
+    behind a calibration curve and the ECE (expected calibration
+    error = sum over bins of (n/N) * gap).
+
+    Returns (bin, n, mean_p, frac_pos, gap) for observed bins;
+    ``prob_col`` must be in [0, 1] (1.0 folds into the top bin).
+
+    Scale: ONE map-side-combined aggregation keyed by the bin id
+    (<= n_bins groups); exact integer counts, the means on already
+    aggregated sums. No window, no join.
+    """
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(p * F.lit(int(n_bins))).cast("long"), F.lit(int(n_bins) - 1)
+    )
+    agg = (
+        df.where(p.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(p).alias("_mp"),
+            F.avg(y.cast("double")).alias("_fp"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round("_mp", 6).alias("mean_p"),
+        F.round("_fp", 6).alias("frac_pos"),
+        F.round(F.abs(F.col("_mp") - F.col("_fp")), 6).alias("gap"),
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    ideal: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    gain_col: str = "cosine",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """NDCG@k of a ranking against the ideal ordering — the
+    graded-relevance quality gate beside topk_recall's binary one (an
+    ANN index can hit 9/10 of the right ids but put the best one
+    last; recall won't see that, NDCG will).
+
+    ``ranked`` is the system's top-k (query, id, rank); gains come from
+    ``ideal``'s ``gain_col`` (the ground-truth relevance, joined by id
+    — items absent from the ideal top-k contribute 0), and IDCG from
+    ``ideal``'s own ordering. Returns (query_id, dcg, idcg, ndcg)
+    rounded to 6.
+
+    Scale: both inputs are k rows per query; the gain join is co-keyed
+    on (query, id) and the discounted sums aggregate per query —
+    KB-scale however big the corpus behind the inputs."""
+    disc = lambda r: F.log2(F.col(r).cast("double") + F.lit(1.0))
+    sys_gain = (
+        ranked.select(query_id_col, id_col, rank_col)
+        .join(
+            ideal.select(
+                query_id_col, id_col, F.col(gain_col).alias("_rel")
+            ),
+            [query_id_col, id_col],
+            "left",
+        )
+        .select(
+            query_id_col,
+            (F.coalesce("_rel", F.lit(0.0)) / disc(rank_col)).alias("_g"),
+        )
+    )
+    dcg = sys_gain.groupBy(query_id_col).agg(F.sum("_g").alias("_dcg"))
+    idcg = (
+        ideal.where(F.col(rank_col) <= k)
+        .select(
+            query_id_col,
+            (F.col(gain_col) / disc(rank_col)).alias("_g"),
+        )
+        .groupBy(query_id_col)
+        .agg(F.sum("_g").alias("_idcg"))
+    )
+    return dcg.join(idcg, query_id_col).select(
+        query_id_col,
+        F.round("_dcg", 6).alias("dcg"),
+        F.round("_idcg", 6).alias("idcg"),
+        F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
+    )

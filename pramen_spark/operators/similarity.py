@@ -811,3 +811,45 @@ def topk_recall(
             F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(float(k)), 4
         ).alias(f"recall_at_{k}"),
     )
+
+
+def embedding_health_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pre-flight health check of an embedding table, per label: vector
+    counts, dimension consistency (min/max length), zero-norm and
+    NaN-contaminated vectors, and norm statistics — run it before ANY
+    similarity/clustering stage (a handful of NaN vectors silently
+    poisons every cosine and centroid downstream; dimension drift
+    breaks zip_with at row N million).
+
+    Returns (label, n_vecs, dim_min, dim_max, n_zero_norm, n_nan,
+    norm_min, norm_mean, norm_max).
+
+    Scale: one map-side-combined aggregation; norms are sequential-fold
+    inner products (JVM-side, oracle-reproducible). No window, no join.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm2 = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    nrm = F.sqrt(norm2)
+    base = df.select(
+        F.col(label_col).alias("label"),
+        F.size(v).alias("_dim"),
+        has_nan.alias("_nan"),
+        F.when(~has_nan, nrm).alias("_norm"),
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("_dim").cast("long").alias("dim_min"),
+        F.max("_dim").cast("long").alias("dim_max"),
+        F.sum((F.col("_norm") == 0.0).cast("long")).cast("long").alias("n_zero_norm"),
+        F.sum(F.col("_nan").cast("long")).cast("long").alias("n_nan"),
+        F.round(F.min("_norm"), 6).alias("norm_min"),
+        F.round(F.avg("_norm"), 6).alias("norm_mean"),
+        F.round(F.max("_norm"), 6).alias("norm_max"),
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small, fixed marker-word lists per language (n-gram/stopword heuristic).
@@ -889,4 +889,58 @@ def bpe_merge_candidates(
         .agg(F.sum("c").cast("long").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("pair"))
         .limit(top_n)
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_k: int = 500
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of
+    ln(frequency) on ln(rank) over the top-``top_k`` tokens. Natural
+    corpora sit near slope -1; a flat slope flags synthetic /
+    template-heavy text, a cliff flags boilerplate domination — a
+    one-row corpus-health metric next to token_entropy's per-document
+    one.
+
+    Returns (n_tokens_fit, slope, intercept, r2) rounded to 6.
+
+    Scale: token counts aggregate map-side (the only corpus-volume
+    stage); top-k is a TakeOrderedAndProject; the rank window and OLS
+    run over the K-row table (bounded by the parameter, not the
+    corpus)."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    freq = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    xy = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    t = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_fit"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_tokens_fit").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    # try_divide: a degenerate corpus (all counts equal) has zero y
+    # variance — report NULL r2 instead of an ANSI divide-by-zero
+    return t.select(
+        "n_tokens_fit",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(F.try_divide(cov * cov, varx * vary), 6).alias("r2"),
     )

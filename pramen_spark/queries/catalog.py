@@ -8337,6 +8337,251 @@ def q_weekday_seasonality_events(spark, sf_dir):
     return weekday_seasonality(load_events(spark, sf_dir), "ts", "value")
 
 
+@query(
+    "calibration_bins_documents",
+    """
+    WITH mx AS (SELECT MAX(n_chars) AS mx FROM documents),
+    s AS (
+        SELECT CAST(n_chars AS DOUBLE) / mx AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents, mx
+    ),
+    b AS (SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, p, y FROM s)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(p), 6) AS mean_p,
+           ROUND(AVG(CAST(y AS DOUBLE)), 6) AS frac_pos,
+           ROUND(ABS(AVG(p) - AVG(CAST(y AS DOUBLE))), 6) AS gap
+    FROM b GROUP BY bin
+    """,
+    "reliability-diagram bins: normalized document length as a "
+    "probability score vs the English label, per-decile mean score, "
+    "positive fraction, and calibration gap",
+    tags=("ml", "evaluation"),
+)
+def q_calibration_bins_documents(spark, sf_dir):
+    """The calibration curve table (operators/evalmetrics.py::
+    calibration_bins — ECE is sum over rows of (n/N)*gap): ONE
+    map-side-combined aggregation keyed by the fixed-width probability
+    bin (<= 10 groups), exact counts, means over already-aggregated
+    sums; the score-normalizing max is a 1-row broadcast. Any
+    (probability, label) pair plugs in — here the normalized length
+    scores the English label so the oracle replays everything
+    exactly."""
+    from pramen_spark.operators.evalmetrics import calibration_bins
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("_mx"))
+    scored = d.crossJoin(F.broadcast(mx)).select(
+        (F.col("n_chars").cast("double") / F.col("_mx")).alias("p"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return calibration_bins(scored, "p", "y", n_bins=10)
+
+
+@query(
+    "ndcg_lsh_audit",
+    f"""
+    WITH lsh_full AS ({_lsh_topk_oracle()}),
+    brute AS (
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 4
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(q.qv, q.qv))) AS cosine
+            FROM embeddings e, q
+        )
+        SELECT query_id, vec_id, cosine, rank
+        FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    ),
+    sysg AS (
+        SELECT l.query_id,
+               COALESCE(b.cosine, 0.0) / log2(l.rank + 1.0) AS g
+        FROM lsh_full l LEFT JOIN brute b
+          ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+    ),
+    dcg AS (SELECT query_id, SUM(g) AS dcg_raw FROM sysg GROUP BY 1),
+    idcg AS (SELECT query_id, SUM(cosine / log2(rank + 1.0)) AS idcg_raw
+             FROM brute GROUP BY 1)
+    SELECT d.query_id, ROUND(dcg_raw, 6) AS dcg, ROUND(idcg_raw, 6) AS idcg,
+           ROUND(dcg_raw / idcg_raw, 6) AS ndcg
+    FROM dcg d JOIN idcg USING (query_id)
+    """,
+    "NDCG@10 of the LSH ranking against brute-force cosine order (the "
+    "graded-relevance ANN quality gate beside recall@10)",
+    tags=("similarity", "evaluation"),
+)
+def q_ndcg_lsh_audit(spark, sf_dir):
+    """Graded ranking quality (operators/evalmetrics.py::ndcg_at_k):
+    recall@10 counts hits, NDCG also charges the index for putting the
+    best neighbors low — gains are the TRUE cosines (from the
+    brute-force ideal; items outside the ideal top-10 gain 0),
+    discounted by log2(rank+1). Both inputs are 10 rows per query, the
+    gain join is co-keyed, the discounted sums aggregate per query —
+    the audit is KB-scale regardless of corpus size, and the oracle
+    replays index and ideal exactly via the deterministic planes."""
+    from pramen_spark.operators.evalmetrics import ndcg_at_k
+    from pramen_spark.operators.similarity import cosine_topk, lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_topk(e, q, k=10, num_planes=4, dim=64, multi_probe=2)
+    brute = cosine_topk(e, q, k=10)
+    return ndcg_at_k(lsh, brute, k=10)
+
+
+@query(
+    "wilson_ctr_events",
+    """
+    WITH agg AS (
+        SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS successes
+        FROM events GROUP BY 1
+    )
+    SELECT grp, n, successes,
+           ROUND(successes / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND((successes / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                  - 1.96 * sqrt((successes / CAST(n AS DOUBLE))
+                                * (1.0 - successes / CAST(n AS DOUBLE))
+                                / CAST(n AS DOUBLE)
+                                + (1.96 * 1.96)
+                                  / (4.0 * CAST(n AS DOUBLE)
+                                     * CAST(n AS DOUBLE))))
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+           ROUND((successes / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                  + 1.96 * sqrt((successes / CAST(n AS DOUBLE))
+                                * (1.0 - successes / CAST(n AS DOUBLE))
+                                / CAST(n AS DOUBLE)
+                                + (1.96 * 1.96)
+                                  / (4.0 * CAST(n AS DOUBLE)
+                                     * CAST(n AS DOUBLE))))
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_hi
+    FROM agg
+    """,
+    "Wilson 95% score interval for the high-value rate (value > 100) "
+    "per event type — the small-sample-safe conversion readout",
+    tags=("analytics", "monitoring"),
+)
+def q_wilson_ctr_events(spark, sf_dir):
+    """Proportion confidence intervals that behave at the extremes
+    (operators/drift.py::proportion_ci): the Wilson score interval
+    never exits [0,1] and stays honest at tiny n or rates near 0/1
+    where the naive normal interval collapses. One map-side-combined
+    aggregation; the interval is closed-form scalar arithmetic on
+    (n, successes) — z^2 is written as 1.96*1.96 on both sides so the
+    engines compute the identical double."""
+    from pramen_spark.operators.drift import proportion_ci
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", (F.col("value") > 100).alias("success")
+    )
+    return proportion_ci(ev, "event_type", "success", z=1.96)
+
+
+@query(
+    "embedding_health_embeddings",
+    """
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS dim_min,
+           CAST(MAX(dim) AS BIGINT) AS dim_max,
+           CAST(SUM(CASE WHEN NOT nan AND nrm = 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_norm,
+           CAST(SUM(CASE WHEN nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+           ROUND(MIN(CASE WHEN NOT nan THEN nrm END), 6) AS norm_min,
+           ROUND(AVG(CASE WHEN NOT nan THEN nrm END), 6) AS norm_mean,
+           ROUND(MAX(CASE WHEN NOT nan THEN nrm END), 6) AS norm_max
+    FROM (
+        SELECT label, len(embedding) AS dim,
+               len(list_filter(embedding, x -> isnan(x))) > 0 AS nan,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    GROUP BY label
+    """,
+    "embedding table pre-flight: per label, dimension consistency, "
+    "zero-norm and NaN vectors, and norm statistics",
+    tags=("similarity", "validation"),
+)
+def q_embedding_health_embeddings(spark, sf_dir):
+    """The health gate before any similarity stage (operators/
+    similarity.py::embedding_health_audit): a handful of NaN vectors
+    silently poisons every downstream cosine and centroid, and a
+    dimension drift breaks zip_with at row N million — catch both in
+    ONE map-side-combined aggregation with sequential-fold norms the
+    oracle reproduces bit-for-bit. No window, no join."""
+    from pramen_spark.operators.similarity import embedding_health_audit
+
+    return embedding_health_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "zipf_slope_documents",
+    r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, token LIMIT 500
+    ),
+    xy AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token)
+                       AS DOUBLE)) AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+        FROM freq
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_fit,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM xy
+    )
+    SELECT n_tokens_fit,
+           ROUND((n_tokens_fit * sxy - sx * sy)
+                 / (n_tokens_fit * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n_tokens_fit * sxy - sx * sy)
+                       / (n_tokens_fit * sxx - sx * sx) * sx)
+                 / n_tokens_fit, 6) AS intercept,
+           ROUND((n_tokens_fit * sxy - sx * sy) * (n_tokens_fit * sxy - sx * sy)
+                 / ((n_tokens_fit * sxx - sx * sx)
+                    * (n_tokens_fit * syy - sy * sy)), 6) AS r2
+    FROM t
+    """,
+    "Zipf's-law fit: OLS slope of ln(frequency) vs ln(rank) over the "
+    "top-500 tokens (corpus-health one-liner; natural text ~ -1)",
+    tags=("text", "quality"),
+)
+def q_zipf_slope_documents(spark, sf_dir):
+    """Corpus-level distribution health (operators/text.py::
+    zipf_slope): natural corpora fit ln(freq) ~ -ln(rank); synthetic
+    or template-heavy corpora flatten or cliff. Token counts aggregate
+    map-side (the only corpus-volume stage), top-500 is a
+    TakeOrderedAndProject, and the rank window + closed-form OLS run
+    over the 500-row table — bounded by the parameter, not the
+    corpus."""
+    from pramen_spark.operators.text import zipf_slope
+
+    return zipf_slope(load_documents_spread(spark, sf_dir), top_k=500)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
