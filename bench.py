@@ -160,6 +160,13 @@ HEADLINE = [
     "wilson_ctr_events",
     "embedding_health_embeddings",
     "zipf_slope_documents",
+    # round-8 wave 14: stream-static join + streaming dedup parities,
+    # feature hashing, info-gain ranking, weighted percentiles
+    "stream_static_enrich_events",
+    "stream_dedup_events",
+    "feature_hash_collisions_documents",
+    "info_gain_ranking_events",
+    "weighted_percentile_lineitem",
 ]
 
 

@@ -89,3 +89,41 @@ def collapse_rare(
         col,
         F.when(F.col("_keep"), F.col(col)).otherwise(F.lit(other_label)),
     ).drop("_cat", "_keep")
+
+
+def feature_hash_audit(
+    df: DataFrame, col: str, n_buckets: int = 4096
+) -> DataFrame:
+    """Collision audit for the hashing trick (feature hashing): how many
+    distinct values share a bucket at the chosen width — the number that
+    decides whether 2^k buckets is enough before anyone trains on
+    hashed features. Buckets use the md5-prefix hash (engine-portable,
+    the sampling._hash_unit construction) so the audit is reproducible
+    anywhere; production hashing can use any function once the width is
+    chosen.
+
+    Returns ONE row (n_values, n_buckets_used, n_collided,
+    collision_rate).
+
+    Scale: the value domain deduplicates first (the only data-volume
+    stage, map-side combined); the audit is one exact two-distinct
+    aggregation over the domain table.
+    """
+    vals = df.select(F.col(col).alias("v")).distinct()
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("v")), 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    b = vals.select("v", bucket.alias("bucket"))
+    return b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.countDistinct("bucket").cast("long").alias("n_buckets_used"),
+        (F.count(F.lit(1)) - F.countDistinct("bucket"))
+        .cast("long")
+        .alias("n_collided"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("bucket"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("collision_rate"),
+    )

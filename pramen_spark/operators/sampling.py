@@ -848,3 +848,39 @@ def temporal_split(
         .when(day >= embargo_start, F.lit("embargo"))
         .otherwise(F.lit("train")),
     ).drop("_max_day")
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Weighted percentiles (lower / inverse-CDF convention): the
+    smallest value whose cumulative weight reaches q * total — the
+    token-weighted median document length, quantity-weighted price
+    percentile, etc. No engine builtin does weighted quantiles; this is
+    the exact two-phase form.
+
+    Returns ONE row with a ``p{q}_weighted`` column per requested q.
+
+    Scale: values collapse to the (value, total_weight) DOMAIN first
+    (map-side combined — the only stage that sees row volume); the
+    cumulative window runs over that domain table (bounded by distinct
+    values — quantize continuous values to cap it, as with the AUC
+    histogram); the thresholds are conditional MINs in one final
+    aggregate against the broadcast total.
+    """
+    dom = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.col(weight_col)).alias("w")
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dom.select("v", F.sum("w").over(w_ord).alias("cw"))
+    tot = dom.agg(F.sum("w").alias("tw"))
+    aggs = [
+        F.min(
+            F.when(F.col("cw") >= F.lit(float(q)) * F.col("tw"), F.col("v"))
+        ).alias(f"p{int(q * 100)}_weighted")
+        for q in qs
+    ]
+    return cum.crossJoin(F.broadcast(tot)).agg(*aggs)

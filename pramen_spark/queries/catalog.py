@@ -8582,6 +8582,298 @@ def q_zipf_slope_documents(spark, sf_dir):
     return zipf_slope(load_documents_spread(spark, sf_dir), top_k=500)
 
 
+@query(
+    "stream_static_enrich_events",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+    "Structured Streaming parity #4: stream-static broadcast join — "
+    "streaming events enriched with the customer dim, per-segment "
+    "counts equal the batch join",
+    tags=("streaming",),
+)
+def q_stream_static_enrich_events(spark, sf_dir):
+    """The stream-static JOIN path run for real (the fourth streaming
+    parity, after tumbling/hopping/session windows): a file readStream
+    over events joins the BATCH customer dimension broadcast per
+    micro-batch — the standard streaming enrichment (dim lookups
+    against a slowly-changing table) — then aggregates per segment in
+    complete mode; the batch twin is the plain join. Stream-static
+    inner joins need no watermark and keep NO join state: each
+    micro-batch probes the broadcast dim and moves on, so the pattern
+    holds at any stream volume; the dim refreshes per batch on a real
+    cluster."""
+    from pramen_spark.streaming.stream import read_file_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    glob_path = f"{sf_dir}/events.parque[t]"
+    stream = read_file_stream(spark, glob_path, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("_sv"),
+    )
+    sink = "stream_static_enrich_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "c_mktsegment", "n_events", F.round("_sv", 4).alias("sum_value")
+    )
+
+
+@query(
+    "stream_dedup_events",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_pairs
+    FROM events GROUP BY 1
+    """,
+    "Structured Streaming parity #5: streaming exact dedup on "
+    "(user_id, event_type) — kept rows equal the batch distinct pairs",
+    tags=("streaming",),
+)
+def q_stream_dedup_events(spark, sf_dir):
+    """The streaming dedup path run for real (streaming/stream.py::
+    streaming_dedup — the continuous exact_dedup for at-least-once
+    sources): dropDuplicates state keeps first-arrival (user, type)
+    pairs across micro-batches, the append-mode sink receives exactly
+    one row per pair, and counting the sink per type must equal the
+    batch COUNT(DISTINCT user). The parity uses the unbounded form so
+    the equality is exact on bounded input; the watermark-evicted
+    ``dropDuplicatesWithinWatermark`` form (state bounded by
+    rate x watermark — the only shape that survives 100 TB/day) is
+    covered by test_streaming.py."""
+    from pramen_spark.streaming.stream import (
+        read_file_stream,
+        streaming_dedup,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    glob_path = f"{sf_dir}/events.parque[t]"
+    stream = read_file_stream(spark, glob_path, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    deduped = streaming_dedup(
+        stream, "ts", key_cols=("user_id", "event_type"),
+        within_watermark=False,
+    ).select("user_id", "event_type")
+    sink = "stream_dedup_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@query(
+    "feature_hash_collisions_documents",
+    r"""
+    WITH tok AS (
+        SELECT DISTINCT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS token
+        FROM documents
+    ),
+    b AS (
+        SELECT token,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT % 4096 AS bucket
+        FROM tok
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets_used,
+           CAST(COUNT(*) - COUNT(DISTINCT bucket) AS BIGINT) AS n_collided,
+           ROUND((COUNT(*) - COUNT(DISTINCT bucket))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS collision_rate
+    FROM b
+    """,
+    "hashing-trick audit: token-vocabulary collision rate at 4096 "
+    "feature buckets (md5-prefix hash, engine-portable)",
+    tags=("features", "ml"),
+)
+def q_feature_hash_collisions_documents(spark, sf_dir):
+    """The width-sizing audit for feature hashing (operators/
+    features.py::feature_hash_audit): distinct tokens deduplicate
+    first (the only corpus-volume stage), then one two-distinct
+    aggregation over the domain counts bucket collisions at the
+    candidate width. The md5-prefix bucket makes the audit portable;
+    swap any hash at serving time once the width passes."""
+    from pramen_spark.operators.features import feature_hash_audit
+
+    toks = F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    )
+    tok_df = load_documents_spread(spark, sf_dir).select(
+        F.explode(toks).alias("token")
+    )
+    return feature_hash_audit(tok_df, "token", n_buckets=4096)
+
+
+@query(
+    "info_gain_ranking_events",
+    """
+    WITH lab AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(isodow(ts) - 1 AS BIGINT) AS dw,
+               CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    f1 AS (
+        SELECT 'event_type' AS feature, ROUND(SUM(mi), 6) AS mi_bits FROM (
+            SELECT ROUND(CAST(n_xy AS DOUBLE) / n
+                   * log2(CAST(n_xy AS DOUBLE) * n
+                          / (CAST(n_x AS DOUBLE) * n_y)), 9) AS mi
+            FROM (
+                SELECT event_type AS x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+                FROM lab GROUP BY 1, 2
+            ) j
+            JOIN (SELECT event_type AS x, CAST(COUNT(*) AS BIGINT) AS n_x
+                  FROM lab GROUP BY 1) mx USING (x)
+            JOIN (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y
+                  FROM lab GROUP BY 1) my USING (y),
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab) tot
+        )
+    ),
+    f2 AS (
+        SELECT 'hour' AS feature, ROUND(SUM(mi), 6) AS mi_bits FROM (
+            SELECT ROUND(CAST(n_xy AS DOUBLE) / n
+                   * log2(CAST(n_xy AS DOUBLE) * n
+                          / (CAST(n_x AS DOUBLE) * n_y)), 9) AS mi
+            FROM (
+                SELECT hr AS x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+                FROM lab GROUP BY 1, 2
+            ) j
+            JOIN (SELECT hr AS x, CAST(COUNT(*) AS BIGINT) AS n_x
+                  FROM lab GROUP BY 1) mx USING (x)
+            JOIN (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y
+                  FROM lab GROUP BY 1) my USING (y),
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab) tot
+        )
+    ),
+    f3 AS (
+        SELECT 'weekday' AS feature, ROUND(SUM(mi), 6) AS mi_bits FROM (
+            SELECT ROUND(CAST(n_xy AS DOUBLE) / n
+                   * log2(CAST(n_xy AS DOUBLE) * n
+                          / (CAST(n_x AS DOUBLE) * n_y)), 9) AS mi
+            FROM (
+                SELECT dw AS x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+                FROM lab GROUP BY 1, 2
+            ) j
+            JOIN (SELECT dw AS x, CAST(COUNT(*) AS BIGINT) AS n_x
+                  FROM lab GROUP BY 1) mx USING (x)
+            JOIN (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y
+                  FROM lab GROUP BY 1) my USING (y),
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab) tot
+        )
+    )
+    SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+    ORDER BY mi_bits DESC, feature
+    """,
+    "information-gain feature ranking: MI of event_type / hour / "
+    "weekday against the high-value label, ranked",
+    tags=("ml", "drift"),
+)
+def q_info_gain_ranking_events(spark, sf_dir):
+    """Feature selection by information gain (operators/drift.py::
+    mutual_information applied per candidate feature against the
+    label): each feature costs ONE contingency shuffle; marginals and
+    totals re-aggregate the KB-scale cell tables broadcast. The ranked
+    one-row-per-feature output is the screen run before training (and
+    a leakage alarm — a feature with implausibly high MI against the
+    label is leaking it). Cell contributions round at 9 on both
+    engines before summing, so the ranking is reproducible."""
+    from pramen_spark.operators.drift import mutual_information
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.weekday("ts").cast("long").alias("dw"),
+        (F.col("value") > 100).alias("y"),
+    )
+    outs = []
+    for name, colname in (
+        ("event_type", "event_type"), ("hour", "hr"), ("weekday", "dw"),
+    ):
+        mi = mutual_information(
+            ev.select(F.col(colname).alias("f"), F.col("y").cast("int").alias("y")),
+            "f",
+            "y",
+        )
+        outs.append(
+            mi.agg(F.round(F.sum("mi_contrib"), 6).alias("mi_bits")).select(
+                F.lit(name).alias("feature"), "mi_bits"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(F.desc("mi_bits"), F.asc("feature"))
+
+
+@query(
+    "weighted_percentile_lineitem",
+    """
+    WITH dom AS (
+        SELECT l_extendedprice AS v, SUM(l_quantity) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, SUM(w) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM dom
+    ),
+    tot AS (SELECT SUM(w) AS tw FROM dom)
+    SELECT MIN(CASE WHEN cw >= 0.5 * tw THEN v END) AS p50_weighted,
+           MIN(CASE WHEN cw >= 0.9 * tw THEN v END) AS p90_weighted
+    FROM cum, tot
+    """,
+    "quantity-weighted price percentiles (lower/inverse-CDF "
+    "convention): the smallest price reaching 50% / 90% of total "
+    "shipped quantity",
+    tags=("analytics", "sampling"),
+)
+def q_weighted_percentile_lineitem(spark, sf_dir):
+    """Weighted quantiles no engine ships built-in (operators/
+    sampling.py::weighted_percentiles — the token-weighted median
+    length, quantity-weighted price band): values collapse to the
+    (value, total-weight) DOMAIN first (the only row-volume stage),
+    the cumulative window runs over that domain table (bounded by
+    distinct values — quantize continuous values to cap it, the AUC
+    histogram move), and the thresholds are conditional MINs against
+    the broadcast total. Small-integer weights keep every cumulative
+    sum exact in doubles, so the thresholds are deterministic."""
+    from pramen_spark.operators.sampling import weighted_percentiles
+
+    return weighted_percentiles(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice",
+        "l_quantity", qs=(0.5, 0.9),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
