@@ -167,6 +167,13 @@ HEADLINE = [
     "feature_hash_collisions_documents",
     "info_gain_ranking_events",
     "weighted_percentile_lineitem",
+    # round-8 wave 15: customer segmentation + revenue/SLA dashboards,
+    # Benford fraud screen, truncated-EWMA smoothing
+    "rfm_segments_orders",
+    "ship_latency_lineitem",
+    "wow_revenue_orders",
+    "benford_audit_orders",
+    "ewma_revenue_daily",
 ]
 
 

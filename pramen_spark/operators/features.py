@@ -127,3 +127,66 @@ def feature_hash_audit(
             6,
         ).alias("collision_rate"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_col: str,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    classic behavioral segmentation — with quartile scores assigned via
+    BROADCAST exact-percentile thresholds, not a global NTILE window
+    (the curriculum_thresholds pattern: a rank window over all
+    customers is a single-partition sort; three threshold comparisons
+    are a zero-shuffle map).
+
+    Returns per customer: (customer, recency_days, frequency, monetary,
+    r_score, f_score, m_score), each score 1-4 = number of quartile
+    thresholds STRICTLY exceeded plus one. Note r_score 4 means MOST
+    days since last order (callers wanting "4 = best" invert it);
+    monetary sums run in DECIMAL so thresholds see exact inputs.
+
+    Scale: one map-side-combined per-customer aggregation (the only
+    order-volume stage), one 1-row percentile aggregate over the
+    per-customer table, broadcast back as nine literal comparisons.
+    """
+    day = F.to_date(F.col(date_col))
+    per = df.groupBy(F.col(cust_col).alias("customer")).agg(
+        F.max(day).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col(amount_col).cast(decimal_type))
+        .cast("double")
+        .alias("monetary"),
+    )
+    horizon = per.agg(F.max("_last").alias("_mx"))
+    base = per.crossJoin(F.broadcast(horizon)).select(
+        "customer",
+        F.datediff(F.col("_mx"), F.col("_last")).cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    th = base.agg(
+        F.percentile(F.col("recency_days"), qs).alias("_tr"),
+        F.percentile(F.col("frequency"), qs).alias("_tf"),
+        F.percentile(F.col("monetary"), qs).alias("_tm"),
+    )
+
+    def score(col, tcol):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + (F.col(col) > F.element_at(F.col(tcol), i)).cast("int")
+        return s.cast("long")
+
+    return base.crossJoin(F.broadcast(th)).select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "_tr").alias("r_score"),
+        score("frequency", "_tf").alias("f_score"),
+        score("monetary", "_tm").alias("m_score"),
+    )

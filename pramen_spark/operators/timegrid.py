@@ -138,3 +138,45 @@ def weekday_seasonality(
         F.round(mean, 6).alias("mean_value"),
         F.round(mean / F.col("_gmean"), 6).alias("seasonality_index"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    decay: float = 0.5,
+    taps: int = 7,
+    partition_cols: tuple = (),
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average: the smoothing
+    every monitoring dashboard layers over a noisy daily series,
+    expressed as a FINITE ``taps``-term weighted sum of LAG columns
+    (weights ``decay**k``) instead of the textbook recurrence.
+
+    The recurrence ``s_t = a*x_t + (1-a)*s_{t-1}`` is inherently
+    sequential; the equivalent prefix-product trick needs ``decay**-t``
+    which overflows past ~1000 rows. Truncating at ``taps`` terms (the
+    tail weight beyond 7 taps of 0.5-decay is <1%) turns it into pure
+    window LAGs — one exchange, engine-exact when ``decay`` is a binary
+    fraction like 0.5. Rows with partial history renormalize by the
+    weight actually present, so the series starts unbiased.
+
+    Adds an ``ewma`` column (round 6). With no ``partition_cols`` the
+    window is global — callers must pre-aggregate to a bounded grid
+    (e.g. one row per day) first, the wow_revenue pattern.
+
+    Scale: one window exchange keyed on ``partition_cols``; weights are
+    literals, no joins.
+    """
+    w = Window.orderBy(order_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    num = F.col(value_col).cast("double")
+    den = F.lit(1.0)
+    for k in range(1, taps):
+        lagged = F.lag(F.col(value_col).cast("double"), k).over(w)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * F.lit(decay ** k)
+        den = den + F.when(
+            lagged.isNotNull(), F.lit(decay ** k)
+        ).otherwise(F.lit(0.0))
+    return df.withColumn("ewma", F.round(num / den, 6))

@@ -8874,6 +8874,249 @@ def q_weighted_percentile_lineitem(spark, sf_dir):
     )
 
 
+@query(
+    "rfm_segments_orders",
+    """
+    WITH per AS (
+        SELECT o_custkey AS customer, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS monetary
+        FROM orders GROUP BY 1
+    ),
+    h AS (SELECT MAX(last_d) AS mx FROM per),
+    base AS (
+        SELECT customer, CAST(mx - last_d AS BIGINT) AS recency_days,
+               frequency, monetary
+        FROM per, h
+    ),
+    th AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS tr,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS tf,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS tm
+        FROM base
+    )
+    SELECT customer, recency_days, frequency, monetary,
+           CAST(1 + (recency_days > tr[1])::INT + (recency_days > tr[2])::INT
+                + (recency_days > tr[3])::INT AS BIGINT) AS r_score,
+           CAST(1 + (frequency > tf[1])::INT + (frequency > tf[2])::INT
+                + (frequency > tf[3])::INT AS BIGINT) AS f_score,
+           CAST(1 + (monetary > tm[1])::INT + (monetary > tm[2])::INT
+                + (monetary > tm[3])::INT AS BIGINT) AS m_score
+    FROM base, th
+    """,
+    "RFM customer segmentation: recency/frequency/monetary per customer "
+    "with quartile scores from broadcast exact-percentile thresholds",
+    tags=("analytics", "features"),
+)
+def q_rfm_segments_orders(spark, sf_dir):
+    """Behavioral segmentation without the global-NTILE hazard
+    (operators/features.py::rfm_scores — the curriculum_thresholds
+    pattern applied three ways): per-customer R/F/M in one map-side
+    combined aggregation (the only order-volume stage), ONE 1-row
+    exact-percentile aggregate over the per-customer table, and nine
+    broadcast threshold comparisons — no rank window anywhere. DECIMAL
+    monetary sums keep threshold inputs exact so quartile boundaries
+    cannot drift between engines."""
+    from pramen_spark.operators.features import rfm_scores
+
+    return rfm_scores(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice",
+    )
+
+
+@query(
+    "ship_latency_lineitem",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(quantile_cont(CAST(l_shipdate AS DATE)
+                               - CAST(o_orderdate AS DATE), 0.5), 4)
+             AS p50_days,
+           ROUND(quantile_cont(CAST(l_shipdate AS DATE)
+                               - CAST(o_orderdate AS DATE), 0.9), 4)
+             AS p90_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "order-to-ship latency SLA: P50/P90 days from order to line-item "
+    "ship date per order priority",
+    tags=("analytics", "monitoring"),
+)
+def q_ship_latency_lineitem(spark, sf_dir):
+    """The cross-table SLA readout: lineitem joins orders CO-KEYED on
+    the order key (both sides shuffle once on the same key — or the
+    orders side broadcasts under AQE at audit scale), the day latency
+    is a pure date-arithmetic column, and exact interpolated
+    percentiles aggregate per priority (five groups). At 100 TB swap
+    the exact percentile for approx_percentile under the
+    approx_quantile_contract gate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("ord_d")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("ship_d", "ord_d").cast("long").alias("lat"),
+    )
+    pct = F.percentile(F.col("lat"), F.array(F.lit(0.5), F.lit(0.9)))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.element_at(pct, 1), 4).alias("p50_days"),
+        F.round(F.element_at(pct, 2), 4).alias("p90_days"),
+    )
+
+
+@query(
+    "wow_revenue_orders",
+    """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT week_start,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY week_start) AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY week_start) AS DOUBLE),
+                 6) AS wow_change
+    FROM weekly
+    """,
+    "week-over-week revenue: weekly totals with the percentage change "
+    "vs the previous week (NULL for the first week)",
+    tags=("analytics", "timegrid"),
+)
+def q_wow_revenue_orders(spark, sf_dir):
+    """The WoW growth readout every revenue dashboard carries: orders
+    aggregate to Monday-start weeks FIRST (map-side combined — the only
+    order-volume stage; both engines truncate weeks to Monday), so the
+    unpartitioned LAG window sees one row per WEEK — bounded by
+    calendar span, the daily_revenue_running_total pattern. DECIMAL
+    weekly sums are exact; the change ratio divides the same exact
+    values on both engines."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week_start")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = W.orderBy("week_start")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "week_start",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("wow_change"),
+    )
+
+
+@query(
+    "benford_audit_orders",
+    """
+    WITH pos AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    d AS (
+        SELECT CAST(regexp_extract(CAST(x AS VARCHAR), '([1-9])', 1)
+                    AS INTEGER) AS digit
+        FROM pos
+    ),
+    g AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS observed_p,
+           ROUND(log10(1 + 1.0 / digit), 6) AS expected_p
+    FROM g, t
+    """,
+    "Benford's-law first-digit audit of order totals: observed leading-"
+    "digit shares vs the log10(1+1/d) expectation",
+    tags=("quality", "validation"),
+)
+def q_benford_audit_orders(spark, sf_dir):
+    """The fraud / synthetic-data screen
+    (operators/validation.py::benford_digit_audit): the leading digit
+    comes from an exact DECIMAL magnitude ladder on the Spark side —
+    never log10 of the value, whose last-ulp engine differences flip
+    the digit at exact powers of ten — while the oracle extracts the
+    same digit lexically from the decimal rendering; agreement of the
+    two routes is itself part of the check. One filter + one 9-group
+    map-side-combined aggregation; the 9-row digit table re-aggregates
+    to the broadcast total."""
+    from pramen_spark.operators.validation import benford_digit_audit
+
+    return benford_digit_audit(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+@query(
+    "ewma_revenue_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT day, revenue,
+               lag(revenue, 1) OVER w AS r1, lag(revenue, 2) OVER w AS r2,
+               lag(revenue, 3) OVER w AS r3, lag(revenue, 4) OVER w AS r4,
+               lag(revenue, 5) OVER w AS r5, lag(revenue, 6) OVER w AS r6
+        FROM daily WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, revenue,
+           ROUND(((((((revenue
+                 + COALESCE(r1, 0) * 0.5)
+                 + COALESCE(r2, 0) * 0.25)
+                 + COALESCE(r3, 0) * 0.125)
+                 + COALESCE(r4, 0) * 0.0625)
+                 + COALESCE(r5, 0) * 0.03125)
+                 + COALESCE(r6, 0) * 0.015625)
+                 / ((((((1.0
+                 + CASE WHEN r1 IS NOT NULL THEN 0.5 ELSE 0 END)
+                 + CASE WHEN r2 IS NOT NULL THEN 0.25 ELSE 0 END)
+                 + CASE WHEN r3 IS NOT NULL THEN 0.125 ELSE 0 END)
+                 + CASE WHEN r4 IS NOT NULL THEN 0.0625 ELSE 0 END)
+                 + CASE WHEN r5 IS NOT NULL THEN 0.03125 ELSE 0 END)
+                 + CASE WHEN r6 IS NOT NULL THEN 0.015625 ELSE 0 END),
+                 6) AS ewma
+    FROM l
+    """,
+    "7-tap exponentially-weighted moving average of daily revenue "
+    "(decay 0.5, partial-history renormalized)",
+    tags=("analytics", "timegrid"),
+)
+def q_ewma_revenue_daily(spark, sf_dir):
+    """Dashboard smoothing without the sequential recurrence
+    (operators/timegrid.py::ewma_smooth): orders pre-aggregate to one
+    DECIMAL-exact row per day (map-side combined — the only
+    order-volume stage), then a finite 7-tap LAG sum with binary-
+    fraction weights 0.5^k replaces the unbounded ``s_t = a*x_t +
+    (1-a)*s_{t-1}`` recursion, whose prefix-product form overflows past
+    ~1000 rows. The unpartitioned window sees only calendar-bounded
+    daily rows (the wow_revenue pattern). Weights are exact in binary,
+    so both engines sum identical doubles in identical order."""
+    from pramen_spark.operators.timegrid import ewma_smooth
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return ewma_smooth(daily, "revenue", "day", decay=0.5, taps=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
