@@ -174,6 +174,13 @@ HEADLINE = [
     "wow_revenue_orders",
     "benford_audit_orders",
     "ewma_revenue_daily",
+    # round-8 wave 16: sort-based skyline, day-partitioned concurrency
+    # sweep, decimal-exact ACF, Herfindahl concentration, Kaplan-Meier
+    "pareto_frontier_parts",
+    "max_concurrency_events",
+    "acf_revenue_daily",
+    "hhi_nation_suppliers",
+    "kaplan_meier_events",
 ]
 
 

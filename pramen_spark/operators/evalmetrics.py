@@ -197,3 +197,61 @@ def ndcg_at_k(
         F.round("_idcg", 6).alias("idcg"),
         F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over a right-censored duration
+    table: one row per subject with an integer ``time_col`` (e.g. days
+    from signup) and ``event_col`` = 1 if the terminal event (churn,
+    conversion) was observed at that time, 0 if the subject was only
+    observed that long (censored). Returns the survival curve at each
+    observed event time: S(t) = Π_{t_i <= t} (1 − d_i / n_i).
+
+    Shape: collapse subjects to the per-duration histogram (d_i events,
+    c_i subjects leaving risk), compute the at-risk count n_i as a
+    REVERSE running sum (everyone with duration >= t_i — no separate
+    total needed; ties censored at t_i count as still at risk, the
+    standard events-before-censorings convention), and the running
+    product via exp(Σ ln) with an explicit zero flag: the moment a
+    factor hits 0 (everyone at risk fails) survival pins to exactly 0
+    instead of tripping ln(0), which Spark NULLs and DuckDB -infs.
+
+    Scale: one map-side-combined aggregation to the duration histogram
+    (bounded by the time domain in days, not subjects), then two
+    windows over that KB-scale table. Nothing beyond the first
+    aggregation sees subject volume.
+    """
+    g = durations.groupBy(F.col(time_col).cast("long").alias("t")).agg(
+        F.sum(F.col(event_col).cast("int")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risked = g.withColumn("at_risk", F.sum("c").over(w_rev))
+    # separate selects: a higher-order/window ref against a same-select
+    # alias can bind to the wrong column (the quantize_embeddings lesson)
+    factored = risked.withColumn(
+        "_f",
+        (F.col("at_risk") - F.col("d")).cast("double")
+        / F.col("at_risk").cast("double"),
+    )
+    swept = factored.select(
+        "t",
+        "d",
+        "at_risk",
+        F.sum(F.when(F.col("_f") > 0, F.log(F.col("_f")))).over(w_fwd).alias("_lnsum"),
+        F.max((F.col("_f") == 0).cast("int")).over(w_fwd).alias("_zero"),
+    )
+    survival = F.when(F.col("_zero") == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.coalesce(F.col("_lnsum"), F.lit(0.0))), 6)
+    )
+    return swept.where(F.col("d") > 0).select(
+        F.col("t").alias("time"),
+        F.col("d").alias("n_events"),
+        "at_risk",
+        survival.alias("survival"),
+    )

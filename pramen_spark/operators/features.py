@@ -190,3 +190,45 @@ def rfm_scores(
         score("frequency", "_tf").alias("f_score"),
         score("monetary", "_tm").alias("m_score"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+) -> DataFrame:
+    """Two-dimensional skyline (Pareto frontier): keep the rows no other
+    row dominates, where A dominates B iff A is no worse on both axes
+    (``cost`` <=, ``gain`` >=) and strictly better on at least one.
+    The classic "cheapest part of at least this size" catalog question,
+    and the multi-objective filter step of data-mixture tuning.
+
+    The textbook formulation is a quadratic NOT-EXISTS self-join. This
+    is the sort-based reformulation: collapse to the best ``gain`` per
+    distinct ``cost`` value, take a running max of that best gain over
+    strictly-cheaper costs, and a row is dominated iff some strictly
+    cheaper cost already achieved its gain, or its own cost level
+    achieves a strictly better gain. Equal (cost, gain) twins survive
+    together (neither dominates).
+
+    Scale: one map-side-combined aggregation to the distinct-cost
+    table, one window over THAT table (bounded by the cost domain, not
+    the data volume), and one hash join back on the cost key — no
+    quadratic candidate generation anywhere. 100 TB of rows with a
+    bounded price domain reduces to a KB-scale frontier sweep.
+    """
+    from pyspark.sql import Window as W
+
+    per_cost = df.groupBy(F.col(cost_col).alias("_cost")).agg(
+        F.max(gain_col).alias("_best_gain")
+    )
+    w = W.orderBy("_cost").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_cost.withColumn(
+        "_cheaper_best", F.max("_best_gain").over(w)
+    )
+    out = df.join(ranked, on=df[cost_col] == ranked["_cost"])
+    dominated = (
+        F.col("_cheaper_best").isNotNull()
+        & (F.col("_cheaper_best") >= F.col(gain_col))
+    ) | (F.col("_best_gain") > F.col(gain_col))
+    return out.where(~dominated).drop("_cost", "_best_gain", "_cheaper_best")

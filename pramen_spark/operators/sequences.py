@@ -348,3 +348,79 @@ def path_ngrams(
         )
         .limit(top_n)
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_us_col: str,
+    end_us_col: str,
+) -> DataFrame:
+    """Peak concurrency per day over closed microsecond intervals
+    [start_us, end_us] — "how many sessions were open at once": the
+    capacity-planning readout for connection pools, support queues, and
+    streaming-state sizing.
+
+    Sweep-line: each interval contributes a +1 at its (clipped) start
+    and a -1 at its (clipped) end; the running sum of deltas in
+    (time, +1-before--1) order is the concurrency profile, and its
+    per-day max is the answer. Intervals are CLOSED, so two sessions
+    touching at one microsecond count as concurrent, and a
+    zero-duration interval still registers (its +1 sorts first).
+
+    Scale (the reason this shape, not a global sweep): intervals are
+    first split at UTC midnights (sequence over the covered days — gap-
+    bounded sessions span at most 2), so the sweep window partitions BY
+    DAY and every day's profile computes independently and in parallel;
+    nothing ever funnels through a single global sort. Shuffle volume
+    is 2 points per interval-day.
+
+    Returns (day, n_intervals, max_concurrent).
+    """
+    base = intervals.select(
+        F.col(start_us_col).cast("long").alias("_s_us"),
+        F.col(end_us_col).cast("long").alias("_e_us"),
+    )
+    # integer DIV, never double division: an exact-midnight microsecond
+    # divided as double can round across the day boundary
+    seg = base.select(
+        "_s_us",
+        "_e_us",
+        F.explode(
+            F.sequence(
+                F.date_from_unix_date(
+                    F.expr("CAST(_s_us DIV 86400000000 AS INT)")
+                ),
+                F.date_from_unix_date(
+                    F.expr("CAST(_e_us DIV 86400000000 AS INT)")
+                ),
+            )
+        ).alias("day"),
+    )
+    day_start = F.unix_date(F.col("day")).cast("long") * F.lit(86_400_000_000)
+    day_end = day_start + F.lit(86_400_000_000 - 1)
+    clipped = seg.select(
+        "day",
+        F.greatest(F.col("_s_us"), day_start).alias("_cs"),
+        F.least(F.col("_e_us"), day_end).alias("_ce"),
+    )
+    pts = clipped.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("_cs").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("_ce").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("day", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = pts.withColumn("_conc", F.sum("delta").over(w))
+    return swept.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_intervals"),
+        F.max("_conc").cast("long").alias("max_concurrent"),
+    )

@@ -160,3 +160,46 @@ def recommend_salts(
     if float(row.max_rows) <= skew_threshold * baseline:
         return 1
     return max(1, min(max_salts, math.ceil(float(row.max_rows) / baseline)))
+
+
+def herfindahl_index(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_expr,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: the sum of
+    squared entity shares of ``value_expr`` — 1/n for perfectly even
+    markets, 1.0 for a monopoly. The market-concentration complement of
+    key_skew_profile: skew says "one key is huge", HHI says "how close
+    to single-supplier is this market", and 1/HHI is the effective
+    number of competitors.
+
+    Exactness: entity totals sum as decimals, and HHI is computed as
+    Σv² / (Σv)² with the per-entity SQUARES also taken and summed in
+    decimal — both engines divide the same two exact integers-scaled
+    values, so the only float step is the final division. Never the
+    naive Σ(share²), whose double sum is reduce-order dependent.
+
+    Scale: two map-side-combined aggregations (entity totals, then the
+    per-group reduce of the entity table). The second input is bounded
+    by |group| × |entity|, not data volume.
+
+    Returns (group, n_entities, top_share, hhi).
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(entity_col).alias("_ent")
+    ).agg(F.sum(value_expr).cast("decimal(18,4)").alias("_v"))
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("_v").alias("_tot"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_sq"),
+        F.max("_v").alias("_mx"),
+    )
+    tot = F.col("_tot").cast("double")
+    return agg.select(
+        "grp",
+        "n_entities",
+        F.round(F.col("_mx").cast("double") / tot, 6).alias("top_share"),
+        F.round(F.col("_sq").cast("double") / (tot * tot), 6).alias("hhi"),
+    )

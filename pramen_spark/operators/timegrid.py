@@ -180,3 +180,73 @@ def ewma_smooth(
             lagged.isNotNull(), F.lit(decay ** k)
         ).otherwise(F.lit(0.0))
     return df.withColumn("ewma", F.round(num / den, 6))
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function (ACF) of a series at lags 1..max_lag —
+    the "is there a weekly cycle / how fast does the signal forget"
+    readout that picks window sizes for every smoother in this module.
+
+    Pearson correlation of the series against its lag-k shift, computed
+    from DECIMAL-exact co-moment sums: the lagged pairs stack into one
+    long (lag, x, y) table via a single explode, and one aggregation
+    produces n / Σx / Σy / Σxy / Σx² / Σy² per lag with products taken
+    in double (IEEE-identical everywhere) but SUMMED as decimals, so
+    the statistic is engine-exact and never depends on reduce order.
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²)).
+
+    Callers pre-aggregate to a bounded grid (one row per day — the
+    ewma_smooth contract) so the unpartitioned LAG window only ever
+    sees calendar-bounded rows; the explode multiplies that KB-scale
+    table by max_lag, and the final aggregation is max_lag rows.
+    """
+    w = Window.orderBy(order_col)
+    x = F.col(value_col).cast("double")
+    # window lags materialize in their own select FIRST: Spark rejects
+    # window expressions nested inside a generator's array argument
+    lagged = df.select(
+        x.alias("x"),
+        *[F.lag(x, k).over(w).alias(f"_y{k}") for k in range(1, max_lag + 1)],
+    )
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("lag"),
+                    F.col("x").alias("x"),
+                    F.col(f"_y{k}").alias("y"),
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        )
+    ).alias("p")
+    pairs = (
+        lagged.select(stacked)
+        .select("p.lag", "p.x", "p.y")
+        .where(F.col("y").isNotNull())
+    )
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("_sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("_sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("_sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("_sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    # try_divide: a zero-variance series has den = 0; NULL acf on both
+    # engines (DuckDB double division by zero is NULL, ANSI Spark throws)
+    return agg.select(
+        "lag", "n", F.round(F.try_divide(num, den), 6).alias("acf")
+    )

@@ -9117,6 +9117,335 @@ def q_ewma_revenue_daily(spark, sf_dir):
     return ewma_smooth(daily, "revenue", "day", decay=0.5, taps=7)
 
 
+@query(
+    "pareto_frontier_parts",
+    """
+    WITH per AS (
+        SELECT p_retailprice AS cost, MAX(p_size) AS best_gain
+        FROM part GROUP BY 1
+    ),
+    r AS (
+        SELECT cost, best_gain,
+               MAX(best_gain) OVER (
+                   ORDER BY cost
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cheaper_best
+        FROM per
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+    FROM part p JOIN r ON p.p_retailprice = r.cost
+    WHERE NOT ((r.cheaper_best IS NOT NULL
+                AND r.cheaper_best >= p.p_size)
+               OR r.best_gain > p.p_size)
+    """,
+    "2-D Pareto frontier of parts (minimize retail price, maximize "
+    "size): no other part is both cheaper-or-equal and larger-or-equal "
+    "with one strict",
+    tags=("analytics", "skyline"),
+)
+def q_pareto_frontier_parts(spark, sf_dir):
+    """Skyline without the quadratic NOT-EXISTS self-join
+    (operators/features.py::skyline_2d): collapse to best-size-per-
+    price, one running-max window over that DOMAIN-bounded table, and
+    a hash join back on the price key. Equal (price, size) twins
+    survive together — the frontier is a set, not one winner."""
+    from pramen_spark.operators.features import skyline_2d
+
+    p = load_table(spark, sf_dir, "part")
+    return skyline_2d(p, "p_retailprice", "p_size").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+
+
+@query(
+    "max_concurrency_events",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+    ),
+    marked AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess0 AS (
+        SELECT user_id, tus,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+        FROM marked
+    ),
+    sess AS (
+        SELECT MIN(tus) AS s_us, MAX(tus) AS e_us
+        FROM sess0 GROUP BY user_id, sid
+    ),
+    seg AS (
+        SELECT s_us, e_us,
+               unnest(range(s_us // 86400000000,
+                            e_us // 86400000000 + 1)) AS dayn
+        FROM sess
+    ),
+    clip AS (
+        SELECT dayn,
+               GREATEST(s_us, dayn * 86400000000) AS cs,
+               LEAST(e_us, dayn * 86400000000 + 86399999999) AS ce
+        FROM seg
+    ),
+    pts AS (
+        SELECT dayn, cs AS t, 1 AS delta FROM clip
+        UNION ALL
+        SELECT dayn, ce AS t, -1 AS delta FROM clip
+    ),
+    sw AS (
+        SELECT dayn, delta,
+               SUM(delta) OVER (
+                   PARTITION BY dayn ORDER BY t, delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS conc
+        FROM pts
+    )
+    SELECT DATE '1970-01-01' + CAST(dayn AS INTEGER) AS day,
+           CAST(COUNT(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_intervals,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM sw GROUP BY dayn
+    """,
+    "peak concurrent 30-min-gap sessions per UTC day via a day-"
+    "partitioned sweep line over closed session intervals",
+    tags=("analytics", "sessionization"),
+)
+def q_max_concurrency_events(spark, sf_dir):
+    """Capacity planning over sessionize_batch's output
+    (operators/sequences.py::interval_concurrency): sessions split at
+    UTC midnights FIRST, so the +1/−1 sweep window partitions by day
+    and never funnels the whole timeline through one sort — the global-
+    sweep-line pitfall made parallel. Closed intervals: sessions
+    touching at one microsecond are concurrent, and a one-event
+    session still registers."""
+    from pramen_spark.operators.sequences import interval_concurrency
+    from pramen_spark.streaming.stream import sessionize_batch
+
+    s = sessionize_batch(
+        load_events(spark, sf_dir), "user_id", "ts", gap="30 minutes"
+    )
+    iv = s.select(
+        F.unix_micros("session_start").alias("s_us"),
+        F.unix_micros("session_end").alias("e_us"),
+    )
+    return interval_concurrency(iv, "s_us", "e_us")
+
+
+@query(
+    "acf_revenue_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT revenue AS x,
+               lag(revenue, 1) OVER w AS y1, lag(revenue, 2) OVER w AS y2,
+               lag(revenue, 3) OVER w AS y3, lag(revenue, 4) OVER w AS y4,
+               lag(revenue, 5) OVER w AS y5, lag(revenue, 6) OVER w AS y6,
+               lag(revenue, 7) OVER w AS y7
+        FROM daily WINDOW w AS (ORDER BY day)
+    ),
+    st AS (
+        SELECT 1 AS lag, x, y1 AS y FROM l UNION ALL
+        SELECT 2, x, y2 FROM l UNION ALL
+        SELECT 3, x, y3 FROM l UNION ALL
+        SELECT 4, x, y4 FROM l UNION ALL
+        SELECT 5, x, y5 FROM l UNION ALL
+        SELECT 6, x, y6 FROM l UNION ALL
+        SELECT 7, x, y7 FROM l
+    ),
+    a AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM st WHERE y IS NOT NULL GROUP BY lag
+    )
+    SELECT lag, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS acf
+    FROM a
+    """,
+    "autocorrelation of daily revenue at lags 1-7 from decimal-exact "
+    "co-moment sums: the weekly-cycle detector",
+    tags=("analytics", "timegrid"),
+)
+def q_acf_revenue_daily(spark, sf_dir):
+    """The window-size picker for every smoother in timegrid
+    (operators/timegrid.py::autocorrelation): orders pre-aggregate to
+    the DECIMAL-exact daily grid (the only order-volume stage), lags
+    1..7 stack via one explode, and ONE aggregation produces all six
+    co-moment sums per lag — products in IEEE double, sums in decimal,
+    so the Pearson statistic never depends on reduce order. The
+    unpartitioned LAG window sees only calendar-bounded daily rows."""
+    from pramen_spark.operators.timegrid import autocorrelation
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return autocorrelation(daily, "revenue", "day", max_lag=7)
+
+
+@query(
+    "hhi_nation_suppliers",
+    """
+    WITH per AS (
+        SELECT n.n_name, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(18,4)) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           ROUND(CAST(MAX(v) AS DOUBLE) / CAST(SUM(v) AS DOUBLE), 6)
+             AS top_share,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE)
+                 / (CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)), 6)
+             AS hhi
+    FROM per GROUP BY n_name
+    """,
+    "Herfindahl-Hirschman supplier-concentration index of discounted "
+    "revenue per nation, with top-supplier share",
+    tags=("analytics", "skew"),
+)
+def q_hhi_nation_suppliers(spark, sf_dir):
+    """Market concentration as exact arithmetic
+    (operators/skew.py::herfindahl_index): supplier revenues sum as
+    decimals, HHI is the ratio of two exact decimal reductions
+    (Σv² / (Σv)²) — never the naive Σ(share²) double sum whose value
+    depends on reduce order. Two map-side-combined aggregations; the
+    second input is bounded by nations × suppliers."""
+    from pramen_spark.operators.skew import herfindahl_index
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    joined = l.join(
+        F.broadcast(s), l["l_suppkey"] == s["s_suppkey"]
+    ).join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return herfindahl_index(joined, "n_name", "l_suppkey", rev).select(
+        F.col("grp").alias("n_name"), "n_entities", "top_share", "hhi"
+    )
+
+
+@query(
+    "kaplan_meier_events",
+    """
+    WITH s AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS rn
+        FROM events WHERE event_type = 'signup'
+    ),
+    starts AS (SELECT user_id, us AS start_us, event_id AS start_event_id
+               FROM s WHERE rn = 1),
+    e AS (
+        SELECT e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS us,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id)
+                   AS rn
+        FROM events e JOIN starts st ON e.user_id = st.user_id
+        WHERE e.event_type = 'purchase'
+          AND (epoch_us(CAST(e.ts AS TIMESTAMP)) > st.start_us
+               OR (epoch_us(CAST(e.ts AS TIMESTAMP)) = st.start_us
+                   AND e.event_id > st.start_event_id))
+    ),
+    conv AS (SELECT user_id, us AS convert_us FROM e WHERE rn = 1),
+    lastev AS (
+        SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT (COALESCE(c.convert_us, l.last_us) - st.start_us)
+                   // 86400000000 AS t,
+               CASE WHEN c.convert_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM starts st
+        JOIN lastev l ON st.user_id = l.user_id
+        LEFT JOIN conv c ON st.user_id = c.user_id
+    ),
+    g AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM dur GROUP BY t
+    ),
+    r AS (
+        SELECT t, d,
+               CAST(SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS at_risk
+        FROM g
+    ),
+    f AS (
+        SELECT t, d, at_risk,
+               CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE) AS fac
+        FROM r
+    ),
+    sw AS (
+        SELECT t, d, at_risk,
+               SUM(CASE WHEN fac > 0 THEN ln(fac) END) OVER w AS lnsum,
+               MAX(CASE WHEN fac = 0 THEN 1 ELSE 0 END) OVER w AS zero
+        FROM f
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT t AS time, d AS n_events, at_risk,
+           CASE WHEN zero = 1 THEN 0.0
+                ELSE ROUND(exp(COALESCE(lnsum, 0)), 6) END AS survival
+    FROM sw WHERE d > 0
+    """,
+    "Kaplan-Meier survival curve of signup-to-purchase latency in days, "
+    "right-censored at each user's last observed event",
+    tags=("analytics", "evalmetrics"),
+)
+def q_kaplan_meier_events(spark, sf_dir):
+    """Survival analysis over the conversion funnel
+    (operators/evalmetrics.py::kaplan_meier, fed by sequences.py::
+    time_to_convert): never-converted users enter as censored at their
+    last observed event instead of being dropped — the bias the naive
+    time_to_convert average has. Subjects collapse to the per-day
+    duration histogram first; at-risk counts are a REVERSE running sum
+    (no separate total), and the running product is exp(Σ ln) with an
+    explicit zero flag so a 100%%-failure day pins survival to exact 0
+    on both engines (Spark NULLs ln(0), DuckDB -infs it)."""
+    from pramen_spark.operators.evalmetrics import kaplan_meier
+    from pramen_spark.operators.sequences import time_to_convert
+
+    ev = load_events(spark, sf_dir)
+    t = time_to_convert(ev, "signup", "purchase")
+    last = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("_last_us")
+    )
+    dur = t.join(last, "user_id").select(
+        F.expr(
+            "CAST((COALESCE(convert_us, _last_us) - start_us)"
+            " DIV 86400000000 AS LONG)"
+        ).alias("t_days"),
+        F.col("convert_us").isNotNull().cast("int").alias("converted"),
+    )
+    return kaplan_meier(dur, "t_days", "converted")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
