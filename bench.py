@@ -181,6 +181,13 @@ HEADLINE = [
     "acf_revenue_daily",
     "hhi_nation_suppliers",
     "kaplan_meier_events",
+    # round-8 wave 17: robust trend, WOE/IV screening, inverted index,
+    # gaps-and-islands streaks, histogram-exact Spearman
+    "theil_sen_daily",
+    "woe_iv_events",
+    "posting_lists_documents",
+    "activity_streaks_events",
+    "spearman_quantity_price",
 ]
 
 

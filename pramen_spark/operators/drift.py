@@ -11,7 +11,7 @@ so no pre-pass and no sort); the join and PSI arithmetic run on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -358,3 +358,69 @@ def proportion_ci(
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     )
+
+
+def spearman(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association readout that survives the heavy tails and
+    outliers that wreck Pearson, computed EXACTLY (average ranks for
+    ties) without ever ranking row-by-row.
+
+    The trick: a value's average rank is (#smaller) + (#equal + 1)/2,
+    which depends only on the VALUE HISTOGRAM — so ranks come from a
+    running sum over each column's distinct-value table (the auc
+    histogram trick) and join back by value. Ranks are scaled by 2
+    (r2 = 2·#smaller + #equal + 1) to stay integer-exact through the
+    half-rank ties; Pearson is scale-invariant so rho is unchanged.
+    All co-moment sums reduce as DECIMALs — the statistic is
+    bit-reproducible at any cluster size; the only float step is the
+    final scalar formula.
+
+    Scale: two distinct-value aggregations (map-side combined, bounded
+    by each column's DOMAIN), two windows over those domain tables,
+    two value-keyed joins back, one reduce. No global row sort, no
+    single-partition stage over row volume.
+
+    Returns one row: (n, rho).
+    """
+    base = df.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def rank2(src_col: str, v_alias: str, r_alias: str) -> DataFrame:
+        g = base.groupBy(F.col(src_col).alias(v_alias)).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.orderBy(v_alias).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            v_alias,
+            (
+                F.lit(2) * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + F.lit(1)
+            ).cast("long").alias(r_alias),
+        )
+
+    rx = rank2("_x", "_vx", "_r2x")
+    ry = rank2("_y", "_vy", "_r2y")
+    j = (
+        base.join(rx, base["_x"] == rx["_vx"])
+        .join(ry, base["_y"] == ry["_vy"])
+        .select("_r2x", "_r2y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_r2x"))).cast("double").alias("_sx"),
+        F.sum(dec(F.col("_r2y"))).cast("double").alias("_sy"),
+        F.sum(dec(F.col("_r2x") * F.col("_r2y"))).cast("double").alias("_sxy"),
+        F.sum(dec(F.col("_r2x") * F.col("_r2x"))).cast("double").alias("_sxx"),
+        F.sum(dec(F.col("_r2y") * F.col("_r2y"))).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return s.select("n", F.round(F.try_divide(num, den), 6).alias("rho"))

@@ -232,3 +232,56 @@ def skyline_2d(
         & (F.col("_cheaper_best") >= F.col(gain_col))
     ) | (F.col("_best_gain") > F.col(gain_col))
     return out.where(~dominated).drop("_cost", "_best_gain", "_cheaper_best")
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    label_col,
+    bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence binning with per-bin information value — the
+    credit-scoring-style predictiveness readout for a numeric feature
+    against a binary label: WOE_b = ln(P(bin|pos) / P(bin|neg)),
+    IV_b = (P(bin|pos) − P(bin|neg)) · WOE_b.
+
+    Bins come from exact percentile thresholds broadcast as ONE row
+    (the rfm_scores pattern: bin = 1 + #thresholds exceeded), never
+    NTILE, whose tie placement is engine- and partition-order-
+    dependent. A bin with zero positives or zero negatives gets NULL
+    WOE explicitly on both engines — Spark NULLs ln(0) while DuckDB
+    returns -inf, so the guard is semantics, not style.
+
+    Scale: one percentile aggregation (map-side combined) broadcast to
+    a pure column expression, one ``bins``-group aggregation, totals
+    re-aggregated from the bin table. Nothing after the first pass
+    sees row volume.
+    """
+    qs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    th = df.agg(F.percentile(F.col(value_col), qs).alias("_th"))
+    binned = df.crossJoin(F.broadcast(th))
+    b = F.lit(1)
+    for i in range(1, bins):
+        b = b + (F.col(value_col) > F.element_at(F.col("_th"), i)).cast("int")
+    g = binned.groupBy(b.cast("long").alias("bin")).agg(
+        F.sum(label_col.cast("int")).cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = g.agg(
+        F.sum("n_pos").cast("long").alias("_tp"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("_tn"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    dp = F.col("n_pos").cast("double") / F.col("_tp").cast("double")
+    dn = (F.col("n") - F.col("n_pos")).cast("double") / F.col("_tn").cast("double")
+    woe = F.when(
+        (F.col("n_pos") > 0) & (F.col("n") - F.col("n_pos") > 0),
+        F.log(dp / dn),
+    )
+    return j.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(woe, 6).alias("woe"),
+        F.round((dp - dn) * woe, 6).alias("iv_component"),
+    )

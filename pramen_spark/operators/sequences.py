@@ -424,3 +424,41 @@ def interval_concurrency(
         .alias("n_intervals"),
         F.max("_conc").cast("long").alias("max_concurrent"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands classic, and the retention metric product teams
+    actually chase (DAU streaks), all in exact integer arithmetic.
+
+    Islands via the textbook trick: within a user's DISTINCT active
+    days, day_number − row_number() is constant exactly along a
+    consecutive run. The raw log collapses to distinct (user, day)
+    FIRST (the only event-volume stage, map-side combined), so both
+    windows run over at most one row per user-day; everything is keyed
+    on the user — one shuffle, perfectly parallel across users.
+
+    Returns (user, n_active_days, n_streaks, longest_streak).
+    """
+    days = df.select(
+        F.col(user_col).alias("user"),
+        F.expr(
+            f"CAST(unix_micros({ts_col}) DIV 86400000000 AS LONG)"
+        ).alias("_dayn"),
+    ).distinct()
+    w = Window.partitionBy("user").orderBy("_dayn")
+    isl = days.withColumn(
+        "_island", F.col("_dayn") - F.row_number().over(w)
+    )
+    per_island = isl.groupBy("user", "_island").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return per_island.groupBy("user").agg(
+        F.sum("_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("_len").cast("long").alias("longest_streak"),
+    )

@@ -944,3 +944,47 @@ def zipf_slope(
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round(F.try_divide(cov * cov, varx * vary), 6).alias("r2"),
     )
+
+
+def posting_lists(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Inverted-index construction: per token, its document frequency
+    and the sorted posting list of document ids — the build step behind
+    BM25 retrieval (bm25_scores consumes exactly this shape) and
+    decontamination lookups.
+
+    Per-document tokens deduplicate INSIDE the row (array_distinct —
+    no shuffle) before the single token-keyed aggregation; ``min_df``
+    prunes hapax noise and ``max_postings`` caps each list at the
+    ``max_postings`` SMALLEST doc ids (deterministic truncation), so a
+    stopword's posting list cannot blow past executor memory — at real
+    index scale stopwords are exactly the keys that would otherwise
+    hold gigabyte lists in one reducer.
+
+    Scale: the explode carries distinct (token, doc) pairs only; the
+    aggregation combines map-side. Posting lists shard naturally by
+    token — the layout a distributed index wants.
+    """
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    pairs = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.explode(toks).alias("token"), F.col(id_col).alias("_id"))
+        .where(F.col("token") != "")
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.slice(
+                F.sort_array(F.collect_list("_id")), 1, max_postings
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= min_df)
+    )

@@ -250,3 +250,53 @@ def autocorrelation(
     return agg.select(
         "lag", "n", F.round(F.try_divide(num, den), 6).alias("acf")
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend estimator over a bounded series grid: the
+    MEDIAN of all pairwise slopes, with the median-of-residuals
+    intercept — immune to the outlier days that drag OLS
+    (trend_slope_daily's least-squares fit) around, which is exactly
+    when a trend readout matters.
+
+    Input is one row per grid point (the ewma_smooth contract: callers
+    pre-aggregate, e.g. daily revenue). The pair join is O(days²) —
+    bounded by the CALENDAR, never by data volume: ten years of daily
+    rows is ~6.7M pairs, a trivial shuffle. Slopes divide IEEE doubles
+    (identical everywhere); the interpolated median averages two order
+    statistics, also engine-exact.
+
+    Returns one row: (n_points, n_pairs, slope, intercept), round 6.
+    """
+    base = df.select(
+        F.unix_date(F.col(order_col)).cast("double").alias("_x"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    slopes = a.join(b, F.col("a._x") < F.col("b._x")).select(
+        (
+            (F.col("b._y") - F.col("a._y")) / (F.col("b._x") - F.col("a._x"))
+        ).alias("_slope")
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile(F.col("_slope"), 0.5).alias("_m"),
+    )
+    resid = base.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "_m",
+        (F.col("_y") - F.col("_m") * F.col("_x")).alias("_r"),
+    )
+    return resid.groupBy("n_pairs", "_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.percentile(F.col("_r"), 0.5).alias("_b"),
+    ).select(
+        "n_points",
+        "n_pairs",
+        F.round("_m", 6).alias("slope"),
+        F.round("_b", 6).alias("intercept"),
+    )

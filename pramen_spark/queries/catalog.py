@@ -9446,6 +9446,247 @@ def q_kaplan_meier_events(spark, sf_dir):
     return kaplan_meier(dur, "t_days", "converted")
 
 
+@query(
+    "theil_sen_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS DOUBLE) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS y
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS s
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               quantile_cont(s, 0.5) AS slope
+        FROM slopes
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points, m.n_pairs,
+           ROUND(m.slope, 6) AS slope,
+           ROUND(quantile_cont(d.y - m.slope * d.x, 0.5), 6) AS intercept
+    FROM daily d, m GROUP BY m.n_pairs, m.slope
+    """,
+    "Theil-Sen robust trend of daily revenue: median of all pairwise "
+    "slopes plus median-residual intercept",
+    tags=("analytics", "timegrid"),
+)
+def q_theil_sen_daily(spark, sf_dir):
+    """The outlier-proof sibling of trend_slope_daily's OLS fit
+    (operators/timegrid.py::theil_sen): orders collapse to the DECIMAL-
+    exact daily grid first, so the O(days²) pair join is bounded by the
+    CALENDAR (ten years ≈ 6.7M pairs), never data volume. Slopes are
+    IEEE-double divisions; the interpolated median averages two order
+    statistics — engine-exact on both sides."""
+    from pramen_spark.operators.timegrid import theil_sen
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return theil_sen(daily, "revenue", "day")
+
+
+@query(
+    "woe_iv_events",
+    """
+    WITH th AS (
+        SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+                quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+                quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+                quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+                quantile_cont(value, 0.9)] AS t
+        FROM events
+    ),
+    binned AS (
+        SELECT CAST(1 + (CASE WHEN value > t[1] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[2] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[3] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[4] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[5] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[6] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[7] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[8] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[9] THEN 1 ELSE 0 END)
+                AS BIGINT) AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events, th
+    ),
+    g AS (
+        SELECT bin, CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+               CAST(SUM(n - n_pos) AS BIGINT) AS tn
+        FROM g
+    )
+    SELECT bin, n, n_pos,
+           ROUND(CASE WHEN n_pos > 0 AND n - n_pos > 0
+                 THEN ln((CAST(n_pos AS DOUBLE) / tp)
+                         / (CAST(n - n_pos AS DOUBLE) / tn)) END, 6) AS woe,
+           ROUND((CAST(n_pos AS DOUBLE) / tp
+                  - CAST(n - n_pos AS DOUBLE) / tn)
+                 * CASE WHEN n_pos > 0 AND n - n_pos > 0
+                   THEN ln((CAST(n_pos AS DOUBLE) / tp)
+                           / (CAST(n - n_pos AS DOUBLE) / tn)) END, 6)
+             AS iv_component
+    FROM g, tot
+    """,
+    "weight-of-evidence deciles of event value against the purchase "
+    "label, with per-bin information value",
+    tags=("analytics", "features"),
+)
+def q_woe_iv_events(spark, sf_dir):
+    """Credit-scoring-style feature screening
+    (operators/features.py::woe_iv): bins from ONE broadcast exact-
+    percentile row (the rfm_scores pattern — never NTILE, whose tie
+    placement is engine-dependent), WOE/IV from the 10-row bin table.
+    Bins with zero positives or negatives NULL explicitly on both
+    engines: Spark NULLs ln(0) while DuckDB returns -inf, so the guard
+    is semantics, not style."""
+    from pramen_spark.operators.features import woe_iv
+
+    ev = load_events(spark, sf_dir)
+    return woe_iv(
+        ev, "value", (F.col("event_type") == "purchase"), bins=10
+    )
+
+
+@query(
+    "posting_lists_documents",
+    r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           list_sort(list(doc_id))[1:1000] AS postings
+    FROM tok WHERE token <> ''
+    GROUP BY token HAVING COUNT(*) >= 5
+    """,
+    "inverted-index posting lists: per token with doc_freq >= 5, the "
+    "sorted document-id list capped at the 1000 smallest ids",
+    tags=("text", "scale"),
+)
+def q_posting_lists_documents(spark, sf_dir):
+    """The index-build step behind bm25_relevance
+    (operators/text.py::posting_lists): per-document dedup inside the
+    row (array_distinct — no shuffle), one token-keyed aggregation,
+    min_df pruning, and DETERMINISTIC truncation to the 1000 smallest
+    doc ids per token so stopword lists cannot hold gigabytes in one
+    reducer. Posting lists shard naturally by token — the layout a
+    distributed index wants."""
+    from pramen_spark.operators.text import posting_lists
+
+    d = load_table(spark, sf_dir, "documents")
+    return posting_lists(d, "doc_id", "text", min_df=5, max_postings=1000)
+
+
+@query(
+    "activity_streaks_events",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, dayn,
+               dayn - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY dayn) AS island
+        FROM days
+    ),
+    per AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id AS user, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM per GROUP BY user_id
+    """,
+    "longest consecutive-day activity streak per user via the "
+    "gaps-and-islands row_number trick, exact integers",
+    tags=("analytics", "sequences"),
+)
+def q_activity_streaks_events(spark, sf_dir):
+    """Retention's streak metric (operators/sequences.py::
+    activity_streaks): the raw log collapses to distinct (user, day)
+    FIRST — the only event-volume stage — then day_number −
+    row_number() is constant exactly along consecutive runs. One
+    user-keyed shuffle; windows see at most one row per user-day."""
+    from pramen_spark.operators.sequences import activity_streaks
+
+    return activity_streaks(load_events(spark, sf_dir), "user_id", "ts")
+
+
+@query(
+    "spearman_quantity_price",
+    """
+    WITH base AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    gx AS (SELECT x AS v, COUNT(*) AS c FROM base GROUP BY x),
+    rx AS (
+        SELECT v, CAST(2 * COALESCE(SUM(c) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS r2
+        FROM gx
+    ),
+    gy AS (SELECT y AS v, COUNT(*) AS c FROM base GROUP BY y),
+    ry AS (
+        SELECT v, CAST(2 * COALESCE(SUM(c) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS r2
+        FROM gy
+    ),
+    j AS (
+        SELECT rx.r2 AS a, ry.r2 AS b
+        FROM base JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(a AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(b AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(a * b AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(a * a AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(b * b AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM j
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho
+    FROM s
+    """,
+    "exact tie-aware Spearman rank correlation of quantity vs extended "
+    "price via histogram-derived doubled ranks",
+    tags=("analytics", "drift"),
+)
+def q_spearman_quantity_price(spark, sf_dir):
+    """Monotone association without a global row sort
+    (operators/drift.py::spearman): average ranks depend only on the
+    VALUE HISTOGRAM — (#smaller, #equal) per distinct value (the auc
+    trick) — so ranks come from domain-bounded running sums and join
+    back by value. Doubled ranks (2·#smaller + #equal + 1) keep tie
+    half-ranks integer-exact; Pearson is scale-invariant so rho is
+    unchanged, and every co-moment reduces as DECIMAL — the statistic
+    is bit-reproducible at any cluster size."""
+    from pramen_spark.operators.drift import spearman
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return spearman(l, "l_quantity", "l_extendedprice")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
