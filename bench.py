@@ -188,6 +188,13 @@ HEADLINE = [
     "posting_lists_documents",
     "activity_streaks_events",
     "spearman_quantity_price",
+    # round-8 wave 18: cohort LTV, growth accounting, randomness and
+    # outlier screens, forecast-baseline backtest
+    "cohort_ltv_orders",
+    "new_vs_returning_events",
+    "runs_test_daily",
+    "grubbs_test_daily",
+    "forecast_backtest_daily",
 ]
 
 

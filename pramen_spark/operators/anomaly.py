@@ -171,3 +171,119 @@ def overdispersion(
         F.round(disp, 6).alias("dispersion"),
         (disp > F.lit(1.0)).alias("overdispersed"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for serial randomness: is the series'
+    above/below-median sign pattern consistent with independence, or
+    does it cluster (trend/regime) or alternate (overcorrection)?
+    The go/no-go screen before trusting i.i.d.-assuming monitors.
+
+    Values equal to the interpolated median drop (the standard
+    convention); the run count is 1 + Σ(sign ≠ previous sign) over the
+    ORDER, and the z-statistic is the closed form from the exact
+    integer counts (n_pos, n_neg, n_runs) — the only float work is
+    scalar arithmetic on one row.
+
+    Callers pre-aggregate to a bounded grid (daily rows — the
+    ewma_smooth contract); the sign window is unpartitioned but only
+    ever sees the calendar-bounded series.
+
+    Returns one row: (n_pos, n_neg, n_runs, z), z round 6.
+    """
+    med = df.agg(F.percentile(F.col(value_col), 0.5).alias("_med"))
+    signed = (
+        df.crossJoin(F.broadcast(med))
+        .where(F.col(value_col) != F.col("_med"))
+        .select(
+            F.col(order_col).alias("_o"),
+            (F.col(value_col) > F.col("_med")).cast("int").alias("_s"),
+        )
+    )
+    w = Window.orderBy("_o")
+    flagged = signed.select(
+        "_s",
+        F.when(
+            F.lag("_s").over(w).isNull()
+            | (F.lag("_s").over(w) != F.col("_s")),
+            1,
+        ).otherwise(0).alias("_newrun"),
+    )
+    agg = flagged.agg(
+        F.sum("_s").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_s")).cast("long").alias("n_neg"),
+        F.sum("_newrun").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    r = F.col("n_runs").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.round(F.try_divide(r - mu, F.sqrt(var)), 6).alias("z"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate test: find THE single most
+    extreme point of a series and how many sample standard deviations
+    it sits from the mean — the "is this one day broken or just the
+    tail" question mad_anomalies answers robustly; Grubbs is the
+    parametric classic auditors expect next to it.
+
+    Mean and variance come from DECIMAL-exact Σv and Σv² (products in
+    IEEE double, sums in decimal — the welch/acf discipline), the
+    outlier is an argmax over a (deviation, order) struct with a
+    deterministic order tiebreak, and everything after the one
+    aggregation pass is scalar arithmetic on a broadcast row.
+
+    Returns one row: (n, at, value, g_stat), rounds 6.
+    """
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(v)).cast("double").alias("_s1"),
+        F.sum(dec(v * v)).cast("double").alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s1") / n
+    var = (n * F.col("_s2") - F.col("_s1") * F.col("_s1")) / (
+        n * (n - F.lit(1.0))
+    )
+    enriched = stats.select("n", mean.alias("_mean"), F.sqrt(var).alias("_sd"))
+    dev = F.abs(v - F.col("_mean"))
+    arg = df.crossJoin(F.broadcast(enriched)).agg(
+        F.max("n").alias("n_keep"),
+        F.max("_mean").alias("_m"),
+        F.max("_sd").alias("_sdk"),
+        F.max(
+            F.struct(
+                dev.alias("d"),
+                F.col(order_col).alias("o"),
+                v.alias("v"),
+            )
+        ).alias("_top"),
+    )
+    return arg.select(
+        F.col("n_keep").alias("n"),
+        F.col("_top.o").alias("at"),
+        F.round(F.col("_top.v"), 6).alias("value"),
+        F.round(F.try_divide(F.col("_top.d"), F.col("_sdk")), 6).alias(
+            "g_stat"
+        ),
+    )

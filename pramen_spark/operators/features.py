@@ -285,3 +285,59 @@ def woe_iv(
         F.round(woe, 6).alias("woe"),
         F.round((dp - dn) * woe, 6).alias("iv_component"),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_expr,
+) -> DataFrame:
+    """Cohort lifetime-value triangle: entities cohort by the calendar
+    month of their FIRST transaction, and each (cohort, month-offset)
+    cell carries that cohort's revenue in that month plus the running
+    cumulative — the LTV curve finance teams read off the diagonal.
+    The revenue twin of the retention triangle
+    (queries/catalog.py::q_cohort_retention_events).
+
+    Exactness: monthly revenue sums as decimals; the cumulative is a
+    window sum over the DECIMAL monthly cells (months × cohorts rows,
+    calendar-bounded), so cum_revenue never depends on reduce order.
+    Month offsets are pure integer arithmetic (year·12 + month diffs),
+    never float months_between.
+
+    Scale: one per-entity window for the cohort month (carries
+    (entity, month) pairs), one triangle aggregation, one
+    calendar-bounded window. Nothing else sees row volume.
+    """
+    from pyspark.sql import Window as W
+
+    mnum = (F.year(date_col) * 12 + F.month(date_col)).alias("_mnum")
+    base = df.select(
+        F.col(entity_col).alias("_ent"),
+        mnum,
+        value_expr.alias("_v"),
+    )
+    w = W.partitionBy("_ent")
+    cohorted = base.withColumn("_cohort", F.min("_mnum").over(w))
+    tri = cohorted.groupBy(
+        F.col("_cohort"),
+        (F.col("_mnum") - F.col("_cohort")).cast("long").alias("month_offset"),
+    ).agg(
+        F.count_distinct(F.col("_ent")).cast("long").alias("n_active"),
+        F.sum("_v").cast("decimal(18,2)").alias("_rev"),
+    )
+    cum = W.partitionBy("_cohort").orderBy("month_offset").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return tri.select(
+        F.make_date(
+            ((F.col("_cohort") - 1) / 12).cast("int"),
+            ((F.col("_cohort") - 1) % 12 + 1).cast("int"),
+            F.lit(1),
+        ).alias("cohort_month"),
+        "month_offset",
+        "n_active",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(cum).cast("double").alias("cum_revenue"),
+    )

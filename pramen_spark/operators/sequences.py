@@ -462,3 +462,42 @@ def activity_streaks(
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("_len").cast("long").alias("longest_streak"),
     )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily new-vs-returning split: per UTC day, how many distinct
+    users were active, how many were seen for the FIRST time ever, and
+    how many returned — the growth-accounting decomposition under every
+    DAU chart.
+
+    The raw log collapses to distinct (user, day) first (the
+    activity_streaks pattern); each user's first day is a min
+    aggregation, and "new on day d" is first_day == d — no join of
+    events against their own minimum, just one user-keyed window over
+    the deduplicated pairs.
+
+    Returns (day, n_users, n_new, n_returning), all exact integers.
+    """
+    days = df.select(
+        F.col(user_col).alias("user"),
+        F.expr(
+            f"CAST(unix_micros({ts_col}) DIV 86400000000 AS LONG)"
+        ).alias("_dayn"),
+    ).distinct()
+    w = Window.partitionBy("user")
+    flagged = days.withColumn("_first", F.min("_dayn").over(w))
+    return flagged.groupBy(
+        F.date_from_unix_date(F.col("_dayn").cast("int")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("_dayn") == F.col("_first")).cast("int"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum((F.col("_dayn") != F.col("_first")).cast("int"))
+        .cast("long")
+        .alias("n_returning"),
+    )

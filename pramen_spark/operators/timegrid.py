@@ -300,3 +300,45 @@ def theil_sen(
         F.round("_m", 6).alias("slope"),
         F.round("_b", 6).alias("intercept"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: score the forecast
+    ŷ_t = y_{t−season} (the "same day last week" baseline every real
+    forecast must beat) with MAE, RMSE and MAPE over the series. The
+    honest evaluation floor for any fancier model — if it can't beat
+    this row, ship the LAG.
+
+    Errors are IEEE-double subtractions of grid values; their absolute
+    values, squares (as products, never pow) and percentage ratios SUM
+    as decimals, so the metrics are reduce-order independent. Callers
+    pre-aggregate to a bounded grid (the ewma_smooth contract), so the
+    unpartitioned LAG window sees calendar-bounded rows only.
+
+    Returns one row: (n, mae, rmse, mape), rounds 6.
+    """
+    w = Window.orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    paired = df.select(
+        v.alias("_y"), F.lag(v, season).over(w).alias("_f")
+    ).where(F.col("_f").isNotNull())
+    e = F.col("_y") - F.col("_f")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.abs(e))).cast("double").alias("_sae"),
+        F.sum(dec(e * e)).cast("double").alias("_sse"),
+        F.sum(dec(F.abs(e) / F.abs(F.col("_y")))).cast("double").alias("_sap"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        F.round(F.col("_sae") / n, 6).alias("mae"),
+        F.round(F.sqrt(F.col("_sse") / n), 6).alias("rmse"),
+        F.round(F.col("_sap") / n, 6).alias("mape"),
+    )

@@ -9687,6 +9687,257 @@ def q_spearman_quantity_price(spark, sf_dir):
     return spearman(l, "l_quantity", "l_extendedprice")
 
 
+@query(
+    "cohort_ltv_orders",
+    """
+    WITH base AS (
+        SELECT o_custkey AS ent,
+               year(o_orderdate) * 12 + month(o_orderdate) AS mnum,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders
+    ),
+    c AS (
+        SELECT ent, mnum, v, MIN(mnum) OVER (PARTITION BY ent) AS cohort
+        FROM base
+    ),
+    tri AS (
+        SELECT cohort, CAST(mnum - cohort AS BIGINT) AS month_offset,
+               CAST(COUNT(DISTINCT ent) AS BIGINT) AS n_active,
+               CAST(SUM(v) AS DECIMAL(18,2)) AS rev
+        FROM c GROUP BY cohort, month_offset
+    )
+    SELECT make_date(CAST((cohort - 1) // 12 AS INTEGER),
+                     CAST((cohort - 1) % 12 + 1 AS INTEGER), 1)
+             AS cohort_month,
+           month_offset, n_active,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY month_offset
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+    FROM tri
+    """,
+    "cohort lifetime-value triangle: customers cohorted by first-order "
+    "month, per-offset revenue and the cumulative LTV curve",
+    tags=("analytics", "features"),
+)
+def q_cohort_ltv_orders(spark, sf_dir):
+    """The revenue twin of the retention triangle
+    (operators/features.py::cohort_ltv): cohort month via one
+    per-customer window over (customer, month) pairs, DECIMAL monthly
+    cells, and a calendar-bounded window for the cumulative — month
+    offsets are integer year·12+month arithmetic, never float
+    months_between."""
+    from pramen_spark.operators.features import cohort_ltv
+
+    o = load_table(spark, sf_dir, "orders")
+    return cohort_ltv(
+        o,
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)"),
+    )
+
+
+@query(
+    "new_vs_returning_events",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, dayn,
+               MIN(dayn) OVER (PARTITION BY user_id) AS first_day
+        FROM days
+    )
+    SELECT DATE '1970-01-01' + CAST(dayn AS INTEGER) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN dayn = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN dayn <> first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM f GROUP BY dayn
+    """,
+    "daily growth accounting: distinct active users split into "
+    "first-ever-seen vs returning",
+    tags=("analytics", "sequences"),
+)
+def q_new_vs_returning_events(spark, sf_dir):
+    """The decomposition under every DAU chart
+    (operators/sequences.py::new_vs_returning): the log collapses to
+    distinct (user, day) first, each user's first day is one window
+    min over those pairs — never a join of events against their own
+    minimum. All exact integers."""
+    from pramen_spark.operators.sequences import new_vs_returning
+
+    return new_vs_returning(load_events(spark, sf_dir), "user_id", "ts")
+
+
+@query(
+    "runs_test_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(revenue, 0.5) AS m FROM daily),
+    s AS (
+        SELECT day, CASE WHEN revenue > m THEN 1 ELSE 0 END AS sgn
+        FROM daily, med WHERE revenue <> m
+    ),
+    fl AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER w IS NULL
+                         OR lag(sgn) OVER w <> sgn
+                    THEN 1 ELSE 0 END AS newrun
+        FROM s WINDOW w AS (ORDER BY day)
+    ),
+    a AS (
+        SELECT CAST(SUM(sgn) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - sgn) AS BIGINT) AS n_neg,
+               CAST(SUM(newrun) AS BIGINT) AS n_runs
+        FROM fl
+    )
+    SELECT n_pos, n_neg, n_runs,
+           ROUND((CAST(n_runs AS DOUBLE)
+                  - (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                     / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                     + 1.0))
+                 / sqrt(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                        * (2.0 * CAST(n_pos AS DOUBLE)
+                           * CAST(n_neg AS DOUBLE)
+                           - CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
+                        / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                           * (CAST(n_pos AS DOUBLE)
+                              + CAST(n_neg AS DOUBLE))
+                           * (CAST(n_pos AS DOUBLE)
+                              + CAST(n_neg AS DOUBLE) - 1.0))), 6) AS z
+    FROM a
+    """,
+    "Wald-Wolfowitz runs test of daily revenue around its median: "
+    "exact run counts and the closed-form z statistic",
+    tags=("analytics", "anomaly"),
+)
+def q_runs_test_daily(spark, sf_dir):
+    """The i.i.d. sanity screen before trusting alerting thresholds
+    (operators/anomaly.py::runs_test): median-equal days drop (the
+    standard convention), runs count as 1 + sign flips over the
+    calendar-bounded daily grid, and the z statistic is scalar
+    arithmetic on the one exact-integer result row."""
+    from pramen_spark.operators.anomaly import runs_test
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return runs_test(daily, "revenue", "day")
+
+
+@query(
+    "grubbs_test_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(revenue * revenue AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s2
+        FROM daily
+    ),
+    en AS (
+        SELECT n, s1 / CAST(n AS DOUBLE) AS m,
+               sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 AS sd
+        FROM st
+    )
+    SELECT en.n, d.day AS "at", ROUND(d.revenue, 6) AS value,
+           ROUND(abs(d.revenue - en.m) / en.sd, 6) AS g_stat
+    FROM daily d, en
+    ORDER BY abs(d.revenue - en.m) DESC, d.day DESC LIMIT 1
+    """,
+    "Grubbs' max-studentized-deviate test on daily revenue: the single "
+    "most extreme day and its distance in sample standard deviations",
+    tags=("analytics", "anomaly"),
+)
+def q_grubbs_test_daily(spark, sf_dir):
+    """The parametric partner of anomaly_mad_daily
+    (operators/anomaly.py::grubbs_test): mean/variance from
+    DECIMAL-exact Σv and Σv² in one pass, the outlier an argmax over a
+    (deviation, day) struct with a deterministic date tiebreak —
+    everything after the single aggregation is scalar arithmetic on a
+    broadcast row."""
+    from pramen_spark.operators.anomaly import grubbs_test
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return grubbs_test(daily, "revenue", "day")
+
+
+@query(
+    "forecast_backtest_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT revenue AS y, lag(revenue, 7) OVER (ORDER BY day) AS f
+        FROM daily
+    ),
+    p AS (SELECT y, f FROM l WHERE f IS NOT NULL),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(abs(y - f) AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sae,
+               CAST(SUM(CAST((y - f) * (y - f) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sse,
+               CAST(SUM(CAST(abs(y - f) / abs(y) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sap
+        FROM p
+    )
+    SELECT n, ROUND(sae / CAST(n AS DOUBLE), 6) AS mae,
+           ROUND(sqrt(sse / CAST(n AS DOUBLE)), 6) AS rmse,
+           ROUND(sap / CAST(n AS DOUBLE), 6) AS mape
+    FROM a
+    """,
+    "seasonal-naive (same-day-last-week) forecast backtest on daily "
+    "revenue: MAE, RMSE, MAPE",
+    tags=("analytics", "timegrid"),
+)
+def q_forecast_backtest_daily(spark, sf_dir):
+    """The evaluation floor every forecast must beat
+    (operators/timegrid.py::forecast_backtest): ŷ_t = y_{t−7} via one
+    LAG over the calendar-bounded daily grid; absolute errors, squares
+    (as products, never pow) and percentage ratios sum as decimals so
+    the metrics are reduce-order independent."""
+    from pramen_spark.operators.timegrid import forecast_backtest
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return forecast_backtest(daily, "revenue", "day", season=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
