@@ -195,6 +195,13 @@ HEADLINE = [
     "runs_test_daily",
     "grubbs_test_daily",
     "forecast_backtest_daily",
+    # round-8 wave 19: elasticity OLS, purchase cadence, token
+    # burstiness, key-space completeness, audience overlap
+    "price_elasticity_lineitem",
+    "repeat_purchase_interval_events",
+    "token_burstiness_documents",
+    "key_gap_audit_orders",
+    "audience_overlap_events",
 ]
 
 

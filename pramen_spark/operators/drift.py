@@ -424,3 +424,45 @@ def spearman(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
     )
     return s.select("n", F.round(F.try_divide(num, den), 6).alias("rho"))
+
+
+def ols_fit(df: DataFrame, x_expr, y_expr) -> DataFrame:
+    """Simple least-squares fit of y on x from decimal-exact co-moment
+    sums — the workhorse behind elasticity estimates and any
+    log-log/semi-log regression readout. Slope, intercept and R² from
+    one aggregation pass: products in IEEE double (identical on every
+    engine), sums in DECIMAL, so the fit never depends on reduce order
+    (the autocorrelation/spearman discipline).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²); R² = num² / (denx · deny).
+    Zero-variance x (or y for R²) yields NULL via try_divide on both
+    engines. Returns one row: (n, slope, intercept, r2), rounds 6.
+
+    Scale: one map-side-combined aggregation; everything after is
+    scalar arithmetic on the single result row.
+    """
+    base = df.select(
+        x_expr.cast("double").alias("_x"), y_expr.cast("double").alias("_y")
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    s = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_x"))).cast("double").alias("_sx"),
+        F.sum(dec(F.col("_y"))).cast("double").alias("_sy"),
+        F.sum(dec(F.col("_x") * F.col("_y"))).cast("double").alias("_sxy"),
+        F.sum(dec(F.col("_x") * F.col("_x"))).cast("double").alias("_sxx"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.try_divide(num, denx)
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.try_divide(F.col("_sy") - slope * F.col("_sx"), n), 6
+        ).alias("intercept"),
+        F.round(F.try_divide(num * num, denx * deny), 6).alias("r2"),
+    )

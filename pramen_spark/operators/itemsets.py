@@ -89,3 +89,53 @@ def basket_pairs(
             / (F.col("count_a") * F.col("count_b"))
         ).alias("lift"),
     )
+
+
+def set_overlap(
+    df: DataFrame,
+    set_col: str,
+    member_col: str,
+) -> DataFrame:
+    """Pairwise audience overlap between labeled member sets: for every
+    unordered pair of set labels, the exact intersection size, Jaccard
+    similarity and overlap coefficient (|A∩B| / min(|A|,|B|)) — the
+    "how much do these segments share users" readout behind channel
+    planning and leakage checks between cohorts.
+
+    Membership dedups to distinct (set, member) first; intersections
+    come from a self-join CO-KEYED ON THE MEMBER (quadratic only in
+    the handful of sets a single member belongs to, never across
+    members); set sizes broadcast back onto the pair table. All
+    integer counts; the two ratios are single divisions, round 6.
+    """
+    m = df.select(
+        F.col(set_col).alias("_s"), F.col(member_col).alias("_m")
+    ).distinct()
+    sizes = m.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(b, (F.col("a._m") == F.col("b._m"))
+               & (F.col("a._s") < F.col("b._s")))
+        .groupBy(
+            F.col("a._s").alias("set_a"), F.col("b._s").alias("set_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_s").alias("set_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_s").alias("set_b"), F.col("_n").alias("n_b"))
+    j = inter.join(F.broadcast(sa), "set_a").join(F.broadcast(sb), "set_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return j.select(
+        "set_a",
+        "set_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(F.col("n_common").cast("double") / union.cast("double"), 6)
+        .alias("jaccard"),
+        F.round(
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+            6,
+        ).alias("overlap_coeff"),
+    )

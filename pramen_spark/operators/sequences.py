@@ -501,3 +501,41 @@ def new_vs_returning(
         .cast("long")
         .alias("n_returning"),
     )
+
+
+def inter_event_gaps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-event interval distribution: the gaps (in fractional days)
+    between each user's CONSECUTIVE events, summarized as exact
+    interpolated quartiles plus a decimal-exact mean — the
+    repeat-purchase-cadence readout that sets reorder-reminder timing
+    and churn-definition windows.
+
+    One window pass partitioned by user (ordered by (ts, id) so ties
+    are deterministic) produces the gaps; one global aggregation
+    summarizes. Gap days divide microsecond longs as IEEE doubles —
+    identical everywhere.
+
+    Returns one row: (n_gaps, mean_days, p25, p50, p75), rounds 6.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    gaps = df.select(
+        ((us - F.lag(us).over(w)).cast("double") / F.lit(86_400_000_000.0))
+        .alias("_gap")
+    ).where(F.col("_gap").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("_gap").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_days"),
+        F.round(F.percentile(F.col("_gap"), 0.25), 6).alias("p25"),
+        F.round(F.percentile(F.col("_gap"), 0.5), 6).alias("p50"),
+        F.round(F.percentile(F.col("_gap"), 0.75), 6).alias("p75"),
+    )

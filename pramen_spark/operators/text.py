@@ -988,3 +988,50 @@ def posting_lists(
         )
         .where(F.col("doc_freq") >= min_df)
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+) -> DataFrame:
+    """Token burstiness (Fano factor of within-document frequency):
+    for each token appearing in >= min_df documents, the variance-to-
+    mean ratio of its per-document count ACROSS the documents that
+    contain it. Function words repeat steadily (factor near its
+    Poisson baseline); topical words burst (one doc mentions them ten
+    times, most never) — the signal behind stopword lists, keyword
+    extraction, and tf saturation constants like BM25's k1.
+
+    Counts per (doc, token) come from one explode + aggregation (the
+    only corpus-volume stage); the per-token moments then reduce the
+    (doc, token, tf) table with DECIMAL Σtf and Σtf² (tf² as products)
+    so mean and variance are reduce-order independent. Population
+    variance (the docs containing the token ARE the population).
+
+    Returns (token, doc_freq, mean_tf, burstiness), rounds 6.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tf = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("_id"), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum(dec(F.col("_tf"))).cast("double").alias("_s1"),
+        F.sum(dec(F.col("_tf") * F.col("_tf"))).cast("double").alias("_s2"),
+    )
+    n = F.col("doc_freq").cast("double")
+    mean = F.col("_s1") / n
+    var = F.col("_s2") / n - mean * mean
+    return g.where(F.col("doc_freq") >= min_df).select(
+        "token",
+        "doc_freq",
+        F.round(mean, 6).alias("mean_tf"),
+        F.round(F.try_divide(var, mean), 6).alias("burstiness"),
+    )

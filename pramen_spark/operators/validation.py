@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List, Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # rule names are interpolated into the stack(...) pivot expression; a
@@ -341,4 +341,72 @@ def benford_digit_audit(
         F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
             "expected_p"
         ),
+    )
+
+
+def key_gap_audit(
+    df: DataFrame,
+    key_col: str,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Sequence-completeness audit over an integer key space: how many
+    gaps interrupt the distinct keys, the widest gap, and coverage of
+    the observed [min, max] span — the "did ingestion silently drop a
+    range" check for surrogate-key and offset columns.
+
+    The global-ORDER-BY-lag formulation funnels every key through one
+    partition; this one buckets keys by ``key DIV bucket_size`` so the
+    intra-bucket LAG window is partitioned (perfectly parallel), and
+    bucket-boundary gaps come from a second LAG over the per-bucket
+    (min, max) summary table — bounded by the key DOMAIN / bucket_size,
+    not by key count. Empty buckets between populated ones are covered
+    automatically: the summary-level gap spans them.
+
+    Returns one row: (n_keys, min_key, max_key, n_gaps, max_gap_len,
+    missing_keys) — all exact integers. ``n_gaps`` counts maximal
+    missing runs; ``missing_keys`` = span - n_keys.
+    """
+    keys = df.select(F.col(key_col).cast("long").alias("_k")).distinct()
+    bucketed = keys.withColumn(
+        "_b", F.expr(f"_k DIV {int(bucket_size)}")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_k")
+    intra = bucketed.select(
+        (F.col("_k") - F.lag("_k").over(w_in)).alias("_d")
+    ).where(F.col("_d") > 1)
+    intra_stats = intra.agg(
+        F.count(F.lit(1)).cast("long").alias("_g_in"),
+        F.max(F.col("_d") - 1).alias("_mx_in"),
+    )
+    summary = bucketed.groupBy("_b").agg(
+        F.min("_k").alias("_lo"), F.max("_k").alias("_hi")
+    )
+    w_b = Window.orderBy("_b")
+    boundary = summary.select(
+        (F.col("_lo") - F.lag("_hi").over(w_b)).alias("_d")
+    ).where(F.col("_d") > 1)
+    boundary_stats = boundary.agg(
+        F.count(F.lit(1)).cast("long").alias("_g_b"),
+        F.max(F.col("_d") - 1).alias("_mx_b"),
+    )
+    totals = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("_k").alias("min_key"),
+        F.max("_k").alias("max_key"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(intra_stats))
+        .crossJoin(F.broadcast(boundary_stats))
+        .select(
+            "n_keys",
+            "min_key",
+            "max_key",
+            (F.col("_g_in") + F.col("_g_b")).cast("long").alias("n_gaps"),
+            F.greatest(
+                F.coalesce("_mx_in", F.lit(0)), F.coalesce("_mx_b", F.lit(0))
+            ).cast("long").alias("max_gap_len"),
+            (F.col("max_key") - F.col("min_key") + 1 - F.col("n_keys"))
+            .cast("long")
+            .alias("missing_keys"),
+        )
     )

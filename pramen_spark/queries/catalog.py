@@ -9938,6 +9938,213 @@ def q_forecast_backtest_daily(spark, sf_dir):
     return forecast_backtest(daily, "revenue", "day", season=7)
 
 
+@query(
+    "price_elasticity_lineitem",
+    """
+    WITH base AS (
+        SELECT ln(1 - l_discount) AS x, ln(l_quantity) AS y
+        FROM lineitem WHERE l_quantity > 0 AND l_discount < 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM base
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    "log-log OLS of quantity on effective price factor (1 - discount): "
+    "the price-elasticity regression from decimal-exact co-moments",
+    tags=("analytics", "drift"),
+)
+def q_price_elasticity_lineitem(spark, sf_dir):
+    """The elasticity readout every pricing team fits first
+    (operators/drift.py::ols_fit): ln transforms are per-row IEEE
+    doubles, co-moments sum as DECIMALs (the autocorrelation/spearman
+    discipline), and slope/intercept/R² are scalar arithmetic on one
+    row. One map-side-combined pass over lineitem."""
+    from pramen_spark.operators.drift import ols_fit
+
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_discount") < 1)
+    )
+    return ols_fit(
+        l, F.log(F.lit(1) - F.col("l_discount")), F.log("l_quantity")
+    )
+
+
+@query(
+    "repeat_purchase_interval_events",
+    """
+    WITH p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT CAST(us - lag(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS DOUBLE)
+               / 86400000000.0 AS gap
+        FROM p
+    ),
+    k AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(CAST(gap AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_days,
+           ROUND(quantile_cont(gap, 0.25), 6) AS p25,
+           ROUND(quantile_cont(gap, 0.5), 6) AS p50,
+           ROUND(quantile_cont(gap, 0.75), 6) AS p75
+    FROM k
+    """,
+    "repeat-purchase cadence: quartiles and mean of fractional-day "
+    "gaps between each user's consecutive purchases",
+    tags=("analytics", "sequences"),
+)
+def q_repeat_purchase_interval_events(spark, sf_dir):
+    """Reorder-timing and churn-window calibration
+    (operators/sequences.py::inter_event_gaps): one user-partitioned
+    window with a (ts, id) tiebreak, gaps as IEEE-double divisions of
+    microsecond longs, decimal-exact mean and interpolated quartiles
+    in one global reduce."""
+    from pramen_spark.operators.sequences import inter_event_gaps
+
+    ev = load_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    return inter_event_gaps(ev, "user_id", "ts", "event_id")
+
+
+@query(
+    "token_burstiness_documents",
+    r"""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM raw WHERE token <> '' GROUP BY doc_id, token
+    ),
+    g AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+               CAST(SUM(CAST(tf AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(tf * tf AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM tf GROUP BY token
+    )
+    SELECT token, doc_freq,
+           ROUND(s1 / CAST(doc_freq AS DOUBLE), 6) AS mean_tf,
+           ROUND((s2 / CAST(doc_freq AS DOUBLE)
+                  - (s1 / CAST(doc_freq AS DOUBLE))
+                    * (s1 / CAST(doc_freq AS DOUBLE)))
+                 / (s1 / CAST(doc_freq AS DOUBLE)), 6) AS burstiness
+    FROM g WHERE doc_freq >= 5
+    """,
+    "token burstiness (Fano factor of per-document frequency) for "
+    "tokens in >= 5 documents: topical words burst, function words "
+    "repeat steadily",
+    tags=("text",),
+)
+def q_token_burstiness_documents(spark, sf_dir):
+    """The dispersion signal behind stopword lists and BM25's tf
+    saturation (operators/text.py::token_burstiness): per-(doc, token)
+    counts are the only corpus-volume stage; per-token moments reduce
+    the tf table with DECIMAL Σtf and Σtf² so the variance-to-mean
+    ratio is reduce-order independent."""
+    from pramen_spark.operators.text import token_burstiness
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_burstiness(d, "doc_id", "text", min_df=5)
+
+
+@query(
+    "key_gap_audit_orders",
+    """
+    WITH k AS (
+        SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+    ),
+    d AS (SELECT k - lag(k) OVER (ORDER BY k) AS d FROM k),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(COALESCE(MAX(d - 1), 0) AS BIGINT) AS max_gap_len
+        FROM d WHERE d > 1
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               MIN(k) AS min_key, MAX(k) AS max_key
+        FROM k
+    )
+    SELECT n_keys, min_key, max_key, n_gaps, max_gap_len,
+           CAST(max_key - min_key + 1 - n_keys AS BIGINT) AS missing_keys
+    FROM t, g
+    """,
+    "integer-key completeness audit of the order-key space: gap "
+    "count, widest gap, and missing-key total over the observed span",
+    tags=("quality", "validation"),
+)
+def q_key_gap_audit_orders(spark, sf_dir):
+    """The "did ingestion drop a range" screen
+    (operators/validation.py::key_gap_audit): keys bucket by
+    k DIV 100000 so the intra-bucket LAG window is PARTITIONED
+    (parallel), and bucket-boundary gaps come from one LAG over the
+    per-bucket (min, max) summary — bounded by domain/bucket_size,
+    never the global single-partition sort the textbook query implies.
+    TPC-H deliberately uses a sparse key space, so the audit has real
+    gaps to find."""
+    from pramen_spark.operators.validation import key_gap_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return key_gap_audit(o, "o_orderkey", bucket_size=100_000)
+
+
+@query(
+    "audience_overlap_events",
+    """
+    WITH m AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
+    sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY s),
+    inter AS (
+        SELECT a.s AS set_a, b.s AS set_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM m a JOIN m b ON a.u = b.u AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT set_a, set_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS overlap_coeff
+    FROM inter
+    JOIN sz sa ON inter.set_a = sa.s
+    JOIN sz sb ON inter.set_b = sb.s
+    """,
+    "pairwise audience overlap between event-type user sets: exact "
+    "intersections, Jaccard, and overlap coefficient",
+    tags=("analytics", "itemsets"),
+)
+def q_audience_overlap_events(spark, sf_dir):
+    """Segment-sharing audit (operators/itemsets.py::set_overlap):
+    membership dedups to distinct (set, member) first; intersections
+    self-join CO-KEYED ON THE MEMBER — quadratic only in the handful
+    of sets one member belongs to, never across members; sizes
+    broadcast onto the pair table. The same shape that checks
+    train/eval cohort leakage."""
+    from pramen_spark.operators.itemsets import set_overlap
+
+    return set_overlap(load_events(spark, sf_dir), "event_type", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
