@@ -202,6 +202,13 @@ HEADLINE = [
     "token_burstiness_documents",
     "key_gap_audit_orders",
     "audience_overlap_events",
+    # round-8 wave 20: finance bridges, Pareto classes, basket shapes,
+    # segment migration, win-backs
+    "pvm_bridge_orders",
+    "abc_classification_parts",
+    "basket_size_orders",
+    "customer_migration_orders",
+    "reactivation_events",
 ]
 
 

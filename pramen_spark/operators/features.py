@@ -341,3 +341,63 @@ def cohort_ltv(
         F.col("_rev").cast("double").alias("revenue"),
         F.sum("_rev").over(cum).cast("double").alias("cum_revenue"),
     )
+
+
+def segment_migration(
+    df: DataFrame,
+    entity_col: str,
+    period_expr,
+    value_expr,
+    n_segments: int = 4,
+) -> DataFrame:
+    """Customer-segment migration matrix between two periods: entities
+    are quantile-scored WITHIN each period (the rfm_scores broadcast-
+    threshold pattern — never NTILE) and the matrix counts entities per
+    (segment_then, segment_now) cell, with segment 0 meaning "absent
+    that period" — so churned (from > 0, to = 0) and newly acquired
+    (from = 0, to > 0) entities appear in the same readout as
+    upgrades/downgrades.
+
+    ``period_expr`` must evaluate to exactly two distinct values; the
+    smaller (by natural ordering) is "then". Per-entity values reduce
+    as the caller's expression (pass a decimal cast for money); the
+    quantile thresholds are one exact-percentile row PER PERIOD
+    broadcast back, so tie placement is engine-exact.
+
+    Scale: one (entity, period) aggregation over the fact table, a
+    2-row percentile aggregation, one full-outer self-join of the two
+    period slices on the entity key. Returns (seg_from, seg_to,
+    n_entities).
+    """
+    # decimal-exact sum, then ONE double conversion: percentile and the
+    # threshold comparisons run in double on both engines identically
+    per = df.groupBy(
+        F.col(entity_col).alias("_ent"), period_expr.alias("_per")
+    ).agg(F.sum(value_expr).cast("double").alias("_v"))
+    qs = F.array(
+        *[F.lit(i / n_segments) for i in range(1, n_segments)]
+    )
+    th = per.groupBy("_per").agg(F.percentile(F.col("_v"), qs).alias("_th"))
+    seg = F.lit(1)
+    for i in range(1, n_segments):
+        seg = seg + (F.col("_v") > F.element_at(F.col("_th"), i)).cast("int")
+    scored = per.join(F.broadcast(th), "_per").select(
+        "_ent", "_per", seg.cast("long").alias("_seg")
+    )
+    bounds = scored.agg(
+        F.min("_per").alias("_p1"), F.max("_per").alias("_p2")
+    )
+    with_bounds = scored.crossJoin(F.broadcast(bounds))
+    p1 = with_bounds.where(F.col("_per") == F.col("_p1")).select(
+        "_ent", F.col("_seg").alias("seg_from")
+    )
+    p2 = with_bounds.where(F.col("_per") == F.col("_p2")).select(
+        "_ent", F.col("_seg").alias("seg_to")
+    )
+    j = p1.join(p2, "_ent", "full_outer").select(
+        F.coalesce("seg_from", F.lit(0)).cast("long").alias("seg_from"),
+        F.coalesce("seg_to", F.lit(0)).cast("long").alias("seg_to"),
+    )
+    return j.groupBy("seg_from", "seg_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities")
+    )

@@ -139,3 +139,34 @@ def set_overlap(
             6,
         ).alias("overlap_coeff"),
     )
+
+
+def basket_size_distribution(
+    df: DataFrame,
+    basket_col: str,
+) -> DataFrame:
+    """Basket-size histogram: how many baskets contain exactly k lines,
+    with each size's share of all baskets — the shape parameter behind
+    basket mining support thresholds (basket_pairs' candidate volume is
+    quadratic in this distribution's tail) and cart UX dashboards.
+
+    Two map-side-combined aggregations: lines → per-basket counts →
+    per-size counts; the basket total re-aggregates the (tiny) size
+    histogram and broadcasts. Exact integers plus one division.
+
+    Returns (basket_size, n_baskets, share), share round 6.
+    """
+    sizes = df.groupBy(F.col(basket_col).alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    hist = sizes.groupBy(F.col("_sz").alias("basket_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    tot = hist.agg(F.sum("n_baskets").cast("long").alias("_t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "basket_size",
+        "n_baskets",
+        F.round(
+            F.col("n_baskets").cast("double") / F.col("_t").cast("double"), 6
+        ).alias("share"),
+    )

@@ -539,3 +539,41 @@ def inter_event_gaps(
         F.round(F.percentile(F.col("_gap"), 0.5), 6).alias("p50"),
         F.round(F.percentile(F.col("_gap"), 0.75), 6).alias("p75"),
     )
+
+
+def reactivations(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    dormancy_days: int = 30,
+) -> DataFrame:
+    """Daily reactivation count: users who return after at least
+    ``dormancy_days`` of silence — the win-back metric that pairs with
+    new_vs_returning's growth accounting (a "returning" user who was
+    dark for a month is a different business event than a daily
+    habitual).
+
+    Same skeleton as activity_streaks: collapse to distinct
+    (user, day) first, one user-partitioned LAG, then count the days
+    whose gap from the user's previous active day exceeds the
+    dormancy threshold. Exact integers throughout.
+
+    Returns (day, n_reactivated).
+    """
+    days = df.select(
+        F.col(user_col).alias("user"),
+        F.expr(
+            f"CAST(unix_micros({ts_col}) DIV 86400000000 AS LONG)"
+        ).alias("_dayn"),
+    ).distinct()
+    w = Window.partitionBy("user").orderBy("_dayn")
+    gapped = days.select(
+        "_dayn", (F.col("_dayn") - F.lag("_dayn").over(w)).alias("_gap")
+    )
+    return (
+        gapped.where(F.col("_gap") > dormancy_days)
+        .groupBy(
+            F.date_from_unix_date(F.col("_dayn").cast("int")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reactivated"))
+    )

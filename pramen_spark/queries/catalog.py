@@ -10145,6 +10145,224 @@ def q_audience_overlap_events(spark, sf_dir):
     return set_overlap(load_events(spark, sf_dir), "event_type", "user_id")
 
 
+@query(
+    "pvm_bridge_orders",
+    """
+    WITH cells AS (
+        SELECT p_brand AS grp, year(l_shipdate) AS per,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT grp, q AS qty_a, r AS rev_a FROM cells WHERE per = 1996),
+    b AS (SELECT grp, q AS qty_b, r AS rev_b FROM cells WHERE per = 1997)
+    SELECT a.grp, qty_a, qty_b, rev_a, rev_b,
+           ROUND((qty_b - qty_a) * (rev_a / qty_a), 6) AS volume_effect,
+           ROUND((rev_b / qty_b - rev_a / qty_a) * qty_b, 6)
+             AS price_effect
+    FROM a JOIN b ON a.grp = b.grp
+    """,
+    "price-volume bridge per brand between 1996 and 1997: revenue "
+    "change split into volume-at-old-price and price-on-new-volume",
+    tags=("analytics", "finance"),
+)
+def q_pvm_bridge_orders(spark, sf_dir):
+    """The revenue-review waterfall (operators/finance.py::pvm_bridge):
+    quantities and discounted revenue reduce as DECIMALs per
+    (brand, year), the two effects are scalar arithmetic on the joined
+    two-period cell — and they telescope to the total change exactly,
+    so the decomposition audits itself."""
+    from pramen_spark.operators.finance import pvm_bridge
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return pvm_bridge(
+        j, "p_brand", F.year("l_shipdate"), 1996, 1997,
+        "l_quantity", amount,
+    )
+
+
+@query(
+    "abc_classification_parts",
+    """
+    WITH per AS (
+        SELECT l_partkey AS k,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT v,
+               SUM(v) OVER (ORDER BY v DESC, k
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(v) OVER () AS tot
+        FROM per
+    ),
+    c AS (
+        SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                    THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+                    THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               v, tot
+        FROM r
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(v) AS DOUBLE) AS value,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+             AS share
+    FROM c GROUP BY abc_class
+    """,
+    "ABC/Pareto classification of parts by discounted revenue: class "
+    "A carries 80% of value, B to 95%, C the tail",
+    tags=("analytics", "finance"),
+)
+def q_abc_classification_parts(spark, sf_dir):
+    """Which 20% of the catalog is 80% of revenue
+    (operators/finance.py::abc_classification): per-part revenue
+    reduces as DECIMAL, the cumulative runs over the PART table
+    (domain-bounded, deterministic (value desc, key) order), and
+    breakpoints compare in double only at the classification."""
+    from pramen_spark.operators.finance import abc_classification
+
+    l = load_table(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return abc_classification(l, "l_partkey", amount)
+
+
+@query(
+    "basket_size_orders",
+    """
+    WITH sizes AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+        SELECT sz AS basket_size, CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM sizes GROUP BY sz
+    ),
+    tot AS (SELECT CAST(SUM(n_baskets) AS BIGINT) AS t FROM hist)
+    SELECT basket_size, n_baskets,
+           ROUND(CAST(n_baskets AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+    FROM hist, tot
+    """,
+    "basket-size histogram of order line counts with each size's "
+    "share of all orders",
+    tags=("analytics", "itemsets"),
+)
+def q_basket_size_orders(spark, sf_dir):
+    """The shape parameter behind basket-mining support thresholds
+    (operators/itemsets.py::basket_size_distribution): two map-side-
+    combined aggregations (lines → basket sizes → histogram); the
+    total re-aggregates the tiny histogram and broadcasts."""
+    from pramen_spark.operators.itemsets import basket_size_distribution
+
+    return basket_size_distribution(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
+
+
+@query(
+    "customer_migration_orders",
+    """
+    WITH per AS (
+        SELECT o_custkey AS ent,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 2 END AS per,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    th AS (
+        SELECT per, quantile_cont(v, 0.25) AS t1,
+               quantile_cont(v, 0.5) AS t2, quantile_cont(v, 0.75) AS t3
+        FROM per GROUP BY per
+    ),
+    scored AS (
+        SELECT ent, per.per,
+               CAST(1 + (CASE WHEN v > t1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN v > t2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN v > t3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS seg
+        FROM per JOIN th ON per.per = th.per
+    ),
+    p1 AS (SELECT ent, seg FROM scored WHERE per = 1),
+    p2 AS (SELECT ent, seg FROM scored WHERE per = 2)
+    SELECT COALESCE(p1.seg, 0) AS seg_from,
+           COALESCE(p2.seg, 0) AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_entities
+    FROM p1 FULL OUTER JOIN p2 ON p1.ent = p2.ent
+    GROUP BY 1, 2
+    """,
+    "customer quartile-segment migration matrix between pre- and "
+    "post-1998 revenue, with segment 0 for absent-that-period",
+    tags=("analytics", "features"),
+)
+def q_customer_migration_orders(spark, sf_dir):
+    """Upgrades, downgrades, churn and acquisition in ONE matrix
+    (operators/features.py::segment_migration): per-period quartiles
+    from broadcast exact-percentile rows (never NTILE), segment 0 for
+    absent entities via the full-outer self-join on the customer key.
+    Decimal-exact sums convert to double once, before thresholding."""
+    from pramen_spark.operators.features import segment_migration
+
+    o = load_table(spark, sf_dir, "orders")
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+    ).otherwise(2)
+    return segment_migration(
+        o, "o_custkey", period,
+        F.col("o_totalprice").cast("decimal(18,2)"), n_segments=4,
+    )
+
+
+@query(
+    "reactivation_events",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+        FROM events
+    ),
+    g AS (
+        SELECT dayn,
+               dayn - lag(dayn) OVER (PARTITION BY user_id
+                                      ORDER BY dayn) AS gap
+        FROM days
+    )
+    SELECT DATE '1970-01-01' + CAST(dayn AS INTEGER) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_reactivated
+    FROM g WHERE gap > 2 GROUP BY dayn
+    """,
+    "daily win-back count: users active again after more than 2 days "
+    "of silence",
+    tags=("analytics", "sequences"),
+)
+def q_reactivation_events(spark, sf_dir):
+    """The win-back half of growth accounting
+    (operators/sequences.py::reactivations): distinct (user, day)
+    collapse, one user-partitioned LAG, and a threshold on the exact
+    integer day gap — a habitual daily user and a resurrected one stop
+    being the same 'returning' number."""
+    from pramen_spark.operators.sequences import reactivations
+
+    return reactivations(
+        load_events(spark, sf_dir), "user_id", "ts", dormancy_days=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
