@@ -209,6 +209,13 @@ HEADLINE = [
     "basket_size_orders",
     "customer_migration_orders",
     "reactivation_events",
+    # round-8 wave 21: diversity, exact decay scoring, double-entry
+    # screen, collocations, growth accounting
+    "event_diversity_users",
+    "decayed_value_customers",
+    "duplicate_line_screen_lineitem",
+    "token_npmi_documents",
+    "growth_accounting_events",
 ]
 
 

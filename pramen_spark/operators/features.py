@@ -401,3 +401,101 @@ def segment_migration(
     return j.groupBy("seg_from", "seg_to").agg(
         F.count(F.lit(1)).cast("long").alias("n_entities")
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    entity_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Simpson diversity index per entity: the probability that two of
+    an entity's observations (drawn without replacement) fall in
+    DIFFERENT categories, D = 1 − Σ nᵢ(nᵢ−1) / (N(N−1)) — the
+    behavioral-breadth score (does this user only ever 'view', or do
+    they engage across the surface?) that powers engagement-depth
+    segmentation. The pairwise complement of token_entropy's
+    information-theoretic view, and EXACT: every term is integer
+    arithmetic, the single division happens once per entity.
+
+    Entities with one observation have no pair to draw — NULL, not 0,
+    via try_divide. Returns (entity, n_obs, richness, simpson_d),
+    round 6.
+
+    Scale: two map-side-combined aggregations (observations →
+    (entity, category) counts → per-entity reduce). Nothing after the
+    first pass sees row volume.
+    """
+    cat = df.groupBy(
+        F.col(entity_col).alias("entity"), F.col(category_col).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    g = cat.groupBy("entity").agg(
+        F.sum("_n").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("richness"),
+        F.sum(F.col("_n") * (F.col("_n") - 1)).cast("long").alias("_pairs"),
+    )
+    same = F.try_divide(
+        F.col("_pairs").cast("double"),
+        (F.col("n_obs") * (F.col("n_obs") - 1)).cast("double"),
+    )
+    return g.select(
+        "entity",
+        "n_obs",
+        "richness",
+        F.round(F.lit(1.0) - same, 6).alias("simpson_d"),
+    )
+
+
+def decayed_value(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_expr,
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Recency-weighted entity value: each transaction contributes
+    value · 0.5^⌊age / half_life⌋, aged against the dataset's own
+    horizon (max date) — the engagement-decay scoring behind churn
+    models and re-targeting budgets, where last week's purchase should
+    count double next week's.
+
+    Exactness: the exponent is an INTEGER bucket, so the weight is an
+    exact power of two computed as 1.0 / (1 << k) — never float
+    pow(0.5, x), whose libm differs across engines at money-breaking
+    magnitudes. Value·weight products are IEEE doubles; they SUM as
+    decimals. Ages beyond 62 half-lives weight exactly 0.
+
+    Scale: a 1-row horizon broadcast (the temporal_split pattern), a
+    pure column expression for the weight, one entity-keyed
+    aggregation. Returns (entity, n_txns, raw_value, decayed_value).
+    """
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_date(F.to_date(date_col)).cast("long").alias("_dayn"),
+        value_expr.cast("decimal(18,2)").alias("_v"),
+    )
+    horizon = base.agg(F.max("_dayn").alias("_h"))
+    k = F.expr(f"CAST((_h - _dayn) DIV {int(half_life_days)} AS INT)")
+    # fully exact scaled integers: cents · 2^(62−k) — a per-term
+    # double→decimal cast of v·2^-k lands EXACTLY on decimal half-way
+    # digits (2-decimal values times binary fractions), where Spark
+    # rounds HALF_UP and DuckDB HALF_EVEN. call_function: F.shiftleft
+    # only takes a literal shift amount.
+    cents = (F.col("_v") * 100).cast("decimal(18,0)")
+    pow2 = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.lit(62) - k
+    ).cast("decimal(19,0)")
+    scaled = F.when(k > 62, F.lit(0).cast("decimal(37,0)")).otherwise(
+        cents * pow2
+    )
+    denom = F.lit(100.0 * float(1 << 62))
+    return (
+        base.crossJoin(F.broadcast(horizon))
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_txns"),
+            F.round(F.sum("_v").cast("double"), 6).alias("raw_value"),
+            F.round(
+                F.sum(scaled).cast("double") / denom, 6
+            ).alias("decayed_value"),
+        )
+    )

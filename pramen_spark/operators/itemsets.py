@@ -170,3 +170,45 @@ def basket_size_distribution(
             F.col("n_baskets").cast("double") / F.col("_t").cast("double"), 6
         ).alias("share"),
     )
+
+
+def token_npmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_support: float = 0.05,
+) -> DataFrame:
+    """Pointwise mutual information (and its normalized form) for token
+    pairs co-occurring in documents: PMI = ln(lift) says how much more
+    often two tokens appear together than independence predicts; nPMI
+    rescales it to [−1, 1] so collocations are comparable across
+    frequency bands — the phrase-detection statistic behind
+    word2vec-style preprocessing.
+
+    Pure composition: documents tokenize to distinct (doc, token)
+    baskets and flow through :func:`basket_pairs` (Apriori pruning,
+    basket-co-keyed pair join, broadcast totals); PMI/nPMI are column
+    expressions over its exact counts. One operator, two readouts —
+    the lift-vs-PMI equivalence made explicit.
+
+    Returns (item_a, item_b, pair_count, support, pmi, npmi), round 6.
+    """
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    baskets = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("basket"), F.explode(toks).alias("item"))
+        .where(F.col("item") != "")
+    )
+    p = basket_pairs(baskets, "basket", "item", min_support=min_support)
+    pmi = F.log(F.col("lift"))
+    npmi = F.try_divide(pmi, -F.log(F.col("support")))
+    return p.select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        F.round("support", 6).alias("support"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(npmi, 6).alias("npmi"),
+    )

@@ -577,3 +577,78 @@ def reactivations(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_reactivated"))
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Full DAU growth accounting: every day's active count decomposed
+    into NEW (first day ever), RETAINED (also active yesterday) and
+    RESURRECTED (returning after ≥1 dark day), plus CHURNED (active
+    yesterday, not today) — the identity dau(d) = new + retained +
+    resurrected and churned(d) = dau(d−1) − retained(d) that growth
+    teams reconcile weekly. Completes the new_vs_returning /
+    reactivations family with the churn side.
+
+    One distinct (user, day) collapse, one user-partitioned window
+    producing lag/lead/first in a single pass, two small aggregations
+    joined on the day. Churn attributes to the day AFTER the user's
+    last consecutive day; the final day of data reports churned from
+    its previous day only (nobody can churn "after" the data ends).
+
+    Returns (day, dau, n_new, n_retained, n_resurrected, n_churned).
+    """
+    days = df.select(
+        F.col(user_col).alias("user"),
+        F.expr(
+            f"CAST(unix_micros({ts_col}) DIV 86400000000 AS LONG)"
+        ).alias("_dayn"),
+    ).distinct()
+    w = Window.partitionBy("user").orderBy("_dayn")
+    flagged = days.select(
+        "_dayn",
+        F.lag("_dayn").over(w).alias("_prev"),
+        F.lead("_dayn").over(w).alias("_next"),
+        F.min("_dayn").over(
+            Window.partitionBy("user").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_first"),
+    )
+    per_day = flagged.groupBy(F.col("_dayn").alias("_d")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum((F.col("_dayn") == F.col("_first")).cast("int"))
+        .cast("long")
+        .alias("n_new"),
+        # when/otherwise, not a bare comparison cast: _prev is NULL on
+        # every first-day row, and a day of only new users would SUM
+        # all-NULL flags to NULL instead of 0
+        F.sum(
+            F.when(F.col("_prev") == F.col("_dayn") - 1, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            (F.col("_prev").isNotNull()
+             & (F.col("_prev") < F.col("_dayn") - 1)).cast("int")
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        flagged.where(
+            F.col("_next").isNull() | (F.col("_next") > F.col("_dayn") + 1)
+        )
+        .groupBy((F.col("_dayn") + 1).alias("_d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return per_day.join(churn, "_d", "left").select(
+        F.date_from_unix_date(F.col("_d").cast("int")).alias("day"),
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )

@@ -410,3 +410,47 @@ def key_gap_audit(
             .alias("missing_keys"),
         )
     )
+
+
+def duplicate_transaction_screen(
+    df: DataFrame,
+    entity_col: str,
+    amount_col: str,
+    date_col: str,
+    id_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Double-charge / double-entry screen: CONSECUTIVE transactions by
+    the same entity for the same exact amount within ``window_days`` —
+    the first query a billing incident review runs. Consecutive (not
+    all-pairs) is the operational semantics: a burst of k repeats
+    flags k−1 adjacent pairs, and the window threshold applies between
+    neighbors in (date, id) order, so the screen never silently
+    explodes quadratically on a hot (entity, amount) key.
+
+    One window partitioned by (entity, amount) with a deterministic
+    (date, id) tiebreak; all arithmetic is integer day gaps.
+
+    Returns (entity, amount, first_id, second_id, gap_days).
+    """
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(amount_col).alias("amount"),
+        F.unix_date(F.to_date(date_col)).cast("long").alias("_dayn"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("entity", "amount").orderBy("_dayn", "_id")
+    paired = base.select(
+        "entity",
+        "amount",
+        F.lag("_id").over(w).alias("first_id"),
+        F.col("_id").alias("second_id"),
+        (F.col("_dayn") - F.lag("_dayn").over(w)).alias("gap_days"),
+    )
+    return paired.where(
+        F.col("gap_days").isNotNull()
+        & (F.col("gap_days") <= window_days)
+    ).select(
+        "entity", "amount", "first_id", "second_id",
+        F.col("gap_days").cast("long").alias("gap_days"),
+    )

@@ -10363,6 +10363,237 @@ def q_reactivation_events(spark, sf_dir):
     )
 
 
+@query(
+    "event_diversity_users",
+    """
+    WITH cat AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT user_id AS entity, CAST(SUM(n) AS BIGINT) AS n_obs,
+               CAST(COUNT(*) AS BIGINT) AS richness,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs
+        FROM cat GROUP BY 1
+    )
+    SELECT entity, n_obs, richness,
+           ROUND(1.0 - CAST(pairs AS DOUBLE)
+                 / CAST(n_obs * (n_obs - 1) AS DOUBLE), 6) AS simpson_d
+    FROM g
+    """,
+    "Simpson diversity of event types per user: probability two of a "
+    "user's events differ in type — exact integer arithmetic",
+    tags=("analytics", "features"),
+)
+def q_event_diversity_users(spark, sf_dir):
+    """Behavioral-breadth segmentation
+    (operators/features.py::simpson_diversity): the pairwise
+    complement of token_entropy's information view, and fully exact —
+    Σnᵢ(nᵢ−1) and N(N−1) are integers, divided once per user.
+    Single-observation users NULL (no pair to draw) on both engines."""
+    from pramen_spark.operators.features import simpson_diversity
+
+    return simpson_diversity(
+        load_events(spark, sf_dir), "user_id", "event_type"
+    )
+
+
+@query(
+    "decayed_value_customers",
+    """
+    WITH base AS (
+        SELECT o_custkey AS entity,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS dayn,
+               o_totalprice AS v
+        FROM orders
+    ),
+    h AS (SELECT MAX(dayn) AS hh FROM base),
+    wtd AS (
+        SELECT entity, CAST(v AS DECIMAL(18,2)) AS vd,
+               CASE WHEN (hh - dayn) // 90 > 62
+                    THEN CAST(0 AS DECIMAL(37,0))
+                    ELSE CAST(CAST(v AS DECIMAL(18,2)) * 100
+                              AS DECIMAL(18,0))
+                         * CAST(1::BIGINT << CAST(62 - (hh - dayn) // 90
+                                                  AS INTEGER)
+                                AS DECIMAL(19,0))
+               END AS scaled
+        FROM base, h
+    )
+    SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_txns,
+           ROUND(CAST(SUM(vd) AS DOUBLE), 6) AS raw_value,
+           ROUND(CAST(SUM(scaled) AS DOUBLE)
+                 / (100.0 * CAST(1::BIGINT << 62 AS DOUBLE)), 6)
+             AS decayed_value
+    FROM wtd GROUP BY entity
+    """,
+    "recency-decayed customer value: order totals halved every 90 "
+    "days of age against the dataset horizon, exact power-of-two "
+    "weights",
+    tags=("analytics", "features"),
+)
+def q_decayed_value_customers(spark, sf_dir):
+    """Engagement decay without cross-engine pow()
+    (operators/features.py::decayed_value): the age bucket is an
+    INTEGER half-life count, so weights are exact powers of two built
+    by bit shift (1.0 / (1 << k)) — float pow(0.5, x) differs across
+    libms at money-breaking magnitudes. Products stay IEEE doubles;
+    sums reduce as decimals; one 1-row horizon broadcast."""
+    from pramen_spark.operators.features import decayed_value
+
+    o = load_table(spark, sf_dir, "orders")
+    return decayed_value(
+        o, "o_custkey", "o_orderdate", F.col("o_totalprice"),
+        half_life_days=90,
+    )
+
+
+@query(
+    "duplicate_line_screen_lineitem",
+    """
+    WITH base AS (
+        SELECT l_orderkey AS entity, l_partkey AS amount,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS dayn,
+               l_linenumber AS id
+        FROM lineitem
+    ),
+    paired AS (
+        SELECT entity, amount,
+               lag(id) OVER w AS first_id, id AS second_id,
+               dayn - lag(dayn) OVER w AS gap_days
+        FROM base
+        WINDOW w AS (PARTITION BY entity, amount ORDER BY dayn, id)
+    )
+    SELECT entity, amount, first_id, second_id,
+           CAST(gap_days AS BIGINT) AS gap_days
+    FROM paired
+    WHERE gap_days IS NOT NULL AND gap_days <= 365
+    """,
+    "double-entry screen: the same part appearing twice in one order "
+    "within a year, as consecutive (ship date, line) pairs",
+    tags=("quality", "validation"),
+)
+def q_duplicate_line_screen_lineitem(spark, sf_dir):
+    """The billing-incident first query
+    (operators/validation.py::duplicate_transaction_screen):
+    CONSECUTIVE-pair semantics via one (entity, amount)-partitioned
+    window with a (date, id) tiebreak — a burst of k repeats flags
+    k−1 pairs and never explodes quadratically on a hot key. TPC-H
+    orders really do contain repeated parts, so the screen fires."""
+    from pramen_spark.operators.validation import (
+        duplicate_transaction_screen,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return duplicate_transaction_screen(
+        l, "l_orderkey", "l_partkey", "l_shipdate", "l_linenumber",
+        window_days=365,
+    )
+
+
+@query(
+    "token_npmi_documents",
+    r"""
+    WITH baskets AS (
+        SELECT DISTINCT doc_id AS basket,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+        FROM documents WHERE trim(text) <> ''
+    ),
+    b2 AS (SELECT basket, item FROM baskets WHERE item <> ''),
+    tot AS (SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS n_baskets
+            FROM b2),
+    ic AS (SELECT item, COUNT(*) AS item_count FROM b2 GROUP BY item),
+    freq AS (SELECT item, item_count FROM ic, tot
+             WHERE item_count >= n_baskets * 0.05),
+    kept AS (SELECT b.basket, b.item, f.item_count
+             FROM b2 b JOIN freq f USING (item)),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               a.item_count AS count_a, b.item_count AS count_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM kept a JOIN kept b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT item_a, item_b, pair_count,
+           ROUND(pair_count / n_baskets, 6) AS support,
+           ROUND(ln(pair_count * n_baskets
+                    / (CAST(count_a AS DOUBLE) * count_b)), 6) AS pmi,
+           ROUND(ln(pair_count * n_baskets
+                    / (CAST(count_a AS DOUBLE) * count_b))
+                 / (-ln(pair_count / n_baskets)), 6) AS npmi
+    FROM pairs, tot
+    """,
+    "pointwise mutual information (and normalized PMI) of frequent "
+    "token pairs co-occurring in documents",
+    tags=("text", "itemsets"),
+)
+def q_token_npmi_documents(spark, sf_dir):
+    """Collocation detection as pure composition
+    (operators/itemsets.py::token_npmi): documents tokenize to
+    distinct (doc, token) baskets and flow through basket_pairs
+    (Apriori pruning, basket-co-keyed join, broadcast totals);
+    PMI = ln(lift) and nPMI are column expressions over its exact
+    counts — the lift-vs-PMI equivalence made explicit."""
+    from pramen_spark.operators.itemsets import token_npmi
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_npmi(d, "doc_id", "text", min_support=0.05)
+
+
+@query(
+    "growth_accounting_events",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+        FROM events
+    ),
+    fl AS (
+        SELECT dayn,
+               lag(dayn) OVER w AS prev, lead(dayn) OVER w AS next,
+               MIN(dayn) OVER (PARTITION BY user_id) AS first
+        FROM days WINDOW w AS (PARTITION BY user_id ORDER BY dayn)
+    ),
+    per AS (
+        SELECT dayn AS d, CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(SUM(CASE WHEN dayn = first THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN prev = dayn - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < dayn - 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM fl GROUP BY dayn
+    ),
+    ch AS (
+        SELECT dayn + 1 AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM fl WHERE next IS NULL OR next > dayn + 1
+        GROUP BY dayn + 1
+    )
+    SELECT DATE '1970-01-01' + CAST(per.d AS INTEGER) AS day,
+           dau, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+    FROM per LEFT JOIN ch ON per.d = ch.d
+    """,
+    "full DAU growth accounting: new / retained / resurrected / "
+    "churned per day, reconciling dau = new + retained + resurrected",
+    tags=("analytics", "sequences"),
+)
+def q_growth_accounting_events(spark, sf_dir):
+    """The weekly growth-review identity
+    (operators/sequences.py::growth_accounting): one distinct
+    (user, day) collapse, one user window yielding lag/lead/first in
+    a single pass, churn attributed to the day AFTER a user's last
+    consecutive day. Completes new_vs_returning and reactivations
+    with the churn side; dau = new + retained + resurrected holds
+    row-by-row."""
+    from pramen_spark.operators.sequences import growth_accounting
+
+    return growth_accounting(load_events(spark, sf_dir), "user_id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
