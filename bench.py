@@ -216,6 +216,13 @@ HEADLINE = [
     "duplicate_line_screen_lineitem",
     "token_npmi_documents",
     "growth_accounting_events",
+    # round-8 wave 22: labeler agreement, tokenizer cost, PII triage,
+    # bounce rate, adoption curve
+    "cohens_kappa_langid",
+    "token_fertility_documents",
+    "pii_rate_by_source_documents",
+    "bounce_rate_events",
+    "adoption_curve_events",
 ]
 
 

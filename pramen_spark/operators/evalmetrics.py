@@ -255,3 +255,51 @@ def kaplan_meier(
         "at_risk",
         survival.alias("survival"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a, col_b) -> DataFrame:
+    """Cohen's kappa between two categorical labelings of the same rows
+    — inter-annotator (or heuristic-vs-gold) agreement corrected for
+    chance: κ = (p_o − p_e) / (1 − p_e). The one-number companion to a
+    confusion matrix (langid_confusion shows WHERE they disagree;
+    kappa says whether the agreement beats guessing at all).
+
+    Everything is exact integer counting until three final divisions:
+    the (a, b) contingency reduces once, the diagonal and marginals
+    re-aggregate that KB-scale table, and the expected-agreement
+    product Σ row_k · col_k sums as DECIMAL (counts can square past
+    int64 at corpus scale). Degenerate labelings (p_e = 1: both sides
+    constant) yield NULL via try_divide, not a crash.
+
+    Returns one row: (n, po, pe, kappa), rounds 6.
+    """
+    pairs = df.groupBy(
+        F.col(col_a).alias("_a") if isinstance(col_a, str) else col_a.alias("_a"),
+        F.col(col_b).alias("_b") if isinstance(col_b, str) else col_b.alias("_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    tot = pairs.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("_agree"),
+    )
+    rows = pairs.groupBy("_a").agg(F.sum("_n").cast("long").alias("_ra"))
+    cols = pairs.groupBy("_b").agg(F.sum("_n").cast("long").alias("_cb"))
+    prod = (
+        rows.join(cols, rows["_a"] == cols["_b"])
+        .agg(
+            F.sum(
+                (F.col("_ra") * F.col("_cb")).cast("decimal(38,0)")
+            ).cast("double").alias("_rowcol")
+        )
+    )
+    j = tot.crossJoin(F.broadcast(prod))
+    n = F.col("n").cast("double")
+    po = F.col("_agree").cast("double") / n
+    pe = F.col("_rowcol") / (n * n)
+    return j.select(
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -1035,3 +1035,91 @@ def token_burstiness(
         F.round(mean, 6).alias("mean_tf"),
         F.round(F.try_divide(var, mean), 6).alias("burstiness"),
     )
+
+
+def token_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility profile per group (typically language):
+    characters per whitespace token — the first number a tokenizer
+    evaluation reports, because a language whose words cost 3× the
+    characters gets 3× fewer words into the same context window and
+    trains underweighted unless the mixture corrects for it.
+
+    Exact integer sums of characters and tokens per group (map-side
+    combined, one pass), one division per group row.
+
+    Returns (group, n_docs, n_chars, n_tokens, chars_per_token),
+    round 6.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(group_col).alias("grp"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        F.size(toks).cast("long").alias("_toks"),
+    )
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+    )
+    return g.select(
+        "grp",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def pii_rate(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    patterns: "Dict[str, str]" = None,
+) -> DataFrame:
+    """Per-group PII exposure report: for each group (source, domain,
+    shard), the fraction of documents containing at least one match of
+    each PII kind plus total span counts — the audit that decides which
+    SOURCES need scrubbing before redact_pii burns a full rewrite pass
+    over 100 TB.
+
+    One scan: regexp_count per kind as pure column expressions
+    (RE2-safe, whole-stage codegen), one group-keyed map-side-combined
+    aggregation. Returns per group: n_docs, and per kind
+    (docs_<kind>, spans_<kind>, rate_<kind> round 6).
+    """
+    patterns = patterns or PII_PATTERNS
+    text = F.col(text_col)
+    proj = [F.col(group_col).alias("grp")]
+    for kind, pat in patterns.items():
+        proj.append(
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"_n_{kind}")
+        )
+    base = df.select(*proj)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for kind in patterns:
+        aggs.append(
+            F.sum((F.col(f"_n_{kind}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"docs_{kind}")
+        )
+        aggs.append(
+            F.sum(F.col(f"_n_{kind}")).cast("long").alias(f"spans_{kind}")
+        )
+    g = base.groupBy("grp").agg(*aggs)
+    rates = [
+        F.round(
+            F.col(f"docs_{kind}").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias(f"rate_{kind}")
+        for kind in patterns
+    ]
+    return g.select("grp", "n_docs", *[c for k in patterns for c in
+                    (F.col(f"docs_{k}"), F.col(f"spans_{k}"))], *rates)

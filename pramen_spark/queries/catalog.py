@@ -10594,6 +10594,303 @@ def q_growth_accounting_events(spark, sf_dir):
     return growth_accounting(load_events(spark, sf_dir), "user_id", "ts")
 
 
+@query(
+    "cohens_kappa_langid",
+    f"""
+    WITH pred AS ({_LANG_ID_ORACLE}),
+    pairs AS (
+        SELECT d.lang AS a, p.lang_pred AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                 AS agree
+        FROM pairs
+    ),
+    r AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM pairs GROUP BY a),
+    c AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb FROM pairs GROUP BY b),
+    pr AS (
+        SELECT CAST(SUM(CAST(ra * cb AS DECIMAL(38,0))) AS DOUBLE)
+                 AS rowcol
+        FROM r JOIN c ON r.a = c.b
+    )
+    SELECT n,
+           ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(rowcol / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS pe,
+           ROUND((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - rowcol / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - rowcol
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+             AS kappa
+    FROM tot, pr
+    """,
+    "Cohen's kappa between the labeled language and the stopword-vote "
+    "language-ID prediction: chance-corrected agreement",
+    tags=("evalmetrics", "text"),
+)
+def q_cohens_kappa_langid(spark, sf_dir):
+    """The one-number companion to langid_confusion
+    (operators/evalmetrics.py::cohens_kappa): exact integer
+    contingency + marginals, Σ row·col summed as DECIMAL (marginal
+    products square past int64 at corpus scale), three divisions at
+    the end. Degenerate (both-constant) labelings NULL via
+    try_divide."""
+    from pramen_spark.operators.evalmetrics import cohens_kappa
+    from pramen_spark.operators.text import language_id
+
+    d = load_documents_spread(spark, sf_dir)
+    pred = language_id(d).select("doc_id", "lang_pred")
+    j = d.select("doc_id", "lang").join(pred, "doc_id")
+    return cohens_kappa(j, "lang", "lang_pred")
+
+
+@query(
+    "token_fertility_documents",
+    r"""
+    SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(len(text)) AS DOUBLE)
+                 / CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                        AS DOUBLE), 6) AS chars_per_token
+    FROM documents WHERE trim(text) <> ''
+    GROUP BY lang
+    """,
+    "tokenizer fertility per language: characters per whitespace "
+    "token — the context-window cost profile of each language",
+    tags=("text",),
+)
+def q_token_fertility_documents(spark, sf_dir):
+    """The first number a tokenizer evaluation reports
+    (operators/text.py::token_fertility): a language whose words cost
+    3× the characters fits 3× fewer into the same context window and
+    trains underweighted unless the mixture corrects for it. Exact
+    integer char/token sums, one division per language row."""
+    from pramen_spark.operators.text import token_fertility
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_fertility(d, "lang", "text")
+
+
+@query(
+    "pii_rate_by_source_documents",
+    r"""
+    WITH aug AS (
+        SELECT source, text
+          || CASE WHEN doc_id % 3 = 0
+                  THEN ' mail user@example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+                  THEN ' call (555) 123-4567' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.0.1' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+            AS text
+        FROM documents
+    ),
+    c AS (
+        SELECT source AS grp,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(text,
+                 '(?:\+[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b'))
+                 AS BIGINT) AS n_phone
+        FROM aug
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_email,
+           CAST(SUM(n_email) AS BIGINT) AS spans_email,
+           CAST(SUM(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_ipv4,
+           CAST(SUM(n_ipv4) AS BIGINT) AS spans_ipv4,
+           CAST(SUM(CASE WHEN n_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_ssn,
+           CAST(SUM(n_ssn) AS BIGINT) AS spans_ssn,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_phone,
+           CAST(SUM(n_phone) AS BIGINT) AS spans_phone,
+           ROUND(CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS rate_email,
+           ROUND(CAST(SUM(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS rate_ipv4,
+           ROUND(CAST(SUM(CASE WHEN n_ssn > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS rate_ssn,
+           ROUND(CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS rate_phone
+    FROM c GROUP BY grp
+    """,
+    "per-source PII exposure: document rates and span counts per PII "
+    "kind over a deterministic synthetic specimen injection",
+    tags=("quality", "text"),
+)
+def q_pii_rate_by_source_documents(spark, sf_dir):
+    """The scrub-triage audit before redact_pii's full rewrite pass
+    (operators/text.py::pii_rate): one scan, RE2-safe regexp_count
+    column expressions, one source-keyed aggregation. The synthetic
+    corpus has no real PII, so deterministic specimens inject per
+    doc_id residue class (the redact_pii_documents construction),
+    giving every source a distinct, oracle-checkable rate profile."""
+    from pramen_spark.operators.text import pii_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" mail user@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" call (555) 123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" host 10.0.0.1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_rate(aug, "source", "text")
+
+
+@query(
+    "bounce_rate_events",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+    ),
+    marked AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess0 AS (
+        SELECT user_id, tus,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+        FROM marked
+    ),
+    sess AS (
+        SELECT MIN(tus) AS s_us, COUNT(*) AS n_events
+        FROM sess0 GROUP BY user_id, sid
+    )
+    SELECT DATE '1970-01-01' + CAST(s_us // 86400000000 AS INTEGER) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS bounce_rate
+    FROM sess GROUP BY 1
+    """,
+    "daily bounce rate: share of 30-min-gap sessions containing "
+    "exactly one event, grouped by session start day",
+    tags=("analytics", "sessionization"),
+)
+def q_bounce_rate_events(spark, sf_dir):
+    """The classic web-analytics readout as a pure composition over
+    sessionize_batch (streaming/stream.py — same semantics the
+    streaming sessionizer runs incrementally): sessions reduce to
+    (start day, is_bounce) and one day-keyed aggregation finishes.
+    No operator needed — the session table IS the reusable piece."""
+    from pramen_spark.streaming.stream import sessionize_batch
+
+    s = sessionize_batch(
+        load_events(spark, sf_dir), "user_id", "ts", gap="30 minutes"
+    )
+    day = F.date_from_unix_date(
+        F.expr(
+            "CAST(unix_micros(session_start) DIV 86400000000 AS INT)"
+        )
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return s.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(
+            F.sum(bounce).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+@query(
+    "adoption_curve_events",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+        FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(dayn) AS f FROM days GROUP BY user_id),
+    daily AS (
+        SELECT f AS dayn, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY f
+    ),
+    c AS (
+        SELECT dayn, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY dayn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users,
+               CAST(SUM(n_new) OVER () AS BIGINT) AS total
+        FROM daily
+    )
+    SELECT DATE '1970-01-01' + CAST(dayn AS INTEGER) AS day, n_new,
+           cum_users,
+           ROUND(CAST(cum_users AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS adoption
+    FROM c
+    """,
+    "user adoption curve: cumulative distinct users ever seen per day "
+    "and the share of the final population reached",
+    tags=("analytics", "sequences"),
+)
+def q_adoption_curve_events(spark, sf_dir):
+    """The S-curve over growth_accounting's n_new: first-seen days
+    reduce to a daily-new histogram (two map-side-combined
+    aggregations over (user, day) pairs), and both windows run over
+    the calendar-bounded daily grid — cumulative adoption never
+    rescans events."""
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)").alias(
+            "_dayn"
+        ),
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("_dayn").alias("_f"))
+    daily = firsts.groupBy(F.col("_f").alias("_d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = W.orderBy("_d").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("_d").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return daily.select(
+        F.date_from_unix_date(F.col("_d").cast("int")).alias("day"),
+        "n_new",
+        F.sum("n_new").over(w_cum).cast("long").alias("cum_users"),
+        F.round(
+            F.sum("n_new").over(w_cum).cast("double")
+            / F.sum("n_new").over(w_all).cast("double"),
+            6,
+        ).alias("adoption"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
