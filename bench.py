@@ -223,6 +223,13 @@ HEADLINE = [
     "pii_rate_by_source_documents",
     "bounce_rate_events",
     "adoption_curve_events",
+    # round-8 wave 23: ANOVA, SPC limits, seasonal decomposition,
+    # per-segment trends, returns report
+    "anova_latency_priority",
+    "control_chart_daily",
+    "seasonal_factors_daily",
+    "trend_by_priority_orders",
+    "return_rate_by_brand",
 ]
 
 

@@ -287,3 +287,59 @@ def grubbs_test(
             "g_stat"
         ),
     )
+
+
+def control_chart(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """XmR (individuals / moving-range) control chart summary — the
+    Shewhart SPC screen: natural process limits are mean ± 2.66·mR̄
+    where mR̄ is the mean absolute successive difference, and a point
+    outside them is special-cause, not noise. The grandfather of
+    cusum_changepoint (which localizes WHERE the shift happened; XmR
+    says WHETHER today's point is out of control at all).
+
+    The series mean and the moving ranges both reduce as DECIMALs
+    (ranges from one LAG over the calendar-bounded grid — the
+    ewma_smooth contract); limits and the violation count are one
+    broadcast row plus a second bounded pass.
+
+    Returns one row: (n, mean, mr_bar, ucl, lcl, n_violations),
+    rounds 6.
+    """
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    v = F.col(value_col).cast("double")
+    w = Window.orderBy(order_col)
+    ranged = df.select(
+        v.alias("_v"), F.abs(v - F.lag(v).over(w)).alias("_mr")
+    )
+    stats = ranged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(dec(F.col("_v"))).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("_mean"),
+        (F.sum(dec(F.col("_mr"))).cast("double")
+         / F.count(F.col("_mr")).cast("double")).alias("_mrbar"),
+    )
+    limits = stats.select(
+        "n",
+        "_mean",
+        "_mrbar",
+        (F.col("_mean") + F.lit(2.66) * F.col("_mrbar")).alias("_ucl"),
+        (F.col("_mean") - F.lit(2.66) * F.col("_mrbar")).alias("_lcl"),
+    )
+    flagged = df.select(v.alias("_v")).crossJoin(F.broadcast(limits))
+    return flagged.groupBy("n", "_mean", "_mrbar", "_ucl", "_lcl").agg(
+        F.sum(
+            ((F.col("_v") > F.col("_ucl")) | (F.col("_v") < F.col("_lcl")))
+            .cast("int")
+        ).cast("long").alias("n_violations")
+    ).select(
+        "n",
+        F.round("_mean", 6).alias("mean"),
+        F.round("_mrbar", 6).alias("mr_bar"),
+        F.round("_ucl", 6).alias("ucl"),
+        F.round("_lcl", 6).alias("lcl"),
+        "n_violations",
+    )

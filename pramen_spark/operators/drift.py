@@ -466,3 +466,91 @@ def ols_fit(df: DataFrame, x_expr, y_expr) -> DataFrame:
         ).alias("intercept"),
         F.round(F.try_divide(num * num, denx * deny), 6).alias("r2"),
     )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col) -> DataFrame:
+    """One-way ANOVA F statistic: does the mean of ``value_col`` differ
+    across the levels of ``group_col`` more than within-level noise
+    explains? The k-group generalization of welch_ttest's two arms —
+    the screen that says WHETHER a categorical dimension matters
+    before per-pair tests say where.
+
+    Per-group n/Σv/Σv² reduce as DECIMALs (exact for integer-valued
+    metrics like day latencies); the between/within sum-of-squares
+    identity SSB = Σsᵢ²/nᵢ − S²/N and SSW = Σssᵢ − Σsᵢ²/nᵢ runs on the
+    k-row group table, so the only reduce-order-exposed float work is
+    a k-term sum of exact-derived doubles (ulp-level, invisible at
+    round 6).
+
+    Returns one row: (k, n, f_stat, ss_between, ss_within), rounds 6.
+    """
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    vv = v.cast("double")
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(vv)).cast("double").alias("_s"),
+        F.sum(dec(vv * vv)).cast("double").alias("_ss"),
+    )
+    red = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum(dec(F.col("_s"))).cast("double").alias("_S"),
+        F.sum(dec(F.col("_ss"))).cast("double").alias("_SS"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n").cast("double"))
+        .alias("_sq_over_n"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("_sq_over_n") - F.col("_S") * F.col("_S") / n
+    ssw = F.col("_SS") - F.col("_sq_over_n")
+    f_stat = F.try_divide(ssb / (k - F.lit(1.0)), ssw / (n - k))
+    return red.select(
+        "k",
+        "n",
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+    )
+
+
+def ols_by_group(
+    df: DataFrame, group_col: str, x_expr, y_expr
+) -> DataFrame:
+    """Per-group simple OLS — :func:`ols_fit` fanned out over a
+    grouping key in ONE aggregation pass: each group gets its own
+    slope/intercept/R² from decimal-exact co-moments. The "is revenue
+    trending differently per segment" readout without k separate
+    scans.
+
+    Returns (group, n, slope, intercept, r2), rounds 6; zero-variance
+    groups NULL via try_divide.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        x_expr.cast("double").alias("_x"),
+        y_expr.cast("double").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    s = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_x"))).cast("double").alias("_sx"),
+        F.sum(dec(F.col("_y"))).cast("double").alias("_sy"),
+        F.sum(dec(F.col("_x") * F.col("_y"))).cast("double").alias("_sxy"),
+        F.sum(dec(F.col("_x") * F.col("_x"))).cast("double").alias("_sxx"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.try_divide(num, denx)
+    return s.select(
+        "grp",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.try_divide(F.col("_sy") - slope * F.col("_sx"), n), 6
+        ).alias("intercept"),
+        F.round(F.try_divide(num * num, denx * deny), 6).alias("r2"),
+    )

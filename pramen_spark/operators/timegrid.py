@@ -342,3 +342,45 @@ def forecast_backtest(
         F.round(F.sqrt(F.col("_sse") / n), 6).alias("rmse"),
         F.round(F.col("_sap") / n, 6).alias("mape"),
     )
+
+
+def seasonal_factors(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal factors by weekday: detrend the series with a
+    CENTERED ``period``-point moving average (only where the full
+    window exists — partial edges bias the trend), then average the
+    detrended residuals per weekday. The decomposition complement of
+    weekday_seasonality (which profiles raw levels; this isolates the
+    cycle AFTER removing trend, so a growing series doesn't masquerade
+    as seasonality).
+
+    The centered MA is one window over the calendar-bounded grid with
+    a decimal sum divided by the exact window count; residual means
+    reduce as decimals per weekday.
+
+    Returns (dow, n, factor) with Monday = 0, rounds 6.
+    """
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    half = period // 2
+    v = F.col(value_col).cast("double")
+    w = Window.orderBy(order_col).rowsBetween(-half, half)
+    ma = df.select(
+        F.weekday(F.col(order_col)).cast("long").alias("dow"),
+        v.alias("_v"),
+        (F.sum(dec(v)).over(w).cast("double")
+         / F.count(F.lit(1)).over(w).cast("double")).alias("_ma"),
+        F.count(F.lit(1)).over(w).alias("_wn"),
+    ).where(F.col("_wn") == period)
+    detr = ma.select("dow", (F.col("_v") - F.col("_ma")).alias("_r"))
+    return detr.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(dec(F.col("_r"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("factor"),
+    )

@@ -10891,6 +10891,285 @@ def q_adoption_curve_events(spark, sf_dir):
     )
 
 
+@query(
+    "anova_latency_priority",
+    """
+    WITH base AS (
+        SELECT o.o_orderpriority AS g,
+               CAST(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE) AS BIGINT) AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM base GROUP BY g
+    ),
+    red AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS st,
+               CAST(SUM(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS sst,
+               SUM(s * s / CAST(n_g AS DOUBLE)) AS sq_over_n
+        FROM g
+    )
+    SELECT k, n,
+           ROUND(((sq_over_n - st * st / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((sst - sq_over_n)
+                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             AS f_stat,
+           ROUND(sq_over_n - st * st / CAST(n AS DOUBLE), 6)
+             AS ss_between,
+           ROUND(sst - sq_over_n, 6) AS ss_within
+    FROM red
+    """,
+    "one-way ANOVA of order-to-ship latency across the five order "
+    "priorities: does priority move the mean at all?",
+    tags=("analytics", "drift"),
+)
+def q_anova_latency_priority(spark, sf_dir):
+    """The k-group generalization of welch_ttest
+    (operators/drift.py::anova_oneway): integer day latencies reduce
+    as DECIMAL Σv/Σv² per priority; the between/within identity runs
+    on the 5-row group table. Screens WHETHER the dimension matters
+    before per-pair tests say where."""
+    from pramen_spark.operators.drift import anova_oneway
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("latency"),
+    )
+    return anova_oneway(j, "o_orderpriority", "latency")
+
+
+@query(
+    "control_chart_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT revenue AS v,
+               abs(revenue - lag(revenue) OVER (ORDER BY day)) AS mr
+        FROM daily
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m,
+               CAST(SUM(CAST(mr AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(mr) AS DOUBLE) AS mrbar
+        FROM r
+    ),
+    lim AS (
+        SELECT n, m, mrbar,
+               m + 2.66 * mrbar AS ucl, m - 2.66 * mrbar AS lcl
+        FROM st
+    )
+    SELECT lim.n, ROUND(lim.m, 6) AS mean, ROUND(lim.mrbar, 6) AS mr_bar,
+           ROUND(lim.ucl, 6) AS ucl, ROUND(lim.lcl, 6) AS lcl,
+           CAST(SUM(CASE WHEN d.revenue > lim.ucl OR d.revenue < lim.lcl
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM daily d, lim
+    GROUP BY lim.n, lim.m, lim.mrbar, lim.ucl, lim.lcl
+    """,
+    "XmR (individuals/moving-range) control chart of daily revenue: "
+    "natural process limits mean +/- 2.66 mRbar and violation count",
+    tags=("analytics", "anomaly"),
+)
+def q_control_chart_daily(spark, sf_dir):
+    """Shewhart SPC over the daily grid
+    (operators/anomaly.py::control_chart): the moving range is one
+    LAG over calendar-bounded rows; mean and mR̄ reduce as decimals;
+    the violation count is a second bounded pass against one
+    broadcast limits row. cusum_changepoint localizes WHERE a shift
+    happened — XmR says whether today is out of control at all."""
+    from pramen_spark.operators.anomaly import control_chart
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return control_chart(daily, "revenue", "day")
+
+
+@query(
+    "seasonal_factors_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    ma AS (
+        SELECT isodow(day) - 1 AS dow, revenue AS v,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE) AS mam,
+               COUNT(*) OVER w AS wn
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ),
+    d2 AS (SELECT dow, v - mam AS r FROM ma WHERE wn = 7)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS factor
+    FROM d2 GROUP BY dow
+    """,
+    "additive weekday seasonal factors of daily revenue after "
+    "removing a centered 7-day moving-average trend (Monday = 0)",
+    tags=("analytics", "timegrid"),
+)
+def q_seasonal_factors_daily(spark, sf_dir):
+    """The decomposition complement of weekday_seasonality
+    (operators/timegrid.py::seasonal_factors): detrend FIRST with a
+    centered MA over the calendar-bounded grid (full windows only —
+    partial edges bias the trend), then average residuals per
+    weekday, so a growing series doesn't masquerade as seasonality."""
+    from pramen_spark.operators.timegrid import seasonal_factors
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return seasonal_factors(daily, "revenue", "day", period=7)
+
+
+@query(
+    "trend_by_priority_orders",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT grp, CAST(day - DATE '1970-01-01' AS DOUBLE) AS x, y
+        FROM daily
+    ),
+    s AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM base GROUP BY grp
+    )
+    SELECT grp, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    "per-priority OLS revenue trend: slope/intercept/R2 of each "
+    "priority's daily revenue against time, one pass",
+    tags=("analytics", "drift"),
+)
+def q_trend_by_priority_orders(spark, sf_dir):
+    """ols_fit fanned out over a segment key in ONE aggregation
+    (operators/drift.py::ols_by_group): 'is revenue trending
+    differently per priority' without k separate scans; decimal
+    co-moments per group, scalar fits on the 5-row result."""
+    from pramen_spark.operators.drift import ols_by_group
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return ols_by_group(
+        daily, "grp", F.unix_date("day"), F.col("y")
+    )
+
+
+@query(
+    "return_rate_by_brand",
+    """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS return_rate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))
+                AS DOUBLE) AS returned_revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (CASE WHEN l_returnflag = 'R'
+                             THEN 1 ELSE 0 END)) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE), 6) AS returned_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    "merchandising return report per brand: line return rate plus "
+    "the revenue share lost to returns, decimal-exact",
+    tags=("analytics", "finance"),
+)
+def q_return_rate_by_brand(spark, sf_dir):
+    """The merch dashboard's returns row (pure composition — TPC-H's
+    l_returnflag is a real label): the returned-revenue sum keeps
+    decimal exactness by multiplying the money term by an INTEGER
+    flag inside the sum, never a conditional double. One broadcast
+    part join, one brand-keyed map-side-combined aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    flag = (F.col("l_returnflag") == "R").cast("int")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(flag).cast("long").alias("n_returned"),
+        F.round(
+            F.sum(flag).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("return_rate"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.sum(rev * flag).cast("double").alias("returned_revenue"),
+        F.round(
+            F.sum(rev * flag).cast("double") / F.sum(rev).cast("double"),
+            6,
+        ).alias("returned_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
