@@ -230,6 +230,48 @@ HEADLINE = [
     "seasonal_factors_daily",
     "trend_by_priority_orders",
     "return_rate_by_brand",
+    # round-8 wave 24: case-control stats, paired-model comparison,
+    # inequality shape, peer outliers, entropy concentration
+    "odds_ratio_events",
+    "mcnemar_langid",
+    "lorenz_curve_customers",
+    "peer_zscore_customers",
+    "revenue_entropy_brands",
+    # round-8 wave 25: queueing identity, policy breakpoints, gains
+    # pricing, rate tests, habit ratios
+    "littles_law_events",
+    "its_breakpoint_daily",
+    "gains_curve_documents",
+    "two_proportion_ztest_events",
+    "stickiness_ratios_events",
+    # round-8 wave 26: streaming leaderboards + watermark tuning, byte
+    # accounting, classifier confidence, NZV feature screen
+    "stream_topk_types_hourly",
+    "byte_stats_by_source",
+    "lateness_profile_events",
+    "langid_margin_documents",
+    "nzv_screen_lineitem",
+    # round-8 wave 27: attribution sensitivity, dup triage, trend
+    # mining, price volatility, the D7 KPI
+    "attribution_window_sweep_events",
+    "dup_rate_by_source_documents",
+    "emerging_terms_documents",
+    "price_dispersion_brands",
+    "d7_retention_by_cohort_events",
+    # round-8 wave 28: training-pair generation, weighting diagnostics,
+    # cross audits, privacy, corpus mixture profile
+    "negative_samples_orders",
+    "cross_cardinality_lineitem",
+    "l_diversity_customers",
+    "ess_weights_documents",
+    "lang_mix_by_source",
+    # round-8 wave 29: SLA trends, mix drift, change decomposition,
+    # tokenizer budgets, dedup shape
+    "latency_trend_monthly",
+    "basket_mix_drift_orders",
+    "yoy_contribution_brands",
+    "vocab_coverage_documents",
+    "dup_cluster_sizes_documents",
 ]
 
 

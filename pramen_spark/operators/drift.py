@@ -554,3 +554,97 @@ def ols_by_group(
         ).alias("intercept"),
         F.round(F.try_divide(num * num, denx * deny), 6).alias("r2"),
     )
+
+
+def odds_ratio(
+    df: DataFrame, exposure_col, outcome_col
+) -> DataFrame:
+    """2×2 odds ratio with the Woolf log-OR 95% interval: how much the
+    odds of ``outcome`` change under ``exposure`` (both boolean
+    expressions) — the case-control readout that, unlike a rate ratio,
+    survives outcome rarity. Wilson CIs (wilson_ctr) bound one
+    proportion; this compares two.
+
+    The 2×2 cells are one conditional aggregation of exact integers;
+    OR = (a·d)/(b·c) and the interval exp(ln OR ± 1.96·√(1/a + 1/b +
+    1/c + 1/d)) are scalar arithmetic on the single row. Any empty
+    cell yields NULL OR/CI via try_divide (the standard
+    continuity-correction decision is the caller's, not silent).
+
+    Returns one row: (n_exp_pos, n_exp_neg, n_unexp_pos, n_unexp_neg,
+    odds_ratio, ci_lo, ci_hi), rounds 6.
+    """
+    e = exposure_col.cast("boolean")
+    o = outcome_col.cast("boolean")
+    cells = df.agg(
+        F.sum((e & o).cast("int")).cast("long").alias("n_exp_pos"),
+        F.sum((e & ~o).cast("int")).cast("long").alias("n_exp_neg"),
+        F.sum((~e & o).cast("int")).cast("long").alias("n_unexp_pos"),
+        F.sum((~e & ~o).cast("int")).cast("long").alias("n_unexp_neg"),
+    )
+    a = F.col("n_exp_pos").cast("double")
+    b = F.col("n_exp_neg").cast("double")
+    c = F.col("n_unexp_pos").cast("double")
+    d = F.col("n_unexp_neg").cast("double")
+    orr = F.try_divide(a * d, b * c)
+    se = F.sqrt(
+        F.try_divide(F.lit(1.0), a) + F.try_divide(F.lit(1.0), b)
+        + F.try_divide(F.lit(1.0), c) + F.try_divide(F.lit(1.0), d)
+    )
+    return cells.select(
+        "n_exp_pos",
+        "n_exp_neg",
+        "n_unexp_pos",
+        "n_unexp_neg",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - F.lit(1.96) * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(orr) + F.lit(1.96) * se), 6).alias("ci_hi"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame, group_expr, outcome_expr
+) -> DataFrame:
+    """Pooled two-proportion z-test: is the outcome rate different
+    between the two groups ``group_expr`` splits the rows into?
+    z = (p₁ − p₂) / √(p̂(1 − p̂)(1/n₁ + 1/n₂)) with p̂ the pooled rate —
+    the rate-difference companion to odds_ratio's multiplicative view
+    (report both: they disagree exactly when base rates are extreme).
+
+    One conditional aggregation of exact integers; the statistic is
+    scalar arithmetic on the single row. An empty group or a
+    degenerate pooled rate yields NULL via try_divide.
+
+    Returns one row: (n_1, x_1, n_2, x_2, p_1, p_2, z), rounds 6.
+    """
+    g = group_expr.cast("boolean")
+    o = outcome_expr.cast("boolean")
+    cells = df.agg(
+        F.sum(g.cast("int")).cast("long").alias("n_1"),
+        F.sum((g & o).cast("int")).cast("long").alias("x_1"),
+        F.sum((~g).cast("int")).cast("long").alias("n_2"),
+        F.sum((~g & o).cast("int")).cast("long").alias("x_2"),
+    )
+    n1 = F.col("n_1").cast("double")
+    x1 = F.col("x_1").cast("double")
+    n2 = F.col("n_2").cast("double")
+    x2 = F.col("x_2").cast("double")
+    p1 = F.try_divide(x1, n1)
+    p2 = F.try_divide(x2, n2)
+    pool = F.try_divide(x1 + x2, n1 + n2)
+    z = F.try_divide(
+        p1 - p2,
+        F.sqrt(
+            pool * (F.lit(1.0) - pool)
+            * (F.try_divide(F.lit(1.0), n1) + F.try_divide(F.lit(1.0), n2))
+        ),
+    )
+    return cells.select(
+        "n_1",
+        "x_1",
+        "n_2",
+        "x_2",
+        F.round(p1, 6).alias("p_1"),
+        F.round(p2, 6).alias("p_2"),
+        F.round(z, 6).alias("z"),
+    )

@@ -303,3 +303,98 @@ def cohens_kappa(df: DataFrame, col_a, col_b) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def mcnemar_test(df: DataFrame, label_col, pred_col) -> DataFrame:
+    """McNemar's test for paired binary labelings: of the rows where
+    the two labelings DISAGREE, is the disagreement symmetric? The
+    right before/after-model comparison — accuracy deltas mislead when
+    both models agree on the easy 95%, McNemar looks only at the
+    discordant cells. χ² = (b − c)² / (b + c) on the exact integer
+    discordant counts (b: label true / pred false; c: the reverse);
+    no-disagreement data yields NULL via try_divide.
+
+    Returns one row: (n, n_both_pos, n_both_neg, n_b, n_c, chi2),
+    round 6.
+    """
+    y = label_col.cast("boolean")
+    p = pred_col.cast("boolean")
+    cells = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((y & p).cast("int")).cast("long").alias("n_both_pos"),
+        F.sum((~y & ~p).cast("int")).cast("long").alias("n_both_neg"),
+        F.sum((y & ~p).cast("int")).cast("long").alias("n_b"),
+        F.sum((~y & p).cast("int")).cast("long").alias("n_c"),
+    )
+    b = F.col("n_b").cast("double")
+    c = F.col("n_c").cast("double")
+    return cells.select(
+        "n",
+        "n_both_pos",
+        "n_both_neg",
+        "n_b",
+        "n_c",
+        F.round(F.try_divide((b - c) * (b - c), b + c), 6).alias("chi2"),
+    )
+
+
+def gains_curve(
+    df: DataFrame,
+    score_col,
+    label_col,
+    bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains (CAP) curve: rank rows by score into quantile
+    bins and report, from the TOP bin down, the cumulative share of
+    all positives captured — "the top 20% of scores catch 71% of the
+    positives", the number a targeting budget is actually set by.
+    Completes the eval family: AUC summarizes rank quality,
+    calibration_bins checks probability meaning, gains prices the
+    cut-off.
+
+    Bins come from broadcast exact-percentile thresholds (the
+    woe_iv/rfm pattern — never NTILE); capture cumulates over the
+    ``bins``-row table from the highest bin down. All counts exact
+    integers; two divisions per output row.
+
+    Returns (bin, n, n_pos, capture, cum_capture) with bin 1 = lowest
+    scores, cum_capture measured from bin ``bins`` downward, round 6.
+    """
+    from pyspark.sql import Window as W
+
+    qs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    th = df.agg(F.percentile(score_col, qs).alias("_th"))
+    b = F.lit(1)
+    for i in range(1, bins):
+        b = b + (score_col > F.element_at(F.col("_th"), i)).cast("int")
+    g = (
+        df.crossJoin(F.broadcast(th))
+        .groupBy(b.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(label_col.cast("int")).cast("long").alias("n_pos"),
+        )
+    )
+    w_rev = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy(F.desc("bin")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(
+            F.try_divide(
+                F.col("n_pos").cast("double"),
+                F.sum("n_pos").over(w_all).cast("double"),
+            ),
+            6,
+        ).alias("capture"),
+        F.round(
+            F.try_divide(
+                F.sum("n_pos").over(w_rev).cast("double"),
+                F.sum("n_pos").over(w_all).cast("double"),
+            ),
+            6,
+        ).alias("cum_capture"),
+    )

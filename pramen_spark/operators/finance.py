@@ -137,3 +137,57 @@ def abc_classification(
             ).alias("share"),
         )
     )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key_col: str,
+    value_expr,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lorenz curve in ``n_buckets`` points: entities sort by value
+    ascending and each decile reports its cumulative share of total
+    value — the curve whose area doubles into the Gini coefficient
+    (evalmetrics.py::gini gives the scalar; this gives the SHAPE the
+    scalar hides: is inequality in a thin top or a thick bottom?).
+
+    Per-entity values reduce as DECIMALs; ranking uses row_number with
+    a deterministic (value, key) tiebreak over the DOMAIN-bounded
+    entity table (the abc_classification contract), bucket assignment
+    is pure integer arithmetic ((r−1)·k DIV n + 1), and cumulative
+    shares divide exact decimal sums once per bucket row.
+
+    Returns (bucket, n_keys, value, cum_share), rounds 6.
+    """
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(value_expr).alias("_v")
+    )
+    w = Window.orderBy(F.asc("_v"), F.asc("_k"))
+    tot = Window.orderBy(F.asc("_v"), F.asc("_k")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "_v",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(tot).alias("_n"),
+        F.sum("_v").over(tot).alias("_tot"),
+    )
+    bucket = F.expr(f"CAST((_r - 1) * {int(n_buckets)} DIV _n + 1 AS LONG)")
+    g = ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_v").alias("_bv"),
+        F.max("_tot").alias("_t"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "bucket",
+        "n_keys",
+        F.col("_bv").cast("double").alias("value"),
+        F.round(
+            F.sum("_bv").over(w_cum).cast("double")
+            / F.col("_t").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

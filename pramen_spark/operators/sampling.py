@@ -884,3 +884,96 @@ def weighted_percentiles(
         for q in qs
     ]
     return cum.crossJoin(F.broadcast(tot)).agg(*aggs)
+
+
+def negative_samples(
+    positives: DataFrame,
+    entity_col: str,
+    item_col: str,
+    all_items: DataFrame,
+    k: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    per entity, ``k`` pseudo-random items drawn from the catalog by
+    md5 hashing (entity, slot) — reproducible on every engine, run,
+    and cluster size, unlike rand()-based sampling — with observed
+    positives removed by an anti-join. A slot whose hash collides
+    with a positive yields nothing (no resampling: determinism beats
+    exact-k, and the expected shortfall is positives/catalog).
+
+    Items index densely via row_number over the DOMAIN-bounded item
+    table (never assume contiguous ids); the hash-to-index map is a
+    pure column expression; the item lookup and the positive
+    anti-join are the only joins, both broadcastable/co-keyed.
+
+    Returns (entity, slot, item).
+    """
+    items = all_items.select(F.col(item_col).alias("_item")).distinct()
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("_item")
+    indexed = items.select(
+        "_item", (F.row_number().over(w) - 1).cast("long").alias("_idx")
+    )
+    n_items = items.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ents = positives.select(F.col(entity_col).alias("entity")).distinct()
+    slots = ents.select(
+        "entity",
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("slot"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("entity").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = slots.crossJoin(F.broadcast(n_items)).select(
+        "entity", "slot", (h % F.col("_n")).alias("_idx")
+    )
+    picked = cand.join(F.broadcast(indexed), "_idx").select(
+        "entity", "slot", F.col("_item").alias("item")
+    )
+    pos = positives.select(
+        F.col(entity_col).alias("entity"), F.col(item_col).alias("item")
+    ).distinct()
+    return picked.join(pos, ["entity", "item"], "left_anti").select(
+        "entity", "slot", "item"
+    )
+
+
+def effective_sample_size(df: DataFrame, weight_expr) -> DataFrame:
+    """Kish effective sample size of a weighted dataset:
+    ESS = (Σw)² / Σw² — the importance-sampling diagnostic that says
+    how many EQUAL-weight rows the weighted set is actually worth.
+    An upsampled mixture with ESS/n = 0.2 trains like a corpus a
+    fifth its size; below ~0.5 the mixture weights are doing more
+    harm than coverage.
+
+    Weights' sums and square-sums reduce as DECIMALs (squares as
+    products), so the diagnostic is reduce-order independent; one
+    aggregation pass.
+
+    Returns one row: (n, ess, ess_ratio), rounds 6.
+    """
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    w = weight_expr.cast("double")
+    s = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(w)).cast("double").alias("_s1"),
+        F.sum(dec(w * w)).cast("double").alias("_s2"),
+    )
+    ess = F.try_divide(F.col("_s1") * F.col("_s1"), F.col("_s2"))
+    return s.select(
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n").cast("double"), 6).alias("ess_ratio"),
+    )

@@ -652,3 +652,89 @@ def growth_accounting(
         "n_resurrected",
         F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
     )
+
+
+def littles_law_audit(
+    intervals: DataFrame,
+    start_us_col: str,
+    end_us_col: str,
+) -> DataFrame:
+    """Little's law audit per UTC day: compare the MEASURED time-average
+    concurrency L (total busy microseconds in the day / day length)
+    against the λ·W PREDICTION (arrivals that day × their mean duration
+    in days) — the queueing-theory identity capacity planning leans on,
+    and a data-quality tripwire when sessionization is broken (the two
+    sides diverge hard if sessions leak or truncate).
+
+    Busy time uses the same midnight-splitting as interval_concurrency
+    (day-partitioned, exact integer microsecond sums as decimals);
+    arrivals attribute to the start day. Boundary effects (sessions
+    spanning midnight put busy time in day 2 but arrival in day 1)
+    are the expected, documented source of small residuals.
+
+    Returns (day, n_arrivals, mean_duration_s, l_measured,
+    l_predicted), rounds 6.
+    """
+    base = intervals.select(
+        F.col(start_us_col).cast("long").alias("_s_us"),
+        F.col(end_us_col).cast("long").alias("_e_us"),
+    )
+    seg = base.select(
+        "_s_us",
+        "_e_us",
+        F.explode(
+            F.sequence(
+                F.date_from_unix_date(
+                    F.expr("CAST(_s_us DIV 86400000000 AS INT)")
+                ),
+                F.date_from_unix_date(
+                    F.expr("CAST(_e_us DIV 86400000000 AS INT)")
+                ),
+            )
+        ).alias("day"),
+    )
+    day_start = F.unix_date(F.col("day")).cast("long") * F.lit(86_400_000_000)
+    day_end = day_start + F.lit(86_400_000_000 - 1)
+    clipped = seg.select(
+        "day",
+        (
+            F.least(F.col("_e_us"), day_end)
+            - F.greatest(F.col("_s_us"), day_start)
+            + F.lit(1)
+        ).alias("_busy"),
+    )
+    busy = clipped.groupBy("day").agg(
+        F.sum(F.col("_busy").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_busy_us")
+    )
+    arr = base.groupBy(
+        F.date_from_unix_date(
+            F.expr("CAST(_s_us DIV 86400000000 AS INT)")
+        ).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum((F.col("_e_us") - F.col("_s_us") + 1).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_dur_us"),
+    )
+    day_us = F.lit(86_400_000_000.0)
+    j = busy.join(arr, "day", "left")
+    return j.select(
+        "day",
+        F.coalesce("n_arrivals", F.lit(0)).cast("long").alias("n_arrivals"),
+        F.round(
+            F.try_divide(F.col("_dur_us"), F.col("n_arrivals").cast("double"))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mean_duration_s"),
+        F.round(F.col("_busy_us") / day_us, 6).alias("l_measured"),
+        F.round(
+            F.col("n_arrivals").cast("double")
+            * F.try_divide(
+                F.col("_dur_us"), F.col("n_arrivals").cast("double")
+            )
+            / day_us,
+            6,
+        ).alias("l_predicted"),
+    )

@@ -203,3 +203,55 @@ def herfindahl_index(
         F.round(F.col("_mx").cast("double") / tot, 6).alias("top_share"),
         F.round(F.col("_sq").cast("double") / (tot * tot), 6).alias("hhi"),
     )
+
+
+def peer_zscore(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Peer-group z-score outliers: each entity's value standardized
+    against ITS OWN group's mean and sample deviation, returning the
+    entities beyond ``threshold`` deviations — "this supplier's
+    balance is normal globally but 3σ off for its nation". The
+    peer-relative complement of grubbs_test's global extreme.
+
+    Group moments come from one DECIMAL-exact aggregation (the
+    welch/anova discipline) broadcast back onto the entities; the
+    z-score is one subtraction and division per row. Groups of one
+    have no deviation — NULL z, never flagged.
+
+    Returns (group, entity, value, z), |z| > threshold only, round 6.
+    """
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(entity_col).alias("entity"),
+        v.alias("_v"),
+    )
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(F.col("_v"))).cast("double").alias("_s1"),
+        F.sum(dec(F.col("_v") * F.col("_v"))).cast("double").alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1") / n
+    sd = F.sqrt(
+        F.try_divide(n * F.col("_s2") - F.col("_s1") * F.col("_s1"),
+                     n * (n - F.lit(1.0)))
+    )
+    stats = g.select("grp", mean.alias("_m"), sd.alias("_sd"))
+    z = F.try_divide(F.col("_v") - F.col("_m"), F.col("_sd"))
+    return (
+        base.join(F.broadcast(stats), "grp")
+        .where(F.abs(z) > threshold)
+        .select(
+            "grp",
+            "entity",
+            F.round("_v", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )

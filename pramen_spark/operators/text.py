@@ -1123,3 +1123,64 @@ def pii_rate(
     ]
     return g.select("grp", "n_docs", *[c for k in patterns for c in
                     (F.col(f"docs_{k}"), F.col(f"spans_{k}"))], *rates)
+
+
+def term_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_expr=None,
+    min_df: int = 5,
+) -> DataFrame:
+    """Emerging/fading terms between two corpus halves: per token, the
+    document frequency in each half and the smoothed log-odds growth
+    ln((df₂+1)/(n₂+2)) − ln((df₁+1)/(n₁+2)) — the trend-mining readout
+    behind "what are people suddenly writing about" dashboards and
+    drift-aware vocabulary refreshes. Add-one smoothing keeps tokens
+    absent from one half finite instead of infinitely trending.
+
+    ``split_expr`` is any boolean column (False = half 1 / True =
+    half 2); the deterministic default is doc_id parity. Distinct
+    (token, doc) pairs aggregate once per half inside the same pass
+    (conditional counts), half sizes broadcast from a 1-row aggregate.
+
+    Returns (token, df_1, df_2, growth) for tokens with combined
+    df >= min_df, round 6.
+    """
+    split = (
+        split_expr if split_expr is not None else (F.col(id_col) % 2 == 1)
+    )
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    pairs = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.explode(toks).alias("token"),
+            split.cast("int").alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .where(F.col("token") != "")
+    )
+    sizes = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .agg(
+            F.sum((~split).cast("int")).cast("long").alias("_n1"),
+            F.sum(split.cast("int")).cast("long").alias("_n2"),
+        )
+    )
+    g = pairs.groupBy("token").agg(
+        F.sum(F.lit(1) - F.col("_h")).cast("long").alias("df_1"),
+        F.sum("_h").cast("long").alias("df_2"),
+    )
+    j = g.crossJoin(F.broadcast(sizes))
+    growth = F.log(
+        (F.col("df_2").cast("double") + F.lit(1.0))
+        / (F.col("_n2").cast("double") + F.lit(2.0))
+    ) - F.log(
+        (F.col("df_1").cast("double") + F.lit(1.0))
+        / (F.col("_n1").cast("double") + F.lit(2.0))
+    )
+    return j.where(F.col("df_1") + F.col("df_2") >= min_df).select(
+        "token", "df_1", "df_2", F.round(growth, 6).alias("growth")
+    )

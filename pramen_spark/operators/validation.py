@@ -454,3 +454,137 @@ def duplicate_transaction_screen(
         "entity", "amount", "first_id", "second_id",
         F.col("gap_days").cast("long").alias("gap_days"),
     )
+
+
+def nzv_screen(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Near-zero-variance feature screen (the caret ``nearZeroVar``
+    audit): per numeric column, the share held by its most common
+    value and the distinct-to-rows ratio — the two numbers that catch
+    constant and almost-constant features before they waste model
+    capacity or blow up one-hot encoders.
+
+    Each column reduces to its value histogram independently (one
+    map-side-combined aggregation per column over a projected single
+    column — k columns never force k scans of full rows thanks to
+    parquet column pruning); the mode is an argmax over a
+    (count, value) struct with a deterministic value tiebreak.
+
+    Returns one row per column: (col_name, n, n_distinct, mode_value,
+    mode_share, distinct_ratio), rounds 6.
+    """
+    outs = []
+    for c in columns:
+        g = (
+            df.select(F.col(c).cast("double").alias("_v"))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        outs.append(
+            g.agg(
+                F.lit(c).alias("col_name"),
+                F.sum("_c").cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max(F.struct(F.col("_c"), F.col("_v"))).alias("_top"),
+            ).select(
+                "col_name",
+                "n",
+                "n_distinct",
+                F.round(F.col("_top._v"), 6).alias("mode_value"),
+                F.round(
+                    F.col("_top._c").cast("double")
+                    / F.col("n").cast("double"),
+                    6,
+                ).alias("mode_share"),
+                F.round(
+                    F.col("n_distinct").cast("double")
+                    / F.col("n").cast("double"),
+                    6,
+                ).alias("distinct_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def cross_cardinality_audit(
+    df: DataFrame, pairs: Sequence[Tuple[str, str]]
+) -> DataFrame:
+    """Feature-cross cardinality audit: for each (a, b) column pair,
+    the observed combination count vs the |a|·|b| maximum — the number
+    that decides whether a crossed feature is a reasonable embedding
+    table or a one-hot explosion, and (low fill rates) flags
+    structurally-coupled columns that crossing cannot help.
+
+    Each pair is one exact three-distinct aggregation (observed
+    combos via a distinct over the pair); pairs union into one
+    report. Returns (cross_name, n_a, n_b, n_observed, max_possible,
+    fill_rate), round 6.
+    """
+    outs = []
+    for a, b in pairs:
+        agg = df.agg(
+            F.lit(f"{a} x {b}").alias("cross_name"),
+            F.countDistinct(F.col(a)).cast("long").alias("n_a"),
+            F.countDistinct(F.col(b)).cast("long").alias("n_b"),
+            F.countDistinct(F.struct(F.col(a), F.col(b)))
+            .cast("long")
+            .alias("n_observed"),
+        ).select(
+            "cross_name",
+            "n_a",
+            "n_b",
+            "n_observed",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias(
+                "max_possible"
+            ),
+            F.round(
+                F.col("n_observed").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("fill_rate"),
+        )
+        outs.append(agg)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_expr,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — k_anonymity_audit's stronger sibling: a
+    quasi-identifier group can be large (k-anonymous) yet expose its
+    members anyway if everyone in it shares the same sensitive value.
+    Per QI group, count DISTINCT sensitive values; report how many
+    groups fail the ``l`` threshold.
+
+    One aggregation to the QI-group table (map-side combined), one
+    summary reduce. Returns one row: (n_groups, n_failing,
+    share_failing, min_l, n_rows_exposed) — exposed rows live in
+    failing groups.
+    """
+    g = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.countDistinct(sensitive_expr).cast("long").alias("_l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("_l") < l).cast("int")).cast("long").alias(
+            "n_failing"
+        ),
+        F.round(
+            F.sum((F.col("_l") < l).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("share_failing"),
+        F.min("_l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("_l") < l, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_exposed"),
+    )

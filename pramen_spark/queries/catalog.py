@@ -11170,6 +11170,1691 @@ def q_return_rate_by_brand(spark, sf_dir):
     )
 
 
+@query(
+    "odds_ratio_events",
+    """
+    WITH cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN isodow(ts) - 1 >= 5
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_exp_pos,
+          CAST(SUM(CASE WHEN isodow(ts) - 1 >= 5
+                             AND event_type <> 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_exp_neg,
+          CAST(SUM(CASE WHEN isodow(ts) - 1 < 5
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unexp_pos,
+          CAST(SUM(CASE WHEN isodow(ts) - 1 < 5
+                             AND event_type <> 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unexp_neg
+        FROM events
+    )
+    SELECT n_exp_pos, n_exp_neg, n_unexp_pos, n_unexp_neg,
+           ROUND((CAST(n_exp_pos AS DOUBLE) * CAST(n_unexp_neg AS DOUBLE))
+                 / (CAST(n_exp_neg AS DOUBLE)
+                    * CAST(n_unexp_pos AS DOUBLE)), 6) AS odds_ratio,
+           ROUND(exp(ln((CAST(n_exp_pos AS DOUBLE)
+                         * CAST(n_unexp_neg AS DOUBLE))
+                        / (CAST(n_exp_neg AS DOUBLE)
+                           * CAST(n_unexp_pos AS DOUBLE)))
+                     - 1.96 * sqrt(1.0 / CAST(n_exp_pos AS DOUBLE)
+                                   + 1.0 / CAST(n_exp_neg AS DOUBLE)
+                                   + 1.0 / CAST(n_unexp_pos AS DOUBLE)
+                                   + 1.0 / CAST(n_unexp_neg AS DOUBLE))),
+                 6) AS ci_lo,
+           ROUND(exp(ln((CAST(n_exp_pos AS DOUBLE)
+                         * CAST(n_unexp_neg AS DOUBLE))
+                        / (CAST(n_exp_neg AS DOUBLE)
+                           * CAST(n_unexp_pos AS DOUBLE)))
+                     + 1.96 * sqrt(1.0 / CAST(n_exp_pos AS DOUBLE)
+                                   + 1.0 / CAST(n_exp_neg AS DOUBLE)
+                                   + 1.0 / CAST(n_unexp_pos AS DOUBLE)
+                                   + 1.0 / CAST(n_unexp_neg AS DOUBLE))),
+                 6) AS ci_hi
+    FROM cells
+    """,
+    "weekend-vs-weekday purchase odds ratio with the Woolf log-OR "
+    "95% interval, from exact 2x2 cells",
+    tags=("analytics", "drift"),
+)
+def q_odds_ratio_events(spark, sf_dir):
+    """The case-control readout (operators/drift.py::odds_ratio):
+    Wilson CIs (wilson_ctr_events) bound ONE proportion; this compares
+    two. The 2×2 cells are one conditional aggregation of exact
+    integers; OR and the Woolf interval are scalar arithmetic on the
+    single row. Exposure here: ISO weekend (weekday >= 5)."""
+    from pramen_spark.operators.drift import odds_ratio
+
+    ev = load_events(spark, sf_dir)
+    return odds_ratio(
+        ev,
+        F.weekday(F.col("ts")) >= 5,
+        F.col("event_type") == "purchase",
+    )
+
+
+@query(
+    "mcnemar_langid",
+    f"""
+    WITH pred AS ({_LANG_ID_ORACLE})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.lang = 'en' AND p.lang_pred = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pos,
+           CAST(SUM(CASE WHEN d.lang <> 'en' AND p.lang_pred <> 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_both_neg,
+           CAST(SUM(CASE WHEN d.lang = 'en' AND p.lang_pred <> 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN d.lang <> 'en' AND p.lang_pred = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           ROUND((CAST(SUM(CASE WHEN d.lang = 'en' AND p.lang_pred <> 'en'
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+                  - CAST(SUM(CASE WHEN d.lang <> 'en'
+                                       AND p.lang_pred = 'en'
+                             THEN 1 ELSE 0 END) AS DOUBLE))
+                 * (CAST(SUM(CASE WHEN d.lang = 'en'
+                                       AND p.lang_pred <> 'en'
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                    - CAST(SUM(CASE WHEN d.lang <> 'en'
+                                         AND p.lang_pred = 'en'
+                               THEN 1 ELSE 0 END) AS DOUBLE))
+                 / (CAST(SUM(CASE WHEN d.lang = 'en'
+                                       AND p.lang_pred <> 'en'
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                    + CAST(SUM(CASE WHEN d.lang <> 'en'
+                                         AND p.lang_pred = 'en'
+                               THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+             AS chi2
+    FROM documents d JOIN pred p USING (doc_id)
+    """,
+    "McNemar's paired test of is-English: labeled language vs the "
+    "stopword-vote prediction, chi2 on the discordant cells only",
+    tags=("evalmetrics", "text"),
+)
+def q_mcnemar_langid(spark, sf_dir):
+    """The before/after-model comparison done right
+    (operators/evalmetrics.py::mcnemar_test): accuracy deltas mislead
+    when both labelings agree on the easy 95% — McNemar's
+    χ² = (b−c)²/(b+c) looks only at the exact integer discordant
+    cells. Pairs with cohens_kappa (overall agreement) the way a
+    model-regression review reads both."""
+    from pramen_spark.operators.evalmetrics import mcnemar_test
+    from pramen_spark.operators.text import language_id
+
+    d = load_documents_spread(spark, sf_dir)
+    pred = language_id(d).select("doc_id", "lang_pred")
+    j = d.select("doc_id", "lang").join(pred, "doc_id")
+    return mcnemar_test(
+        j, F.col("lang") == "en", F.col("lang_pred") == "en"
+    )
+
+
+@query(
+    "lorenz_curve_customers",
+    """
+    WITH per AS (
+        SELECT o_custkey AS k,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v, k) AS r,
+               COUNT(*) OVER () AS n, SUM(v) OVER () AS tot
+        FROM per
+    ),
+    g AS (
+        SELECT (r - 1) * 10 // n + 1 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               SUM(v) AS bv, MAX(tot) AS t
+        FROM ranked GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_keys,
+           CAST(bv AS DOUBLE) AS value,
+           ROUND(CAST(SUM(bv) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+    FROM g
+    """,
+    "customer-revenue Lorenz curve in deciles: cumulative share of "
+    "revenue held by the bottom k/10 of customers",
+    tags=("analytics", "finance"),
+)
+def q_lorenz_curve_customers(spark, sf_dir):
+    """The SHAPE behind gini_orders' scalar
+    (operators/finance.py::lorenz_curve): per-customer decimal sums,
+    deterministic (value, key) ranking over the domain-bounded
+    customer table, integer decile assignment, exact decimal
+    cumulative divided once per bucket row."""
+    from pramen_spark.operators.finance import lorenz_curve
+
+    o = load_table(spark, sf_dir, "orders")
+    return lorenz_curve(
+        o, "o_custkey", F.col("o_totalprice").cast("decimal(18,2)"),
+        n_buckets=10,
+    )
+
+
+@query(
+    "peer_zscore_customers",
+    """
+    WITH g AS (
+        SELECT c_mktsegment AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 AS s1,
+               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s2
+        FROM customer GROUP BY 1
+    ),
+    st AS (
+        SELECT grp, s1 / CAST(n AS DOUBLE) AS m,
+               sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 AS sd
+        FROM g
+    )
+    SELECT c.c_mktsegment AS grp, c.c_custkey AS entity,
+           ROUND(c.c_acctbal, 6) AS value,
+           ROUND((c.c_acctbal - st.m) / st.sd, 6) AS z
+    FROM customer c JOIN st ON c.c_mktsegment = st.grp
+    WHERE abs((c.c_acctbal - st.m) / st.sd) > 1.6
+    """,
+    "peer-group outliers: customers whose account balance sits more "
+    "than 1.6 sample deviations from their own market segment's mean",
+    tags=("analytics", "skew"),
+)
+def q_peer_zscore_customers(spark, sf_dir):
+    """Normal globally, extreme for its peers
+    (operators/skew.py::peer_zscore) — the peer-relative complement
+    of grubbs_test's global extreme: decimal-exact group moments
+    broadcast back, one standardization per row, groups of one NULL
+    out instead of flagging. Threshold 1.6 because TPC-H balances are
+    UNIFORM: |z| never exceeds √3 ≈ 1.73, so a naive 2σ gate on this
+    data proves nothing — reading the distribution before picking the
+    fence is the point of the operator."""
+    from pramen_spark.operators.skew import peer_zscore
+
+    c = load_table(spark, sf_dir, "customer")
+    return peer_zscore(
+        c, "c_mktsegment", "c_custkey", "c_acctbal", threshold=1.6
+    )
+
+
+@query(
+    "revenue_entropy_brands",
+    """
+    WITH per AS (
+        SELECT p_brand,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(v) AS t FROM per),
+    p AS (SELECT CAST(v AS DOUBLE) / CAST(t AS DOUBLE) AS sh
+          FROM per, tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+           ROUND(-SUM(sh * ln(sh)), 6) AS entropy,
+           ROUND(exp(-SUM(sh * ln(sh))), 6) AS effective_brands
+    FROM p
+    """,
+    "Shannon entropy of brand revenue shares and the effective brand "
+    "count exp(H): catalog-concentration in information units",
+    tags=("analytics", "finance"),
+)
+def q_revenue_entropy_brands(spark, sf_dir):
+    """The information-theoretic twin of hhi_nation_suppliers (1/HHI
+    is the Simpson effective count; exp(H) the Shannon one): brand
+    revenues reduce as DECIMALs, shares and the 25-term entropy sum
+    are scalar work on the brand table. Pure composition — the
+    entropy of an exact share vector needs no new operator."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per = j.groupBy("p_brand").agg(F.sum(rev).alias("_v"))
+    tot = per.agg(F.sum("_v").alias("_t"))
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        (F.col("_v").cast("double") / F.col("_t").cast("double")).alias(
+            "_sh"
+        )
+    )
+    h = -F.sum(F.col("_sh") * F.log(F.col("_sh")))
+    return shares.agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.round(h, 6).alias("entropy"),
+        F.round(F.exp(h), 6).alias("effective_brands"),
+    )
+
+
+@query(
+    "littles_law_events",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+    ),
+    marked AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess0 AS (
+        SELECT user_id, tus,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+        FROM marked
+    ),
+    sess AS (
+        SELECT MIN(tus) AS s_us, MAX(tus) AS e_us
+        FROM sess0 GROUP BY user_id, sid
+    ),
+    seg AS (
+        SELECT s_us, e_us,
+               unnest(range(s_us // 86400000000,
+                            e_us // 86400000000 + 1)) AS dayn
+        FROM sess
+    ),
+    clip AS (
+        SELECT dayn,
+               LEAST(e_us, dayn * 86400000000 + 86399999999)
+               - GREATEST(s_us, dayn * 86400000000) + 1 AS busy
+        FROM seg
+    ),
+    busy AS (
+        SELECT dayn,
+               CAST(SUM(CAST(busy AS DECIMAL(38,0))) AS DOUBLE) AS busy_us
+        FROM clip GROUP BY dayn
+    ),
+    arr AS (
+        SELECT s_us // 86400000000 AS dayn,
+               CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+               CAST(SUM(CAST(e_us - s_us + 1 AS DECIMAL(38,0)))
+                    AS DOUBLE) AS dur_us
+        FROM sess GROUP BY 1
+    )
+    SELECT DATE '1970-01-01' + CAST(b.dayn AS INTEGER) AS day,
+           CAST(COALESCE(a.n_arrivals, 0) AS BIGINT) AS n_arrivals,
+           ROUND(a.dur_us / CAST(a.n_arrivals AS DOUBLE) / 1000000.0, 6)
+             AS mean_duration_s,
+           ROUND(b.busy_us / 86400000000.0, 6) AS l_measured,
+           ROUND(CAST(a.n_arrivals AS DOUBLE)
+                 * (a.dur_us / CAST(a.n_arrivals AS DOUBLE))
+                 / 86400000000.0, 6) AS l_predicted
+    FROM busy b LEFT JOIN arr a ON b.dayn = a.dayn
+    """,
+    "Little's law audit per day over 30-min-gap sessions: measured "
+    "time-average concurrency vs the arrivals x mean-duration "
+    "prediction",
+    tags=("analytics", "sessionization"),
+)
+def q_littles_law_events(spark, sf_dir):
+    """The queueing identity as a data-quality tripwire
+    (operators/sequences.py::littles_law_audit): busy time uses
+    interval_concurrency's midnight splitting (day-partitioned, exact
+    integer microsecond sums as decimals); arrivals attribute to the
+    start day. The two sides diverge hard when sessionization leaks
+    or truncates — that divergence is the alert."""
+    from pramen_spark.operators.sequences import littles_law_audit
+    from pramen_spark.streaming.stream import sessionize_batch
+
+    s = sessionize_batch(
+        load_events(spark, sf_dir), "user_id", "ts", gap="30 minutes"
+    )
+    iv = s.select(
+        F.unix_micros("session_start").alias("s_us"),
+        F.unix_micros("session_end").alias("e_us"),
+    )
+    return littles_law_audit(iv, "s_us", "e_us")
+
+
+@query(
+    "its_breakpoint_daily",
+    """
+    WITH daily AS (
+        SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                    THEN 'pre' ELSE 'post' END AS grp,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS DOUBLE) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS y
+        FROM orders GROUP BY 1, CAST(o_orderdate AS DATE)
+    ),
+    s AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM daily GROUP BY grp
+    ),
+    f AS (
+        SELECT grp, n,
+               ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n AS DOUBLE), 6) AS intercept
+        FROM s
+    )
+    SELECT pre.n AS n_pre, post.n AS n_post,
+           pre.slope AS slope_pre, post.slope AS slope_post,
+           ROUND(post.slope - pre.slope, 6) AS slope_change,
+           ROUND((post.intercept + post.slope * 10227.0)
+                 - (pre.intercept + pre.slope * 10227.0), 6)
+             AS level_change
+    FROM (SELECT * FROM f WHERE grp = 'pre') pre,
+         (SELECT * FROM f WHERE grp = 'post') post
+    """,
+    "interrupted time series at 1998-01-01: pre/post OLS revenue "
+    "trends with the slope change and the level jump at the break",
+    tags=("analytics", "drift"),
+)
+def q_its_breakpoint_daily(spark, sf_dir):
+    """The policy-change readout (composition over
+    operators/drift.py::ols_by_group): two decimal-exact fits in one
+    pass (grp = pre/post), then the level jump evaluated AT the
+    breakpoint day from the ROUNDED fit outputs — both engines derive
+    the deltas from identical rounded doubles, so composition adds no
+    parity risk."""
+    from pramen_spark.operators.drift import ols_by_group
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.when(
+            F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"),
+            "pre",
+        ).otherwise("post").alias("grp"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    fits = ols_by_group(daily, "grp", F.unix_date("day"), F.col("y"))
+    pre = fits.where(F.col("grp") == "pre").select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("slope_pre"),
+        F.col("intercept").alias("i_pre"),
+    )
+    post = fits.where(F.col("grp") == "post").select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("slope_post"),
+        F.col("intercept").alias("i_post"),
+    )
+    xb = F.lit(10227.0)  # unix day of 1998-01-01
+    return pre.crossJoin(post).select(
+        "n_pre",
+        "n_post",
+        "slope_pre",
+        "slope_post",
+        F.round(F.col("slope_post") - F.col("slope_pre"), 6).alias(
+            "slope_change"
+        ),
+        F.round(
+            (F.col("i_post") + F.col("slope_post") * xb)
+            - (F.col("i_pre") + F.col("slope_pre") * xb),
+            6,
+        ).alias("level_change"),
+    )
+
+
+@query(
+    "gains_curve_documents",
+    """
+    WITH th AS (
+        SELECT [quantile_cont(CAST(n_chars AS DOUBLE), 0.1),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.2),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.3),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.4),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.5),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.6),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.7),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.8),
+                quantile_cont(CAST(n_chars AS DOUBLE), 0.9)] AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(1
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[1] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[2] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[3] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[4] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[5] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[6] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[7] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[8] THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) > t[9] THEN 1 ELSE 0 END)
+          AS BIGINT) AS bin,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents, th
+    ),
+    g AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM b GROUP BY bin
+    ),
+    w AS (
+        SELECT bin, n, n_pos,
+               CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS cum,
+               CAST(SUM(n_pos) OVER () AS DOUBLE) AS tot
+        FROM g
+    )
+    SELECT bin, n, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / tot, 6) AS capture,
+           ROUND(cum / tot, 6) AS cum_capture
+    FROM w
+    """,
+    "cumulative gains (CAP) curve: share of positives captured by "
+    "each score decile from the top down (length scoring is-English)",
+    tags=("evalmetrics",),
+)
+def q_gains_curve_documents(spark, sf_dir):
+    """The targeting-budget chart (operators/evalmetrics.py::
+    gains_curve) completing the eval family: AUC ranks, calibration
+    checks probabilities, gains prices the cut-off. Broadcast
+    exact-percentile deciles (never NTILE), exact integer capture
+    counts, two divisions per output row."""
+    from pramen_spark.operators.evalmetrics import gains_curve
+
+    d = load_table(spark, sf_dir, "documents")
+    return gains_curve(
+        d,
+        F.col("n_chars").cast("double"),
+        (F.col("lang") == "en"),
+        bins=10,
+    )
+
+
+@query(
+    "two_proportion_ztest_events",
+    """
+    WITH cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_1,
+          CAST(SUM(CASE WHEN isodow(ts) - 1 >= 5
+                             AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS x_1,
+          CAST(SUM(CASE WHEN isodow(ts) - 1 < 5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_2,
+          CAST(SUM(CASE WHEN isodow(ts) - 1 < 5
+                             AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS x_2
+        FROM events
+    )
+    SELECT n_1, x_1, n_2, x_2,
+           ROUND(CAST(x_1 AS DOUBLE) / CAST(n_1 AS DOUBLE), 6) AS p_1,
+           ROUND(CAST(x_2 AS DOUBLE) / CAST(n_2 AS DOUBLE), 6) AS p_2,
+           ROUND((CAST(x_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+                  - CAST(x_2 AS DOUBLE) / CAST(n_2 AS DOUBLE))
+                 / sqrt((CAST(x_1 + x_2 AS DOUBLE)
+                         / CAST(n_1 + n_2 AS DOUBLE))
+                        * (1.0 - CAST(x_1 + x_2 AS DOUBLE)
+                           / CAST(n_1 + n_2 AS DOUBLE))
+                        * (1.0 / CAST(n_1 AS DOUBLE)
+                           + 1.0 / CAST(n_2 AS DOUBLE))), 6) AS z
+    FROM cells
+    """,
+    "pooled two-proportion z-test of the purchase rate, weekend vs "
+    "weekday, from exact cells",
+    tags=("analytics", "drift"),
+)
+def q_two_proportion_ztest_events(spark, sf_dir):
+    """The rate-difference companion to odds_ratio_events
+    (operators/drift.py::two_proportion_ztest): same 2×2 cells, the
+    additive view — report both, they disagree exactly when base
+    rates are extreme. One conditional aggregation, scalar z."""
+    from pramen_spark.operators.drift import two_proportion_ztest
+
+    ev = load_events(spark, sf_dir)
+    return two_proportion_ztest(
+        ev,
+        F.weekday(F.col("ts")) >= 5,
+        F.col("event_type") == "purchase",
+    )
+
+
+@query(
+    "stickiness_ratios_events",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dlist AS (SELECT DISTINCT day FROM du),
+    d1 AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM du GROUP BY day
+    ),
+    d7 AS (
+        SELECT l.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM dlist l JOIN du u ON u.day BETWEEN l.day - 6 AND l.day
+        GROUP BY l.day
+    ),
+    d30 AS (
+        SELECT l.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+        FROM dlist l JOIN du u ON u.day BETWEEN l.day - 29 AND l.day
+        GROUP BY l.day
+    )
+    SELECT d1.day, dau, wau, mau,
+           ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+             AS dau_wau,
+           ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6)
+             AS dau_mau
+    FROM d1
+    JOIN d7 ON d1.day = d7.day
+    JOIN d30 ON d1.day = d30.day
+    """,
+    "stickiness ratios per day: DAU/WAU and DAU/MAU from exact "
+    "trailing-window distinct users (1/7/30 days)",
+    tags=("analytics", "timegrid"),
+)
+def q_stickiness_ratios_events(spark, sf_dir):
+    """The habit metric (composition over operators/timegrid.py::
+    trailing_distinct at windows 1/7/30): each window collapses to
+    DISTINCT (day, user) then a bounded explode — shuffle volume is
+    window_days × active pairs, never a range join of events against
+    a calendar. Three day-keyed joins of calendar-bounded tables."""
+    from pramen_spark.operators.timegrid import trailing_distinct
+
+    ev = load_events(spark, sf_dir)
+    d1 = trailing_distinct(ev, "ts", "user_id", 1)
+    d7 = trailing_distinct(ev, "ts", "user_id", 7)
+    d30 = trailing_distinct(ev, "ts", "user_id", 30)
+    j = d1.join(d7, "day").join(d30, "day")
+    dau = F.col("active_1d").alias("dau")
+    return j.select(
+        "day",
+        F.col("active_1d").alias("dau"),
+        F.col("active_7d").alias("wau"),
+        F.col("active_30d").alias("mau"),
+        F.round(
+            F.col("active_1d").cast("double")
+            / F.col("active_7d").cast("double"),
+            6,
+        ).alias("dau_wau"),
+        F.round(
+            F.col("active_1d").cast("double")
+            / F.col("active_30d").cast("double"),
+            6,
+        ).alias("dau_mau"),
+    )
+
+
+@query(
+    "stream_topk_types_hourly",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, cnt,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY cnt DESC, event_type)
+                 AS rnk
+        FROM hourly
+    )
+    SELECT window_start, event_type, cnt, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 2
+    """,
+    "streaming parity: top-2 event types per hourly tumbling window "
+    "with a deterministic (count desc, type) tiebreak",
+    tags=("streaming",),
+)
+def q_stream_topk_types_hourly(spark, sf_dir):
+    """The per-window leaderboard a streaming job emits via
+    foreachBatch over FINALIZED windows (rank isn't incremental, so
+    production ranks each closed window after the watermark passes —
+    this is that batch computation, the same shape
+    stream_windowed_counts verifies for plain aggregates). Window
+    partitioned BY THE HOUR: perfectly parallel, never a global
+    sort."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return hourly.withColumn(
+        "rnk", F.row_number().over(w)
+    ).where(F.col("rnk") <= 2)
+
+
+@query(
+    "byte_stats_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(SUM(CASE WHEN strlen(text) > length(text)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_multibyte_docs,
+           ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
+                 / CAST(SUM(length(text)) AS DOUBLE), 6)
+             AS bytes_per_char
+    FROM documents GROUP BY source
+    """,
+    "opaque-payload byte accounting per source: UTF-8 bytes vs "
+    "characters, multibyte-document count, bytes-per-char ratio",
+    tags=("multimodal", "text"),
+)
+def q_byte_stats_by_source(spark, sf_dir):
+    """The storage-vs-tokenizer accounting for binary-ish payloads
+    (pure composition — Spark octet_length vs DuckDB strlen are both
+    UTF-8 byte counts): bytes-per-char > 1 flags the non-ASCII
+    sources whose context-window cost token_fertility_documents then
+    prices. One scan, one source-keyed aggregation, exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        F.sum(
+            (F.octet_length("text") > F.length("text")).cast("int")
+        ).cast("long").alias("n_multibyte_docs"),
+        F.round(
+            F.sum(F.octet_length("text")).cast("double")
+            / F.sum(F.length("text")).cast("double"),
+            6,
+        ).alias("bytes_per_char"),
+    )
+
+
+@query(
+    "lateness_profile_events",
+    """
+    WITH l AS (
+        SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS behind_us
+        FROM events
+    ),
+    k AS (
+        SELECT CAST(GREATEST(behind_us, 0) AS DOUBLE) / 1000000.0
+                 AS late_s
+        FROM l WHERE behind_us IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           ROUND(CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS late_share,
+           ROUND(quantile_cont(late_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(late_s, 0.99), 6) AS p99_s,
+           ROUND(MAX(late_s), 6) AS max_s
+    FROM k
+    """,
+    "watermark-lateness profile: how far behind its user's "
+    "high-watermark each event arrives (event_id as arrival order) — "
+    "the number that sets withWatermark's delay",
+    tags=("streaming",),
+)
+def q_lateness_profile_events(spark, sf_dir):
+    """The withWatermark threshold, measured instead of guessed
+    (streaming/stream.py::lateness_profile): set the delay at this
+    p99 and 1% of data drops; at max and state never ages. Per-key
+    running max over (user, arrival) order — parallel by key; the
+    global watermark is the degenerate single-key case."""
+    from pramen_spark.streaming.stream import lateness_profile
+
+    ev = load_events(spark, sf_dir)
+    return lateness_profile(ev, "user_id", "ts", "event_id")
+
+
+@query(
+    "langid_margin_documents",
+    f"""
+    WITH pred AS ({_LANG_ID_ORACLE}),
+    m AS (
+        SELECT lang_pred,
+               list_sort([votes_de, votes_en, votes_es, votes_fr,
+                          votes_it], 'DESC')[1]
+               - list_sort([votes_de, votes_en, votes_es, votes_fr,
+                            votes_it], 'DESC')[2] AS margin
+        FROM pred
+    )
+    SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(margin AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_margin,
+           CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tied
+    FROM m GROUP BY lang_pred
+    """,
+    "language-ID confidence audit: vote margin (top minus runner-up) "
+    "per predicted language, with exact tie counts",
+    tags=("text", "evalmetrics"),
+)
+def q_langid_margin_documents(spark, sf_dir):
+    """HOW SURE is the classifier langid_confusion scores (pure
+    composition over operators/text.py::language_id's vote columns):
+    the top-vs-runner-up vote margin is the abstain/escalate signal a
+    production pipeline thresholds before trusting cheap language ID.
+    Integer vote arithmetic; ties counted exactly."""
+    from pramen_spark.operators.text import language_id
+
+    d = load_documents_spread(spark, sf_dir)
+    votes = F.array(
+        *[F.col(f"votes_{lang}") for lang in ("de", "en", "es", "fr", "it")]
+    )
+    srt = F.sort_array(votes, asc=False)
+    scored = language_id(d).select(
+        "lang_pred",
+        (F.element_at(srt, 1) - F.element_at(srt, 2)).alias("_margin"),
+    )
+    return scored.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("_margin").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_margin"),
+        F.sum((F.col("_margin") == 0).cast("int")).cast("long").alias(
+            "n_tied"
+        ),
+    )
+
+
+@query(
+    "nzv_screen_lineitem",
+    """
+    WITH q AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+    ),
+    qg AS (SELECT v, COUNT(*) AS c FROM q GROUP BY v),
+    qs AS (
+        SELECT 'l_quantity' AS col_name,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               (SELECT ROUND(v, 6) FROM qg
+                ORDER BY c DESC, v DESC LIMIT 1) AS mode_value,
+               (SELECT c FROM qg ORDER BY c DESC, v DESC LIMIT 1)
+                 AS mode_c
+        FROM qg
+    ),
+    d AS (
+        SELECT CAST(l_discount AS DOUBLE) AS v FROM lineitem
+    ),
+    dg AS (SELECT v, COUNT(*) AS c FROM d GROUP BY v),
+    ds AS (
+        SELECT 'l_discount' AS col_name,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               (SELECT ROUND(v, 6) FROM dg
+                ORDER BY c DESC, v DESC LIMIT 1) AS mode_value,
+               (SELECT c FROM dg ORDER BY c DESC, v DESC LIMIT 1)
+                 AS mode_c
+        FROM dg
+    ),
+    t AS (
+        SELECT CAST(l_tax AS DOUBLE) AS v FROM lineitem
+    ),
+    tg AS (SELECT v, COUNT(*) AS c FROM t GROUP BY v),
+    ts AS (
+        SELECT 'l_tax' AS col_name,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               (SELECT ROUND(v, 6) FROM tg
+                ORDER BY c DESC, v DESC LIMIT 1) AS mode_value,
+               (SELECT c FROM tg ORDER BY c DESC, v DESC LIMIT 1)
+                 AS mode_c
+        FROM tg
+    ),
+    ln AS (
+        SELECT CAST(l_linenumber AS DOUBLE) AS v FROM lineitem
+    ),
+    lg AS (SELECT v, COUNT(*) AS c FROM ln GROUP BY v),
+    ls AS (
+        SELECT 'l_linenumber' AS col_name,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               (SELECT ROUND(v, 6) FROM lg
+                ORDER BY c DESC, v DESC LIMIT 1) AS mode_value,
+               (SELECT c FROM lg ORDER BY c DESC, v DESC LIMIT 1)
+                 AS mode_c
+        FROM lg
+    ),
+    u AS (
+        SELECT * FROM qs UNION ALL SELECT * FROM ds
+        UNION ALL SELECT * FROM ts UNION ALL SELECT * FROM ls
+    )
+    SELECT col_name, n, n_distinct, mode_value,
+           ROUND(CAST(mode_c AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS mode_share,
+           ROUND(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS distinct_ratio
+    FROM u
+    """,
+    "near-zero-variance feature screen over four lineitem numerics: "
+    "mode share and distinct ratio per column",
+    tags=("quality", "validation"),
+)
+def q_nzv_screen_lineitem(spark, sf_dir):
+    """The caret nearZeroVar audit
+    (operators/validation.py::nzv_screen): constant and
+    almost-constant features caught before they waste model capacity.
+    Each column reduces to its own value histogram (parquet column
+    pruning keeps k columns from costing k full-row scans); the mode
+    is an argmax over a (count, value) struct with a deterministic
+    value tiebreak."""
+    from pramen_spark.operators.validation import nzv_screen
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return nzv_screen(
+        l, ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
+    )
+
+
+@query(
+    "attribution_window_sweep_events",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, event_type, us,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN struct_pack(t_us := us, t_type := event_type)
+                          END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch
+        FROM e
+    ),
+    conv AS (
+        SELECT us - touch.t_us AS gap_us, touch.t_type AS t_type
+        FROM w WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(t_type, 'organic') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CASE WHEN gap_us <= 86400000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS within_1d,
+           CAST(SUM(CASE WHEN gap_us <= 259200000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS within_3d,
+           CAST(SUM(CASE WHEN gap_us <= 604800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS within_7d
+    FROM conv GROUP BY 1
+    """,
+    "attribution-window sensitivity: last-touch purchase credit per "
+    "touch type at 1/3/7-day windows from one pass",
+    tags=("analytics", "sequences"),
+)
+def q_attribution_window_sweep_events(spark, sf_dir):
+    """Is the 7-day window doing work, or would 1 day credit the same
+    touches? (composition over operators/sequences.py::
+    last_touch_attribution with an unbounded carry): the three window
+    thresholds are conditional sums over the SAME microsecond gap
+    column — a sweep costs one pass, not three attribution runs.
+    Conversions with no prior touch at all report as 'organic'."""
+    from pramen_spark.operators.sequences import last_touch_attribution
+
+    att = last_touch_attribution(
+        load_events(spark, sf_dir),
+        ("view", "click"),
+        "purchase",
+        window_seconds=10_000_000_000,
+    )
+    day_us = 86_400_000_000
+    return att.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("organic")).alias(
+            "touch_type"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum(F.when(F.col("gap_us") <= day_us, 1).otherwise(0))
+        .cast("long")
+        .alias("within_1d"),
+        F.sum(F.when(F.col("gap_us") <= 3 * day_us, 1).otherwise(0))
+        .cast("long")
+        .alias("within_3d"),
+        F.sum(F.when(F.col("gap_us") <= 7 * day_us, 1).otherwise(0))
+        .cast("long")
+        .alias("within_7d"),
+    )
+
+
+@query(
+    "dup_rate_by_source_documents",
+    """
+    WITH h AS (SELECT source, md5(text) AS hh FROM documents),
+    c AS (SELECT hh, COUNT(*) AS cnt FROM h GROUP BY hh)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM h JOIN c USING (hh) GROUP BY source
+    """,
+    "exact-duplicate exposure per source: share of documents whose "
+    "text hash appears more than once corpus-wide",
+    tags=("dedup", "quality"),
+)
+def q_dup_rate_by_source_documents(spark, sf_dir):
+    """WHERE the duplication lives (pure composition — the triage
+    report over dedup_exact's hash space): per-source rates decide
+    which feeds get the full MinHash treatment. md5 is the portable
+    digest (the sampling._hash_unit discipline); the hash-count join
+    carries 32-byte digests, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("_h"))
+    c = h.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    return h.join(c, "_h").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_cnt") > 1).cast("int")).cast("long").alias(
+            "n_dup_docs"
+        ),
+        F.round(
+            F.sum((F.col("_cnt") > 1).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "emerging_terms_documents",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+    ),
+    sizes AS (
+        SELECT CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM base
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS h,
+               unnest(string_split_regex(trim(lower(text)), '\s+'))
+                 AS token
+        FROM base
+    ),
+    g AS (
+        SELECT token, CAST(SUM(1 - h) AS BIGINT) AS df_1,
+               CAST(SUM(h) AS BIGINT) AS df_2
+        FROM tok WHERE token <> '' GROUP BY token
+    )
+    SELECT token, df_1, df_2,
+           ROUND(ln((CAST(df_2 AS DOUBLE) + 1.0)
+                    / (CAST(n2 AS DOUBLE) + 2.0))
+                 - ln((CAST(df_1 AS DOUBLE) + 1.0)
+                      / (CAST(n1 AS DOUBLE) + 2.0)), 6) AS growth
+    FROM g, sizes WHERE df_1 + df_2 >= 5
+    """,
+    "emerging/fading terms between deterministic corpus halves: "
+    "smoothed log-odds document-frequency growth per token",
+    tags=("text", "drift"),
+)
+def q_emerging_terms_documents(spark, sf_dir):
+    """Trend mining over the vocabulary (operators/text.py::
+    term_growth): both halves' document frequencies come from ONE
+    conditional aggregation over distinct (token, doc) pairs;
+    add-one smoothing keeps single-half tokens finite. The split is
+    doc_id parity here; production passes a time predicate."""
+    from pramen_spark.operators.text import term_growth
+
+    d = load_table(spark, sf_dir, "documents")
+    return term_growth(d, "doc_id", "text", min_df=5)
+
+
+@query(
+    "price_dispersion_brands",
+    """
+    WITH u AS (
+        SELECT p_brand, l_extendedprice / l_quantity AS up
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity > 0
+    ),
+    g AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(up AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(up * up AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM u GROUP BY 1
+    )
+    SELECT p_brand, n,
+           ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean_unit_price,
+           ROUND(sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))), 6) AS sd,
+           ROUND(sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0)))
+                 / (s1 / CAST(n AS DOUBLE)), 6) AS cv
+    FROM g
+    """,
+    "realized unit-price dispersion per brand: mean, sample deviation "
+    "and coefficient of variation of extendedprice/quantity",
+    tags=("analytics", "finance"),
+)
+def q_price_dispersion_brands(spark, sf_dir):
+    """Which brands' realized prices are volatile (pure composition,
+    the welch/anova decimal discipline): unit prices are IEEE-double
+    divisions, moments sum as decimals per brand, CV is scalar work
+    on the 25-row brand table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).where(
+        F.col("l_quantity") > 0
+    )
+    up = (F.col("l_extendedprice") / F.col("l_quantity")).alias("_up")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    g = j.select("p_brand", up).groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_up"))).cast("double").alias("_s1"),
+        F.sum(dec(F.col("_up") * F.col("_up"))).cast("double").alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s1") / n
+    sd = F.sqrt(
+        (n * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+        / (n * (n - F.lit(1.0)))
+    )
+    return g.select(
+        "p_brand",
+        "n",
+        F.round(mean, 6).alias("mean_unit_price"),
+        F.round(sd, 6).alias("sd"),
+        F.round(sd / mean, 6).alias("cv"),
+    )
+
+
+@query(
+    "d7_retention_by_cohort_events",
+    """
+    WITH du AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(dayn) AS cohort FROM du GROUP BY user_id),
+    r AS (
+        SELECT f.user_id, f.cohort,
+               MAX(CASE WHEN du.dayn = f.cohort + 7
+                   THEN 1 ELSE 0 END) AS retained
+        FROM f JOIN du ON f.user_id = du.user_id
+        GROUP BY 1, 2
+    )
+    SELECT DATE '1970-01-01' + CAST(cohort AS INTEGER) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS cohort_size,
+           CAST(SUM(retained) AS BIGINT) AS retained_d7,
+           ROUND(CAST(SUM(retained) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS d7_rate
+    FROM r GROUP BY cohort
+    """,
+    "day-7 retention per signup cohort: share of each cohort active "
+    "exactly seven days after first being seen",
+    tags=("analytics", "sequences"),
+)
+def q_d7_retention_by_cohort_events(spark, sf_dir):
+    """THE growth KPI distilled from the retention triangle
+    (composition over cohort_retention's machinery): first days from
+    one aggregation over distinct (user, day) pairs, the day-7 flag
+    from a user-keyed join back — one exact rate per cohort instead
+    of a triangle to eyeball."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)").alias(
+            "_dayn"
+        ),
+    ).distinct()
+    f = du.groupBy("user_id").agg(F.min("_dayn").alias("_cohort"))
+    r = (
+        f.join(du, "user_id")
+        .groupBy("user_id", "_cohort")
+        .agg(
+            F.max(
+                F.when(F.col("_dayn") == F.col("_cohort") + 7, 1).otherwise(
+                    0
+                )
+            ).alias("_ret")
+        )
+    )
+    return r.groupBy(
+        F.date_from_unix_date(F.col("_cohort").cast("int")).alias(
+            "cohort_day"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size"),
+        F.sum("_ret").cast("long").alias("retained_d7"),
+        F.round(
+            F.sum("_ret").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("d7_rate"),
+    )
+
+
+@query(
+    "negative_samples_orders",
+    """
+    WITH items AS (SELECT p_partkey AS item FROM part),
+    idx AS (
+        SELECT item,
+               CAST(row_number() OVER (ORDER BY item) - 1 AS BIGINT) AS i
+        FROM items
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM items),
+    ents AS (SELECT DISTINCT o_custkey AS entity FROM orders),
+    slots AS (
+        SELECT entity, CAST(s.s AS INTEGER) AS slot
+        FROM ents, (SELECT unnest(range(0, 4)) AS s) s
+    ),
+    cand AS (
+        SELECT entity, slot,
+               ('0x' || substr(md5(CAST(entity AS VARCHAR) || ':'
+                                   || CAST(slot AS VARCHAR)), 1, 8))
+                 ::BIGINT % cnt AS i
+        FROM slots, n
+    ),
+    pos AS (
+        SELECT DISTINCT o_custkey AS entity, l_partkey AS item
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT c.entity, c.slot, x.item
+    FROM cand c JOIN idx x ON c.i = x.i
+    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.entity = c.entity AND p.item = x.item)
+    """,
+    "deterministic md5 negative sampling: 4 catalog parts per "
+    "customer that they never purchased, reproducible on any engine",
+    tags=("sampling", "training"),
+)
+def q_negative_samples_orders(spark, sf_dir):
+    """The implicit-feedback training-pair generator
+    (operators/sampling.py::negative_samples): items index densely
+    via row_number over the part CATALOG (never assume contiguous
+    ids), the hash-to-index map is a pure column expression, and
+    observed positives drop by anti-join. A slot colliding with a
+    positive yields nothing — determinism beats exact-k."""
+    from pramen_spark.operators.sampling import negative_samples
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pos = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        "o_custkey", "l_partkey"
+    )
+    out = negative_samples(pos, "o_custkey", "l_partkey", p.select(
+        F.col("p_partkey")
+    ).withColumnRenamed("p_partkey", "l_partkey"), k=4)
+    return out.select(
+        "entity", F.col("slot").cast("int").alias("slot"), "item"
+    )
+
+
+@query(
+    "cross_cardinality_lineitem",
+    """
+    WITH j AS (
+        SELECT p_brand, l_returnflag, l_linestatus
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    a AS (
+        SELECT 'p_brand x l_returnflag' AS cross_name,
+               CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_a,
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_b,
+               CAST(COUNT(DISTINCT (p_brand, l_returnflag)) AS BIGINT)
+                 AS n_observed
+        FROM j
+    ),
+    b AS (
+        SELECT 'p_brand x l_linestatus',
+               CAST(COUNT(DISTINCT p_brand) AS BIGINT),
+               CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+               CAST(COUNT(DISTINCT (p_brand, l_linestatus)) AS BIGINT)
+        FROM j
+    ),
+    c AS (
+        SELECT 'l_returnflag x l_linestatus',
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+               CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+               CAST(COUNT(DISTINCT (l_returnflag, l_linestatus))
+                    AS BIGINT)
+        FROM j
+    ),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+          UNION ALL SELECT * FROM c)
+    SELECT cross_name, n_a, n_b, n_observed,
+           CAST(n_a * n_b AS BIGINT) AS max_possible,
+           ROUND(CAST(n_observed AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE), 6) AS fill_rate
+    FROM u
+    """,
+    "feature-cross cardinality audit over three lineitem/part pairs: "
+    "observed combinations vs the |a|x|b| maximum",
+    tags=("quality", "validation"),
+)
+def q_cross_cardinality_lineitem(spark, sf_dir):
+    """Embedding table or one-hot explosion
+    (operators/validation.py::cross_cardinality_audit): each pair is
+    one exact three-distinct aggregation; low fill rates also flag
+    structurally-coupled columns (returnflag x linestatus) where
+    crossing adds nothing."""
+    from pramen_spark.operators.validation import cross_cardinality_audit
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return cross_cardinality_audit(
+        j,
+        [
+            ("p_brand", "l_returnflag"),
+            ("p_brand", "l_linestatus"),
+            ("l_returnflag", "l_linestatus"),
+        ],
+    )
+
+
+@query(
+    "l_diversity_customers",
+    """
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000)
+                                        AS BIGINT)) AS BIGINT) AS l
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_failing,
+           ROUND(CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS share_failing,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_exposed
+    FROM g
+    """,
+    "l-diversity audit of (segment, nation) quasi-identifier groups "
+    "against banded account balance, l = 3",
+    tags=("quality", "validation"),
+)
+def q_l_diversity_customers(spark, sf_dir):
+    """k-anonymity's stronger sibling
+    (operators/validation.py::l_diversity_audit): a large QI group
+    still exposes members when everyone shares one sensitive value —
+    distinct sensitive bands per group, exact integer counts, one
+    group pass + one reduce. Completes the privacy family with
+    k_anonymity_customers and dp_counts_customers."""
+    from pramen_spark.operators.validation import l_diversity_audit
+
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return l_diversity_audit(
+        c, ["c_mktsegment", "c_nationkey"], band, l=3
+    )
+
+
+@query(
+    "ess_weights_documents",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((CAST(SUM(CAST(CAST(n_chars AS DOUBLE)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(CAST(n_chars AS DOUBLE)
+                                 AS DECIMAL(38,6))) AS DOUBLE))
+                 / CAST(SUM(CAST(CAST(n_chars AS DOUBLE)
+                                * CAST(n_chars AS DOUBLE)
+                                AS DECIMAL(38,6))) AS DOUBLE), 6) AS ess,
+           ROUND(((CAST(SUM(CAST(CAST(n_chars AS DOUBLE)
+                                AS DECIMAL(38,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(CAST(n_chars AS DOUBLE)
+                                  AS DECIMAL(38,6))) AS DOUBLE))
+                  / CAST(SUM(CAST(CAST(n_chars AS DOUBLE)
+                                 * CAST(n_chars AS DOUBLE)
+                                 AS DECIMAL(38,6))) AS DOUBLE))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS ess_ratio
+    FROM documents
+    """,
+    "Kish effective sample size of the length-weighted corpus: how "
+    "many equal-weight documents the weighting is actually worth",
+    tags=("sampling", "training"),
+)
+def q_ess_weights_documents(spark, sf_dir):
+    """The importance-sampling diagnostic
+    (operators/sampling.py::effective_sample_size): ESS/n near 1
+    means the length weighting barely changes effective coverage;
+    near 0 means a few huge documents dominate training. Decimal
+    Σw/Σw² (squares as products), one pass."""
+    from pramen_spark.operators.sampling import effective_sample_size
+
+    d = load_table(spark, sf_dir, "documents")
+    return effective_sample_size(d, F.col("n_chars").cast("double"))
+
+
+@query(
+    "lang_mix_by_source",
+    """
+    WITH g AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           (SELECT g2.lang FROM g g2 WHERE g2.source = g.source
+            ORDER BY g2.n DESC, g2.lang LIMIT 1) AS top_lang,
+           ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+             AS top_share
+    FROM g GROUP BY source
+    """,
+    "language mix per source: distinct languages, the dominant "
+    "language and its share — the mixture-weights input table",
+    tags=("text", "quality"),
+)
+def q_lang_mix_by_source(spark, sf_dir):
+    """What each feed is actually made of (pure composition): the
+    per-source language profile that token_budget_mix and
+    mixture_weights consume. Dominant language via an argmax struct
+    with a deterministic (count desc, lang asc) tiebreak; two
+    map-side-combined aggregations."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    # argmax struct: (count, reversed-lang) so ties pick the SMALLEST
+    # lang; encode by negating count ordering instead: max on
+    # (n, neg-lang) is awkward — use min on (-n, lang)
+    top = F.min(
+        F.struct((-F.col("_n")).alias("_neg"), F.col("lang").alias("_l"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        top.getField("_l").alias("top_lang"),
+        F.round(
+            F.max("_n").cast("double") / F.sum("_n").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+@query(
+    "latency_trend_monthly",
+    """
+    WITH l AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(CAST(l_shipdate AS DATE)
+                    - CAST(o_orderdate AS DATE) AS BIGINT) AS lat
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(CAST(lat AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(lat AS DOUBLE), 0.9), 6) AS p90
+    FROM l GROUP BY month
+    """,
+    "order-to-ship latency SLA trend: exact P50/P90 day latency per "
+    "order month",
+    tags=("analytics", "timegrid"),
+)
+def q_latency_trend_monthly(spark, sf_dir):
+    """ship_latency_lineitem's priority slices put on the time axis
+    (pure composition): is the SLA drifting? One co-keyed
+    lineitem-orders join, month-keyed exact interpolated percentiles
+    — the per-month groups keep the percentile state partitioned."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month"
+        ),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("double")
+        .alias("_lat"),
+    )
+    return j.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile(F.col("_lat"), 0.5), 6).alias("p50"),
+        F.round(F.percentile(F.col("_lat"), 0.9), 6).alias("p90"),
+    )
+
+
+@query(
+    "basket_mix_drift_orders",
+    """
+    WITH sz AS (
+        SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT year(o_orderdate) AS yr,
+               CASE WHEN c = 1 THEN '1' WHEN c <= 3 THEN '2-3'
+                    WHEN c <= 5 THEN '4-5' ELSE '6+' END AS band
+        FROM sz JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    h AS (
+        SELECT band,
+               CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cur
+        FROM j GROUP BY band
+    ),
+    t AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM h
+    )
+    SELECT band AS category, n_ref, n_cur,
+           ROUND((n_ref - CAST(n_ref + n_cur AS DOUBLE) * t_ref
+                          / CAST(t_ref + t_cur AS DOUBLE))
+                 * (n_ref - CAST(n_ref + n_cur AS DOUBLE) * t_ref
+                            / CAST(t_ref + t_cur AS DOUBLE))
+                 / (CAST(n_ref + n_cur AS DOUBLE) * t_ref
+                    / CAST(t_ref + t_cur AS DOUBLE))
+                 + (n_cur - CAST(n_ref + n_cur AS DOUBLE) * t_cur
+                            / CAST(t_ref + t_cur AS DOUBLE))
+                 * (n_cur - CAST(n_ref + n_cur AS DOUBLE) * t_cur
+                            / CAST(t_ref + t_cur AS DOUBLE))
+                 / (CAST(n_ref + n_cur AS DOUBLE) * t_cur
+                    / CAST(t_ref + t_cur AS DOUBLE)), 6) AS contrib
+    FROM h, t
+    """,
+    "basket-size mix drift 1996 vs 1997: chi-square contribution per "
+    "line-count band",
+    tags=("analytics", "drift"),
+)
+def q_basket_mix_drift_orders(spark, sf_dir):
+    """chi2_categorical (operators/drift.py) applied to a DERIVED
+    categorical — the basket-size band — showing the drift operator
+    composes over computed features, not just raw columns: are orders
+    getting bigger year over year, and which band moved?"""
+    from pramen_spark.operators.drift import chi2_categorical
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sz = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_c"))
+    band = (
+        F.when(F.col("_c") == 1, "1")
+        .when(F.col("_c") <= 3, "2-3")
+        .when(F.col("_c") <= 5, "4-5")
+        .otherwise("6+")
+    )
+    j = sz.join(o, sz["l_orderkey"] == o["o_orderkey"]).select(
+        F.year("o_orderdate").alias("_yr"), band.alias("band")
+    )
+    ref = j.where(F.col("_yr") == 1996)
+    cur = j.where(F.col("_yr") == 1997)
+    return chi2_categorical(ref, cur, "band")
+
+
+@query(
+    "yoy_contribution_brands",
+    """
+    WITH cells AS (
+        SELECT p_brand AS grp, year(l_shipdate) AS per,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT grp, r AS r_a FROM cells WHERE per = 1996),
+    b AS (SELECT grp, r AS r_b FROM cells WHERE per = 1997),
+    j AS (
+        SELECT a.grp, r_a, r_b, r_b - r_a AS chg
+        FROM a JOIN b ON a.grp = b.grp
+    ),
+    w AS (SELECT grp, r_a, r_b, chg, SUM(chg) OVER () AS tot FROM j)
+    SELECT grp, CAST(r_a AS DOUBLE) AS rev_a,
+           CAST(r_b AS DOUBLE) AS rev_b,
+           CAST(chg AS DOUBLE) AS change,
+           ROUND(CAST(chg AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS share_of_change
+    FROM w
+    """,
+    "year-over-year revenue-change contribution per brand: which "
+    "brands drove the total move, as exact decimal shares",
+    tags=("analytics", "finance"),
+)
+def q_yoy_contribution_brands(spark, sf_dir):
+    """The 'what moved the number' decomposition (composition in the
+    pvm_bridge family): per-brand changes stay exact decimals, the
+    total change is a window sum of decimals over the brand table,
+    and each share divides two exact values once. Brands present in
+    only one year drop (pvm_bridge's documented convention)."""
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).where(
+        F.year("l_shipdate").isin([1996, 1997])
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cells = j.groupBy(
+        F.col("p_brand").alias("grp"), F.year("l_shipdate").alias("_per")
+    ).agg(F.sum(rev).alias("_r"))
+    a = cells.where(F.col("_per") == 1996).select(
+        "grp", F.col("_r").alias("_ra")
+    )
+    b = cells.where(F.col("_per") == 1997).select(
+        "grp", F.col("_r").alias("_rb")
+    )
+    both = a.join(b, "grp").withColumn(
+        "_chg", F.col("_rb") - F.col("_ra")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return both.select(
+        "grp",
+        F.col("_ra").cast("double").alias("rev_a"),
+        F.col("_rb").cast("double").alias("rev_b"),
+        F.col("_chg").cast("double").alias("change"),
+        F.round(
+            F.col("_chg").cast("double")
+            / F.sum("_chg").over(w_all).cast("double"),
+            6,
+        ).alias("share_of_change"),
+    )
+
+
+@query(
+    "vocab_coverage_documents",
+    r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                 AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    v AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok WHERE token <> '' GROUP BY token
+    ),
+    r AS (
+        SELECT row_number() OVER (ORDER BY f DESC, token) AS rnk,
+               SUM(f) OVER (ORDER BY f DESC, token
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(f) OVER () AS tot
+        FROM v
+    )
+    SELECT CAST(rnk AS BIGINT) AS vocab_size,
+           ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS coverage
+    FROM r WHERE rnk IN (10, 100, 1000, 10000)
+    """,
+    "vocabulary coverage curve: share of corpus token occurrences "
+    "covered by the top 10/100/1000/10000 tokens",
+    tags=("text", "training"),
+)
+def q_vocab_coverage_documents(spark, sf_dir):
+    """The tokenizer-budget design curve (composition in the
+    vocabulary-first family of zipf_slope / vocab_truncate): the
+    corpus collapses to the token-frequency table FIRST, so the
+    ranking windows run over the VOCABULARY, and the curve reads out
+    at fixed rank checkpoints. Exact integer cumulative sums."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    v = (
+        d.where(F.trim(F.col("text")) != "")
+        .select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("_f"))
+    )
+    w = W.orderBy(F.desc("_f"), F.asc("token"))
+    w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = v.select(
+        F.row_number().over(w).cast("long").alias("vocab_size"),
+        F.sum("_f").over(w_cum).alias("_cum"),
+        F.sum("_f").over(w_all).alias("_tot"),
+    )
+    return r.where(
+        F.col("vocab_size").isin([10, 100, 1000, 10000])
+    ).select(
+        "vocab_size",
+        F.round(
+            F.col("_cum").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+@query(
+    "dup_cluster_sizes_documents",
+    """
+    WITH c AS (
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM c GROUP BY sz
+    """,
+    "exact-duplicate cluster-size histogram over the md5 hash space: "
+    "how duplication is shaped, not just how much",
+    tags=("dedup", "quality"),
+)
+def q_dup_cluster_sizes_documents(spark, sf_dir):
+    """The SHAPE behind dup_rate_by_source's rates (composition over
+    dedup_exact's hash space): a corpus with one 10,000-copy template
+    dedups very differently from one with 5,000 pairs, and this
+    histogram is what picks between exact-hash and MinHash passes.
+    Two map-side-combined aggregations over 32-byte digests."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(F.md5("text").alias("_h")).groupBy("_h").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return c.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -25,7 +25,7 @@ import datetime as _dt
 from typing import Callable, Iterable, List, Optional, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -336,3 +336,56 @@ def neardup_foreach_batch_sink(
         survivors.unpersist()
 
     return write_batch
+
+
+def lateness_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    arrival_col: str,
+) -> DataFrame:
+    """Watermark-lateness profile: how far behind its key's
+    high-watermark does each event arrive, in ``arrival_col`` order —
+    THE number that picks `withWatermark`'s delay threshold. Set the
+    watermark at this profile's p99 and you drop 1% of late data; set
+    it at max and state never ages out; guessing sets it wrong both
+    ways.
+
+    Lateness of an event = max(previous watermark − event time, 0)
+    where the watermark is the running max event time over the key's
+    earlier arrivals (one window partitioned BY KEY — per-key
+    watermarks, so the profile parallelizes; a global watermark is the
+    degenerate single-key case). First arrivals per key have no
+    watermark and drop from the profile.
+
+    Returns one row: (n, n_late, late_share, p50_s, p99_s, max_s),
+    seconds at round 6.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    lagged = df.select(
+        (F.max(us).over(w) - us).alias("_behind_us")
+    ).where(F.col("_behind_us").isNotNull())
+    late_s = (
+        F.greatest(F.col("_behind_us"), F.lit(0)).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    flagged = lagged.select(late_s.alias("_late_s"))
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("_late_s") > 0).cast("int")).cast("long").alias(
+            "n_late"
+        ),
+        F.round(
+            F.sum((F.col("_late_s") > 0).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("late_share"),
+        F.round(F.percentile(F.col("_late_s"), 0.5), 6).alias("p50_s"),
+        F.round(F.percentile(F.col("_late_s"), 0.99), 6).alias("p99_s"),
+        F.round(F.max("_late_s"), 6).alias("max_s"),
+    )
