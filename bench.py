@@ -272,6 +272,13 @@ HEADLINE = [
     "yoy_contribution_brands",
     "vocab_coverage_documents",
     "dup_cluster_sizes_documents",
+    # round-8 wave 30: activity heatmap, distributional effects,
+    # catalog coverage, price integrity, segmented inequality
+    "dow_hour_heatmap_events",
+    "qte_weekend_value_events",
+    "catalog_coverage_parts",
+    "price_points_parts",
+    "gini_by_mktsegment",
 ]
 
 

@@ -398,3 +398,48 @@ def gains_curve(
             6,
         ).alias("cum_capture"),
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """:func:`gini` fanned out over a grouping key: one inequality
+    coefficient per segment from rank-ordered decimal sums — "is spend
+    concentration a BUILDING segment problem or everywhere?", the
+    comparison the global number cannot answer.
+
+    Same sorted-rank identity, but the ranking window PARTITIONS BY
+    THE GROUP, so segments rank in parallel and the one inherently
+    serial step of the global form disappears; per-group n / Σx /
+    Σi·x reduce in a single aggregation.
+
+    Returns (group, n, total, gini) per group, round 6.
+    """
+    v = F.col(value_col).cast(decimal_type)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        v.alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    t = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("_t"),
+        F.sum(F.col("i") * F.col("x")).alias("_s"),
+    )
+    g = (
+        F.lit(2.0) * F.col("_s").cast("double") / F.col("_t").cast("double")
+        - (F.col("n") + F.lit(1))
+    ) / F.col("n")
+    return t.select(
+        "grp",
+        "n",
+        F.col("_t").cast("double").alias("total"),
+        F.round(g, 6).alias("gini"),
+    )

@@ -12855,6 +12855,240 @@ def q_dup_cluster_sizes_documents(spark, sf_dir):
     )
 
 
+@query(
+    "dow_hour_heatmap_events",
+    """
+    WITH g AS (
+        SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+    SELECT dow, hr, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+    FROM g, t
+    """,
+    "weekday x hour activity heatmap: event counts and shares on the "
+    "7x24 grid (Monday = 0)",
+    tags=("analytics", "timegrid"),
+)
+def q_dow_hour_heatmap_events(spark, sf_dir):
+    """The capacity/anomaly heatmap every ops dashboard opens with
+    (pure composition in the weekday_seasonality family): one
+    168-cell map-side-combined aggregation, total re-aggregated from
+    the grid and broadcast. Weekday is ISO-Monday-0 on both engines;
+    hour is the session-UTC hour on both."""
+    ev = load_events(spark, sf_dir)
+    g = ev.groupBy(
+        F.weekday(F.col("ts")).cast("long").alias("dow"),
+        F.hour(F.col("ts")).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = g.agg(F.sum("n").cast("long").alias("_tot"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hr",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@query(
+    "qte_weekend_value_events",
+    """
+    WITH s AS (
+        SELECT CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS wk,
+               value FROM events
+    ),
+    q AS (
+        SELECT wk, CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.9) AS p90
+        FROM s GROUP BY wk
+    )
+    SELECT a.n AS n_weekend, b.n AS n_weekday,
+           ROUND(a.p25 - b.p25, 6) AS qte_p25,
+           ROUND(a.p50 - b.p50, 6) AS qte_p50,
+           ROUND(a.p75 - b.p75, 6) AS qte_p75,
+           ROUND(a.p90 - b.p90, 6) AS qte_p90
+    FROM (SELECT * FROM q WHERE wk = 1) a,
+         (SELECT * FROM q WHERE wk = 0) b
+    """,
+    "quantile treatment effect of weekends on event value: exact "
+    "per-quantile differences, not just the mean shift",
+    tags=("analytics", "drift"),
+)
+def q_qte_weekend_value_events(spark, sf_dir):
+    """WHERE in the distribution the effect lives (composition in the
+    welch/ks family): a mean shift can hide a tail-only effect —
+    per-group exact interpolated quantiles difference engine-exactly.
+    One two-group aggregation; the pivot is a 2-row cross join."""
+    ev = load_events(spark, sf_dir)
+    wk = (F.weekday(F.col("ts")) >= 5).cast("int")
+    q = ev.groupBy(wk.alias("_wk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile(F.col("value"), 0.25).alias("_p25"),
+        F.percentile(F.col("value"), 0.5).alias("_p50"),
+        F.percentile(F.col("value"), 0.75).alias("_p75"),
+        F.percentile(F.col("value"), 0.9).alias("_p90"),
+    )
+    a = q.where(F.col("_wk") == 1).select(
+        F.col("n").alias("n_weekend"),
+        *[F.col(f"_p{p}").alias(f"_a{p}") for p in (25, 50, 75, 90)],
+    )
+    b = q.where(F.col("_wk") == 0).select(
+        F.col("n").alias("n_weekday"),
+        *[F.col(f"_p{p}").alias(f"_b{p}") for p in (25, 50, 75, 90)],
+    )
+    return a.crossJoin(b).select(
+        "n_weekend",
+        "n_weekday",
+        *[
+            F.round(F.col(f"_a{p}") - F.col(f"_b{p}"), 6).alias(
+                f"qte_p{p}"
+            )
+            for p in (25, 50, 75, 90)
+        ],
+    )
+
+
+@query(
+    "catalog_coverage_parts",
+    """
+    WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sold FROM sold)
+    SELECT n_parts, n_sold,
+           CAST(n_parts - n_sold AS BIGINT) AS n_never_sold,
+           ROUND(CAST(n_sold AS DOUBLE) / CAST(n_parts AS DOUBLE), 6)
+             AS coverage
+    FROM t, s
+    """,
+    "catalog coverage: how many parts have ever sold, the dead-stock "
+    "count, and the coverage ratio",
+    tags=("analytics", "finance"),
+)
+def q_catalog_coverage_parts(spark, sf_dir):
+    """The dead-stock screen (pure composition): distinct sold keys
+    from one map-side-combined pass over lineitem against the part
+    catalog's count — the cold-start denominator
+    negative_samples_orders draws from. (TPC-H sells every part at
+    real scale; thin scale factors leave genuine gaps to count.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sold = l.select("l_partkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sold")
+    )
+    tot = p.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    return tot.crossJoin(sold).select(
+        "n_parts",
+        "n_sold",
+        (F.col("n_parts") - F.col("n_sold")).cast("long").alias(
+            "n_never_sold"
+        ),
+        F.round(
+            F.col("n_sold").cast("double")
+            / F.col("n_parts").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+@query(
+    "price_points_parts",
+    """
+    WITH up AS (
+        SELECT l_partkey,
+               CAST(COUNT(DISTINCT l_extendedprice / l_quantity)
+                    AS BIGINT) AS n_points
+        FROM lineitem WHERE l_quantity > 0 GROUP BY 1
+    )
+    SELECT n_points, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM up GROUP BY n_points
+    """,
+    "price-ladder audit: distribution of distinct realized unit "
+    "prices per part — one point is a fixed ladder, many is leakage",
+    tags=("quality", "finance"),
+)
+def q_price_points_parts(spark, sf_dir):
+    """Price-integrity screening (pure composition): a part
+    transacting at many distinct unit prices signals manual overrides
+    or broken discount logic. Unit prices are IEEE-double divisions
+    (identical everywhere, so the DISTINCT is engine-exact); two
+    map-side-combined aggregations."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") > 0
+    )
+    up = l.groupBy("l_partkey").agg(
+        F.countDistinct(
+            F.col("l_extendedprice") / F.col("l_quantity")
+        ).cast("long").alias("n_points")
+    )
+    return up.groupBy("n_points").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+@query(
+    "gini_by_mktsegment",
+    """
+    WITH spend AS (
+        SELECT c.c_mktsegment AS grp, o.o_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT grp, CAST(x AS DECIMAL(18,2)) AS xd,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY x, o_custkey) AS i
+        FROM spend
+    ),
+    t AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(xd) AS tt,
+               SUM(i * xd) AS ss
+        FROM r GROUP BY grp
+    )
+    SELECT grp, n, CAST(tt AS DOUBLE) AS total,
+           ROUND((2.0 * CAST(ss AS DOUBLE) / CAST(tt AS DOUBLE)
+                  - (n + 1)) / n, 6) AS gini
+    FROM t
+    """,
+    "customer-spend Gini per market segment: is concentration a "
+    "one-segment problem or everywhere?",
+    tags=("analytics", "evalmetrics"),
+)
+def q_gini_by_mktsegment(spark, sf_dir):
+    """gini fanned out over segments
+    (operators/evalmetrics.py::gini_by_group): the ranking window
+    PARTITIONS BY GROUP, so the global form's one serial step
+    disappears and segments rank in parallel; rank-weighted decimal
+    sums keep each coefficient exact."""
+    from pramen_spark.operators.evalmetrics import gini_by_group
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_custkey")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    return gini_by_group(spend, "seg", "x", "o_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
