@@ -279,6 +279,13 @@ HEADLINE = [
     "catalog_coverage_parts",
     "price_points_parts",
     "gini_by_mktsegment",
+    # round-8 wave 31: uplift, vocabulary diversity, seasonality
+    # strength, resharding physics, dedup governance
+    "uplift_deciles_events",
+    "token_diversity_by_source",
+    "weekday_anova_daily",
+    "shard_rebalance_audit_documents",
+    "dedup_bias_audit_documents",
 ]
 
 

@@ -13089,6 +13089,371 @@ def q_gini_by_mktsegment(spark, sf_dir):
     return gini_by_group(spend, "seg", "x", "o_custkey")
 
 
+@query(
+    "uplift_deciles_events",
+    """
+    WITH th AS (
+        SELECT [quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+                quantile_cont(value, 0.75)] AS t
+        FROM events
+    ),
+    b AS (
+        SELECT CAST(1 + (CASE WHEN value > t[1] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[2] THEN 1 ELSE 0 END)
+                      + (CASE WHEN value > t[3] THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bin,
+               CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS trt,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events, th
+    ),
+    g AS (
+        SELECT bin,
+               CAST(SUM(trt) AS BIGINT) AS n_t,
+               CAST(SUM(trt * y) AS BIGINT) AS x_t,
+               CAST(SUM(1 - trt) AS BIGINT) AS n_c,
+               CAST(SUM((1 - trt) * y) AS BIGINT) AS x_c
+        FROM b GROUP BY bin
+    )
+    SELECT bin, n_t, x_t, n_c, x_c,
+           ROUND(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6)
+             AS rate_t,
+           ROUND(CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+             AS rate_c,
+           ROUND(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+             AS uplift
+    FROM g
+    """,
+    "uplift by value quartile: weekend-vs-weekday purchase-rate "
+    "lift per value band — where the treatment effect concentrates",
+    tags=("analytics", "evalmetrics"),
+)
+def q_uplift_deciles_events(spark, sf_dir):
+    """The heterogeneous-treatment-effect readout (composition in the
+    woe_iv/gains family): quartile bins from ONE broadcast
+    exact-percentile row, then a 2×2 of exact integer counts per bin.
+    two_proportion_ztest says IF the rates differ; this says for
+    WHOM."""
+    ev = load_events(spark, sf_dir)
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    th = ev.agg(F.percentile(F.col("value"), qs).alias("_th"))
+    b = F.lit(1)
+    for i in (1, 2, 3):
+        b = b + (F.col("value") > F.element_at(F.col("_th"), i)).cast(
+            "int"
+        )
+    trt = (F.weekday(F.col("ts")) >= 5).cast("int")
+    y = (F.col("event_type") == "purchase").cast("int")
+    g = (
+        ev.crossJoin(F.broadcast(th))
+        .groupBy(b.cast("long").alias("bin"))
+        .agg(
+            F.sum(trt).cast("long").alias("n_t"),
+            F.sum(trt * y).cast("long").alias("x_t"),
+            F.sum(F.lit(1) - trt).cast("long").alias("n_c"),
+            F.sum((F.lit(1) - trt) * y).cast("long").alias("x_c"),
+        )
+    )
+    rt = F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    rc = F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    return g.select(
+        "bin", "n_t", "x_t", "n_c", "x_c",
+        F.round(rt, 6).alias("rate_t"),
+        F.round(rc, 6).alias("rate_c"),
+        F.round(rt - rc, 6).alias("uplift"),
+    )
+
+
+@query(
+    "token_diversity_by_source",
+    r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+'))
+                 AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    cat AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT source AS entity, CAST(SUM(n) AS BIGINT) AS n_obs,
+               CAST(COUNT(*) AS BIGINT) AS richness,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs
+        FROM cat GROUP BY 1
+    )
+    SELECT entity, n_obs, richness,
+           ROUND(1.0 - CAST(pairs AS DOUBLE)
+                 / CAST(n_obs * (n_obs - 1) AS DOUBLE), 6) AS simpson_d
+    FROM g
+    """,
+    "vocabulary Simpson diversity per source: probability two token "
+    "occurrences from a source are different words",
+    tags=("text", "features"),
+)
+def q_token_diversity_by_source(spark, sf_dir):
+    """simpson_diversity (operators/features.py) composed onto a NEW
+    domain — sources as entities, tokens as categories — the
+    templated-feed detector: a source whose token diversity craters
+    is boilerplate, whatever its document count says. The explode is
+    the only corpus-volume stage; pair arithmetic stays exact
+    integers."""
+    from pramen_spark.operators.features import simpson_diversity
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    rows = (
+        d.where(F.trim(F.col("text")) != "")
+        .select("source", F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+    )
+    return simpson_diversity(rows, "source", "token")
+
+
+@query(
+    "weekday_anova_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    base AS (SELECT isodow(day) - 1 AS g, revenue AS v FROM daily),
+    gg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM base GROUP BY g
+    ),
+    red AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS st,
+               CAST(SUM(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS sst,
+               SUM(s * s / CAST(n_g AS DOUBLE)) AS sq_over_n
+        FROM gg
+    )
+    SELECT k, n,
+           ROUND(((sq_over_n - st * st / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((sst - sq_over_n)
+                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             AS f_stat,
+           ROUND((sq_over_n - st * st / CAST(n AS DOUBLE))
+                 / ((sq_over_n - st * st / CAST(n AS DOUBLE))
+                    + (sst - sq_over_n)), 6) AS eta_squared
+    FROM red
+    """,
+    "seasonality strength: one-way ANOVA of daily revenue across "
+    "weekdays with eta-squared (share of variance the weekly cycle "
+    "explains)",
+    tags=("analytics", "timegrid"),
+)
+def q_weekday_anova_daily(spark, sf_dir):
+    """HOW MUCH of the variance the weekly cycle explains
+    (anova_oneway composed with the eta² effect size): F says the
+    cycle is real; η² says whether it's worth modeling —
+    seasonal_factors gives the shape, this the strength. Weekday
+    grouping over the calendar-bounded daily grid."""
+    from pramen_spark.operators.drift import anova_oneway
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    base = daily.select(
+        F.weekday(F.col("day")).alias("dow"), F.col("revenue")
+    )
+    a = anova_oneway(base, "dow", F.col("revenue"))
+    return a.select(
+        "k",
+        "n",
+        "f_stat",
+        F.round(
+            F.col("ss_between")
+            / (F.col("ss_between") + F.col("ss_within")),
+            6,
+        ).alias("eta_squared"),
+    )
+
+
+@query(
+    "shard_rebalance_audit_documents",
+    """
+    WITH keys AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents),
+    m AS (
+        SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT % 16 AS m16,
+               ('0x' || substr(md5(k), 1, 8))::BIGINT % 17 AS m17,
+               k
+        FROM keys
+    ),
+    grid AS (
+        SELECT k, CAST(s.s AS INTEGER) AS s,
+               ('0x' || substr(md5(k || '#' || CAST(s.s AS VARCHAR)),
+                               1, 8))::BIGINT AS h
+        FROM keys, (SELECT unnest(range(0, 17)) AS s) s
+    ),
+    h17 AS (
+        SELECT k, s FROM (
+            SELECT k, s, row_number() OVER (PARTITION BY k
+                         ORDER BY h DESC, s DESC) AS r
+            FROM grid) WHERE r = 1
+    ),
+    h16 AS (
+        SELECT k, s FROM (
+            SELECT k, s, row_number() OVER (PARTITION BY k
+                         ORDER BY h DESC, s DESC) AS r
+            FROM grid WHERE s < 16) WHERE r = 1
+    ),
+    j AS (
+        SELECT m.k, m16, m17, h16.s AS hrw16, h17.s AS hrw17
+        FROM m JOIN h16 ON m.k = h16.k JOIN h17 ON m.k = h17.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(CAST(SUM(CASE WHEN m16 <> m17 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS moved_mod,
+           ROUND(CAST(SUM(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS moved_hrw
+    FROM j
+    """,
+    "shard-rebalance audit, 16 -> 17 shards: share of keys that move "
+    "under mod hashing (almost all) vs rendezvous/HRW hashing (~1/17)",
+    tags=("scale", "sampling"),
+)
+def q_shard_rebalance_audit_documents(spark, sf_dir):
+    """WHY shard_assignment must never be `key % n` (measured, not
+    asserted): adding one shard moves ~16/17 of keys under mod but
+    only ~1/17 under highest-random-weight hashing — the difference
+    between re-shuffling 100 TB and moving 6% of it. HRW argmax via a
+    17-way md5 grid and a (hash desc, shard desc) deterministic
+    rank; everything is portable md5 arithmetic."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    keys = d.select(F.col("doc_id").cast("string").alias("k"))
+    h8 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 8), 16, 10
+    ).cast("long")
+    m = keys.select(
+        "k",
+        (h8(F.col("k")) % 16).alias("m16"),
+        (h8(F.col("k")) % 17).alias("m17"),
+    )
+    grid = keys.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(16))).alias("s")
+    ).select(
+        "k",
+        "s",
+        h8(F.concat(F.col("k"), F.lit("#"), F.col("s").cast("string")))
+        .alias("h"),
+    )
+    w17 = W.partitionBy("k").orderBy(F.desc("h"), F.desc("s"))
+    h17 = (
+        grid.withColumn("r", F.row_number().over(w17))
+        .where(F.col("r") == 1)
+        .select("k", F.col("s").alias("hrw17"))
+    )
+    h16 = (
+        grid.where(F.col("s") < 16)
+        .withColumn("r", F.row_number().over(w17))
+        .where(F.col("r") == 1)
+        .select("k", F.col("s").alias("hrw16"))
+    )
+    j = m.join(h16, "k").join(h17, "k")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(
+            F.sum((F.col("m16") != F.col("m17")).cast("int")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("moved_mod"),
+        F.round(
+            F.sum((F.col("hrw16") != F.col("hrw17")).cast("int")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("moved_hrw"),
+    )
+
+
+@query(
+    "dedup_bias_audit_documents",
+    """
+    WITH reps AS (
+        SELECT MIN(doc_id) AS keep FROM documents GROUP BY md5(text)
+    ),
+    before AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM documents GROUP BY lang
+    ),
+    tb AS (SELECT CAST(SUM(n_before) AS BIGINT) AS t_b FROM before),
+    after AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_after
+        FROM documents d JOIN reps r ON d.doc_id = r.keep
+        GROUP BY lang
+    ),
+    ta AS (SELECT CAST(SUM(n_after) AS BIGINT) AS t_a FROM after)
+    SELECT b.lang, n_before, n_after,
+           ROUND(CAST(n_before AS DOUBLE) / CAST(t_b AS DOUBLE), 6)
+             AS share_before,
+           ROUND(CAST(n_after AS DOUBLE) / CAST(t_a AS DOUBLE), 6)
+             AS share_after,
+           ROUND(CAST(n_after AS DOUBLE) / CAST(t_a AS DOUBLE)
+                 - CAST(n_before AS DOUBLE) / CAST(t_b AS DOUBLE), 6)
+             AS share_delta
+    FROM before b JOIN after a ON b.lang = a.lang, tb, ta
+    """,
+    "dedup survivorship bias: per-language corpus share before vs "
+    "after exact dedup keeps min-id representatives",
+    tags=("dedup", "quality"),
+)
+def q_dedup_bias_audit_documents(spark, sf_dir):
+    """Does dedup silently reweight the mixture? (composition over
+    dedup_exact's representative convention): a language whose share
+    jumps after dedup was padding its count with copies — the
+    governance check that runs BEFORE mixture_weights trusts
+    post-dedup counts. Digest-keyed aggregations only; text never
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    before = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after = (
+        d.join(reps, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    )
+    tb = before.agg(F.sum("n_before").cast("long").alias("_tb"))
+    ta = after.agg(F.sum("n_after").cast("long").alias("_ta"))
+    j = (
+        before.join(after, "lang")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+    )
+    sb = F.col("n_before").cast("double") / F.col("_tb").cast("double")
+    sa = F.col("n_after").cast("double") / F.col("_ta").cast("double")
+    return j.select(
+        "lang",
+        "n_before",
+        "n_after",
+        F.round(sb, 6).alias("share_before"),
+        F.round(sa, 6).alias("share_after"),
+        F.round(sa - sb, 6).alias("share_delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
