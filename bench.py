@@ -286,6 +286,13 @@ HEADLINE = [
     "weekday_anova_daily",
     "shard_rebalance_audit_documents",
     "dedup_bias_audit_documents",
+    # round-8 wave 32: experiment trust + error bars, retention
+    # curves, SLA attainment, word shapes
+    "bootstrap_uplift_ci_events",
+    "retention_curve_events",
+    "srm_check_documents",
+    "sla_attainment_priority",
+    "token_length_hist_documents",
 ]
 
 

@@ -977,3 +977,86 @@ def effective_sample_size(df: DataFrame, weight_expr) -> DataFrame:
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n").cast("double"), 6).alias("ess_ratio"),
     )
+
+
+def bootstrap_uplift_ci(
+    df: DataFrame,
+    exposure_expr,
+    outcome_expr,
+    id_col: str,
+    n_boot: int = 50,
+    alpha: float = 0.05,
+    seed: str = "uplift",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for a DIFFERENCE in
+    rates between two groups — the error bar two_proportion_ztest's
+    normal approximation only asymptotically promises, and the one an
+    experiment readout actually ships. Same derandomized Poisson
+    scheme as bootstrap_mean_ci: resample b weights each row
+    Poisson(1) via the md5-uniform of (id, seed, b), so the PAIRED
+    group rates inside one replicate share the same resampled world.
+
+    All ``4 · n_boot`` weighted sums evaluate in ONE map-side-combined
+    aggregation; the interval interpolates over the n_boot diffs
+    inside the single result row.
+
+    Returns one row: (n_exp, n_unexp, uplift, ci_lo, ci_hi, n_boot),
+    rounds 6.
+    """
+    t = exposure_expr.cast("int")
+    y = outcome_expr.cast("int")
+    aggs = [
+        F.sum(t).cast("long").alias("n_exp"),
+        F.sum(F.lit(1) - t).cast("long").alias("n_unexp"),
+        F.sum(t * y).cast("long").alias("_xt"),
+        F.sum((F.lit(1) - t) * y).cast("long").alias("_xc"),
+    ]
+    for b in range(n_boot):
+        key = F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("\x1f"),
+            F.lit(seed),
+            F.lit(str(b)),
+        )
+        u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast(
+            "double"
+        ) / F.lit(float(16 ** 8))
+        w = _poisson_weight(u).cast("double")
+        aggs.append(F.sum(w * t * y).alias(f"_wxt_{b}"))
+        aggs.append(F.sum(w * t).alias(f"_wt_{b}"))
+        aggs.append(F.sum(w * (F.lit(1) - t) * y).alias(f"_wxc_{b}"))
+        aggs.append(F.sum(w * (F.lit(1) - t)).alias(f"_wc_{b}"))
+    one = df.agg(*aggs)
+    diffs = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.try_divide(F.col(f"_wxt_{b}"), F.col(f"_wt_{b}"))
+                    - F.try_divide(F.col(f"_wxc_{b}"), F.col(f"_wc_{b}"))
+                    for b in range(n_boot)
+                ]
+            ),
+            lambda m: m.isNotNull(),
+        )
+    )
+
+    def _qcont(arr, q):
+        n = F.size(arr)
+        pos = (n - F.lit(1)).cast("double") * F.lit(q)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        lo_v = F.element_at(arr, lo + 1)
+        hi_v = F.element_at(arr, F.least(lo + 2, n))
+        return lo_v + frac * (hi_v - lo_v)
+
+    point = F.col("_xt").cast("double") / F.col("n_exp").cast("double") - F.col(
+        "_xc"
+    ).cast("double") / F.col("n_unexp").cast("double")
+    return one.select(
+        "n_exp",
+        "n_unexp",
+        F.round(point, 6).alias("uplift"),
+        F.round(_qcont(diffs, alpha / 2.0), 6).alias("ci_lo"),
+        F.round(_qcont(diffs, 1.0 - alpha / 2.0), 6).alias("ci_hi"),
+        F.lit(n_boot).cast("long").alias("n_boot"),
+    )

@@ -13454,6 +13454,325 @@ def q_dedup_bias_audit_documents(spark, sf_dir):
     )
 
 
+@query(
+    "bootstrap_uplift_ci_events",
+    """
+    WITH base AS (
+        SELECT event_id,
+               CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS t,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    w AS (
+        SELECT b, t, y,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238463 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    WHEN u < 0.999916758850712 THEN 6
+                    ELSE 7 END AS w
+        FROM (
+            SELECT b.b AS b, e.t, e.y,
+                   ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                                       || chr(31) || 'uplift'
+                                       || CAST(b.b AS VARCHAR)), 1, 8))
+                     ::BIGINT / 4294967296.0 AS u
+            FROM base e, range(0, 50) b(b)
+        )
+    ),
+    m AS (
+        SELECT b,
+               SUM(w * t * y) / SUM(w * t)
+               - SUM(w * (1 - t) * y) / SUM(w * (1 - t)) AS db
+        FROM w GROUP BY b
+    ),
+    pt AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n_exp,
+               CAST(SUM(1 - t) AS BIGINT) AS n_unexp,
+               CAST(SUM(t * y) AS BIGINT) AS xt,
+               CAST(SUM((1 - t) * y) AS BIGINT) AS xc
+        FROM base
+    )
+    SELECT n_exp, n_unexp,
+           ROUND(CAST(xt AS DOUBLE) / CAST(n_exp AS DOUBLE)
+                 - CAST(xc AS DOUBLE) / CAST(n_unexp AS DOUBLE), 6)
+             AS uplift,
+           ROUND((SELECT quantile_cont(db, 0.025) FROM m), 6) AS ci_lo,
+           ROUND((SELECT quantile_cont(db, 0.975) FROM m), 6) AS ci_hi,
+           CAST(50 AS BIGINT) AS n_boot
+    FROM pt
+    """,
+    "derandomized Poisson-bootstrap 95% CI for the weekend-vs-weekday "
+    "purchase-rate difference: 50 paired resamples in one pass",
+    tags=("analytics", "sampling"),
+)
+def q_bootstrap_uplift_ci_events(spark, sf_dir):
+    """The error bar the experiment readout actually ships
+    (operators/sampling.py::bootstrap_uplift_ci):
+    two_proportion_ztest's normal approximation gets an exact
+    finite-sample companion — both group rates inside one replicate
+    share the same md5-derandomized Poisson world, and all 200
+    weighted sums evaluate in ONE map-side-combined aggregation."""
+    from pramen_spark.operators.sampling import bootstrap_uplift_ci
+
+    ev = load_events(spark, sf_dir)
+    return bootstrap_uplift_ci(
+        ev,
+        F.weekday(F.col("ts")) >= 5,
+        F.col("event_type") == "purchase",
+        "event_id",
+        n_boot=50,
+    )
+
+
+@query(
+    "retention_curve_events",
+    """
+    WITH du AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(dayn) AS cohort FROM du GROUP BY user_id),
+    h AS (SELECT MAX(dayn) AS mx FROM du),
+    off AS (
+        SELECT f.user_id, f.cohort, CAST(t.k AS BIGINT) AS k
+        FROM f, (SELECT unnest(range(1, 8)) AS k) t, h
+        WHERE f.cohort + t.k <= h.mx
+    )
+    SELECT o.k AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(SUM(CASE WHEN d2.user_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           ROUND(CAST(SUM(CASE WHEN d2.user_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+    FROM off o
+    LEFT JOIN du d2 ON o.user_id = d2.user_id
+                    AND d2.dayn = o.cohort + o.k
+    GROUP BY o.k
+    """,
+    "pooled retention curve, day 1-7: share of eligible users active "
+    "exactly k days after first being seen",
+    tags=("analytics", "sequences"),
+)
+def q_retention_curve_events(spark, sf_dir):
+    """The full curve d7_retention samples one point of (composition
+    over the same machinery): a bounded 7-way offset explode per
+    user, ELIGIBILITY gated on the data horizon so late cohorts
+    don't dilute late offsets, and one co-keyed join back to the
+    distinct (user, day) pairs."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)").alias(
+            "_dayn"
+        ),
+    ).distinct()
+    f = du.groupBy("user_id").agg(F.min("_dayn").alias("_cohort"))
+    h = du.agg(F.max("_dayn").alias("_mx"))
+    off = (
+        f.crossJoin(F.broadcast(h))
+        .select(
+            "user_id",
+            "_cohort",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.lit(7).cast("long"))
+            ).alias("day_offset"),
+            "_mx",
+        )
+        .where(F.col("_cohort") + F.col("day_offset") <= F.col("_mx"))
+    )
+    hit = du.select(
+        "user_id", F.col("_dayn").alias("_target"), F.lit(1).alias("_hit")
+    )
+    j = off.join(
+        hit,
+        (off["user_id"] == hit["user_id"])
+        & (hit["_target"] == off["_cohort"] + off["day_offset"]),
+        "left",
+    )
+    return j.groupBy("day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eligible"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_retained"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+@query(
+    "srm_check_documents",
+    """
+    WITH s AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::BIGINT
+                         / 4294967296.0 < 0.5
+                    THEN 1 ELSE 0 END AS arm
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(SUM(arm) AS BIGINT) AS n_a,
+               CAST(SUM(1 - arm) AS BIGINT) AS n_b
+        FROM s
+    )
+    SELECT n_a, n_b,
+           ROUND((CAST(n_a AS DOUBLE)
+                  - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                 * (CAST(n_a AS DOUBLE)
+                    - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                 / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+                 + (CAST(n_b AS DOUBLE)
+                    - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                 * (CAST(n_b AS DOUBLE)
+                    - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                 / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6) AS chi2,
+           (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+           + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           / (CAST(n_a + n_b AS DOUBLE) / 2.0) > 3.841 AS srm_flag
+    FROM c
+    """,
+    "sample-ratio-mismatch check of the md5 50/50 split: chi2 of the "
+    "observed arm counts against the designed ratio, flag at 95%",
+    tags=("quality", "sampling"),
+)
+def q_srm_check_documents(spark, sf_dir):
+    """The #1 A/B trust check (composition over hash_sample's md5
+    split): an SRM flag means the assignment itself is broken and
+    every downstream readout is invalid — run it before looking at
+    any metric. Exact integer arm counts; chi2 1-df scalar; the flag
+    thresholds at 3.841 (95%)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(16 ** 8))
+    arm = (u < 0.5).cast("int")
+    c = d.agg(
+        F.sum(arm).cast("long").alias("n_a"),
+        F.sum(F.lit(1) - arm).cast("long").alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")).cast("double") / F.lit(2.0)
+    chi2 = (
+        (F.col("n_a").cast("double") - e)
+        * (F.col("n_a").cast("double") - e) / e
+        + (F.col("n_b").cast("double") - e)
+        * (F.col("n_b").cast("double") - e) / e
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+@query(
+    "sla_attainment_priority",
+    """
+    WITH l AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(l_shipdate AS DATE)
+                    - CAST(o_orderdate AS DATE) AS BIGINT) AS lat
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS within_30d,
+           ROUND(CAST(SUM(CASE WHEN lat <= 60 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS within_60d,
+           ROUND(CAST(SUM(CASE WHEN lat <= 90 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS within_90d
+    FROM l GROUP BY priority
+    """,
+    "SLA attainment per order priority: share of lines shipped "
+    "within 30/60/90 days, one pass",
+    tags=("analytics", "finance"),
+)
+def q_sla_attainment_priority(spark, sf_dir):
+    """The contract-compliance view of ship_latency's percentiles
+    (the one-pass threshold-sweep pattern): percentiles answer 'how
+    slow are we', attainment answers 'what fraction breached the
+    promise' — three thresholds as conditional sums over one latency
+    column."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("_lat"),
+    )
+    share = lambda d: F.round(  # noqa: E731
+        F.sum((F.col("_lat") <= d).cast("int")).cast("double")
+        / F.count(F.lit(1)).cast("double"),
+        6,
+    )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        share(30).alias("within_30d"),
+        share(60).alias("within_60d"),
+        share(90).alias("within_90d"),
+    )
+
+
+@query(
+    "token_length_hist_documents",
+    r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                 AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+        SELECT CAST(length(token) AS BIGINT) AS token_len,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE token <> '' GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+    SELECT token_len, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+    FROM g, t
+    """,
+    "token-length histogram over corpus occurrences: the word-shape "
+    "profile that sizes subword vocabularies",
+    tags=("text", "training"),
+)
+def q_token_length_hist_documents(spark, sf_dir):
+    """The word-shape profile behind BPE merge budgets (composition
+    in the vocabulary-first family): long-tailed lengths mean
+    compounds a subword tokenizer must split. One explode, one
+    length-domain aggregation, total re-aggregated and broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    g = (
+        d.where(F.trim(F.col("text")) != "")
+        .select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(F.length("token").cast("long").alias("token_len"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = g.agg(F.sum("n").cast("long").alias("_tot"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "token_len",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
