@@ -293,6 +293,13 @@ HEADLINE = [
     "srm_check_documents",
     "sla_attainment_priority",
     "token_length_hist_documents",
+    # round-8 wave 33: experiment design (MDE/CUPED), feed freshness,
+    # audit-budget allocation, source idiosyncrasy
+    "mde_power_events",
+    "freshness_by_type_events",
+    "neyman_allocation_orders",
+    "cuped_variance_reduction_events",
+    "source_divergence_documents",
 ]
 
 

@@ -13773,6 +13773,361 @@ def q_token_length_hist_documents(spark, sf_dir):
     )
 
 
+@query(
+    "mde_power_events",
+    """
+    WITH c AS (
+        SELECT CAST(SUM(CASE WHEN isodow(ts) - 1 >= 5
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+               CAST(SUM(CASE WHEN isodow(ts) - 1 < 5
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events
+    )
+    SELECT n_1, n_2,
+           ROUND(CAST(x AS DOUBLE) / CAST(n_1 + n_2 AS DOUBLE), 6)
+             AS base_rate,
+           ROUND((1.959963984540054 + 0.8416212335729143)
+                 * sqrt((CAST(x AS DOUBLE) / CAST(n_1 + n_2 AS DOUBLE))
+                        * (1.0 - CAST(x AS DOUBLE)
+                           / CAST(n_1 + n_2 AS DOUBLE))
+                        * (1.0 / CAST(n_1 AS DOUBLE)
+                           + 1.0 / CAST(n_2 AS DOUBLE))), 6) AS mde
+    FROM c
+    """,
+    "minimum detectable effect at 80% power / 95% confidence for the "
+    "weekend-vs-weekday purchase-rate comparison, from exact cells",
+    tags=("analytics", "sampling"),
+)
+def q_mde_power_events(spark, sf_dir):
+    """The experiment-design readout that belongs NEXT TO every
+    two_proportion_ztest (pure composition): with these arm sizes and
+    this base rate, effects smaller than the MDE are invisible — a
+    'not significant' verdict below it means nothing. z literals are
+    exact doubles (1.96…, 0.8416…) on both engines."""
+    ev = load_events(spark, sf_dir)
+    c = ev.agg(
+        F.sum((F.weekday(F.col("ts")) >= 5).cast("int"))
+        .cast("long")
+        .alias("n_1"),
+        F.sum((F.weekday(F.col("ts")) < 5).cast("int"))
+        .cast("long")
+        .alias("n_2"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("x"),
+    )
+    p = F.col("x").cast("double") / (F.col("n_1") + F.col("n_2")).cast(
+        "double"
+    )
+    mde = F.lit(1.959963984540054 + 0.8416212335729143) * F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.col("n_1").cast("double")
+            + F.lit(1.0) / F.col("n_2").cast("double")
+        )
+    )
+    return c.select(
+        "n_1",
+        "n_2",
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde"),
+    )
+
+
+@query(
+    "freshness_by_type_events",
+    """
+    WITH g AS (
+        SELECT event_type,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                 AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ),
+    h AS (SELECT MAX(last_day) AS mx FROM g),
+    ld AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 86400000000
+                                  = (SELECT mx FROM h)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day
+        FROM events GROUP BY event_type
+    )
+    SELECT g.event_type,
+           DATE '1970-01-01' + CAST(g.last_day AS INTEGER) AS last_seen,
+           CAST(h.mx - g.last_day AS BIGINT) AS staleness_days,
+           g.n, ld.n_last_day
+    FROM g CROSS JOIN h JOIN ld ON g.event_type = ld.event_type
+    """,
+    "feed-freshness audit per event type: last-seen day, staleness "
+    "against the dataset horizon, and last-day volume",
+    tags=("quality", "validation"),
+)
+def q_freshness_by_type_events(spark, sf_dir):
+    """The first page of every pipeline-ops dashboard (pure
+    composition): a type whose staleness jumps stopped flowing —
+    catching it here is cheaper than catching it in model drift. Two
+    map-side-combined aggregations and a 1-row horizon broadcast."""
+    ev = load_events(spark, sf_dir)
+    dayn = F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)")
+    g = ev.groupBy("event_type").agg(
+        F.max(dayn).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    h = g.agg(F.max("_last").alias("_mx"))
+    ld = (
+        ev.select("event_type", dayn.alias("_d"))
+        .crossJoin(F.broadcast(h))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("_d") == F.col("_mx")).cast("int"))
+            .cast("long")
+            .alias("n_last_day")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(h))
+        .join(ld, "event_type")
+        .select(
+            "event_type",
+            F.date_from_unix_date(F.col("_last").cast("int")).alias(
+                "last_seen"
+            ),
+            (F.col("_mx") - F.col("_last")).cast("long").alias(
+                "staleness_days"
+            ),
+            "n",
+            "n_last_day",
+        )
+    )
+
+
+@query(
+    "neyman_allocation_orders",
+    """
+    WITH g AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS s1,
+               CAST(SUM(CAST(o_totalprice * o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM orders GROUP BY 1
+    ),
+    sd AS (
+        SELECT stratum, n,
+               sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                    / (CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - 1.0))) AS sdev
+        FROM g
+    ),
+    t AS (SELECT SUM(CAST(n AS DOUBLE) * sdev) AS tot FROM sd)
+    SELECT stratum, n, ROUND(sdev, 6) AS sd,
+           ROUND(CAST(n AS DOUBLE) * sdev / tot, 6) AS share,
+           ROUND(CAST(n AS DOUBLE) * sdev / tot * 1000.0, 2)
+             AS alloc_1000
+    FROM sd, t
+    """,
+    "Neyman optimal sample allocation across order priorities: each "
+    "stratum's share of a 1000-row audit budget proportional to "
+    "n_h * sd_h",
+    tags=("analytics", "sampling"),
+)
+def q_neyman_allocation_orders(spark, sf_dir):
+    """The design tool stratified_sample should be fed BY (pure
+    composition, welch decimal moments): equal-rate sampling wastes
+    budget on homogeneous strata — Neyman allocation puts auditors
+    where the variance is. The 5-term weight normalization is scalar
+    work on the stratum table."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    v = F.col("o_totalprice")
+    g = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(v)).cast("double").alias("_s1"),
+        F.sum(dec(v * v)).cast("double").alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    sdev = F.sqrt(
+        (n * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+        / (n * (n - F.lit(1.0)))
+    )
+    sd = g.select("stratum", "n", sdev.alias("_sd"))
+    from pyspark.sql import Window as W
+
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    tot = F.sum(F.col("n").cast("double") * F.col("_sd")).over(w_all)
+    share = F.col("n").cast("double") * F.col("_sd") / tot
+    return sd.select(
+        "stratum",
+        "n",
+        F.round("_sd", 6).alias("sd"),
+        F.round(share, 6).alias("share"),
+        F.round(share * F.lit(1000.0), 2).alias("alloc_1000"),
+    )
+
+
+@query(
+    "cuped_variance_reduction_events",
+    """
+    WITH per AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 86400000000 < 19738
+                        THEN CAST(value AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 AS x,
+               CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 86400000000 >= 19738
+                        THEN CAST(value AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM per
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS theta,
+           ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+             AS var_reduction
+    FROM s
+    """,
+    "CUPED readout: theta and the variance-reduction share from "
+    "regressing each user's post-period value on their pre-period "
+    "value (split at 2024-01-16)",
+    tags=("analytics", "sampling"),
+)
+def q_cuped_variance_reduction_events(spark, sf_dir):
+    """Modern experimentation's free sample-size multiplier (pure
+    composition over operators/drift.py::ols_fit): CUPED's θ IS the
+    OLS slope of post on pre, and the variance reduction IS the R² —
+    a 30% reduction reads like 43% more users. Pre/post user sums are
+    decimal-exact in one conditional pass."""
+    from pramen_spark.operators.drift import ols_fit
+
+    ev = load_events(spark, sf_dir)
+    dayn = F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(dayn < 19738, F.col("value").cast("decimal(18,6)"))
+            .otherwise(zero)
+        ).cast("double").alias("x"),
+        F.sum(
+            F.when(dayn >= 19738, F.col("value").cast("decimal(18,6)"))
+            .otherwise(zero)
+        ).cast("double").alias("y"),
+    )
+    fit = ols_fit(per, F.col("x"), F.col("y"))
+    return fit.select(
+        "n",
+        F.col("slope").alias("theta"),
+        F.col("r2").alias("var_reduction"),
+    )
+
+
+@query(
+    "source_divergence_documents",
+    r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+'))
+                 AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT token FROM tf GROUP BY token HAVING SUM(n) >= 5
+    ),
+    vtf AS (SELECT tf.* FROM tf JOIN vocab USING (token)),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    corpus AS (
+        SELECT token, CAST(SUM(n) AS BIGINT) AS cn FROM vtf
+        GROUP BY token
+    ),
+    ct AS (SELECT CAST(SUM(cn) AS BIGINT) AS ctot FROM corpus),
+    stot AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS st FROM vtf
+        GROUP BY source
+    ),
+    grid AS (
+        SELECT s.source, c.token, c.cn, s.st,
+               COALESCE(v.n, 0) AS n
+        FROM stot s CROSS JOIN corpus c
+        LEFT JOIN vtf v ON v.source = s.source AND v.token = c.token
+    )
+    SELECT source,
+           ROUND(SUM(((n + 1.0) / (st + v))
+                     * ln(((n + 1.0) / (st + v))
+                          / ((cn + 1.0) / (ctot + v)))), 6) AS kl
+    FROM grid, vsize, ct
+    GROUP BY source
+    """,
+    "source idiosyncrasy: smoothed KL divergence of each source's "
+    "frequent-token distribution from the corpus distribution",
+    tags=("text", "drift"),
+)
+def q_source_divergence_documents(spark, sf_dir):
+    """How far each feed's vocabulary sits from the corpus (the
+    vocabulary-first discipline): the KL runs on the FREQUENT-token
+    grid (sources × bounded vocab — the corpus volume only builds the
+    tf table), add-one smoothed so absent tokens stay finite. The
+    mixture-weights companion: a high-KL source shifts the blend more
+    per token than its share suggests."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tf = (
+        d.where(F.trim(F.col("text")) != "")
+        .select("source", F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    vocab = tf.groupBy("token").agg(
+        F.sum("n").cast("long").alias("cn")
+    ).where(F.col("cn") >= 5)
+    vtf = tf.join(vocab.select("token"), "token")
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    ct = vocab.agg(F.sum("cn").cast("long").alias("ctot"))
+    stot = vtf.groupBy("source").agg(
+        F.sum("n").cast("long").alias("st")
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(vtf, ["source", "token"], "left")
+        .select(
+            "source",
+            "st",
+            "cn",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(ct))
+    )
+    p = (F.col("n") + F.lit(1.0)) / (F.col("st") + F.col("v"))
+    q = (F.col("cn") + F.lit(1.0)) / (F.col("ctot") + F.col("v"))
+    return grid.groupBy("source").agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
