@@ -300,6 +300,13 @@ HEADLINE = [
     "neyman_allocation_orders",
     "cuped_variance_reduction_events",
     "source_divergence_documents",
+    # round-8 wave 34: loyalty/concentration KPIs, drawdown, ARPDAU,
+    # engagement shape
+    "repeat_customers_orders",
+    "drawdown_daily",
+    "top_customer_dependency",
+    "arpdau_daily_events",
+    "sessions_per_user_events",
 ]
 
 

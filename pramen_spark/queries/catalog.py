@@ -14128,6 +14128,258 @@ def q_source_divergence_documents(spark, sf_dir):
     )
 
 
+@query(
+    "repeat_customers_orders",
+    """
+    WITH per AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat,
+           ROUND(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS repeat_share,
+           ROUND(CAST(SUM(CASE WHEN n_orders >= 2 THEN rev
+                          ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS repeat_revenue_share
+    FROM per
+    """,
+    "loyalty snapshot: share of customers with repeat orders and the "
+    "revenue share they carry, decimal-exact",
+    tags=("analytics", "features"),
+)
+def q_repeat_customers_orders(spark, sf_dir):
+    """The one-row loyalty KPI under every RFM deck (pure
+    composition): repeat-revenue share usually dwarfs repeat-customer
+    share — the gap IS the retention business case. Decimal sums; the
+    conditional keeps money in decimal until one final division."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+    )
+    rep = (F.col("_n") >= 2).cast("int")
+    zero = F.lit(0).cast("decimal(28,2)")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(rep).cast("long").alias("n_repeat"),
+        F.round(
+            F.sum(rep).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("repeat_share"),
+        F.round(
+            F.sum(F.when(F.col("_n") >= 2, F.col("_rev")).otherwise(zero))
+            .cast("double")
+            / F.sum("_rev").cast("double"),
+            6,
+        ).alias("repeat_revenue_share"),
+    )
+
+
+@query(
+    "drawdown_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT revenue,
+               MAX(revenue) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(peak - revenue), 6) AS max_drawdown,
+           ROUND(MAX((peak - revenue) / peak), 6) AS max_drawdown_share
+    FROM r
+    """,
+    "maximum drawdown of daily revenue: worst drop from a running "
+    "peak, absolute and as a share of that peak",
+    tags=("analytics", "finance"),
+)
+def q_drawdown_daily(spark, sf_dir):
+    """The worst-case-decline readout (pure composition in the
+    control_chart family): running max over the calendar-bounded
+    daily grid, then a max of exact double differences — XmR flags
+    single out-of-control days, drawdown measures the deepest slide.
+    The share variant divides before the max so the worst RELATIVE
+    drop can differ from the worst absolute one."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    r = daily.select(
+        "revenue", F.max("revenue").over(w).alias("_peak")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max(F.col("_peak") - F.col("revenue")), 6).alias(
+            "max_drawdown"
+        ),
+        F.round(
+            F.max((F.col("_peak") - F.col("revenue")) / F.col("_peak")), 6
+        ).alias("max_drawdown_share"),
+    )
+
+
+@query(
+    "top_customer_dependency",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+               SUM(rev) OVER () AS tot
+        FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CASE WHEN rnk <= 1 THEN rev
+                          ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS share_top1,
+           ROUND(CAST(SUM(CASE WHEN rnk <= 5 THEN rev
+                          ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS share_top5,
+           ROUND(CAST(SUM(CASE WHEN rnk <= 10 THEN rev
+                          ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS share_top10
+    FROM r
+    """,
+    "key-account dependency: revenue share of the top 1/5/10 "
+    "customers — the concentration risk one number per cut",
+    tags=("analytics", "finance"),
+)
+def q_top_customer_dependency(spark, sf_dir):
+    """The 'what if our biggest customer leaves' number (composition
+    next to gini/lorenz/hhi, which grade the whole curve): a
+    deterministic (revenue desc, key) rank over the customer table
+    and three threshold sums of exact decimals."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+    )
+    w = W.orderBy(F.desc("_rev"), F.asc("o_custkey"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = per.select(
+        "_rev",
+        F.row_number().over(w).alias("_rnk"),
+        F.sum("_rev").over(w_all).alias("_tot"),
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    share = lambda k: F.round(  # noqa: E731
+        F.sum(F.when(F.col("_rnk") <= k, F.col("_rev")).otherwise(zero))
+        .cast("double")
+        / F.max("_tot").cast("double"),
+        6,
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        share(1).alias("share_top1"),
+        share(5).alias("share_top5"),
+        share(10).alias("share_top10"),
+    )
+
+
+@query(
+    "arpdau_daily_events",
+    """
+    SELECT DATE '1970-01-01'
+             + CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                    AS INTEGER) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 6)
+             AS arpdau
+    FROM events GROUP BY 1
+    """,
+    "ARPDAU: per-day total event value over distinct active users — "
+    "the monetization-per-head daily",
+    tags=("analytics", "timegrid"),
+)
+def q_arpdau_daily_events(spark, sf_dir):
+    """The denominator-aware revenue daily (pure composition): total
+    value alone confounds growth with monetization — dividing by DAU
+    separates them. One day-keyed aggregation with an exact distinct;
+    value sums as decimal."""
+    ev = load_events(spark, sf_dir)
+    day = F.date_from_unix_date(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS INT)")
+    )
+    return ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.countDistinct("user_id").cast("double"),
+            6,
+        ).alias("arpdau"),
+    )
+
+
+@query(
+    "sessions_per_user_events",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+    ),
+    marked AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    per AS (
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+        FROM marked GROUP BY user_id
+    )
+    SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per GROUP BY n_sessions
+    """,
+    "sessions-per-user histogram over 30-min-gap sessions: the "
+    "engagement-frequency shape behind DAU averages",
+    tags=("analytics", "sessionization"),
+)
+def q_sessions_per_user_events(spark, sf_dir):
+    """WHO generates the session volume (composition over
+    sessionize_batch's machinery — session count per user is just the
+    sum of new-session flags, no per-session rows needed): a mean of
+    9 sessions/user can be everyone-at-9 or a bimodal
+    lurkers-plus-addicts split; the histogram tells which."""
+    from pramen_spark.streaming.stream import sessionize_batch
+
+    s = sessionize_batch(
+        load_events(spark, sf_dir), "user_id", "ts", gap="30 minutes"
+    )
+    per = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return per.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
