@@ -307,6 +307,13 @@ HEADLINE = [
     "top_customer_dependency",
     "arpdau_daily_events",
     "sessions_per_user_events",
+    # round-8 wave 35: promo depth, velocity classes, board-cadence
+    # growth, AOV trend, calendar-mix control
+    "discount_depth_bands",
+    "velocity_segments_parts",
+    "qoq_revenue_orders",
+    "aov_monthly_orders",
+    "weekend_revenue_share_monthly",
 ]
 
 

@@ -14380,6 +14380,248 @@ def q_sessions_per_user_events(spark, sf_dir):
     )
 
 
+@query(
+    "discount_depth_bands",
+    """
+    WITH b AS (
+        SELECT CASE WHEN l_discount = 0 THEN '0'
+                    WHEN l_discount <= 0.05 THEN '1-5'
+                    ELSE '6+' END AS band,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2)) AS given
+        FROM lineitem
+    ),
+    g AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(rev) AS rev, SUM(given) AS given
+        FROM b GROUP BY band
+    ),
+    t AS (SELECT SUM(rev) AS tot FROM g)
+    SELECT band, n_lines, CAST(rev AS DOUBLE) AS revenue,
+           CAST(given AS DOUBLE) AS discount_given,
+           ROUND(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS revenue_share
+    FROM g, t
+    """,
+    "promo-depth mix: lines, realized revenue and discount dollars "
+    "given per discount band, decimal-exact",
+    tags=("analytics", "finance"),
+)
+def q_discount_depth_bands(spark, sf_dir):
+    """How deep the discounting runs and what it costs (pure
+    composition): the discount-given column is the same decimal
+    product family as realized revenue, so 'revenue + given = list
+    price' audits itself. One band-keyed aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") == 0, "0")
+        .when(F.col("l_discount") <= 0.05, "1-5")
+        .otherwise("6+")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    g = l.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(price * (F.lit(1) - disc)).alias("_rev"),
+        F.sum(price * disc).alias("_given"),
+    )
+    t = g.agg(F.sum("_rev").alias("_tot"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "band",
+        "n_lines",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.col("_given").cast("double").alias("discount_given"),
+        F.round(
+            F.col("_rev").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "velocity_segments_parts",
+    """
+    WITH per AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN n_lines >= 30 THEN 'fast'
+                    WHEN n_lines >= 10 THEN 'medium'
+                    ELSE 'slow' END AS velocity,
+               n_lines
+        FROM per
+    )
+    SELECT velocity, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(n_lines) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS lines_per_part
+    FROM b GROUP BY velocity
+    """,
+    "sales-velocity segmentation of parts (fast/medium/slow movers) "
+    "by lifetime line count",
+    tags=("analytics", "finance"),
+)
+def q_velocity_segments_parts(spark, sf_dir):
+    """The fast/slow-mover split merchandising plans around (pure
+    composition, the abc_classification companion by COUNT instead of
+    value): two map-side-combined aggregations; the band thresholds
+    are exact integer comparisons."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    vel = (
+        F.when(F.col("_n") >= 30, "fast")
+        .when(F.col("_n") >= 10, "medium")
+        .otherwise("slow")
+    )
+    return per.groupBy(vel.alias("velocity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("_n").cast("long").alias("n_lines"),
+        F.round(
+            F.sum("_n").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("lines_per_part"),
+    )
+
+
+@query(
+    "qoq_revenue_orders",
+    """
+    WITH q AS (
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                 AS quarter,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT quarter, CAST(rev AS DOUBLE) AS revenue,
+           ROUND((CAST(rev AS DOUBLE)
+                  - CAST(lag(rev) OVER (ORDER BY quarter) AS DOUBLE))
+                 / CAST(lag(rev) OVER (ORDER BY quarter) AS DOUBLE), 6)
+             AS qoq_growth
+    FROM q
+    """,
+    "quarter-over-quarter revenue growth from decimal quarterly "
+    "sums — the board-deck number",
+    tags=("analytics", "finance"),
+)
+def q_qoq_revenue_orders(spark, sf_dir):
+    """The wow_revenue pattern at board cadence (pure composition):
+    DECIMAL quarterly cells, one LAG over the calendar-bounded
+    quarter table; the growth ratio divides two exact-derived
+    doubles."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.to_date(F.date_trunc("quarter", F.col("o_orderdate"))).alias(
+            "quarter"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+    )
+    w = W.orderBy("quarter")
+    prev = F.lag("_rev").over(w)
+    return q.select(
+        "quarter",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("_rev").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ).alias("qoq_growth"),
+    )
+
+
+@query(
+    "aov_monthly_orders",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS aov
+    FROM orders GROUP BY 1
+    """,
+    "average order value per month from decimal sums — the unit "
+    "economics trend under every revenue chart",
+    tags=("analytics", "finance"),
+)
+def q_aov_monthly_orders(spark, sf_dir):
+    """Revenue = orders × AOV; this is the AOV axis (pure
+    composition): one month-keyed map-side-combined aggregation,
+    decimal revenue divided by an exact count once per month row."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("aov"),
+    )
+
+
+@query(
+    "weekend_revenue_share_monthly",
+    """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                   * (CASE WHEN isodow(o_orderdate) - 1 >= 5
+                      THEN 1 ELSE 0 END)) AS wrev
+        FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           CAST(wrev AS DOUBLE) AS weekend_revenue,
+           ROUND(CAST(wrev AS DOUBLE) / CAST(rev AS DOUBLE), 6)
+             AS weekend_share
+    FROM m
+    """,
+    "weekend revenue share per month: the calendar-mix control that "
+    "separates seasonality from weekend-count artifacts",
+    tags=("analytics", "timegrid"),
+)
+def q_weekend_revenue_share_monthly(spark, sf_dir):
+    """Months have 8-10 weekend days — a 'weak month' can be a
+    calendar artifact (pure composition): the weekend share per month
+    is the control the MoM narrative needs. Decimal money times an
+    INTEGER weekend flag stays exact inside one aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.col("o_totalprice").cast("decimal(18,2)")
+    flag = (F.weekday(F.col("o_orderdate")) >= 5).cast("int")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month"
+        )
+    ).agg(
+        F.sum(rev).alias("_rev"),
+        F.sum(rev * flag).alias("_wrev"),
+    )
+    return m.select(
+        "month",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.col("_wrev").cast("double").alias("weekend_revenue"),
+        F.round(
+            F.col("_wrev").cast("double") / F.col("_rev").cast("double"),
+            6,
+        ).alias("weekend_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
