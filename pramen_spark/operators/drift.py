@@ -216,9 +216,12 @@ def chi2_categorical(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     n = (F.col("t_ref") + F.col("t_cur")).cast("double")
     e_ref = pooled * F.col("t_ref") / n
     e_cur = pooled * F.col("t_cur") / n
+    # try_divide: an empty snapshot (t_ref or t_cur = 0) gives expected
+    # count 0 — NULL the contribution consistently on both engines rather
+    # than throwing under ANSI mode (module-wide degenerate-input rule).
     contrib = (
-        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
-        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur
+        F.try_divide((F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref), e_ref)
+        + F.try_divide((F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur), e_cur)
     )
     return j.select(
         "category",

@@ -169,6 +169,9 @@ def ndcg_at_k(
     disc = lambda r: F.log2(F.col(r).cast("double") + F.lit(1.0))
     sys_gain = (
         ranked.select(query_id_col, id_col, rank_col)
+        # enforce k on the system side too (mirrors the ideal-side filter)
+        # so an over-long ranked input can't inflate DCG past the @k cut.
+        .where(F.col(rank_col) <= k)
         .join(
             ideal.select(
                 query_id_col, id_col, F.col(gain_col).alias("_rel")

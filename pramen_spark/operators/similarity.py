@@ -578,11 +578,14 @@ def hard_negatives(
             ).alias("cosine"),
         )
     )
+    # min over (-cosine, neg_id) = max cosine with ties broken by the
+    # SMALLEST id under the id type's natural ordering — works for string
+    # ids too (no negation of the id column, which only orders numerics).
     best = scored.groupBy("query_id", "query_label").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col("cosine").alias("c"),
-                (-F.col("neg_id")).alias("nid"),
+                (-F.col("cosine")).alias("negc"),
+                F.col("neg_id").alias("nid"),
                 F.col("neg_label").alias("nl"),
             )
         ).alias("b")
@@ -590,9 +593,9 @@ def hard_negatives(
     return best.select(
         "query_id",
         "query_label",
-        (-F.col("b.nid")).cast("long").alias("neg_id"),
+        F.col("b.nid").alias("neg_id"),
         F.col("b.nl").alias("neg_label"),
-        F.col("b.c").alias("cosine"),
+        (-F.col("b.negc")).alias("cosine"),
     )
 
 
