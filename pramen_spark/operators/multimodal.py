@@ -10,11 +10,21 @@ two tiers:
   screen descriptors with pure Python over the first KB of bytes — no
   media library needed; :func:`encode_image_header` is the independent
   writer used to build test/fixture bytes.
-- **Pixel decoding (feature extraction, resize, frame sampling) is
-  stubbed**: those need image/audio codecs not present in this
-  environment, so each raises ``NotImplementedError`` unless
-  ``deterministic_fake=True``, which produces seeded fake features so
-  the distributed plumbing can be exercised end-to-end.
+- **PNG pixel decoding is REAL** (round 9): :func:`decode_png` is a
+  stdlib-only decoder — zlib-inflated IDAT, per-scanline unfilter of all
+  five PNG filter types (None/Sub/Up/Average/Paeth) for 8-bit gray, RGB
+  and RGBA, no interlace — and :func:`encode_png` is the independent
+  spec-packed writer (forward filtering, shares no code with the
+  decoder) used for fixtures. :func:`image_pixel_stats`,
+  :func:`extract_features` and :func:`resize_images` compute real pixel
+  statistics / histogram features / nearest-neighbor resizes on PNG
+  payloads.
+- **JPEG/GIF pixel decoding and video frame extraction stay stubbed**:
+  entropy-coded JPEG and LZW GIF need codecs not present in this
+  environment. ``extract_features(hash_fallback=True)`` substitutes a
+  documented content-hash pseudo-feature for non-PNG payloads so mixed
+  corpora can still run the plumbing; ``sample_frames`` remains
+  plumbing-only behind ``deterministic_fake=True``.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
 ``mapInPandas`` streams Arrow record batches; ``spark.sql.execution.arrow.
@@ -26,7 +36,9 @@ task's batch of blobs fits the executor (e.g. 64 MB blobs -> small
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Optional
+import struct
+import zlib
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -56,9 +68,12 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_feature(content: bytes, dim: int) -> np.ndarray:
-    """Deterministic pseudo-feature from the content hash (stands in for a
-    real image/audio encoder)."""
+def _hash_fallback_feature(content: bytes, dim: int) -> np.ndarray:
+    """Documented stand-in feature for formats whose pixel codecs are not
+    in this environment (JPEG entropy decode, GIF LZW): a deterministic
+    unit vector seeded by the content hash, so mixed-format corpora can
+    run the full distributed plumbing with PNG payloads getting REAL
+    features and the rest a stable placeholder."""
     digest = hashlib.sha256(content or b"").digest()
     seed = int.from_bytes(digest[:8], "big") % (2**32)
     rng = np.random.RandomState(seed)
@@ -66,28 +81,56 @@ def _fake_feature(content: bytes, dim: int) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _png_histogram_feature(px: np.ndarray, dim: int) -> np.ndarray:
+    """REAL pixel feature: L2-normalized brightness histogram. Per pixel,
+    brightness = r+g+b (gray counts ×3) in [0, 765]; binned into ``dim``
+    equal-width buckets. Deterministic, rotation-invariant-ish, and
+    cheap — the classic pre-embedding dedup/curation signal."""
+    p = px.astype(np.int32)
+    if p.shape[2] == 1:
+        luma = p[:, :, 0] * 3
+    else:
+        luma = p[:, :, 0] + p[:, :, 1] + p[:, :, 2]
+    bins = np.clip((luma.ravel() * dim) // 766, 0, dim - 1)
+    hist = np.bincount(bins, minlength=dim).astype(np.float32)
+    norm = float(np.linalg.norm(hist))
+    return hist / norm if norm > 0 else hist
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 64,
-    deterministic_fake: bool = False,
+    hash_fallback: bool = False,
     batch_size_hint: Optional[int] = None,
 ) -> DataFrame:
-    """Binary content -> feature vectors via Arrow-batched mapInPandas."""
+    """Binary content -> feature vectors via Arrow-batched mapInPandas.
+
+    PNG payloads are decoded for REAL (:func:`decode_png`) and produce a
+    brightness-histogram feature; other formats use the documented
+    content-hash stand-in when ``hash_fallback=True`` and raise
+    ``NotImplementedError`` otherwise (JPEG/GIF pixel codecs are not in
+    this environment)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "Real media decoding requires image/audio libraries not present "
-                    "in this environment; pass deterministic_fake=True for plumbing tests."
-                )
+            feats = []
+            for c in pdf["content"]:
+                content = c if c is not None else b""
+                px = decode_png(content)
+                if px is not None:
+                    feats.append(_png_histogram_feature(px, dim).tolist())
+                elif hash_fallback:
+                    feats.append(_hash_fallback_feature(content, dim).tolist())
+                else:
+                    raise NotImplementedError(
+                        "non-PNG pixel decode needs codecs not present in this "
+                        "environment; pass hash_fallback=True to give non-PNG "
+                        "payloads a deterministic placeholder feature."
+                    )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "feature": [
-                        _fake_feature(c if c is not None else b"", dim).tolist()
-                        for c in pdf["content"]
-                    ],
+                    "feature": feats,
                     "feature_dim": dim,
                     "content_sha256": [
                         hashlib.sha256(c if c is not None else b"").hexdigest()
@@ -121,23 +164,34 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(
-    df: DataFrame, width: int, height: int, deterministic_fake: bool = False
-) -> DataFrame:
-    """Image resize plumbing (stubbed decode)."""
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for PNG payloads: decode, resample
+    via index mapping ``src = floor(dst * src_extent / dst_extent)``,
+    re-encode as PNG (filter 0 — the output of a resize is usually
+    consumed immediately, so spend no cycles on filter search).
+
+    Non-PNG payloads yield a NULL content row (quarantine downstream)
+    rather than failing the task — at 100 TB some blobs are always in a
+    format the CPU tier can't decode. Pure map, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("Image decoding not available in this environment.")
+            out_content = []
+            for c in pdf["content"]:
+                px = decode_png(c)
+                if px is None:
+                    out_content.append(None)
+                    continue
+                h, w, _ = px.shape
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                out_content.append(
+                    encode_png(px[ys][:, xs], filter_for_row=lambda y: 0)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    # fake "resize": truncate/pad content to width*height bytes
-                    "content": [
-                        (c or b"")[: width * height].ljust(width * height, b"\0")
-                        for c in pdf["content"]
-                    ],
+                    "content": out_content,
                     "width": width,
                     "height": height,
                 }
@@ -268,6 +322,264 @@ def encode_image_header(fmt: str, width: int, height: int) -> bytes:
     if fmt == "gif":
         return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
     raise ValueError(f"unknown image format: {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel codec (stdlib only — zlib + struct + numpy).
+#
+# Scope: 8-bit grayscale (color type 0), RGB (2) and RGBA (6), no
+# interlace — the shapes a curation pipeline actually materializes as
+# intermediate tensors. Reference behavior parity: the reference treats
+# media as opaque payloads handed to external toolchains; here the decode
+# itself is in-engine so pixel-level curation metrics stay distributed.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG to a (H, W, C)
+    uint8 array, or None when the payload is not such a PNG (wrong magic,
+    unsupported bit depth/color type/interlace, or corrupt stream).
+
+    Pure stdlib: walks chunks, zlib-inflates the concatenated IDAT
+    stream, then unfilters each scanline (PNG filters 0-4). The two
+    sequential filters (Average, Paeth) run a per-byte Python loop —
+    bounded by row width; None/Up are vectorized and Sub uses the
+    cumsum-mod-256 identity, so typical streams stay numpy-speed."""
+    b = content or b""
+    if not b.startswith(_PNG_SIG):
+        return None
+    pos, n = 8, len(b)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= n:
+            clen = int.from_bytes(b[pos : pos + 4], "big")
+            ctype = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + clen]
+            if len(data) < clen:
+                return None
+            if ctype == b"IHDR":
+                width, height = struct.unpack(">II", data[:8])
+                bit_depth, color_type = data[8], data[9]
+                interlace = data[12]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        if (
+            width is None
+            or bit_depth != 8
+            or color_type not in _PNG_CHANNELS
+            or interlace != 0
+            or not idat
+        ):
+            return None
+        ch = _PNG_CHANNELS[color_type]
+        raw = zlib.decompress(bytes(idat))
+    except (zlib.error, struct.error):
+        return None
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = row[0]
+        filt = np.frombuffer(row, dtype=np.uint8, offset=1).astype(np.int32)
+        if ftype == 0:
+            recon = filt
+        elif ftype == 2:  # Up
+            recon = (filt + prior) % 256
+        elif ftype == 1:  # Sub: cumsum along each channel offset, mod 256
+            recon = filt.copy()
+            for c in range(ch):
+                recon[c::ch] = np.cumsum(filt[c::ch].astype(np.int64)) % 256
+        elif ftype == 3:  # Average — sequential in x (plain lists: ~20x
+            # faster than per-element numpy indexing in the hot loop)
+            fl = row[1:]
+            pr = prior.tolist()
+            rl = [0] * stride
+            for x in range(stride):
+                a = rl[x - ch] if x >= ch else 0
+                rl[x] = (fl[x] + ((a + pr[x]) >> 1)) & 0xFF
+            recon = np.array(rl, dtype=np.int32)
+        elif ftype == 4:  # Paeth — sequential in x
+            fl = row[1:]
+            pr = prior.tolist()
+            rl = [0] * stride
+            for x in range(stride):
+                a = rl[x - ch] if x >= ch else 0
+                b_ = pr[x]
+                c_ = pr[x - ch] if x >= ch else 0
+                p = a + b_ - c_
+                pa = p - a if p >= a else a - p
+                pb = p - b_ if p >= b_ else b_ - p
+                pc = p - c_ if p >= c_ else c_ - p
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                rl[x] = (fl[x] + pred) & 0xFF
+            recon = np.array(rl, dtype=np.int32)
+        else:
+            return None
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(height, width, ch)
+
+
+def encode_png(pixels: np.ndarray, filter_for_row=None) -> bytes:
+    """Independent PNG writer for fixtures (spec-packed, shares no logic
+    with :func:`decode_png` — forward filtering here, inverse filtering
+    there, so a round-trip proves both). ``pixels`` is (H, W) gray or
+    (H, W, C) with C in {1, 3, 4}; ``filter_for_row(y) -> 0..4`` picks
+    the per-scanline filter (default cycles y % 5 to exercise all
+    five)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if filter_for_row is None:
+        filter_for_row = lambda y: y % 5  # noqa: E731
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    zeros = np.zeros(w * ch, dtype=np.int16)
+    lines = bytearray()
+    prior = zeros
+    for y in range(h):
+        raw = flat[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), raw[:-ch]])
+        up_left = np.concatenate([np.zeros(ch, dtype=np.int16), prior[:-ch]])
+        f = int(filter_for_row(y))
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prior
+        elif f == 3:
+            filt = raw - ((left + prior) >> 1)
+        elif f == 4:
+            p = left + prior - up_left
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prior),
+                np.abs(p - up_left),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = raw - pred
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        lines.append(f)
+        lines += (filt % 256).astype(np.uint8).tobytes()
+        prior = raw
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sum_luma3", T.LongType(), True),
+        T.StructField("sum_luma3_sq", T.LongType(), True),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL pixel statistics over PNG payloads: per image, exact integer
+    channel sums plus the (r+g+b) sum and sum-of-squares (brightness
+    moments with denominator 3n), decoded by :func:`decode_png` inside
+    Arrow-batched ``mapInPandas``. Gray images count their single channel
+    as all three; undecodable payloads yield NULL stats (quarantine
+    downstream, never fail the task).
+
+    Integer sums travel; means/stds are derived by the caller — exact
+    aggregation, engine-portable rounding, no float accumulation order
+    dependence. Scale: pure map, no shuffle; this is the CPU-tier pixel
+    pass a 100 TB pipeline runs to gate what reaches GPU decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                px = decode_png(content)
+                if px is None:
+                    rows.append((int(mid),) + (None,) * 8)
+                    continue
+                h, w, ch = px.shape
+                p = px.astype(np.int64)
+                if ch == 1:
+                    r = g = b = p[:, :, 0]
+                else:
+                    r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+                luma3 = r + g + b
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        w * h,
+                        int(r.sum()),
+                        int(g.sum()),
+                        int(b.sum()),
+                        int(luma3.sum()),
+                        int((luma3 * luma3).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "sum_luma3",
+                    "sum_luma3_sq",
+                ],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_pixels": "Int64",
+                    "sum_r": "Int64",
+                    "sum_g": "Int64",
+                    "sum_b": "Int64",
+                    "sum_luma3": "Int64",
+                    "sum_luma3_sq": "Int64",
+                }
+            )
+
+    return df.mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
 def image_dimensions(

@@ -62,27 +62,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "q22_dormant_customers",
     # tier 2: flagship + strongest oracle-checked extension operators (17).
     # Rotated each round so every family gets driver CORRECTNESS rows over
-    # time. Round 8 (the VERDICT r7 ask #3 rotation): in = the eight
-    # queries that never had a driver row (scd2, reconcile, hits, weighted
-    # sample, incremental minhash, MAD anomaly, skew profile, readability)
-    # plus the six new round-8 operators; out = the round-6/7 flagships
-    # with green driver rows in BOTH r6 and r7 (curate_corpus, dedup_exact,
-    # minhash_dedup, dedup_clusters, semdedup, gopher, char_lm,
-    # paragraph/line/substring dedup, validate, pack_utilization,
-    # apply_cdc, pagerank — all still oracle-checked every round by
-    # tools/check_oracle.py + pytest's out-of-window sweep).
-    "scd2_customer_status", "reconcile_orders_copy",
-    "hits_purchase_graph", "weighted_sample_documents",
-    "minhash_incremental_batch", "anomaly_mad_daily",
-    "skew_profile_orders", "readability_documents",
-    # round-8 additions: skew action, global curriculum, real image
-    # header decode, incremental SCD2, bucketed-state join merge
-    "salted_agg_lineitem", "salted_join_lineitem",
-    "curriculum_global_documents", "image_dimensions_documents",
-    "scd2_incremental_customer", "incremental_agg_join_lineitem",
-    # continuity keepers (one green driver row each, round 7)
-    "stream_windowed_counts", "leakage_safe_split_documents",
-    "quality_classifier",
+    # time. Round 9 (the VERDICT r8 ask #7 rotation): in = the ten
+    # never-driver-checked queries the judge named (bloom join, AUC, CMS,
+    # association pairs, Kaplan-Meier, Spearman, bootstrap uplift, gains
+    # curve, negative samples, Lorenz), the new round-9 real-pixel-decode
+    # query, and six more that never had a driver row (PPJoin exact
+    # Jaccard, triangles, mutual information, target encoding, blocked
+    # edit distance, k-anonymity); out = the round-8 window entries, all
+    # green in CORRECTNESS_r08 and still oracle-checked every round by
+    # tools/check_oracle.py + pytest's out-of-window sweep.
+    "bloom_prune_join_lineitem", "auc_documents", "cms_frequency_events",
+    "assoc_pairs_orders", "kaplan_meier_events", "spearman_quantity_price",
+    "bootstrap_uplift_ci_events", "gains_curve_documents",
+    "negative_samples_orders", "lorenz_curve_customers",
+    "image_pixel_stats",
+    "prefix_filter_jaccard_pairs", "triangle_count_suppliers",
+    "mutual_info_events", "target_encode_orders",
+    "edit_distance_pairs_documents", "k_anonymity_customers",
 ]
 
 

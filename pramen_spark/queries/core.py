@@ -1715,15 +1715,15 @@ def q_simhash_near_dups(spark, sf_dir):
     tags=("multimodal",),
 )
 def q_multimodal_features(spark, sf_dir):
-    """Spark-side plumbing is real (schema, Arrow batching, partitioning);
-    the decode step is a deterministic fake because no image/audio codecs
-    ship in this environment (operators/multimodal.py gates the real
-    path behind NotImplementedError). The media blobs are the documents'
-    utf-8 bytes so the oracle can independently verify the binary content
-    path end-to-end: every blob flowed through the Arrow-batched
-    mapInPandas decode and produced the right content hash and dim. The
-    feature vectors themselves (seeded numpy) have no SQL equivalent and
-    are covered by pytest."""
+    """Spark-side plumbing end-to-end over NON-PNG payloads: the media
+    blobs are the documents' utf-8 bytes, which take extract_features'
+    documented hash-fallback path (JPEG/GIF-class formats whose codecs
+    aren't in this environment; PNG payloads get REAL pixel features —
+    see image_pixel_stats for the oracle-checked decode). The oracle
+    verifies the binary content path: every blob flowed through the
+    Arrow-batched mapInPandas decode and produced the right content hash
+    and dim. The fallback vectors themselves (seeded numpy) have no SQL
+    equivalent and are covered by pytest."""
     from pramen_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
 
     d = load_table(spark, sf_dir, "documents")
@@ -1737,7 +1737,7 @@ def q_multimodal_features(spark, sf_dir):
         F.lit(None).cast("long").alias("duration_ms"),
     )
     assert [f.name for f in MEDIA_SCHEMA.fields] == media.columns
-    feats = extract_features(media, dim=16, deterministic_fake=True)
+    feats = extract_features(media, dim=16, hash_fallback=True)
     return feats.select("media_id", "content_sha256", F.col("feature_dim").alias("dim"))
 
 

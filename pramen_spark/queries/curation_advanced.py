@@ -1887,3 +1887,131 @@ def q_vocab_truncate_documents(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "image_pixel_stats",
+    """
+    WITH imgs AS (
+        SELECT doc_id, 9 + doc_id % 24 AS w, 9 + (doc_id * 3) % 24 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT i.doc_id, i.w, i.h,
+               (i.doc_id + 3 * tx.x + 7 * ty.y) % 256 AS r,
+               (2 * i.doc_id + 5 * tx.x + ty.y) % 256 AS g,
+               (3 * i.doc_id + tx.x + 2 * ty.y) % 256 AS b
+        FROM imgs i,
+             unnest(range(i.w)) AS tx(x),
+             unnest(range(i.h)) AS ty(y)
+    ),
+    agg AS (
+        SELECT doc_id, w, h,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(SUM(r + g + b) AS BIGINT) AS sum_luma3,
+               CAST(SUM((r + g + b) * (r + g + b)) AS BIGINT) AS sum_luma3_sq
+        FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           n_pixels, sum_r, sum_g, sum_b,
+           ROUND(CAST(sum_r AS DOUBLE) / n_pixels, 6) AS mean_r,
+           ROUND(CAST(sum_g AS DOUBLE) / n_pixels, 6) AS mean_g,
+           ROUND(CAST(sum_b AS DOUBLE) / n_pixels, 6) AS mean_b,
+           ROUND(CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels), 6)
+               AS mean_brightness,
+           ROUND(SQRT(GREATEST(
+               CAST(sum_luma3_sq AS DOUBLE) / (9 * n_pixels)
+               - (CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels))
+                 * (CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels)), 0)), 6)
+               AS std_brightness,
+           ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect_ratio
+    FROM agg
+    """,
+    "REAL pixel decode: full PNGs (zlib IDAT, all five scanline filters) "
+    "written by the independent encoder, decoded back pixel-exact and "
+    "reduced to channel/brightness moments",
+    tags=("multimodal",),
+)
+def q_image_pixel_stats(spark, sf_dir):
+    """The round-9 close of the last decode stub (operators/multimodal.py::
+    decode_png + image_pixel_stats): each document id deterministically
+    derives an RGB image — w=9+id%24, h=9+3*id%24, r=(id+3x+7y)%256,
+    g=(2id+5x+y)%256, b=(3id+x+2y)%256 — which encode_png writes as a
+    complete PNG (zlib-compressed IDAT, per-row filter cycling through
+    None/Sub/Up/Average/Paeth so every unfilter path is exercised), and
+    decode_png recovers pixel-exactly inside Arrow-batched mapInPandas.
+    The oracle regenerates the pixels from the id arithmetic alone and
+    aggregates in SQL: any encoder/decoder disagreement — a wrong Paeth
+    predictor, an off-by-one stride, a bad average floor — breaks the
+    integer sums. Means/std derive from exact integer sums in identical
+    double expressions on both engines.
+
+    Scale: both stages are pure maps (no shuffle); blobs never leave
+    their partition, and the decode is the bounded CPU-tier pass that
+    gates what a 100 TB multimodal pipeline ships to GPU decoders."""
+    from pramen_spark.operators.multimodal import (
+        encode_png,
+        image_pixel_stats,
+    )
+    from pyspark.sql import types as T
+    import numpy as np
+    import pandas as pd
+
+    d = load_documents_spread(spark, sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = 9 + i % 24, 9 + (i * 3) % 24
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (i + 3 * x + 7 * y) % 256,
+                        (2 * i + 5 * x + y) % 256,
+                        (3 * i + x + 2 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                blobs.append(
+                    encode_png(px, filter_for_row=lambda yy, base=i: (base + yy) % 5)
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = d.mapInPandas(encode, enc_schema)
+    s = image_pixel_stats(media)
+    n = F.col("n_pixels")
+    sl = F.col("sum_luma3").cast("double")
+    mean_b3 = sl / (F.lit(3) * n)
+    var = F.col("sum_luma3_sq").cast("double") / (F.lit(9) * n) - mean_b3 * mean_b3
+    return s.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "n_pixels",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        F.round(F.col("sum_r").cast("double") / n, 6).alias("mean_r"),
+        F.round(F.col("sum_g").cast("double") / n, 6).alias("mean_g"),
+        F.round(F.col("sum_b").cast("double") / n, 6).alias("mean_b"),
+        F.round(mean_b3, 6).alias("mean_brightness"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_brightness"),
+        F.round(F.col("width").cast("double") / F.col("height"), 6).alias(
+            "aspect_ratio"
+        ),
+    )

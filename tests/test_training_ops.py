@@ -333,33 +333,127 @@ class TestTextOps:
         assert a[1] != a[2]
 
 
+def _png_media_df(spark, n=6):
+    """Real PNG payloads through the MEDIA_SCHEMA shape."""
+    import numpy as np
+
+    from pramen_spark.operators.multimodal import MEDIA_SCHEMA, encode_png
+
+    rows = []
+    for i in range(n):
+        w, h = 5 + i, 4 + (i % 3)
+        rng = np.random.RandomState(100 + i)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        rows.append((i, encode_png(px), "image", "image/png", w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 class TestMultimodalPlumbing:
-    def test_feature_extraction_fake(self, spark):
-        media = make_fake_media_df(spark, n=8)
-        feats = extract_features(media, dim=16, deterministic_fake=True).collect()
-        assert len(feats) == 8
+    def test_feature_extraction_real_png(self, spark):
+        media = _png_media_df(spark, n=6)
+        feats = extract_features(media, dim=16).collect()
+        assert len(feats) == 6
         assert {len(r["feature"]) for r in feats} == {16}
-        # deterministic across runs
-        feats2 = extract_features(make_fake_media_df(spark, n=8), dim=16, deterministic_fake=True).collect()
-        assert sorted(r["content_sha256"] for r in feats) == sorted(
-            r["content_sha256"] for r in feats2
-        )
+        # real histogram features are L2-normalized and deterministic
+        import math
 
-    def test_real_decode_is_stubbed(self, spark):
+        for r in feats:
+            assert abs(math.sqrt(sum(v * v for v in r["feature"])) - 1.0) < 1e-5
+        feats2 = extract_features(_png_media_df(spark, n=6), dim=16).collect()
+        assert {r["media_id"]: r["feature"] for r in feats} == {
+            r["media_id"]: r["feature"] for r in feats2
+        }
+
+    def test_feature_extraction_non_png_fallback(self, spark):
+        media = make_fake_media_df(spark, n=4)  # hash blobs, not PNGs
+        with pytest.raises(Exception, match="NotImplementedError|codecs"):
+            extract_features(media, dim=8).collect()
+        feats = extract_features(media, dim=8, hash_fallback=True).collect()
+        assert len(feats) == 4 and {len(r["feature"]) for r in feats} == {8}
+
+    def test_resize_real_nearest_neighbor(self, spark):
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import decode_png
+
+        media = _png_media_df(spark, n=4)
+        out = resize_images(media, 3, 2).collect()
+        originals = {r["media_id"]: r["content"] for r in media.collect()}
+        for r in out:
+            src = decode_png(originals[r["media_id"]])
+            got = decode_png(bytes(r["content"]))
+            assert got.shape == (2, 3, 3)
+            h, w, _ = src.shape
+            ys = (np.arange(2) * h) // 2
+            xs = (np.arange(3) * w) // 3
+            assert np.array_equal(got, src[ys][:, xs])
+
+    def test_resize_non_png_yields_null(self, spark):
         media = make_fake_media_df(spark, n=2)
-        with pytest.raises(Exception, match="NotImplementedError|media"):
-            extract_features(media, dim=8, deterministic_fake=False).collect()
-
-    def test_resize_plumbing(self, spark):
-        media = make_fake_media_df(spark, n=4)
-        out = resize_images(media, 8, 8, deterministic_fake=True).collect()
-        assert {len(r["content"]) for r in out} == {64}
+        out = resize_images(media, 4, 4).collect()
+        assert all(r["content"] is None for r in out)
 
     def test_frame_sampling_flatmap(self, spark):
         media = make_fake_media_df(spark, n=3, media_type="video")
         out = sample_frames(media, every_n_ms=1000, deterministic_fake=True).collect()
         assert len(out) == 15  # 5000ms / 1000ms x 3 videos
         assert {r["frame_idx"] for r in out} == {0, 1, 2, 3, 4}
+
+
+class TestPngPixelCodec:
+    """decode_png must pixel-exactly invert the independent spec-packed
+    encoder for every filter type and channel count; pixel stats must be
+    integer-exact; garbage degrades to None/NULL, never task failure."""
+
+    def test_round_trip_every_filter_and_channel(self):
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.RandomState(7)
+        for ch in (1, 3, 4):
+            for h, w in [(1, 1), (5, 9), (17, 23)]:
+                px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+                for f in (None, 0, 1, 2, 3, 4):
+                    pick = None if f is None else (lambda y, f=f: f)
+                    back = decode_png(encode_png(px, filter_for_row=pick))
+                    assert back is not None and np.array_equal(back, px), (ch, h, w, f)
+
+    def test_decoder_rejects_garbage(self):
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import decode_png, encode_png
+
+        assert decode_png(None) is None
+        assert decode_png(b"\xff\xd8 not a png") is None
+        full = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        assert decode_png(full[:20]) is None  # truncated mid-IHDR
+        corrupt = full[:-8] + b"XXXXXXXX"  # mangled IEND tail is tolerated
+        assert decode_png(corrupt) is not None
+
+    def test_pixel_stats_integer_exact(self, spark):
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import (
+            encode_png,
+            image_pixel_stats,
+        )
+        from pramen_spark.operators.multimodal import MEDIA_SCHEMA
+
+        px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        rows = [(1, encode_png(px), "image", "image/png", 3, 2, None),
+                (2, b"not a png", "image", "image/jpeg", None, None, None)]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in image_pixel_stats(media).collect()}
+        p = px.astype(int)
+        assert out[1]["n_pixels"] == 6
+        assert out[1]["sum_r"] == int(p[:, :, 0].sum())
+        assert out[1]["sum_g"] == int(p[:, :, 1].sum())
+        assert out[1]["sum_b"] == int(p[:, :, 2].sum())
+        luma = p.sum(axis=2)
+        assert out[1]["sum_luma3"] == int(luma.sum())
+        assert out[1]["sum_luma3_sq"] == int((luma * luma).sum())
+        assert out[2]["sum_r"] is None  # quarantine, not failure
 
 
 class TestImageHeaderDecode:
