@@ -323,6 +323,18 @@ def _operation_def(
         expectations_action=str(
             _get(op, "expectation.action", default="fail") or "fail"
         ),
+        # ``skew.guard { key = ..., action = agg|join, group.cols = [...] }``
+        # — dotted HOCON keys normalize to the underscore names
+        # operators/skew.py::apply_skew_guard takes (group.cols ->
+        # group_cols, max.salts -> max_salts, right.table -> right_table).
+        skew_guard=(
+            {
+                str(k).replace(".", "_"): v
+                for k, v in _flatten(_get(op, "skew.guard", default=None)).items()
+            }
+            if _get(op, "skew.guard", default=None)
+            else None
+        ),
     )
 
 

@@ -286,6 +286,15 @@ class OperationDef:
     # "warn" (violations land in the task result's warnings).
     expectations: Sequence[Dict[str, Any]] = ()
     expectations_action: str = "fail"
+    # Skew ACTION wired to config (beyond the reference, which only
+    # exposes throughput thresholds as an ops WARNING — Keys.scala:27-28):
+    # ``skew_guard = {key, threshold, max_salts, action, ...}`` profiles
+    # the declared shuffle key on the operation's output at run time and
+    # applies salted_agg/salted_join exactly when the decision rule
+    # fires (see operators/skew.py::apply_skew_guard for the shape); the
+    # decision lands in the task result warnings. action=join resolves
+    # ``right_table`` through the operation's metastore reader.
+    skew_guard: Optional[Dict[str, Any]] = None
 
 
 class FieldChangeKind(str, Enum):

@@ -255,3 +255,84 @@ def peer_zscore(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def apply_skew_guard(df: DataFrame, guard: dict, right_df: Optional[DataFrame] = None):
+    """Config surface for the profile -> decide -> act loop: a pipeline
+    author declares an operation-level ``skew_guard`` (the shape below)
+    and the task runner routes the operation's output through this
+    function — :func:`recommend_salts` profiles the declared key at run
+    time and the declared action executes salted exactly when the
+    decision rule fires, plain otherwise. This operationalizes the
+    reference's throughput-threshold ops hook (core/.../app/config/
+    Keys.scala:27-28 ``goodThroughputRps``/``badThroughputRps``): where
+    the reference can only WARN that a job is shuffle-bound, the engine
+    applies the remedy.
+
+    ``guard`` keys::
+
+        key: str            # shuffle key to profile (required)
+        threshold: float    # hot/p90 ratio that triggers salting (4.0)
+        max_salts: int      # salt-count clamp (64)
+        action: "agg" | "join"            # default "agg"
+        # action=agg (output schema == salted_agg's):
+        group_cols: [str]   # default [key]
+        sum_cols / min_cols / max_cols: [str]
+        # action=join (right_df = the small side, runner-resolved from
+        # guard["right_table"] via the metastore):
+        on: [str]           # default [key]
+        how: "inner" | "left"
+
+    Returns ``(DataFrame, note)`` — the note records the decision
+    (profiled key, chosen n_salts, salted or plain) and the runner
+    surfaces it in the task result warnings, so every run documents
+    whether the two-phase plan was in effect.
+
+    Both paths produce identical values (salting is algebra-invariant),
+    so flipping between them as the key histogram drifts is safe."""
+    key = guard["key"]
+    n_salts = recommend_salts(
+        df,
+        key,
+        skew_threshold=float(guard.get("threshold", 4.0)),
+        max_salts=int(guard.get("max_salts", 64)),
+    )
+    action = str(guard.get("action", "agg"))
+    if action == "agg":
+        groups = list(guard.get("group_cols", [key]))
+        sums = list(guard.get("sum_cols", ()))
+        mins = list(guard.get("min_cols", ()))
+        maxs = list(guard.get("max_cols", ()))
+        if n_salts > 1:
+            out = salted_agg(
+                df, groups, sum_cols=sums, min_cols=mins, max_cols=maxs,
+                n_salts=n_salts,
+            )
+        else:
+            # plain single-exchange aggregation with the exact salted_agg
+            # output schema, so downstream code never sees the decision
+            out = df.groupBy(*groups).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                *[F.sum(c).alias(f"sum_{c}") for c in sums],
+                *[F.min(c).alias(f"min_{c}") for c in mins],
+                *[F.max(c).alias(f"max_{c}") for c in maxs],
+            )
+    elif action == "join":
+        if right_df is None:
+            raise ValueError(
+                "skew_guard action=join needs the small side: set "
+                "guard['right_table'] (runner-resolved) or pass right_df"
+            )
+        on = list(guard.get("on", [key]))
+        how = str(guard.get("how", "inner"))
+        if n_salts > 1:
+            out = salted_join(df, right_df, on, n_salts=n_salts, how=how)
+        else:
+            out = df.join(right_df, on, how)
+    else:
+        raise ValueError(f"unknown skew_guard action {action!r}")
+    note = (
+        f"skew.guard: key={key} action={action} n_salts={n_salts} "
+        f"({'salted two-phase' if n_salts > 1 else 'plain (no skew)'})"
+    )
+    return out, note

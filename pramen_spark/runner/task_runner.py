@@ -276,6 +276,23 @@ class TaskRunner:
             df = job.run(info_date)
 
             op = job.operation
+
+            # 3a. config-declared skew guard: profile -> decide -> act
+            # (salted plan only when the key histogram is actually hot);
+            # the decision note lands in the task result warnings so
+            # every run documents which plan shape executed.
+            if op.skew_guard:
+                from pramen_spark.operators.skew import apply_skew_guard
+
+                right_df = None
+                right_table = op.skew_guard.get("right_table")
+                if op.skew_guard.get("action") == "join" and right_table:
+                    right_df = job.metastore.get_reader(
+                        [right_table], info_date
+                    ).get_table(right_table)
+                df, note = apply_skew_guard(df, op.skew_guard, right_df)
+                warnings = list(warnings) + [note]
+
             incremental = op.schedule.kind.value == "incremental"
             df = apply_decorations(
                 df,

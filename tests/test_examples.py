@@ -138,3 +138,33 @@ class TestExamples:
         # every key has exactly one current version
         per_key = history.filter("is_current").groupBy("o_custkey").count()
         assert per_key.filter("count != 1").count() == 0
+
+    def test_skew_guarded_aggregation_example(self, spark, tmp_path, sf_dir):
+        from pyspark.sql import functions as F
+
+        from pramen_spark.cli import main
+
+        # skewed landing data: one bot user dominates the key histogram
+        landing = str(tmp_path / "landing")
+        rows = [(0, float(i % 7)) for i in range(4000)] + [
+            (u, float(u)) for u in range(1, 21) for _ in range(10)
+        ]
+        spark.createDataFrame(rows, ["user_id", "value"]).write.parquet(landing)
+        conf = _materialize(
+            "skew_guarded_aggregation.conf",
+            tmp_path,
+            {
+                "%BOOKKEEPING%": str(tmp_path / "bk"),
+                "%MS_RAW%": str(tmp_path / "ms_raw"),
+                "%MS_OUT%": str(tmp_path / "ms_out"),
+                "%LANDING%": landing,
+            },
+        )
+        assert main(["--workflow", conf, "--date", "2024-01-10"]) == 0
+        out = spark.read.parquet(str(tmp_path / "ms_out"))
+        got = {
+            r["user_id"]: (r["n_rows"], r["sum_value"]) for r in out.collect()
+        }
+        assert got[0] == (4000, sum(float(i % 7) for i in range(4000)))
+        assert got[5] == (10, 50.0)
+        assert len(got) == 21
