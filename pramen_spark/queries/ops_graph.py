@@ -2183,3 +2183,60 @@ def q_zorder_cluster_lineitem(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "ddsketch_price_lineitem",
+    """
+    WITH b AS (
+        SELECT CAST(CEIL(LN(CAST(l_extendedprice AS DOUBLE)) / 0.020000666706669435)
+                    AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) > 0
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket,
+               SUM(n) OVER (ORDER BY bucket) AS cum,
+               SUM(n) OVER () AS total
+        FROM b
+    ),
+    sel AS (
+        SELECT CAST(qq.q AS DOUBLE) AS q,
+               MIN(CASE WHEN c.cum >= 1 + FLOOR(qq.q * (c.total - 1))
+                        THEN c.bucket END) AS bkt
+        FROM c, (VALUES (0.5), (0.9), (0.99)) qq(q)
+        GROUP BY qq.q
+    )
+    SELECT q,
+           ROUND(2.0 * POW(1.02020202020202, CAST(bkt AS DOUBLE)) / 2.02020202020202, 6) AS estimate
+    FROM sel
+    """,
+    "DDSketch quantiles of lineitem price: mergeable gamma-log bucket "
+    "sketch with a 1% relative-error guarantee, replayed bucket-exact "
+    "by the oracle",
+    tags=("sketch", "analytics"),
+)
+def q_ddsketch_price_lineitem(spark, sf_dir):
+    """The quantile member of the mergeable-summary family (operators/
+    sketches.py::ddsketch_build/_quantile/_merge — DDSketch, Masson et
+    al. VLDB'19, rel-accuracy a=0.01, gamma=(1+a)/(1-a)): prices fold
+    into ceil(ln(x)/ln(gamma)) buckets in ONE map-side-combined
+    aggregation; the bucket table is KB-scale (log of the value range,
+    not data volume) and merges across days/streams by summing buckets
+    with zero error growth — unlike approx_percentile, whose rank-based
+    digest can't promise relative error on the VALUE. The oracle
+    replays the bucket math with the identical ln(gamma) double literal
+    and walks the same cumulative-rank rule, so an off-by-one in the
+    boundary convention or midpoint formula breaks the match. The
+    cumulative walk is a window over the sketch domain (a documented
+    bounded single-partition stage); the accuracy contract
+    (est within 1% of exact) is pytest-asserted."""
+    from pramen_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantile,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    sk = ddsketch_build(l, "l_extendedprice", relative_accuracy=0.01)
+    return ddsketch_quantile(sk, relative_accuracy=0.01, qs=(0.5, 0.9, 0.99))
