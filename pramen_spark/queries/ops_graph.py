@@ -2240,3 +2240,43 @@ def q_ddsketch_price_lineitem(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     sk = ddsketch_build(l, "l_extendedprice", relative_accuracy=0.01)
     return ddsketch_quantile(sk, relative_accuracy=0.01, qs=(0.5, 0.9, 0.99))
+
+
+@query(
+    "jaro_winkler_pairs_documents",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, lang,
+               substr(lower(trim(text)), 1, 8) AS blk,
+               substr(lower(trim(text)), 1, 64) AS head
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(jaro_winkler_similarity(a.head, b.head), 6) AS jw
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.id < b.id
+    WHERE jaro_winkler_similarity(a.head, b.head) >= 0.85
+    """,
+    "blocked Jaro-Winkler linkage pairs: DuckDB's native "
+    "jaro_winkler_similarity is the oracle for the Arrow-batched "
+    "Python scorer",
+    tags=("dedup", "linkage"),
+)
+def q_jaro_winkler_pairs_documents(spark, sf_dir):
+    """Fuzzy-prefix record linkage (operators/dedup.py::
+    jaro_winkler_pairs): candidates share (lang, first 8 normalized
+    chars) — the same standard-blocking scheme as edit_distance_pairs —
+    and are scored on 64-char heads by a DuckDB-convention Jaro-Winkler
+    in an Arrow-batched pandas UDF (fuzz-verified equal to DuckDB's
+    native jaro_winkler_similarity over 5000 random pairs, which is
+    exactly what makes this oracle possible). Levenshtein counts edits
+    anywhere; JW rewards agreeing prefixes and forgives transpositions
+    — the complementary linkage signal. Scale: co-keyed block
+    self-join, per-candidate Python bounded by head_chars^2, never an
+    all-pairs pass."""
+    from pramen_spark.operators.dedup import jaro_winkler_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaro_winkler_pairs(
+        d, prefix_chars=8, head_chars=64, min_sim=0.85
+    )
