@@ -651,3 +651,79 @@ def two_proportion_ztest(
         F.round(p2, 6).alias("p_2"),
         F.round(z, 6).alias("z"),
     )
+
+
+def ols2_fit(df: DataFrame, x1_expr, x2_expr, y_expr) -> DataFrame:
+    """TWO-regressor least squares — y = b0 + b1*x1 + b2*x2 — solved in
+    closed form by Cramer's rule over the 3x3 normal equations, from the
+    same decimal-exact moment sums :func:`ols_fit` uses (products in
+    IEEE double, sums in DECIMAL, so nothing depends on reduce order).
+    The multivariate step ols_fit cannot take: separating two correlated
+    drivers (price on quantity AND discount; latency on size AND hour)
+    instead of attributing their shared variance to whichever ran first.
+
+    Returns one row (n, b0, b1, b2, r2), rounds 6. A singular system
+    (collinear regressors, zero variance) yields NULL coefficients via
+    try_divide — same convention as the rest of the module.
+
+    Scale: ONE map-side-combined aggregation collecting 9 moments;
+    everything after is scalar arithmetic on the single result row.
+    """
+    base = df.select(
+        x1_expr.cast("double").alias("_a"),
+        x2_expr.cast("double").alias("_b"),
+        y_expr.cast("double").alias("_y"),
+    ).where(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull() & F.col("_y").isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    s = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("_a"))).cast("double").alias("_sa"),
+        F.sum(dec(F.col("_b"))).cast("double").alias("_sb"),
+        F.sum(dec(F.col("_y"))).cast("double").alias("_sy"),
+        F.sum(dec(F.col("_a") * F.col("_a"))).cast("double").alias("_saa"),
+        F.sum(dec(F.col("_b") * F.col("_b"))).cast("double").alias("_sbb"),
+        F.sum(dec(F.col("_a") * F.col("_b"))).cast("double").alias("_sab"),
+        F.sum(dec(F.col("_a") * F.col("_y"))).cast("double").alias("_say"),
+        F.sum(dec(F.col("_b") * F.col("_y"))).cast("double").alias("_sby"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb, sy = F.col("_sa"), F.col("_sb"), F.col("_sy")
+    saa, sbb, sab = F.col("_saa"), F.col("_sbb"), F.col("_sab")
+    say, sby = F.col("_say"), F.col("_sby")
+    # det of [[n, sa, sb], [sa, saa, sab], [sb, sab, sbb]] — written in ONE
+    # fixed expression order so both engines evaluate identical doubles
+    det = (
+        n * (saa * sbb - sab * sab)
+        - sa * (sa * sbb - sab * sb)
+        + sb * (sa * sab - saa * sb)
+    )
+    det0 = (
+        sy * (saa * sbb - sab * sab)
+        - sa * (say * sbb - sab * sby)
+        + sb * (say * sab - saa * sby)
+    )
+    det1 = (
+        n * (say * sbb - sab * sby)
+        - sy * (sa * sbb - sab * sb)
+        + sb * (sa * sby - say * sb)
+    )
+    det2 = (
+        n * (saa * sby - say * sab)
+        - sa * (sa * sby - say * sb)
+        + sy * (sa * sab - saa * sb)
+    )
+    b0 = F.try_divide(det0, det)
+    b1 = F.try_divide(det1, det)
+    b2 = F.try_divide(det2, det)
+    sse = F.col("_syy") - b0 * sy - b1 * say - b2 * sby
+    sst = F.col("_syy") - sy * sy / n
+    return s.select(
+        "n",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(F.lit(1.0) - F.try_divide(sse, sst), 6).alias("r2"),
+    )

@@ -1184,3 +1184,77 @@ def term_growth(
     return j.where(F.col("df_1") + F.col("df_2") >= min_df).select(
         "token", "df_1", "df_2", F.round(growth, 6).alias("growth")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_docfreq: int = 50,
+    min_sim: float = 0.3,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the classic lexical
+    retrieval/near-dup signal between the set-based Jaccard family and
+    the dense embedding cosine: weighting by inverse document frequency
+    makes two documents similar for sharing RARE vocabulary, not
+    boilerplate.
+
+    Vectors live over the capped vocabulary only (tokens appearing in
+    <= ``max_token_docfreq`` documents): idf = ln((N+1)/(df+1)), weight
+    = tf * idf, L2-normalized per document WITHIN that space; pairs come
+    from a co-keyed join on shared tokens and the cosine is the sum of
+    matched weight products. The cap is simultaneously the relevance
+    filter (common tokens carry ~zero idf) and the scale guard: a
+    token's pair fan-out is bounded by cap^2, so no stop-word ever
+    explodes the join — the max_shingle_freq discipline applied to the
+    weighted-vocabulary space, and the documented recall envelope
+    (similarity carried ONLY by ubiquitous tokens is invisible).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= min_sim,
+    rounds 6. The per-pair sum adds <= |shared tokens| doubles bounded
+    by 1 — reduce-order ulps sit ~1e-10 below the rounding grain.
+
+    Scale: two aggregations (tf, df) + one co-keyed self-join on token;
+    everything shuffles on token or pair keys, never all-pairs."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(dfreq.where(F.col("df") <= max_token_docfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * F.ln(
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    norm = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm"))
+    unit = w.join(norm, "id").select(
+        "id", "tok", (F.col("w") / F.col("_nrm")).alias("u")
+    )
+    a = unit.select(F.col("id").alias("id_a"), "tok", F.col("u").alias("u_a"))
+    b = unit.select(F.col("id").alias("id_b"), "tok", F.col("u").alias("u_b"))
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("u_a") * F.col("u_b")).alias("_cos"))
+    )
+    return pairs.where(F.col("_cos") >= min_sim).select(
+        "id_a", "id_b", F.round("_cos", 6).alias("cosine")
+    )

@@ -2280,3 +2280,121 @@ def q_jaro_winkler_pairs_documents(spark, sf_dir):
     return jaro_winkler_pairs(
         d, prefix_chars=8, head_chars=64, min_sim=0.85
     )
+
+
+@query(
+    "ols2_price_lineitem",
+    """
+    WITH base AS (
+        SELECT l_quantity AS a, l_discount AS b, l_extendedprice AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(a AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+               CAST(SUM(CAST(b AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS saa,
+               CAST(SUM(CAST(b * b AS DECIMAL(38,6))) AS DOUBLE) AS sbb,
+               CAST(SUM(CAST(a * b AS DECIMAL(38,6))) AS DOUBLE) AS sab,
+               CAST(SUM(CAST(a * y AS DECIMAL(38,6))) AS DOUBLE) AS say,
+               CAST(SUM(CAST(b * y AS DECIMAL(38,6))) AS DOUBLE) AS sby,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM base
+    ),
+    d AS (
+        SELECT n, sy, say, sby, syy,
+               CAST(n AS DOUBLE) * (saa * sbb - sab * sab)
+               - sa * (sa * sbb - sab * sb)
+               + sb * (sa * sab - saa * sb) AS det,
+               sy * (saa * sbb - sab * sab)
+               - sa * (say * sbb - sab * sby)
+               + sb * (say * sab - saa * sby) AS det0,
+               CAST(n AS DOUBLE) * (say * sbb - sab * sby)
+               - sy * (sa * sbb - sab * sb)
+               + sb * (sa * sby - say * sb) AS det1,
+               CAST(n AS DOUBLE) * (saa * sby - say * sab)
+               - sa * (sa * sby - say * sb)
+               + sy * (sa * sab - saa * sb) AS det2
+        FROM s
+    )
+    SELECT n,
+           ROUND(det0 / det, 6) AS b0,
+           ROUND(det1 / det, 6) AS b1,
+           ROUND(det2 / det, 6) AS b2,
+           ROUND(1.0 - (syy - (det0 / det) * sy - (det1 / det) * say
+                        - (det2 / det) * sby)
+                       / (syy - sy * sy / CAST(n AS DOUBLE)), 6) AS r2
+    FROM d
+    """,
+    "two-regressor OLS (price on quantity AND discount) via Cramer's "
+    "rule over decimal-exact moments — the multivariate step the "
+    "single-feature fits cannot take",
+    tags=("analytics", "drift"),
+)
+def q_ols2_price_lineitem(spark, sf_dir):
+    """Separating two correlated drivers (operators/drift.py::ols2_fit):
+    extended price regressed on quantity AND discount in one closed-form
+    3x3 normal-equation solve — products in IEEE double, sums in
+    DECIMAL(38,6), determinants written in one fixed expression order so
+    both engines evaluate identical doubles. One map-side-combined
+    aggregation collects 9 moments; everything after is scalar math on
+    the single result row."""
+    from pramen_spark.operators.drift import ols2_fit
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return ols2_fit(
+        l, F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    )
+
+
+@query(
+    "tfidf_cosine_pairs_documents",
+    """
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT id, tok, COUNT(*) AS tf FROM toks GROUP BY id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.id, tf.tok,
+               CAST(tf.tf AS DOUBLE)
+               * ln(CAST(nd.n_docs + 1 AS DOUBLE)
+                    / CAST(dfreq.df + 1 AS DOUBLE)) AS w
+        FROM tf JOIN dfreq ON tf.tok = dfreq.tok, nd
+        WHERE dfreq.df <= 50
+    ),
+    nrm AS (SELECT id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY id),
+    unit AS (
+        SELECT w.id, w.tok, w.w / nrm.nrm AS u
+        FROM w JOIN nrm ON w.id = nrm.id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(SUM(a.u * b.u), 6) AS cosine
+    FROM unit a JOIN unit b ON a.tok = b.tok AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING SUM(a.u * b.u) >= 0.3
+    """,
+    "sparse TF-IDF cosine pairs over the rare-token vocabulary: the "
+    "lexical retrieval signal between Jaccard and embedding cosine",
+    tags=("dedup", "text"),
+)
+def q_tfidf_cosine_pairs_documents(spark, sf_dir):
+    """Rare-vocabulary lexical similarity (operators/text.py::
+    tfidf_cosine_pairs): idf-weighted, L2-normalized vectors over
+    tokens in <= 50 documents, pairs from a co-keyed token join, cosine
+    as the matched-weight dot product. The docfreq cap is relevance
+    filter and scale guard at once — a token's pair fan-out is bounded
+    by cap^2, so no stop-word explodes the join (max_shingle_freq
+    discipline in the weighted space). Two aggregations + one co-keyed
+    self-join; shuffles on token and pair keys, never all-pairs. The
+    threshold/rounding FP caveat class is the documented cosine one."""
+    from pramen_spark.operators.text import tfidf_cosine_pairs
+
+    d = load_documents_spread(spark, sf_dir)
+    return tfidf_cosine_pairs(d, max_token_docfreq=50, min_sim=0.3)
