@@ -38,7 +38,7 @@ from __future__ import annotations
 import hashlib
 import struct
 import zlib
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
