@@ -84,3 +84,28 @@ def test_sketch_size_is_log_of_range(spark):
     )
     n_buckets = ddsketch_build(df, "x", relative_accuracy=0.01).count()
     assert n_buckets < 800
+
+
+class TestBootstrapStagedPlan:
+    """The round-9 bootstrap speedup lives in the PLAN SHAPE: digests,
+    uniforms and Poisson weights materialize as staged projections so
+    each md5 evaluates once per 4 replicates and each CASE consumes a
+    plain column. Pin the expression counts so a refactor that inlines
+    the stages (re-multiplying the hash 4-8x per row) fails here."""
+
+    def test_md5_and_conv_counts(self, spark):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from pramen_spark.operators.sampling import bootstrap_mean_ci
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        out = bootstrap_mean_ci(df, "v", "k", n_boot=40)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"md5", plan)) == 10  # ceil(40/4), not 40
+        assert len(re.findall(r"conv", plan)) == 40  # one per replicate
