@@ -116,7 +116,18 @@ def main() -> None:
                 "spark_version": spark.version,
             },
         )
-        with open(os.path.join(full_dir, f"bench_r{n}_full.json"), "w") as f:
+        # Overwrite protection (round 10): the canonical quiet-box artifact
+        # is committed once per round; any later run of bench.py (e.g. the
+        # driver's own per-round bench) used to clobber it in the working
+        # tree.  Now a run only writes the canonical path when it does not
+        # exist yet or SPARK_GRAFT_BENCH_COMMIT=1 is set explicitly;
+        # otherwise it records itself under a non-committed _rerun suffix.
+        target = os.path.join(full_dir, f"bench_r{n}_full.json")
+        if os.path.exists(target) and os.environ.get(
+            "SPARK_GRAFT_BENCH_COMMIT", ""
+        ) != "1":
+            target = os.path.join(full_dir, f"bench_r{n}_full_rerun.json")
+        with open(target, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError:
         pass  # never let artifact persistence break the bench line
