@@ -62,29 +62,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "q22_dormant_customers",
     # tier 2: flagship + strongest oracle-checked extension operators (17).
     # Rotated each round so every family gets driver CORRECTNESS rows over
-    # time. Round 9 (the VERDICT r8 ask #7 rotation): in = the ten
-    # never-driver-checked queries the judge named (bloom join, AUC, CMS,
-    # association pairs, Kaplan-Meier, Spearman, bootstrap uplift, gains
-    # curve, negative samples, Lorenz), the new round-9 real-pixel-decode
-    # query, and six more that never had a driver row (PPJoin exact
-    # Jaccard, triangles, mutual information, target encoding, blocked
-    # edit distance, k-anonymity); out = the round-8 window entries, all
-    # green in CORRECTNESS_r08 and still oracle-checked every round by
+    # time. Round 10 (VERDICT r9 ask #2): in = the four displaced from the
+    # round-9 queue (triangles, mutual information, target encoding,
+    # blocked edit distance) plus the thirteen never-driver-checked
+    # flagships the judge named; out = the round-9 window entries, all
+    # green in CORRECTNESS_r09 and still oracle-checked every round by
     # tools/check_oracle.py + pytest's out-of-window sweep.
-    "bloom_prune_join_lineitem", "auc_documents", "cms_frequency_events",
-    "assoc_pairs_orders", "kaplan_meier_events", "spearman_quantity_price",
-    "bootstrap_uplift_ci_events", "gains_curve_documents",
-    "negative_samples_orders", "lorenz_curve_customers",
-    "image_pixel_stats",
-    # round-9 new operators (DDSketch, Jaro-Winkler linkage,
-    # two-regressor OLS, sparse TF-IDF cosine) take four of the
-    # never-checked slots so they get driver rows in their debut round;
-    # the displaced four (triangles, MI, target encoding, edit
-    # distance) stay oracle-checked by the full sweep + pytest and are
-    # next in the rotation queue.
-    "ddsketch_price_lineitem", "jaro_winkler_pairs_documents",
-    "ols2_price_lineitem", "tfidf_cosine_pairs_documents",
-    "prefix_filter_jaccard_pairs", "k_anonymity_customers",
+    "triangle_count_suppliers", "mutual_info_events", "target_encode_orders",
+    "edit_distance_pairs_documents",
+    "bootstrap_ci_events", "approx_quantile_contract_lineitem",
+    "bm25_relevance_documents", "winnow_fingerprint_documents",
+    "covariance_embeddings", "minhash_incremental_batch",
+    "substring_dedup_documents", "scd2_incremental_customer",
+    "reconcile_drilldown_orders", "stream_windowed_counts",
+    "pagerank_purchase_graph", "woe_iv_events",
+    "leakage_safe_split_documents",
 ]
 
 
