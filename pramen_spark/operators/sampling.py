@@ -116,6 +116,7 @@ def sample_to_token_budget(
     text_col: str = "text",
     default_budget: int = 0,
     num_buckets: int = 256,
+    token_count_col: Optional[str] = None,
 ) -> DataFrame:
     """Corpus mixing to a token budget: per group, take documents in
     deterministic md5-pseudo-random order until the group's cumulative
@@ -138,7 +139,12 @@ def sample_to_token_budget(
     parallel. The selected set is identical to the naive one because
     bucket order is a monotone prefix of the (u, key) order.
     """
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # token_count_col upgrades the budget from the whitespace ESTIMATE to
+    # exact counts (e.g. operators/text.py bpe_encode's n_bpe_tokens).
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col).cast("long")
+    else:
+        n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     d = df.select(
         F.col(group_col).alias("grp"),
         F.col(key_col).alias("key"),

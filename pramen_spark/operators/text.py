@@ -1258,3 +1258,163 @@ def tfidf_cosine_pairs(
     return pairs.where(F.col("_cos") >= min_sim).select(
         "id_a", "id_b", F.round("_cos", 6).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact BPE tokenizer apply (reference parity: pramen-py has no tokenizer —
+# this extends the training-data brief's corpus pipeline; the trainer's
+# count step is bpe_merge_candidates above).
+#
+# Token sequences are represented as a single string with every token
+# boundary encoded as a DOUBLE \x1f separator:  ``FF t1 FF t2 FF`` (F =
+# \x1f, never present in [a-z0-9]+ words).  Applying one merge rule
+# (a, b) -> ab is then ONE literal string replace of ``F a FF b F`` with
+# ``F ab F``: the pattern consumes one F from each outer boundary and the
+# replacement restores it, so the double-separator invariant is preserved
+# and back-to-back occurrences stay matchable, while left-to-right
+# non-overlapping replace semantics (identical in Python str.replace,
+# Spark's replace(), and DuckDB's replace()) give exactly BPE's
+# leftmost-first merge of token runs ("aaaa" -> "aa","aa"; "aaa" ->
+# "aa","a").  Because a BPE merge learned at step r can only create
+# tokens that participate in LATER-learned rules, applying the rules
+# once each in ascending rank order is equivalent to the classical
+# greedy lowest-rank-adjacent-pair encode loop.
+# ---------------------------------------------------------------------------
+
+BPE_SEP = "\x1f"
+_BPE_SEP2 = BPE_SEP * 2
+
+
+def _bpe_ff_encode(word: str) -> str:
+    return _BPE_SEP2 + _BPE_SEP2.join(word) + _BPE_SEP2
+
+
+def bpe_train_merges(
+    head: Sequence[tuple], num_merges: int = 40
+) -> list:
+    """Learn an ordered BPE merge list from a (word, count) head
+    vocabulary — the pure-Python trainer run driver-side on the bounded
+    top-K head that ``learn_bpe_merges`` collects.
+
+    Deterministic: each step counts every adjacent token position
+    weighted by word count and picks (max weight, then (a, b)
+    lexicographic) — the same argmax the DuckDB oracle replays.
+    """
+    vocab = [[_bpe_ff_encode(w), int(c)] for w, c in head if len(w) >= 2]
+    merges: list = []
+    for _ in range(num_merges):
+        counts: Dict[tuple, int] = {}
+        for s, c in vocab:
+            ts = s.split(_BPE_SEP2)[1:-1]
+            for pair in zip(ts, ts[1:]):
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        (a, b) = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        pat = BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP
+        rep = BPE_SEP + a + b + BPE_SEP
+        for row in vocab:
+            row[0] = row[0].replace(pat, rep)
+    return merges
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 40,
+    head_k: int = 512,
+) -> list:
+    """Learn BPE merges from a corpus: distinct-word counts (the only
+    corpus-volume stage, one map-side-combined aggregation), the top-K
+    head by (count desc, word asc) — a TakeOrderedAndProject, bounded by
+    the parameter — collected to the driver, then the pure-Python
+    trainer on the K-row head. Real tokenizer trainers cap the training
+    vocabulary the same way; the merges then apply EXACTLY to the full
+    corpus via bpe_encode."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    head = (
+        df.select(F.explode(toks).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(head_k)
+        .collect()
+    )
+    return bpe_train_merges([(r.w, r.c) for r in head], num_merges)
+
+
+def bpe_encode_vocab(
+    words: DataFrame, merges: Sequence[tuple], word_col: str = "w"
+) -> DataFrame:
+    """Exactly BPE-encode a distinct-word vocabulary against an ordered
+    merge list: adds ``tokens`` (array<string>) and ``n_tokens`` (long).
+
+    The whole encode is ONE JVM-side projection — a chain of
+    len(merges) literal string replaces over the double-separator
+    representation (see module comment). No UDF, no shuffle: at 100 TB
+    the vocabulary this runs on is millions of rows, the merge chain is
+    a constant-width whole-stage-codegen expression."""
+    col = F.concat(
+        F.lit(_BPE_SEP2),
+        F.regexp_replace(F.col(word_col), "(.)", "$1" + _BPE_SEP2),
+    )
+    for a, b in merges:
+        col = F.replace(
+            col,
+            F.lit(BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP),
+            F.lit(BPE_SEP + a + b + BPE_SEP),
+        )
+    out = words.withColumn("_s", col)
+    toks = F.expr(f"filter(split(_s, '{BPE_SEP}{BPE_SEP}'), x -> x != '')")
+    return out.select(
+        "*", toks.alias("tokens")
+    ).select(
+        *[c for c in words.columns],
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-document BPE token counts for a given merge list:
+    (id, n_words, n_bpe_tokens), n_bpe_tokens = 0 for wordless docs.
+
+    Scale (100 TB): the Zipf trick — the corpus collapses to the
+    DISTINCT-WORD vocabulary first, the encode chain runs once per
+    distinct word (bpe_encode_vocab, zero-shuffle projection), and the
+    exact counts join back to document word instances on the word key
+    (vocabulary-sized build side — AQE broadcasts it while it fits,
+    tens of MB for a 1M-word vocab). Corpus volume touches only the
+    two map-side-combined aggregations and the join probe side."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    words = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_vc"))
+    encoded = bpe_encode_vocab(vocab, merges).select("w", "n_tokens")
+    per_doc = (
+        words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -2016,3 +2016,110 @@ def q_image_pixel_stats(spark, sf_dir):
             "aspect_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact BPE tokenizer apply (round 10): train merges on the bounded head
+# vocabulary, encode the full corpus exactly, return per-document exact
+# token counts. The DuckDB oracle replays the ENTIRE flow in SQL — the
+# training loop as unrolled materialized stages (argmax pair + one
+# literal replace per stage, the pagerank unrolled-iteration pattern)
+# and the encode as the same replace chain via scalar subqueries.
+# ---------------------------------------------------------------------------
+
+_BPE_NUM_MERGES = 40
+_BPE_HEAD_K = 512
+
+
+def _bpe_oracle_sql(num_merges: int, head_k: int) -> str:
+    from pramen_spark.operators.text import BPE_SEP
+
+    s, s2 = BPE_SEP, BPE_SEP * 2
+    parts = [
+        f"""WITH tokw AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+vocab AS MATERIALIZED (
+    SELECT w, COUNT(*) AS c,
+           '{s2}' || regexp_replace(w, '(.)', '\\1{s2}', 'g') AS s0
+    FROM tokw GROUP BY w
+),
+h0 AS MATERIALIZED (
+    SELECT w, c, s0 AS s FROM vocab WHERE length(w) >= 2
+    ORDER BY c DESC, w LIMIT {head_k}
+)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f""",
+r{i} AS MATERIALIZED (
+    SELECT a, b, a || b AS m FROM (
+        SELECT ts[CAST(k AS INTEGER)] AS a, ts[CAST(k + 1 AS INTEGER)] AS b,
+               SUM(c) AS wt
+        FROM (SELECT c, string_split(s, '{s2}') AS ts FROM h{i - 1}) t,
+             unnest(range(2, len(ts) - 1)) AS u(k)
+        GROUP BY 1, 2 ORDER BY wt DESC, a, b LIMIT 1
+    )
+),
+h{i} AS MATERIALIZED (
+    SELECT w, c, replace(s,
+        COALESCE((SELECT '{s}' || a || '{s2}' || b || '{s}' FROM r{i}), chr(1)),
+        COALESCE((SELECT '{s}' || m || '{s}' FROM r{i}), '')) AS s
+    FROM h{i - 1}
+)"""
+        )
+    enc = "s0"
+    for i in range(1, num_merges + 1):
+        enc = (
+            f"replace({enc},\n"
+            f"  COALESCE((SELECT '{s}' || a || '{s2}' || b || '{s}' FROM r{i}), chr(1)),\n"
+            f"  COALESCE((SELECT '{s}' || m || '{s}' FROM r{i}), ''))"
+        )
+    parts.append(
+        f""",
+enc AS MATERIALIZED (
+    SELECT w,
+           len(list_filter(string_split({enc}, '{s2}'), x -> x <> ''))
+             AS n_tokens
+    FROM vocab
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM tokw JOIN enc USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "bpe_encode_documents",
+    _bpe_oracle_sql(_BPE_NUM_MERGES, _BPE_HEAD_K),
+    "Exact BPE tokenizer apply: head-trained merges, exact per-doc token counts",
+    tags=("text", "curation"),
+)
+def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE tokenization of the corpus. The merge table is learned
+    from the top-512 head vocabulary (TakeOrderedAndProject, bounded) by
+    the deterministic pure-Python trainer, then applied EXACTLY to every
+    distinct word as one JVM-side chain of 40 literal replaces — no UDF
+    anywhere — and exact counts join back to document word instances
+    (vocabulary-sized build side, AQE-broadcastable).
+
+    Reference parity: pramen has no tokenizer — this is the
+    training-data-brief extension that upgrades packing / token-budget
+    queries from estimates to exact counts."""
+    from pramen_spark.operators.text import bpe_encode, learn_bpe_merges
+
+    d = load_documents_spread(spark, sf_dir)
+    merges = learn_bpe_merges(
+        d, num_merges=_BPE_NUM_MERGES, head_k=_BPE_HEAD_K
+    )
+    return bpe_encode(d, merges)

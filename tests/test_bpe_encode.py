@@ -1,0 +1,168 @@
+"""Exact BPE tokenizer apply (operators/text.py): the pure-Python
+trainer is the specification; the Spark replace-chain encode must agree
+with a character-level reference encode, preserve the decode invariant,
+and plug exact counts into packing / token-budget mixing."""
+
+import pytest
+
+from pramen_spark.operators.text import (
+    BPE_SEP,
+    bpe_encode,
+    bpe_encode_vocab,
+    bpe_train_merges,
+    learn_bpe_merges,
+)
+
+SEP2 = BPE_SEP * 2
+
+
+def _reference_encode(word: str, merges) -> list:
+    """Classical greedy BPE encode: repeatedly merge the lowest-rank
+    adjacent pair, leftmost-first within a rank. Independent of the
+    replace-chain implementation."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    toks = list(word)
+    while True:
+        best, best_rank = None, None
+        for pair in zip(toks, toks[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = pair, r
+        if best is None:
+            return toks
+        a, b = best
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pramen_spark.session import build_session
+
+    return build_session(
+        master="local[4]", extra_conf={"spark.sql.shuffle.partitions": "4"}
+    )
+
+
+class TestTrainer:
+    def test_learns_most_frequent_pair_first(self):
+        merges = bpe_train_merges([("hello", 10), ("help", 5)], 1)
+        # ('l','l') wt 10; ('h','e') and ('e','l') wt 15 -> ('e','l') vs
+        # ('h','e'): tie at 15, lexicographic -> ('e','l')
+        assert merges[0] == ("e", "l")
+
+    def test_weighted_counts_include_run_overlaps(self):
+        # 'aaa' contributes TWO (a,a) positions per instance
+        merges = bpe_train_merges([("aaa", 3), ("ab", 5)], 1)
+        assert merges[0] == ("a", "a")
+
+    def test_merged_tokens_feed_later_rules(self):
+        merges = bpe_train_merges([("abab", 10)], 3)
+        assert merges == [("a", "b"), ("ab", "ab")]
+
+    def test_deterministic(self):
+        head = [("the", 50), ("then", 20), ("than", 20), ("ten", 10)]
+        assert bpe_train_merges(head, 5) == bpe_train_merges(head, 5)
+
+    def test_short_words_excluded(self):
+        assert bpe_train_merges([("a", 100)], 3) == []
+
+
+class TestEncodeVocab:
+    WORDS = ["hello", "aaaa", "aaa", "ab", "x", "banana", "bananas"]
+
+    def _encoded(self, spark, merges):
+        df = spark.createDataFrame([(w,) for w in self.WORDS], ["w"])
+        return {
+            r.w: (list(r.tokens), r.n_tokens)
+            for r in bpe_encode_vocab(df, merges).collect()
+        }
+
+    def test_matches_reference_encode(self, spark):
+        merges = bpe_train_merges(
+            [("hello", 5), ("aaaa", 4), ("banana", 3), ("ab", 2)], 8
+        )
+        got = self._encoded(spark, merges)
+        for w in self.WORDS:
+            ref = _reference_encode(w, merges)
+            assert got[w] == (ref, len(ref)), (w, got[w], ref)
+
+    def test_decode_invariant(self, spark):
+        merges = bpe_train_merges([("banana", 9), ("aaa", 7), ("hello", 5)], 10)
+        got = self._encoded(spark, merges)
+        for w in self.WORDS:
+            assert "".join(got[w][0]) == w
+
+    def test_run_parity_leftmost_first(self, spark):
+        got = self._encoded(spark, [("a", "a")])
+        assert got["aaaa"][0] == ["aa", "aa"]
+        assert got["aaa"][0] == ["aa", "a"]
+
+    def test_no_merges_is_char_count(self, spark):
+        got = self._encoded(spark, [])
+        for w in self.WORDS:
+            assert got[w] == (list(w), len(w))
+
+
+class TestEncodeDocs:
+    def test_per_doc_counts_and_wordless_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello hello ab"), (2, "AAAA!"), (3, "...")],
+            ["doc_id", "text"],
+        )
+        merges = [("l", "l"), ("a", "b"), ("a", "a"), ("aa", "aa")]
+        rows = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+        # hello -> h,e,ll,o (4); ab -> ab (1)
+        assert (rows[1].n_words, rows[1].n_bpe_tokens) == (3, 9)
+        # lowercased AAAA -> aaaa -> aa,aa -> aaaa (1 token)
+        assert (rows[2].n_words, rows[2].n_bpe_tokens) == (1, 1)
+        assert (rows[3].n_words, rows[3].n_bpe_tokens) == (0, 0)
+
+    def test_learn_on_corpus_then_exact_counts_feed_packing(self, spark):
+        docs = [
+            (i, " ".join(["training data pipeline"] * (1 + i % 3)))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        merges = learn_bpe_merges(df, num_merges=10, head_k=16)
+        assert len(merges) == 10
+        counts = bpe_encode(df, merges)
+
+        from pramen_spark.operators.packing import pack_sequences
+
+        packed = pack_sequences(
+            counts, budget=64, num_shards=2, token_count_col="n_bpe_tokens"
+        )
+        got = {r.doc_id: r.n_tokens for r in packed.collect()}
+        want = {r.doc_id: r.n_bpe_tokens for r in counts.collect()}
+        assert got == want
+
+    def test_exact_counts_feed_token_budget_mix(self, spark):
+        from pramen_spark.operators.sampling import sample_to_token_budget
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de", "some shared words here") for i in range(20)],
+            ["doc_id", "lang", "text"],
+        )
+        merges = learn_bpe_merges(df, num_merges=5, head_k=8)
+        counts = bpe_encode(df, merges)
+        enriched = df.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
+        out = sample_to_token_budget(
+            enriched,
+            {"en": 30},
+            default_budget=20,
+            num_buckets=4,
+            token_count_col="n_bpe_tokens",
+        ).collect()
+        per_doc = {r.doc_id: r.n_bpe_tokens for r in counts.collect()}
+        assert out, "budget selected nothing"
+        for r in out:
+            assert r.n_tokens == per_doc[r.doc_id]
+            assert r.cum_tokens <= (30 if r.lang == "en" else 20)
