@@ -19,12 +19,23 @@ two tiers:
   :func:`extract_features` and :func:`resize_images` compute real pixel
   statistics / histogram features / nearest-neighbor resizes on PNG
   payloads.
-- **JPEG/GIF pixel decoding and video frame extraction stay stubbed**:
-  entropy-coded JPEG and LZW GIF need codecs not present in this
-  environment. ``extract_features(hash_fallback=True)`` substitutes a
-  documented content-hash pseudo-feature for non-PNG payloads so mixed
-  corpora can still run the plumbing; ``sample_frames`` remains
-  plumbing-only behind ``deterministic_fake=True``.
+- **GIF pixel decoding is REAL** (round 10): :func:`decode_gif` is a
+  stdlib-only decoder — container walk (extensions skipped, global or
+  local color table) plus a full variable-width LZW decompressor
+  (:func:`_gif_lzw_decode`: 12-bit cap, deferred clear) — and
+  :func:`encode_gif` / :func:`_gif_lzw_encode` are the independent
+  spec-packed writers used for fixtures. Interlaced GIFs are a
+  documented descope (pixel sums are permutation-invariant, so the
+  moment oracles could never catch a row-reorder bug).
+  :func:`decode_image` dispatches PNG/GIF by magic bytes for
+  :func:`image_pixel_stats`, :func:`extract_features` and
+  :func:`resize_images`.
+- **JPEG pixel decoding and video frame extraction stay stubbed**:
+  entropy-coded JPEG needs a DCT codec not present in this environment.
+  ``extract_features(hash_fallback=True)`` substitutes a documented
+  content-hash pseudo-feature for undecodable payloads so mixed corpora
+  can still run the plumbing; ``sample_frames`` remains plumbing-only
+  behind ``deterministic_fake=True``.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
 ``mapInPandas`` streams Arrow record batches; ``spark.sql.execution.arrow.
@@ -70,7 +81,7 @@ FEATURE_SCHEMA = T.StructType(
 
 def _hash_fallback_feature(content: bytes, dim: int) -> np.ndarray:
     """Documented stand-in feature for formats whose pixel codecs are not
-    in this environment (JPEG entropy decode, GIF LZW): a deterministic
+    in this environment (JPEG entropy decode): a deterministic
     unit vector seeded by the content hash, so mixed-format corpora can
     run the full distributed plumbing with PNG payloads getting REAL
     features and the rest a stable placeholder."""
@@ -105,26 +116,26 @@ def extract_features(
 ) -> DataFrame:
     """Binary content -> feature vectors via Arrow-batched mapInPandas.
 
-    PNG payloads are decoded for REAL (:func:`decode_png`) and produce a
-    brightness-histogram feature; other formats use the documented
-    content-hash stand-in when ``hash_fallback=True`` and raise
-    ``NotImplementedError`` otherwise (JPEG/GIF pixel codecs are not in
-    this environment)."""
+    PNG and GIF payloads are decoded for REAL (:func:`decode_image`) and
+    produce a brightness-histogram feature; other formats use the
+    documented content-hash stand-in when ``hash_fallback=True`` and
+    raise ``NotImplementedError`` otherwise (the JPEG pixel codec is not
+    in this environment)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for c in pdf["content"]:
                 content = c if c is not None else b""
-                px = decode_png(content)
+                px = decode_image(content)
                 if px is not None:
                     feats.append(_png_histogram_feature(px, dim).tolist())
                 elif hash_fallback:
                     feats.append(_hash_fallback_feature(content, dim).tolist())
                 else:
                     raise NotImplementedError(
-                        "non-PNG pixel decode needs codecs not present in this "
-                        "environment; pass hash_fallback=True to give non-PNG "
+                        "JPEG pixel decode needs codecs not present in this "
+                        "environment; pass hash_fallback=True to give such "
                         "payloads a deterministic placeholder feature."
                     )
             out = pd.DataFrame(
@@ -165,20 +176,22 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL nearest-neighbor resize for PNG payloads: decode, resample
-    via index mapping ``src = floor(dst * src_extent / dst_extent)``,
-    re-encode as PNG (filter 0 — the output of a resize is usually
-    consumed immediately, so spend no cycles on filter search).
+    """REAL nearest-neighbor resize for PNG/GIF payloads: decode
+    (:func:`decode_image`), resample via index mapping
+    ``src = floor(dst * src_extent / dst_extent)``, re-encode as PNG
+    (filter 0 — the output of a resize is usually consumed immediately,
+    so spend no cycles on filter search; GIF inputs come OUT as PNG, the
+    palette does not survive a resample).
 
-    Non-PNG payloads yield a NULL content row (quarantine downstream)
-    rather than failing the task — at 100 TB some blobs are always in a
-    format the CPU tier can't decode. Pure map, no shuffle."""
+    Undecodable payloads yield a NULL content row (quarantine
+    downstream) rather than failing the task — at 100 TB some blobs are
+    always in a format the CPU tier can't decode. Pure map, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_content = []
             for c in pdf["content"]:
-                px = decode_png(c)
+                px = decode_image(c)
                 if px is None:
                     out_content.append(None)
                     continue
@@ -209,28 +222,250 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def decode_avi_frames(content: Optional[bytes]):
+    """Decode an uncompressed 24-bit BI_RGB AVI to a list of (H, W, 3)
+    uint8 RGB frames plus the microseconds-per-frame rate:
+    ``(frames, us_per_frame)``, or None when the payload is not such an
+    AVI (wrong magic, compressed stream, depth != 24, or corrupt chunk
+    walk).
+
+    Pure stdlib RIFF walk: the ``hdrl`` list's ``avih`` gives frame
+    geometry/rate, ``strf``'s BITMAPINFOHEADER must say BI_RGB 24bpp,
+    and every ``00db``/``00dc`` chunk in the ``movi`` list is one DIB
+    frame — bottom-up rows, BGR byte order, stride padded to 4 bytes —
+    so frame extraction is byte slicing, no codec. Compressed AVIs
+    (MJPEG, etc.) return None: entropy decode is out of stdlib scope,
+    quarantine downstream."""
+    b = content or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    width = height = None
+    us_per_frame = None
+    bit_count = compression = None
+    frames_raw: list = []
+
+    def walk(start: int, limit: int) -> bool:
+        nonlocal width, height, us_per_frame, bit_count, compression
+        pos = start
+        while pos + 8 <= limit:
+            fourcc = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            data_start = pos + 8
+            if data_start + size > limit:
+                return False
+            if fourcc == b"LIST":
+                if not walk(data_start + 4, data_start + size):
+                    return False
+            elif fourcc == b"avih" and size >= 40:
+                us_per_frame = int.from_bytes(b[data_start : data_start + 4], "little")
+                width = int.from_bytes(b[data_start + 32 : data_start + 36], "little")
+                height = int.from_bytes(b[data_start + 36 : data_start + 40], "little")
+            elif fourcc == b"strf" and size >= 20:
+                bit_count = int.from_bytes(b[data_start + 14 : data_start + 16], "little")
+                compression = int.from_bytes(b[data_start + 16 : data_start + 20], "little")
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames_raw.append(b[data_start : data_start + size])
+            pos = data_start + size + (size & 1)  # chunks pad to even
+        return True
+
+    if not walk(12, len(b)):
+        return None
+    if not width or not height or bit_count != 24 or compression != 0:
+        return None
+    stride = (3 * width + 3) & ~3
+    out = []
+    for raw in frames_raw:
+        if len(raw) < stride * height:
+            return None
+        a = np.frombuffer(raw[: stride * height], dtype=np.uint8).reshape(
+            height, stride
+        )[:, : 3 * width].reshape(height, width, 3)
+        out.append(a[::-1, :, ::-1])  # bottom-up rows, BGR -> RGB
+    return out, (us_per_frame or 0)
+
+
+def encode_avi(frames, us_per_frame: int = 40000) -> bytes:
+    """Independent uncompressed-AVI writer for fixtures (spec-packed,
+    shares no logic with :func:`decode_avi_frames`): a list of (H, W, 3)
+    uint8 RGB frames -> a complete RIFF/AVI with ``hdrl`` (avih + one
+    'vids' strl with a BI_RGB 24bpp BITMAPINFOHEADER) and a ``movi``
+    list of ``00db`` DIB frames (bottom-up BGR rows, 4-byte stride)."""
+    fs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = fs[0].shape
+    stride = (3 * w + 3) & ~3
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + len(data).to_bytes(4, "little") + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    def dib(f: np.ndarray) -> bytes:
+        row = np.zeros((h, stride), dtype=np.uint8)
+        row[:, : 3 * w] = f[::-1, :, ::-1].reshape(h, 3 * w)  # RGB -> bottom-up BGR
+        return row.tobytes()
+
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, len(fs), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 1000000 // us_per_frame or 1, 0,
+                      len(fs), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in fs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def sample_frames(
     df: DataFrame, every_n_ms: int = 1000, deterministic_fake: bool = False
 ) -> DataFrame:
-    """Video frame sampling plumbing (stubbed decode): one output row per
-    sampled frame — a flatMap-shaped mapInPandas."""
+    """Video frame sampling: one output row per sampled frame — a
+    flatMap-shaped mapInPandas. Uncompressed-AVI payloads decode for
+    REAL (:func:`decode_avi_frames`): the stream's own frame rate picks
+    the frame nearest each ``every_n_ms`` tick and the sampled frames
+    come out PNG-encoded (ready for the image operators). Other formats
+    need ``deterministic_fake=True`` (documented stand-in: content-hash
+    pseudo-frames sized by ``duration_ms``) or raise
+    ``NotImplementedError`` — compressed video codecs are not in this
+    environment."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("Video decoding not available in this environment.")
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                decoded = decode_avi_frames(bytes(content))
+                if decoded is not None:
+                    fs, uspf = decoded
+                    uspf = uspf or 40000
+                    duration_ms = len(fs) * uspf / 1000.0
+                    n_samples = max(1, int(duration_ms // every_n_ms))
+                    for k in range(n_samples):
+                        fi = min(
+                            int(k * every_n_ms * 1000 / uspf), len(fs) - 1
+                        )
+                        ids.append(row["media_id"])
+                        idxs.append(k)
+                        frames.append(
+                            encode_png(fs[fi], filter_for_row=lambda y: 0)
+                        )
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "compressed video decode is not available in this "
+                        "environment; only uncompressed BI_RGB AVI decodes for "
+                        "real — pass deterministic_fake=True for other formats."
+                    )
                 duration = int(row.get("duration_ms") or 0)
                 n_frames = max(1, duration // every_n_ms)
-                content = row["content"] or b""
                 for i in range(n_frames):
                     ids.append(row["media_id"])
                     idxs.append(i)
-                    frames.append(hashlib.sha256(content + i.to_bytes(4, "big")).digest())
+                    frames.append(
+                        hashlib.sha256(content + i.to_bytes(4, "big")).digest()
+                    )
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sum_luma3", T.LongType(), True),
+        T.StructField("sum_luma3_sq", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_stats(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL per-video pixel statistics over uncompressed-AVI payloads:
+    exact integer channel/brightness moments across ALL frames, decoded
+    by :func:`decode_avi_frames` inside Arrow-batched ``mapInPandas`` —
+    the video twin of :func:`image_pixel_stats`. Undecodable payloads
+    yield NULL stats (quarantine downstream, never fail the task).
+
+    Scale: pure map, no shuffle — frames aggregate inside the task, so
+    only one moments row per video leaves the decode stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                decoded = decode_avi_frames(
+                    bytes(content) if content is not None else None
+                )
+                if decoded is None or not decoded[0]:
+                    rows.append((int(mid),) + (None,) * 9)
+                    continue
+                fs, _ = decoded
+                h, w, _c = fs[0].shape
+                p = np.stack(fs).astype(np.int64)  # (F, H, W, 3)
+                r, g, bl = p[..., 0], p[..., 1], p[..., 2]
+                luma3 = r + g + bl
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        len(fs),
+                        len(fs) * w * h,
+                        int(r.sum()),
+                        int(g.sum()),
+                        int(bl.sum()),
+                        int(luma3.sum()),
+                        int((luma3 * luma3).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "n_pixels",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "sum_luma3",
+                    "sum_luma3_sq",
+                ],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_frames": "Int32",
+                    "n_pixels": "Int64",
+                    "sum_r": "Int64",
+                    "sum_g": "Int64",
+                    "sum_b": "Int64",
+                    "sum_luma3": "Int64",
+                    "sum_luma3_sq": "Int64",
+                }
+            )
+
+    return df.mapInPandas(run, VIDEO_STATS_SCHEMA)
 
 
 DIMENSIONS_SCHEMA = T.StructType(
@@ -495,6 +730,227 @@ def encode_png(pixels: np.ndarray, filter_for_row=None) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int):
+    """GIF-variant LZW decompress to a list of palette indices, or None
+    on a corrupt stream. Variable-width codes read LSB-first; the code
+    width grows when the next free code stops fitting, caps at 12 bits
+    (then defers until a clear code), exactly the GIF89a appendix-F
+    scheme."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    roots = [(i,) for i in range(clear)] + [(), ()]
+    table = list(roots)
+    next_code = clear + 2
+    out: list = []
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(roots)
+                next_code = clear + 2
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= clear:
+                    return None  # first code after clear must be a root
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + (entry[0],))
+                next_code += 1
+                # the next readable code can be next_code itself — grow
+                # the width as soon as that stops fitting
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return None  # ran out of bytes before the end code
+
+
+def decode_gif(content: Optional[bytes]):
+    """Decode the first frame of a non-interlaced GIF87a/89a to an
+    (H, W, 3) uint8 RGB array via the global or local color table, or
+    None when the payload is not such a GIF (wrong magic, interlaced,
+    missing color table, or corrupt LZW stream).
+
+    Pure stdlib: walks the logical screen descriptor, skips extension
+    blocks (sub-block chains), concatenates the image data sub-blocks
+    and LZW-decompresses them (:func:`_gif_lzw_decode`). Interlaced
+    images are a documented descope (return None): pixel SUMS are
+    permutation-invariant, so the moment oracles could never catch a
+    row-reorder bug — better to quarantine than to claim untestable
+    support."""
+    b = content or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    flags = b[10]
+    pos = 13
+    gct = None
+    try:
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            if len(b) < pos + 3 * n:
+                return None
+            gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:  # extension: label byte + sub-block chain
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if block != 0x2C:  # trailer (0x3B) or junk before any image
+                return None
+            _, _, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table wins
+                n = 2 << (iflags & 0x07)
+                if len(b) < pos + 3 * n:
+                    return None
+                table = np.frombuffer(
+                    b[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if iflags & 0x40 or table is None or w == 0 or h == 0:
+                return None
+            mcs = b[pos]
+            pos += 1
+            if not 2 <= mcs <= 8:
+                return None
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                if len(b) < pos + 1 + ln:
+                    return None
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if idx is None or len(idx) < w * h:
+                return None
+            a = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if int(a.max()) >= len(table):
+                return None
+            return table[a]
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress (independent of the decoder — dict-based
+    longest-match here, sequence table there, so a round-trip proves
+    both). Emits an initial clear code, grows the code width when the
+    next free code stops fitting, and emits clear + resets when the
+    table hits 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, cs: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, code_size)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder adds its twin entry one code LATER, so its next
+            # free code trails by one: bump on > where it bumps on ==
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = clear + 2
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Independent GIF89a writer for fixtures (spec-packed, shares no
+    logic with :func:`decode_gif`): (H, W) palette indices + (N, 3)
+    power-of-two palette -> a complete single-frame non-interlaced GIF
+    with a global color table, a graphic-control extension (so the
+    decoder's extension-skipping path is always exercised) and 255-byte
+    LZW data sub-blocks."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = pal.shape[0]
+    s = int(n).bit_length() - 2  # n == 2 ** (s + 1)
+    if n < 2 or (1 << (s + 1)) != n:
+        raise ValueError("palette size must be a power of two >= 2")
+    header = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | 0x70 | s, 0, 0])
+        + pal.tobytes()
+    )
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = max(2, s + 1)
+    lzw = _gif_lzw_encode(idx.reshape(-1).tolist(), mcs)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return header + gce + desc + bytes([mcs]) + blocks + b"\x00\x3b"
+
+
+def decode_image(content: Optional[bytes]):
+    """Dispatch the real pixel decoders by magic bytes: PNG
+    (:func:`decode_png`) and GIF (:func:`decode_gif`) return (H, W, C)
+    uint8; everything else (JPEG needs a DCT codec not in stdlib scope)
+    returns None."""
+    b = content or b""
+    if b.startswith(_PNG_SIG):
+        return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
+    return None
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -513,12 +969,12 @@ PIXEL_STATS_SCHEMA = T.StructType(
 def image_pixel_stats(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
-    """REAL pixel statistics over PNG payloads: per image, exact integer
-    channel sums plus the (r+g+b) sum and sum-of-squares (brightness
-    moments with denominator 3n), decoded by :func:`decode_png` inside
-    Arrow-batched ``mapInPandas``. Gray images count their single channel
-    as all three; undecodable payloads yield NULL stats (quarantine
-    downstream, never fail the task).
+    """REAL pixel statistics over PNG/GIF payloads: per image, exact
+    integer channel sums plus the (r+g+b) sum and sum-of-squares
+    (brightness moments with denominator 3n), decoded by
+    :func:`decode_image` inside Arrow-batched ``mapInPandas``. Gray
+    images count their single channel as all three; undecodable payloads
+    yield NULL stats (quarantine downstream, never fail the task).
 
     Integer sums travel; means/stds are derived by the caller — exact
     aggregation, engine-portable rounding, no float accumulation order
@@ -529,7 +985,7 @@ def image_pixel_stats(
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                px = decode_png(content)
+                px = decode_image(content)
                 if px is None:
                     rows.append((int(mid),) + (None,) * 8)
                     continue

@@ -1,0 +1,119 @@
+"""Uncompressed-AVI frame decode (operators/multimodal.py): the RIFF
+walker must invert the independent spec-packed writer pixel-exactly
+(stride padding, bottom-up rows, BGR order), sample_frames must decode
+real AVIs at the stream's own frame rate, and undecodable payloads must
+quarantine, not fail."""
+
+import numpy as np
+import pytest
+
+from pramen_spark.operators.multimodal import (
+    decode_avi_frames,
+    decode_png,
+    encode_avi,
+    make_fake_media_df,
+    sample_frames,
+    video_frame_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pramen_spark.session import build_session
+
+    return build_session(
+        master="local[4]", extra_conf={"spark.sql.shuffle.partitions": "4"}
+    )
+
+
+def _frames(seed, n, h, w):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(n)]
+
+
+class TestAviRoundTrip:
+    @pytest.mark.parametrize("shape", [(8, 8, 1), (9, 13, 4), (16, 6, 3), (1, 1, 2)])
+    def test_pixel_exact(self, shape):
+        h, w, n = shape
+        fs = _frames(h * 100 + w, n, h, w)
+        got, uspf = decode_avi_frames(encode_avi(fs, us_per_frame=40000))
+        assert uspf == 40000 and len(got) == n
+        for a, b in zip(fs, got):
+            assert np.array_equal(a, b)
+
+    def test_odd_width_exercises_stride_padding(self):
+        # 3*w not divisible by 4 -> per-row padding bytes must be skipped
+        for w in (5, 6, 7):
+            fs = _frames(w, 2, 4, w)
+            got, _ = decode_avi_frames(encode_avi(fs))
+            assert np.array_equal(np.stack(fs), np.stack(got))
+
+    def test_corrupt_and_foreign_payloads_are_none(self):
+        blob = encode_avi(_frames(0, 1, 4, 4))
+        assert decode_avi_frames(None) is None
+        assert decode_avi_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+        assert decode_avi_frames(blob[:40]) is None
+        assert decode_avi_frames(b"\x89PNG not avi") is None
+
+    def test_compressed_flag_is_quarantined(self):
+        blob = bytearray(encode_avi(_frames(1, 1, 4, 4)))
+        pos = blob.index(b"strf") + 8
+        blob[pos + 16 : pos + 20] = b"MJPG"  # biCompression != BI_RGB
+        assert decode_avi_frames(bytes(blob)) is None
+
+
+def _avi_media_df(spark, n=3):
+    from pyspark.sql import types as T
+
+    rows, truth = [], {}
+    for i in range(n):
+        fs = _frames(i, 2 + i, 6, 7)
+        rows.append((i, bytearray(encode_avi(fs, us_per_frame=500000))))
+        truth[i] = fs
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema), truth
+
+
+class TestSparkPaths:
+    def test_sample_frames_real_avi_png_out(self, spark):
+        df, truth = _avi_media_df(spark)
+        # 500 ms/frame, sample every 1000 ms -> every second frame
+        out = sample_frames(df, every_n_ms=1000).collect()
+        by_media = {}
+        for r in out:
+            by_media.setdefault(r.media_id, {})[r.frame_idx] = bytes(r.frame)
+        for m, fs in truth.items():
+            n_samples = max(1, len(fs) // 2)
+            assert set(by_media[m]) == set(range(n_samples))
+            for k, blob in by_media[m].items():
+                assert np.array_equal(decode_png(blob), fs[2 * k])
+
+    def test_sample_frames_non_avi_still_needs_fake(self, spark):
+        media = make_fake_media_df(spark, n=2, media_type="video")
+        with pytest.raises(Exception, match="NotImplementedError|compressed"):
+            sample_frames(media, every_n_ms=1000).collect()
+        out = sample_frames(media, every_n_ms=1000, deterministic_fake=True).collect()
+        assert len(out) == 10  # 5000 ms / 1000 ms x 2 videos
+
+    def test_video_frame_stats_exact_moments(self, spark):
+        df, truth = _avi_media_df(spark)
+        got = {r.media_id: r for r in video_frame_stats(df).collect()}
+        for m, fs in truth.items():
+            p = np.stack(fs).astype(np.int64)
+            r = got[m]
+            assert (r.width, r.height, r.n_frames) == (7, 6, len(fs))
+            assert r.n_pixels == len(fs) * 42
+            assert r.sum_r == int(p[..., 0].sum())
+            luma3 = p.sum(axis=-1)
+            assert r.sum_luma3 == int(luma3.sum())
+            assert r.sum_luma3_sq == int((luma3 * luma3).sum())
+
+    def test_video_frame_stats_quarantines_undecodable(self, spark):
+        media = make_fake_media_df(spark, n=2, media_type="video")
+        out = video_frame_stats(media, content_col="content").collect()
+        assert all(r.n_pixels is None for r in out)

@@ -6,12 +6,13 @@ anything near 2 is a quadratic scale-killer.
 
 Usage:
   python tools/bench_scale.py [small_dir] [big_dir] [out_json] [reps]
-  (defaults: /root/testdata/sf0.1 /tmp/sf1 bench_full/bench_r9_sf1.json 2)
+  (defaults: /root/testdata/sf0.1 /tmp/sf1 bench_full/bench_r10_sf1.json 2)
 
-The query set is the most expensive slice of the full-bench artifact
-plus the judge's watch-list; the brute-force O(n^2) baselines that are
-quadratic BY DESIGN (embedding_near_dups) are excluded and documented in
-SCALE.md — their scale path (the LSH variants) is measured instead.
+The query set (round 10, VERDICT r9 ask #6) is EVERY query whose sf0.1
+committed-artifact median exceeds 1.5 s, plus two cheap TPC-H reference
+points; the brute-force O(n^2) baseline that is quadratic BY DESIGN
+(embedding_near_dups) is excluded and documented in SCALE.md — its scale
+path (the LSH variant) is measured instead.
 """
 
 from __future__ import annotations
@@ -33,26 +34,52 @@ SCALE_SET = [
     "prefix_filter_jaccard_pairs",
     "triangle_count_suppliers",
     "minhash_dedup",
-    # most expensive headline queries (r9 artifact)
+    # every query > 1.5 s in the committed sf0.1 artifact (r9), most
+    # expensive first
     "pagerank_purchase_graph",
-    "hits_purchase_graph",
-    "bootstrap_ci_events",
     "bootstrap_uplift_ci_events",
-    "dedup_representatives",
     "theil_sen_daily",
+    "bootstrap_ci_events",
+    "hits_purchase_graph",
     "minhash_incremental_batch",
-    "dedup_clusters",
-    "simhash_fingerprints",
+    "ols2_price_lineitem",
+    "dedup_representatives",
     "leakage_safe_split_documents",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
     "simhash_near_dups",
-    "embedding_near_dups_lsh",
-    "semdedup_embeddings",
-    "scd2_incremental_customer",
+    "price_elasticity_lineitem",
+    "dedup_clusters",
     "winsorize_lineitem",
+    "semdedup_embeddings",
+    "reconcile_drilldown_orders",
+    "simhash_fingerprints",
+    "similarity_ivf_topk",
+    "spearman_quantity_price",
     "image_pixel_stats",
+    "scd2_incremental_customer",
+    "bloom_prune_join_lineitem",
+    "char_lm_quality",
+    "negative_samples_orders",
+    "jaro_winkler_pairs_documents",
+    "price_dispersion_brands",
+    "salted_agg_lineitem",
+    "stream_dedup_events",
+    "hard_negatives_embeddings",
+    "stream_windowed_counts",
+    "lsh_recall_audit",
+    "latency_trend_monthly",
+    "stream_session_counts",
+    "approx_quantile_contract_lineitem",
+    "ngram_jaccard_pairs",
+    "ndcg_lsh_audit",
+    "covariance_embeddings",
+    "anova_latency_priority",
+    "token_npmi_documents",
+    "winnow_fingerprint_documents",
+    # retained round-9 entries just under the bar (continuity)
+    "similarity_lsh_topk",
+    "embedding_near_dups_lsh",
     "substring_dedup_documents",
+    # cheap TPC-H reference points
     "q1_pricing_summary",
     "q9_product_type_profit",
 ]
@@ -82,7 +109,7 @@ def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     out_path = (
-        sys.argv[3] if len(sys.argv) > 3 else "bench_full/bench_r9_sf1.json"
+        sys.argv[3] if len(sys.argv) > 3 else "bench_full/bench_r10_sf1.json"
     )
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     factor = 10.0  # big is a 10-fold derived union of small
