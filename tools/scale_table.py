@@ -1,0 +1,22 @@
+#!/usr/bin/env python3
+"""Render the SCALE.md trendline table from a bench_scale JSON artifact.
+
+Usage: python tools/scale_table.py [bench_full/bench_r10_sf1.json]
+Prints the markdown table (ratio-descending) plus worst-alpha summary.
+"""
+
+import json
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 else "bench_full/bench_r10_sf1.json"
+rows = json.load(open(path))["queries"]
+print("| query | t sf0.1 (s) | t sf1 (s) | ratio | alpha |")
+print("|---|---|---|---|---|")
+for name, v in sorted(rows.items(), key=lambda kv: -(kv[1]["ratio"] or 0)):
+    print(
+        f"| {name} | {v['t_small']:.2f} | {v['t_big']:.2f} "
+        f"| {v['ratio']:.2f} | {v['alpha']:.2f} |"
+    )
+worst = max(rows.items(), key=lambda kv: kv[1]["alpha"] or -9)
+over1 = [k for k, v in rows.items() if (v["alpha"] or 0) > 1]
+print(f"\nworst alpha: {worst[0]} {worst[1]['alpha']}; queries over 1.0: {over1}")
