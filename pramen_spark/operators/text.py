@@ -1347,36 +1347,108 @@ def learn_bpe_merges(
     return bpe_train_merges([(r.w, r.c) for r in head], num_merges)
 
 
+def bpe_encode_word(word: str, ranks: Dict[tuple, int]) -> list:
+    """Classical greedy BPE encode of one word against a rank table:
+    repeatedly merge the lowest-rank adjacent pair (all occurrences,
+    leftmost-first). The Arrow engine's per-word kernel — provably
+    equivalent to the replace-chain engine (rules can only create tokens
+    consumed by later rules), which pytest asserts on random corpora."""
+    toks = list(word)
+    while len(toks) > 1:
+        best_rank = None
+        best = None
+        for pair in zip(toks, toks[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, pair
+        if best is None:
+            break
+        a, b = best
+        out, i, n = [], 0, len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
 def bpe_encode_vocab(
-    words: DataFrame, merges: Sequence[tuple], word_col: str = "w"
+    words: DataFrame,
+    merges: Sequence[tuple],
+    word_col: str = "w",
+    engine: str = "auto",
 ) -> DataFrame:
     """Exactly BPE-encode a distinct-word vocabulary against an ordered
     merge list: adds ``tokens`` (array<string>) and ``n_tokens`` (long).
 
-    The whole encode is ONE JVM-side projection — a chain of
-    len(merges) literal string replaces over the double-separator
-    representation (see module comment). No UDF, no shuffle: at 100 TB
-    the vocabulary this runs on is millions of rows, the merge chain is
-    a constant-width whole-stage-codegen expression."""
-    col = F.concat(
-        F.lit(_BPE_SEP2),
-        F.regexp_replace(F.col(word_col), "(.)", "$1" + _BPE_SEP2),
-    )
-    for a, b in merges:
-        col = F.replace(
-            col,
-            F.lit(BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP),
-            F.lit(BPE_SEP + a + b + BPE_SEP),
+    Two engines, identical results (pytest-asserted equal on random
+    corpora), picked by ``engine='auto'`` on the merge-table size:
+
+    - ``'replace'`` (small merge lists, <= 256): ONE JVM-side projection
+      — a chain of len(merges) literal string replaces over the
+      double-separator representation (see module comment). No UDF, no
+      shuffle, whole-stage codegen.
+    - ``'arrow'`` (production-size tables — a real tokenizer ships ~50k
+      merges, far past what a codegen'd expression chain tolerates):
+      Arrow-batched ``mapInPandas`` running the classical greedy encode
+      per word against a rank dict built once per task. Still
+      zero-shuffle, and still bounded by the VOCABULARY (the Zipf trick
+      in :func:`bpe_encode`), never the corpus.
+    """
+    if engine == "auto":
+        engine = "replace" if len(merges) <= 256 else "arrow"
+    if engine == "replace":
+        col = F.concat(
+            F.lit(_BPE_SEP2),
+            F.regexp_replace(F.col(word_col), "(.)", "$1" + _BPE_SEP2),
         )
-    out = words.withColumn("_s", col)
-    toks = F.expr(f"filter(split(_s, '{BPE_SEP}{BPE_SEP}'), x -> x != '')")
-    return out.select(
-        "*", toks.alias("tokens")
-    ).select(
-        *[c for c in words.columns],
-        "tokens",
-        F.size("tokens").cast("long").alias("n_tokens"),
+        for a, b in merges:
+            col = F.replace(
+                col,
+                F.lit(BPE_SEP + a + _BPE_SEP2 + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            )
+        out = words.withColumn("_s", col)
+        toks = F.expr(f"filter(split(_s, '{BPE_SEP}{BPE_SEP}'), x -> x != '')")
+        return out.select(
+            "*", toks.alias("tokens")
+        ).select(
+            *[c for c in words.columns],
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown bpe engine {engine!r}")
+
+    from pyspark.sql import types as T
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    in_cols = list(words.columns)
+    schema = T.StructType(
+        list(words.schema.fields)
+        + [
+            T.StructField("tokens", T.ArrayType(T.StringType()), True),
+            T.StructField("n_tokens", T.LongType(), True),
+        ]
     )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            encoded = [bpe_encode_word(w, ranks) for w in pdf[word_col]]
+            out = pdf[in_cols].copy()
+            out["tokens"] = encoded
+            out["n_tokens"] = pd.array(
+                [len(t) for t in encoded], dtype="Int64"
+            )
+            yield out
+
+    return words.mapInPandas(run, schema)
 
 
 def bpe_encode(
@@ -1384,6 +1456,7 @@ def bpe_encode(
     merges: Sequence[tuple],
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact per-document BPE token counts for a given merge list:
     (id, n_words, n_bpe_tokens), n_bpe_tokens = 0 for wordless docs.
@@ -1400,7 +1473,9 @@ def bpe_encode(
     )
     words = df.select(F.col(id_col), F.explode(toks).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_vc"))
-    encoded = bpe_encode_vocab(vocab, merges).select("w", "n_tokens")
+    encoded = bpe_encode_vocab(vocab, merges, engine=engine).select(
+        "w", "n_tokens"
+    )
     per_doc = (
         words.join(encoded, "w")
         .groupBy(id_col)

@@ -67,7 +67,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # blocked edit distance) plus the thirteen never-driver-checked
     # flagships the judge named; out = the round-9 window entries, all
     # green in CORRECTNESS_r09 and still oracle-checked every round by
-    # tools/check_oracle.py + pytest's out-of-window sweep.
+    # tools/check_oracle.py + pytest's out-of-window sweep. The three
+    # round-10 debut operators (bpe_encode_documents,
+    # image_pixel_stats_gif, video_frame_stats) deliberately did NOT
+    # take slots — the r9 VERDICT named these 17 explicitly — so they
+    # lead the round-11 rotation queue; until then they are covered by
+    # the full-catalog sweeps and the out-of-window pytest oracle run.
     "triangle_count_suppliers", "mutual_info_events", "target_encode_orders",
     "edit_distance_pairs_documents",
     "bootstrap_ci_events", "approx_quantile_contract_lineitem",

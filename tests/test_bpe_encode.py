@@ -166,3 +166,67 @@ class TestEncodeDocs:
         for r in out:
             assert r.n_tokens == per_doc[r.doc_id]
             assert r.cum_tokens <= (30 if r.lang == "en" else 20)
+
+
+class TestArrowEngine:
+    """The Arrow engine (production-size merge tables) must agree with
+    the replace-chain engine exactly."""
+
+    def test_engines_agree_on_learned_corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        alphabet = "abcdefg"
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(rng.choice(list(alphabet), size=rng.randint(1, 12)))
+                    for _ in range(20)
+                ),
+            )
+            for i in range(30)
+        ]
+        from pramen_spark.operators.text import (
+            bpe_encode_vocab,
+            learn_bpe_merges,
+        )
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        merges = learn_bpe_merges(df, num_merges=60, head_k=128)
+        assert len(merges) == 60
+        from pyspark.sql import functions as F
+
+        toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        vocab = df.select(F.explode(toks).alias("w")).distinct()
+        a = {
+            r.w: (list(r.tokens), r.n_tokens)
+            for r in bpe_encode_vocab(vocab, merges, engine="replace").collect()
+        }
+        b = {
+            r.w: (list(r.tokens), r.n_tokens)
+            for r in bpe_encode_vocab(vocab, merges, engine="arrow").collect()
+        }
+        assert a == b
+
+    def test_auto_picks_arrow_past_256(self, spark):
+        # a fabricated >256-rule table must route through mapInPandas
+        from pramen_spark.operators.text import bpe_encode_vocab
+
+        merges = [("a", "a")] + [(f"x{i}", f"y{i}") for i in range(300)]
+        df = spark.createDataFrame([("aaaa",), ("ab",)], ["w"])
+        out = bpe_encode_vocab(df, merges)  # auto -> arrow
+        assert "mapInPandas" in out._jdf.queryExecution().logical().toString() or \
+            "MapInPandas" in out._jdf.queryExecution().logical().toString()
+        got = {r.w: list(r.tokens) for r in out.collect()}
+        assert got == {"aaaa": ["aa", "aa"], "ab": ["a", "b"]}
+
+    def test_kernel_matches_reference(self):
+        from pramen_spark.operators.text import bpe_encode_word
+
+        merges = [("a", "b"), ("ab", "c"), ("a", "a")]
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in ["abc", "aabc", "aaabab", "cab", "x", ""]:
+            assert bpe_encode_word(w, ranks) == _reference_encode(w, merges) or (
+                w == "" and bpe_encode_word(w, ranks) == []
+            )
