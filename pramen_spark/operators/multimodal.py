@@ -242,10 +242,18 @@ def decode_avi_frames(content: Optional[bytes]):
     width = height = None
     us_per_frame = None
     bit_count = compression = None
+    # Streams are declared by strh order; strf chunks and movi data
+    # chunks must be scoped to the 'vids' stream — an AVI usually also
+    # carries an audio strl whose strf (WAVEFORMATEX) would otherwise
+    # overwrite the video's BITMAPINFOHEADER fields, and whose data
+    # chunks ('01wb') must not be mistaken for frames.
+    strh_count = 0
+    vids_index = None
     frames_raw: list = []
 
     def walk(start: int, limit: int) -> bool:
         nonlocal width, height, us_per_frame, bit_count, compression
+        nonlocal strh_count, vids_index
         pos = start
         while pos + 8 <= limit:
             fourcc = b[pos : pos + 4]
@@ -260,11 +268,28 @@ def decode_avi_frames(content: Optional[bytes]):
                 us_per_frame = int.from_bytes(b[data_start : data_start + 4], "little")
                 width = int.from_bytes(b[data_start + 32 : data_start + 36], "little")
                 height = int.from_bytes(b[data_start + 36 : data_start + 40], "little")
+            elif fourcc == b"strh" and size >= 4:
+                if b[data_start : data_start + 4] == b"vids" and vids_index is None:
+                    vids_index = strh_count
+                strh_count += 1
             elif fourcc == b"strf" and size >= 20:
-                bit_count = int.from_bytes(b[data_start + 14 : data_start + 16], "little")
-                compression = int.from_bytes(b[data_start + 16 : data_start + 20], "little")
+                # only the strf that belongs to the vids strl (the one
+                # right after its strh, i.e. while it is the last stream
+                # declared) carries the BITMAPINFOHEADER we gate on
+                if vids_index is not None and vids_index == strh_count - 1:
+                    if bit_count is None:
+                        bit_count = int.from_bytes(
+                            b[data_start + 14 : data_start + 16], "little"
+                        )
+                        compression = int.from_bytes(
+                            b[data_start + 16 : data_start + 20], "little"
+                        )
             elif fourcc[2:4] in (b"db", b"dc"):
-                frames_raw.append(b[data_start : data_start + size])
+                if (
+                    vids_index is not None
+                    and fourcc[:2] == b"%02d" % vids_index
+                ):
+                    frames_raw.append(b[data_start : data_start + size])
             pos = data_start + size + (size & 1)  # chunks pad to even
         return True
 
@@ -346,6 +371,11 @@ def sample_frames(
             for _, row in pdf.iterrows():
                 content = row["content"] or b""
                 decoded = decode_avi_frames(bytes(content))
+                if decoded is not None and not decoded[0]:
+                    # structurally valid AVI with an empty movi list:
+                    # nothing to sample — emit zero rows (quarantine),
+                    # never fail the task
+                    continue
                 if decoded is not None:
                     fs, uspf = decoded
                     uspf = uspf or 40000

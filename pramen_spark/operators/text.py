@@ -1385,6 +1385,15 @@ def bpe_encode_vocab(
     """Exactly BPE-encode a distinct-word vocabulary against an ordered
     merge list: adds ``tokens`` (array<string>) and ``n_tokens`` (long).
 
+    The merge list must be in CREATION order (every rule's sides are
+    single characters or products of earlier rules) — the shape every
+    BPE trainer emits, and the precondition under which the two engines
+    below are provably equivalent (the replace chain applies each rule
+    once in rank order; the greedy kernel re-scans — they diverge on a
+    reordered table where an early rule consumes a later rule's
+    product). Malformed tables raise ``ValueError`` up front instead of
+    silently tokenizing differently per engine.
+
     Two engines, identical results (pytest-asserted equal on random
     corpora), picked by ``engine='auto'`` on the merge-table size:
 
@@ -1399,6 +1408,16 @@ def bpe_encode_vocab(
       zero-shuffle, and still bounded by the VOCABULARY (the Zipf trick
       in :func:`bpe_encode`), never the corpus.
     """
+    made: set = set()
+    for i, (a, b) in enumerate(merges):
+        if (len(a) > 1 and a not in made) or (len(b) > 1 and b not in made):
+            raise ValueError(
+                f"merge rule {i} ({a!r}, {b!r}) is not in creation order: "
+                "its sides are neither single characters nor products of "
+                "earlier rules — reordered/curated tables tokenize "
+                "ambiguously"
+            )
+        made.add(a + b)
     if engine == "auto":
         engine = "replace" if len(merges) <= 256 else "arrow"
     if engine == "replace":

@@ -117,3 +117,61 @@ class TestSparkPaths:
         media = make_fake_media_df(spark, n=2, media_type="video")
         out = video_frame_stats(media, content_col="content").collect()
         assert all(r.n_pixels is None for r in out)
+
+
+class TestHardenedWalk:
+    def _audio_strl(self):
+        import struct
+
+        # a 'auds' strl with a 30-byte WAVEFORMATEX-ish strf whose
+        # wBitsPerSample (offset 14) is 0 — must NOT clobber the video gate
+        strh = b"auds" + b"\x00" * 52
+        strf = struct.pack("<HHIIHHH", 85, 2, 44100, 176400, 4, 0, 8) + b"\x00" * 12
+
+        def chunk(fourcc, data):
+            return fourcc + len(data).to_bytes(4, "little") + data + (
+                b"\x00" if len(data) & 1 else b""
+            )
+
+        strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+        return chunk(b"LIST", strl)
+
+    def test_audio_stream_strf_does_not_clobber_video(self):
+        blob = bytearray(encode_avi(_frames(2, 2, 4, 4)))
+        # splice the audio strl into hdrl, after the video strl
+        hdrl_pos = blob.index(b"hdrl")
+        hdrl_size_pos = hdrl_pos - 4
+        hdrl_size = int.from_bytes(blob[hdrl_size_pos:hdrl_pos + 4][:4], "little")
+        audio = self._audio_strl()
+        insert_at = hdrl_pos + hdrl_size  # end of hdrl LIST data
+        blob[insert_at:insert_at] = audio
+        blob[hdrl_size_pos:hdrl_pos] = (hdrl_size + len(audio)).to_bytes(4, "little")
+        riff_size = int.from_bytes(blob[4:8], "little") + len(audio)
+        blob[4:8] = riff_size.to_bytes(4, "little")
+        decoded = decode_avi_frames(bytes(blob))
+        assert decoded is not None, "audio strf clobbered the video gate"
+        fs, _ = decoded
+        assert len(fs) == 2 and np.array_equal(fs[0], _frames(2, 2, 4, 4)[0])
+
+    def test_zero_frame_avi_quarantines_in_sample_frames(self, spark):
+        import struct
+        from pyspark.sql import types as T
+
+        blob = bytearray(encode_avi(_frames(0, 1, 4, 4)))
+        movi_pos = blob.index(b"movi")
+        movi_size = int.from_bytes(blob[movi_pos - 4 : movi_pos], "little")
+        # truncate the movi list to just its 'movi' tag (no frame chunks)
+        del blob[movi_pos + 4 : movi_pos + movi_size]
+        blob[movi_pos - 4 : movi_pos] = (4).to_bytes(4, "little")
+        blob[4:8] = (len(blob) - 8).to_bytes(4, "little")
+        decoded = decode_avi_frames(bytes(blob))
+        assert decoded is not None and decoded[0] == []
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        )
+        df = spark.createDataFrame([(0, bytearray(blob))], schema)
+        out = sample_frames(df, every_n_ms=1000).collect()
+        assert out == []  # zero rows, no task failure

@@ -213,7 +213,8 @@ class TestArrowEngine:
         # a fabricated >256-rule table must route through mapInPandas
         from pramen_spark.operators.text import bpe_encode_vocab
 
-        merges = [("a", "a")] + [(f"x{i}", f"y{i}") for i in range(300)]
+        # creation-ordered chain: rule i merges ("a"*(i+1), "a")
+        merges = [("a" * (i + 1), "a") for i in range(300)]
         df = spark.createDataFrame([("aaaa",), ("ab",)], ["w"])
         out = bpe_encode_vocab(df, merges)  # auto -> arrow
         assert "mapInPandas" in out._jdf.queryExecution().logical().toString() or \
@@ -230,3 +231,10 @@ class TestArrowEngine:
             assert bpe_encode_word(w, ranks) == _reference_encode(w, merges) or (
                 w == "" and bpe_encode_word(w, ranks) == []
             )
+
+    def test_reordered_merge_table_rejected(self, spark):
+        from pramen_spark.operators.text import bpe_encode_vocab
+
+        df = spark.createDataFrame([("abc",)], ["w"])
+        with pytest.raises(ValueError, match="creation order"):
+            bpe_encode_vocab(df, [("ab", "c"), ("a", "b")])

@@ -142,6 +142,13 @@ def main() -> None:
         "queries": rows,
     }
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    # Overwrite protection, same policy as bench.py: never clobber a
+    # committed quiet-box artifact on a re-run unless explicitly asked.
+    if os.path.exists(out_path) and os.environ.get(
+        "SPARK_GRAFT_BENCH_COMMIT", ""
+    ) != "1":
+        root, ext = os.path.splitext(out_path)
+        out_path = f"{root}_rerun{ext}"
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps({k: v["alpha"] for k, v in rows.items()}, sort_keys=True))

@@ -6,11 +6,17 @@ uniformly ~10% slower. Hypothesis: session fixed cost / box conditions,
 not plan regressions (none of the affected plans changed in round 9).
 
 Method: take the N smallest-median common queries from the r8 artifact,
-re-run them on a quiet box with the SAME harness (noop sink, interleaved
-reps, cache cleared), and compare this run's medians to BOTH committed
-artifacts. If now/r8 is ~1.0 while r9/r8 was ~1.11, round 9's drift was
-box noise; if now/r8 reproduces ~1.11, something structural changed and
-needs a bisect.
+re-run them standalone on a quiet box (noop sink, interleaved reps,
+per-rep cache hygiene like bench.py), and compare this run's medians to
+the committed artifacts.
+
+CAVEAT (learned round 10, see bench_full/DRIFT_r10.md): a standalone
+subset run is NOT the bench.py harness — sub-0.3 s medians swing +-40%
+with cache-manager/GC state alone (per-query vs per-rep clearing over a
+30-query subset measured 1.065 vs 1.425 against the same baseline on
+the same quiet box). Treat this tool as a quick probe; the committed
+full-bench artifacts compared round-over-round are the primary signal
+for small-query drift.
 
 Usage: python tools/diag_drift.py [sf_dir] [n_queries] [reps] [out_json]
 """
@@ -60,7 +66,10 @@ def main() -> None:
                 "noop"
             ).save()
             raw[q].append(round(time.perf_counter() - t0, 4))
-            spark.catalog.clearCache()
+        # cache hygiene PER REP, exactly like bench.py — the artifacts
+        # being compared against were measured with intra-rep cache
+        # reuse, so clearing per query would inflate the ratios
+        spark.catalog.clearCache()
 
     rows = {}
     for q in sample:
@@ -85,6 +94,13 @@ def main() -> None:
         "median_ratio_now_over_r8": med("now_over_r8"),
         "queries": rows,
     }
+    # same overwrite policy as bench.py: a re-run must not clobber the
+    # committed artifact unless explicitly asked
+    if os.path.exists(out_path) and os.environ.get(
+        "SPARK_GRAFT_BENCH_COMMIT", ""
+    ) != "1":
+        root, ext = os.path.splitext(out_path)
+        out_path = f"{root}_rerun{ext}"
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(
