@@ -30,12 +30,25 @@ two tiers:
   :func:`decode_image` dispatches PNG/GIF by magic bytes for
   :func:`image_pixel_stats`, :func:`extract_features` and
   :func:`resize_images`.
-- **JPEG pixel decoding and video frame extraction stay stubbed**:
-  entropy-coded JPEG needs a DCT codec not present in this environment.
+- **Uncompressed-AVI video frame decoding is REAL** (round 10):
+  :func:`decode_avi_frames` walks the RIFF container (avih geometry and
+  rate, per-stream strf gating on BI_RGB 24bpp, movi DIB frames —
+  bottom-up BGR rows, 4-byte stride) so frame extraction is byte
+  slicing; :func:`encode_avi` is the independent writer.
+  :func:`sample_frames` decodes real AVIs at the stream's own frame
+  rate (PNG frames out) and :func:`video_frame_stats` reduces exact
+  per-video moments inside the decode task.
+- **PCM WAV audio decoding is REAL** (round 10): :func:`decode_wav`
+  walks RIFF/WAVE (PCM format tag, 8/16-bit, any channel count) to raw
+  integer sample arrays; :func:`encode_wav` is the independent writer;
+  :func:`audio_sample_stats` reduces exact amplitude moments, peak and
+  zero-crossing counts per clip.
+- **JPEG pixel decoding and compressed audio/video stay stubbed**:
+  entropy-coded formats need codecs not present in this environment.
   ``extract_features(hash_fallback=True)`` substitutes a documented
   content-hash pseudo-feature for undecodable payloads so mixed corpora
-  can still run the plumbing; ``sample_frames`` remains plumbing-only
-  behind ``deterministic_fake=True``.
+  can still run the plumbing; ``sample_frames(deterministic_fake=True)``
+  remains the stand-in for compressed video.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
 ``mapInPandas`` streams Arrow record batches; ``spark.sql.execution.arrow.
@@ -1111,3 +1124,172 @@ def make_fake_media_df(spark, n: int = 16, media_type: str = "image") -> DataFra
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: real PCM WAV decode (round 10) — the third media family after
+# PNG/GIF pixels and AVI frames, same stdlib RIFF-walk discipline.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(content: Optional[bytes]):
+    """Decode a PCM WAV (RIFF/WAVE) to ``(samples, sample_rate)`` where
+    ``samples`` is an (n_frames, n_channels) int32 numpy array of the
+    raw integer sample values, or None when the payload is not PCM WAV
+    (wrong magic, compressed format tag, or corrupt chunk walk).
+
+    Pure stdlib RIFF walk: the ``fmt `` chunk must say format tag 1
+    (integer PCM) with 8 or 16 bits per sample; the ``data`` chunk is
+    then raw little-endian interleaved frames — decode is byte slicing
+    (8-bit WAV is unsigned, offset-128; 16-bit is signed). Float,
+    ADPCM, mp3-in-wav etc. return None: quarantine downstream."""
+    b = content or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt_tag = channels = sample_rate = bits = None
+    data = None
+    pos = 12
+    try:
+        while pos + 8 <= len(b):
+            fourcc = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            start = pos + 8
+            if start + size > len(b):
+                return None
+            if fourcc == b"fmt " and size >= 16:
+                fmt_tag = int.from_bytes(b[start : start + 2], "little")
+                channels = int.from_bytes(b[start + 2 : start + 4], "little")
+                sample_rate = int.from_bytes(b[start + 4 : start + 8], "little")
+                bits = int.from_bytes(b[start + 14 : start + 16], "little")
+            elif fourcc == b"data" and data is None:
+                data = b[start : start + size]
+            pos = start + size + (size & 1)  # chunks pad to even
+    except (struct.error, IndexError):
+        return None
+    if fmt_tag != 1 or not channels or bits not in (8, 16) or data is None:
+        return None
+    width = bits // 8
+    n_frames = len(data) // (width * channels)
+    if n_frames == 0:
+        return np.zeros((0, channels), dtype=np.int32), (sample_rate or 0)
+    raw = data[: n_frames * width * channels]
+    if bits == 16:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    else:
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    return a.reshape(n_frames, channels), (sample_rate or 0)
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Independent PCM WAV writer for fixtures (spec-packed, shares no
+    logic with :func:`decode_wav`): (n_frames, n_channels) integer
+    samples -> a complete RIFF/WAVE with a 16-byte PCM ``fmt `` chunk
+    and a raw interleaved ``data`` chunk."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_frames, channels = s.shape
+    width = bits // 8
+    if bits == 16:
+        payload = s.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = (s.astype(np.int32) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block_align = width * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+
+    def chunk(fourcc: bytes, d: bytes) -> bytes:
+        return fourcc + len(d).to_bytes(4, "little") + d + (
+            b"\x00" if len(d) & 1 else b""
+        )
+
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", payload)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sum_amp", T.LongType(), True),
+        T.StructField("sum_amp_sq", T.LongType(), True),
+        T.StructField("peak_amp", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_sample_stats(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL per-clip audio statistics over PCM WAV payloads: exact
+    integer moments of the channel-0 waveform — amplitude sum and
+    sum-of-squares (RMS energy numerator), absolute peak, and the
+    sign-change (zero-crossing) count, the classic cheap speech/music/
+    noise discriminators — decoded by :func:`decode_wav` inside
+    Arrow-batched ``mapInPandas``. Undecodable payloads yield NULL
+    stats (quarantine downstream, never fail the task).
+
+    Zero-crossing convention: count of adjacent sample pairs whose
+    signs differ with sign(0) = +1 (i.e. ``(s < 0) != (s_next < 0)``),
+    replayable exactly in SQL. Scale: pure map, no shuffle — one
+    moments row per clip leaves the decode task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                decoded = decode_wav(
+                    bytes(content) if content is not None else None
+                )
+                if decoded is None or decoded[0].shape[0] == 0:
+                    rows.append((int(mid),) + (None,) * 7)
+                    continue
+                samples, rate = decoded
+                ch0 = samples[:, 0].astype(np.int64)
+                neg = ch0 < 0
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        samples.shape[1],
+                        samples.shape[0],
+                        int(ch0.sum()),
+                        int((ch0 * ch0).sum()),
+                        int(np.abs(ch0).max()),
+                        int((neg[1:] != neg[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_frames",
+                    "sum_amp",
+                    "sum_amp_sq",
+                    "peak_amp",
+                    "zero_crossings",
+                ],
+            ).astype(
+                {
+                    "sample_rate": "Int32",
+                    "n_channels": "Int32",
+                    "n_frames": "Int64",
+                    "sum_amp": "Int64",
+                    "sum_amp_sq": "Int64",
+                    "peak_amp": "Int32",
+                    "zero_crossings": "Int64",
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_STATS_SCHEMA)

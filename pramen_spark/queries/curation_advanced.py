@@ -2368,3 +2368,103 @@ def q_video_frame_stats(spark, sf_dir):
         F.round(mean_b3, 6).alias("mean_brightness"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_brightness"),
     )
+
+
+@query(
+    "audio_sample_stats",
+    """
+    WITH clips AS (
+        SELECT doc_id, 200 + (doc_id % 100) * 4 AS n FROM documents
+    ),
+    samp AS (
+        SELECT c.doc_id, c.n,
+               ((c.doc_id * 13 + t.t * t.t * 3 + t.t * 7) % 4001) - 2000 AS s
+        FROM clips c, unnest(range(c.n)) AS t(t)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_frames,
+               CAST(SUM(s) AS BIGINT) AS sum_amp,
+               CAST(SUM(s * s) AS BIGINT) AS sum_amp_sq,
+               CAST(MAX(ABS(s)) AS INTEGER) AS peak_amp
+        FROM samp GROUP BY doc_id
+    ),
+    zc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN (s < 0) <> (s2 < 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zero_crossings
+        FROM (
+            SELECT c.doc_id,
+                   ((c.doc_id * 13 + u.t * u.t * 3 + u.t * 7) % 4001) - 2000
+                       AS s,
+                   ((c.doc_id * 13 + (u.t + 1) * (u.t + 1) * 3
+                     + (u.t + 1) * 7) % 4001) - 2000 AS s2
+            FROM clips c, unnest(range(c.n - 1)) AS u(t)
+        ) GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           a.n_frames, a.sum_amp, a.sum_amp_sq, a.peak_amp,
+           z.zero_crossings
+    FROM agg a JOIN zc z USING (doc_id)
+    """,
+    "REAL PCM audio decode: complete RIFF/WAVE clips written by the "
+    "independent encoder, decoded back sample-exact and reduced to "
+    "amplitude/energy/zero-crossing moments",
+    tags=("multimodal",),
+)
+def q_audio_sample_stats(spark, sf_dir):
+    """The round-10 audio member of the media family (operators/
+    multimodal.py::decode_wav + audio_sample_stats): each document id
+    derives a deterministic integer waveform — n=200+4*(id%100) frames,
+    s_t=((13*id + 3*t^2 + 7*t) mod 4001) - 2000 — which encode_wav
+    writes as a complete 16-bit mono PCM RIFF/WAVE, and decode_wav
+    recovers sample-exactly inside Arrow-batched mapInPandas. The
+    oracle regenerates every sample from the id arithmetic alone and
+    aggregates in SQL: any fmt-chunk walk, endianness or sign-width
+    disagreement breaks the integer sums; the zero-crossing count
+    ((s<0) != (s_next<0)) additionally pins sample ORDER, which the
+    permutation-invariant sums alone could not. Compressed audio is the
+    documented descope alongside JPEG.
+
+    Scale: both stages are pure maps (no shuffle); one moments row per
+    clip leaves the decode task."""
+    from pramen_spark.operators.multimodal import (
+        audio_sample_stats,
+        encode_wav,
+    )
+    from pyspark.sql import types as T
+    import numpy as np
+    import pandas as pd
+
+    d = load_documents_spread(spark, sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                t = np.arange(200 + (i % 100) * 4, dtype=np.int64)
+                s = ((i * 13 + t * t * 3 + t * 7) % 4001) - 2000
+                blobs.append(encode_wav(s, sample_rate=16000, bits=16))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = d.mapInPandas(encode, enc_schema)
+    return audio_sample_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "sum_amp",
+        "sum_amp_sq",
+        "peak_amp",
+        "zero_crossings",
+    )
