@@ -126,7 +126,18 @@ def main() -> None:
         if os.path.exists(target) and os.environ.get(
             "SPARK_GRAFT_BENCH_COMMIT", ""
         ) != "1":
-            target = os.path.join(full_dir, f"bench_r{n}_full_rerun.json")
+            # a _rerun record may itself be committed (round 10 keeps one
+            # as noise-band evidence) — never clobber any existing file,
+            # take the first free numbered suffix instead
+            k = 1
+            while True:
+                suffix = "_rerun" if k == 1 else f"_rerun{k}"
+                target = os.path.join(
+                    full_dir, f"bench_r{n}_full{suffix}.json"
+                )
+                if not os.path.exists(target):
+                    break
+                k += 1
         with open(target, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError:

@@ -100,7 +100,12 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_COMMIT", ""
     ) != "1":
         root, ext = os.path.splitext(out_path)
-        out_path = f"{root}_rerun{ext}"
+        k = 1
+        while True:
+            out_path = f"{root}_rerun{ext}" if k == 1 else f"{root}_rerun{k}{ext}"
+            if not os.path.exists(out_path):
+                break
+            k += 1
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(
