@@ -116,28 +116,14 @@ def main() -> None:
                 "spark_version": spark.version,
             },
         )
-        # Overwrite protection (round 10): the canonical quiet-box artifact
-        # is committed once per round; any later run of bench.py (e.g. the
-        # driver's own per-round bench) used to clobber it in the working
-        # tree.  Now a run only writes the canonical path when it does not
-        # exist yet or SPARK_GRAFT_BENCH_COMMIT=1 is set explicitly;
-        # otherwise it records itself under a non-committed _rerun suffix.
-        target = os.path.join(full_dir, f"bench_r{n}_full.json")
-        if os.path.exists(target) and os.environ.get(
-            "SPARK_GRAFT_BENCH_COMMIT", ""
-        ) != "1":
-            # a _rerun record may itself be committed (round 10 keeps one
-            # as noise-band evidence) — never clobber any existing file,
-            # take the first free numbered suffix instead
-            k = 1
-            while True:
-                suffix = "_rerun" if k == 1 else f"_rerun{k}"
-                target = os.path.join(
-                    full_dir, f"bench_r{n}_full{suffix}.json"
-                )
-                if not os.path.exists(target):
-                    break
-                k += 1
+        # Overwrite protection: the canonical quiet-box artifact is
+        # committed once per round; re-runs (e.g. the driver's own bench)
+        # land on a free _rerunN sibling instead — see benchlib.
+        from benchlib import resolve_artifact_path
+
+        target = resolve_artifact_path(
+            os.path.join(full_dir, f"bench_r{n}_full.json")
+        )
         with open(target, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError:

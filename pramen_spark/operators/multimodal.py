@@ -1149,23 +1149,23 @@ def decode_wav(content: Optional[bytes]):
     fmt_tag = channels = sample_rate = bits = None
     data = None
     pos = 12
-    try:
-        while pos + 8 <= len(b):
-            fourcc = b[pos : pos + 4]
-            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
-            start = pos + 8
-            if start + size > len(b):
-                return None
-            if fourcc == b"fmt " and size >= 16:
-                fmt_tag = int.from_bytes(b[start : start + 2], "little")
-                channels = int.from_bytes(b[start + 2 : start + 4], "little")
-                sample_rate = int.from_bytes(b[start + 4 : start + 8], "little")
-                bits = int.from_bytes(b[start + 14 : start + 16], "little")
-            elif fourcc == b"data" and data is None:
-                data = b[start : start + size]
-            pos = start + size + (size & 1)  # chunks pad to even
-    except (struct.error, IndexError):
-        return None
+    while pos + 8 <= len(b):
+        fourcc = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        start = pos + 8
+        if start + size > len(b):
+            return None
+        # first-wins for both fmt and data: trailing junk chunks must
+        # not overwrite the gate a valid header already passed (nor
+        # sneak a float stream past it with a crafted second fmt)
+        if fourcc == b"fmt " and size >= 16 and fmt_tag is None:
+            fmt_tag = int.from_bytes(b[start : start + 2], "little")
+            channels = int.from_bytes(b[start + 2 : start + 4], "little")
+            sample_rate = int.from_bytes(b[start + 4 : start + 8], "little")
+            bits = int.from_bytes(b[start + 14 : start + 16], "little")
+        elif fourcc == b"data" and data is None:
+            data = b[start : start + size]
+        pos = start + size + (size & 1)  # chunks pad to even
     if fmt_tag != 1 or not channels or bits not in (8, 16) or data is None:
         return None
     width = bits // 8

@@ -95,3 +95,30 @@ class TestSparkPath:
         media = make_fake_media_df(spark, n=2, media_type="audio")
         out = audio_sample_stats(media, content_col="content").collect()
         assert all(r.n_frames is None for r in out)
+
+    def test_second_fmt_chunk_cannot_overwrite_the_gate(self):
+        # a trailing junk float fmt chunk must not quarantine a valid clip,
+        # and a crafted PCM fmt after a float one must not pass the gate
+        s = np.arange(-20, 20, dtype=int)[:, None]
+        blob = bytearray(encode_wav(s))
+        junk_fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (3).to_bytes(2, "little") + b"\x00" * 14
+        )
+        blob += junk_fmt
+        blob[4:8] = (len(blob) - 8).to_bytes(4, "little")
+        got, _ = decode_wav(bytes(blob))
+        assert np.array_equal(got, s)
+
+        float_first = bytearray(encode_wav(s))
+        pos = float_first.index(b"fmt ") + 8
+        float_first[pos : pos + 2] = (3).to_bytes(2, "little")
+        pcm_fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        float_first += pcm_fmt
+        float_first[4:8] = (len(float_first) - 8).to_bytes(4, "little")
+        assert decode_wav(bytes(float_first)) is None

@@ -144,18 +144,12 @@ def main() -> None:
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     # Overwrite protection, same policy as bench.py: never clobber a
     # committed quiet-box artifact on a re-run unless explicitly asked.
-    if os.path.exists(out_path) and os.environ.get(
-        "SPARK_GRAFT_BENCH_COMMIT", ""
-    ) != "1":
-        root, ext = os.path.splitext(out_path)
-        k = 1
-        while True:
-            out_path = f"{root}_rerun{ext}" if k == 1 else f"{root}_rerun{k}{ext}"
-            if not os.path.exists(out_path):
-                break
-            k += 1
+    from benchlib import resolve_artifact_path
+
+    out_path = resolve_artifact_path(out_path)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path}")
     print(json.dumps({k: v["alpha"] for k, v in rows.items()}, sort_keys=True))
 
 
