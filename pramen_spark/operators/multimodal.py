@@ -329,6 +329,8 @@ def encode_avi(frames, us_per_frame: int = 40000) -> bytes:
     'vids' strl with a BI_RGB 24bpp BITMAPINFOHEADER) and a ``movi``
     list of ``00db`` DIB frames (bottom-up BGR rows, 4-byte stride)."""
     fs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not fs:
+        raise ValueError("frames must be non-empty")
     h, w, _ = fs[0].shape
     stride = (3 * w + 3) & ~3
 
@@ -351,7 +353,8 @@ def encode_avi(frames, us_per_frame: int = 40000) -> bytes:
     strh = (
         b"vids"
         + b"DIB "
-        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 1000000 // us_per_frame or 1, 0,
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                      (1000000 // us_per_frame if us_per_frame else 0) or 1, 0,
                       len(fs), 0, 0, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
@@ -944,6 +947,13 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
         w = (k,)
     if w:
         emit(table[w], code_size)
+        # the decoder adds one final table entry when it reads that
+        # flushed code (its table trails the encoder's by one until
+        # then) — if that add lands exactly on 1 << code_size the
+        # decoder widens before reading the END code, so widen here
+        # too or the end code is emitted one bit short and misread
+        if next_code < 4096 and next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
     emit(end, code_size)
     if nbits:
         bits.append(acc & 0xFF)

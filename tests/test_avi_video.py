@@ -55,6 +55,17 @@ class TestAviRoundTrip:
         assert decode_avi_frames(blob[:40]) is None
         assert decode_avi_frames(b"\x89PNG not avi") is None
 
+    def test_encoder_guards_degenerate_inputs(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="non-empty"):
+            encode_avi([])
+        # us_per_frame=0 or > 1e6 must not divide-by-zero / write rate 0
+        for us in (0, 2_000_000):
+            blob = encode_avi(_frames(9, 1, 4, 4), us_per_frame=us)
+            got, _ = decode_avi_frames(blob)
+            assert len(got) == 1
+
     def test_compressed_flag_is_quarantined(self):
         blob = bytearray(encode_avi(_frames(1, 1, 4, 4)))
         pos = blob.index(b"strf") + 8

@@ -60,6 +60,21 @@ class TestLzw:
                 seq += [i % nsym] * (1 + i % 7)
             assert _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs) == seq
 
+    def test_end_code_width_bump_at_power_of_two(self):
+        # the decoder's final table add (made when it reads the flushed
+        # last code) can land exactly on 1 << code_size, widening the
+        # code the END code is read at; the encoder must mirror that
+        # bump or the end code is emitted one bit short and the stream
+        # is misread as truncated. [0,0,0,0] at mcs=2 is the minimal
+        # trigger (post-flush next_code == 8 == 1 << 3).
+        assert _gif_lzw_decode(_gif_lzw_encode([0, 0, 0, 0], 2), 2) == [0, 0, 0, 0]
+        # broader deterministic sweep across the same boundary family:
+        # runs of a single symbol hit every power-of-two add position
+        for mcs in (2, 3, 8):
+            for n in range(1, 80):
+                seq = [1] * n
+                assert _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs) == seq
+
     def test_truncated_stream_is_none(self):
         enc = _gif_lzw_encode(list(range(100)), 8)
         assert _gif_lzw_decode(enc[: len(enc) // 2], 8) is None
