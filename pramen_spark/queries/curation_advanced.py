@@ -2119,9 +2119,13 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pramen_spark.operators.text import bpe_encode, learn_bpe_merges
 
     d = load_documents_spread(spark, sf_dir)
-    merges = learn_bpe_merges(
-        d, num_merges=_BPE_NUM_MERGES, head_k=_BPE_HEAD_K
-    )
+    # vocab_limit=None: the production shape — the incremental trainer
+    # (bpe_train_merges_fast) runs on the FULL weighted vocabulary. The
+    # SQL oracle replays training over the top-512 head, which covers
+    # the full vocabulary of this corpus (31 distinct words at every
+    # SF), and the trainers are pytest-asserted identical on identical
+    # vocabularies, so the replay stays exact.
+    merges = learn_bpe_merges(d, num_merges=_BPE_NUM_MERGES, vocab_limit=None)
     return bpe_encode(d, merges)
 
 
@@ -2467,4 +2471,104 @@ def q_audio_sample_stats(spark, sf_dir):
         "sum_amp_sq",
         "peak_amp",
         "zero_crossings",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode under a production-SIZED (>512 rule) merge table (round 11):
+# the Arrow greedy kernel is the engine a real ~50k-rule tokenizer table
+# routes through (engine auto > 256), but until now only the 40-rule
+# trained table had a full value-level oracle. The deterministic
+# synthetic_bpe_rules() table (582 creation-ordered rules, data
+# independent) lets DuckDB replay the EXACT encode as a 582-step replace
+# chain via a recursive CTE joined on rule rank — the replace chain and
+# the greedy kernel are provably equivalent on creation-ordered tables
+# (pytest asserts bit-equality), so this is a true cross-engine check of
+# the production path at production table size.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_large_ruleset_oracle_sql() -> str:
+    from pramen_spark.operators.text import synthetic_bpe_rules
+
+    rules = synthetic_bpe_rules()
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(rules)
+    )
+    sep2 = "chr(31)||chr(31)"
+    toks = f"list_filter(string_split(s, {sep2}), x -> x <> '')"
+    return f"""WITH RECURSIVE rules(r, a, b) AS (
+    SELECT * FROM (VALUES {vals}) t(r, a, b)
+),
+vocab AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents
+    ) GROUP BY w
+),
+head AS MATERIALIZED (
+    SELECT w, c FROM vocab ORDER BY c DESC, w LIMIT 500
+),
+steps AS (
+    SELECT w, c,
+           {sep2} || regexp_replace(w, '(.)', '\\1' || {sep2}, 'g') AS s,
+           -1 AS r
+    FROM head
+    UNION ALL
+    SELECT st.w, st.c,
+           replace(st.s, chr(31)||ru.a||{sep2}||ru.b||chr(31),
+                         chr(31)||ru.a||ru.b||chr(31)),
+           ru.r
+    FROM steps st JOIN rules ru ON ru.r = st.r + 1
+)
+SELECT w, c,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       array_to_string({toks}, ' ') AS toks
+FROM steps WHERE r = (SELECT MAX(r) FROM rules)"""
+
+
+@query(
+    "bpe_encode_large_ruleset",
+    _bpe_large_ruleset_oracle_sql(),
+    "Arrow greedy BPE kernel under a 582-rule creation-ordered table, "
+    "oracle-replayed as a recursive-CTE replace chain",
+    tags=("text", "curation"),
+)
+def q_bpe_encode_large_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE encode of the corpus vocabulary under the deterministic
+    582-rule synthetic table (operators/text.py::synthetic_bpe_rules) —
+    the table size routes engine='auto' through the Arrow greedy kernel
+    (mapInPandas, rank dict built once per task), the path a production
+    ~50k-rule tokenizer uses; output is the top-500 head by (count desc,
+    word asc) with the full token split, so any kernel/rank divergence
+    breaks the value hash, not just a count.
+
+    Scale (100 TB): the Zipf collapse bounds the encode by the DISTINCT
+    vocabulary (one map-side-combined count + a zero-shuffle Arrow map);
+    the head selection is a TakeOrderedAndProject. Corpus volume only
+    touches the word-count aggregation."""
+    from pramen_spark.operators.text import (
+        bpe_encode_vocab,
+        synthetic_bpe_rules,
+    )
+
+    d = load_documents_spread(spark, sf_dir)
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+    vocab = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    enc = bpe_encode_vocab(vocab, synthetic_bpe_rules(), engine="arrow")
+    return (
+        enc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(500)
+        .select(
+            "w",
+            "c",
+            F.col("n_tokens"),
+            F.array_join("tokens", " ").alias("toks"),
+        )
     )

@@ -75,6 +75,107 @@ class TestTrainer:
         assert bpe_train_merges([("a", 100)], 3) == []
 
 
+class TestFullVocabTrainer:
+    """vocab_limit=None trains on the FULL weighted vocabulary via the
+    incremental heap trainer — bit-identical to the reference trainer
+    on the same vocabulary, and prefix-consistent with head-bounded
+    training wherever the head's argmax agrees with the full one."""
+
+    def test_fast_trainer_equals_reference_on_random_corpora(self):
+        import random
+
+        from pramen_spark.operators.text import bpe_train_merges_fast
+
+        rng = random.Random(42)
+        for trial in range(60):
+            vocab = [
+                (
+                    "".join(
+                        rng.choice("abcde") for _ in range(rng.randint(1, 10))
+                    ),
+                    rng.randint(1, 20),
+                )
+                for _ in range(rng.randint(1, 60))
+            ]
+            nm = rng.randint(1, 30)
+            assert bpe_train_merges(vocab, nm) == bpe_train_merges_fast(
+                vocab, nm
+            ), trial
+
+    def test_full_equals_head_when_head_covers_vocab(self, spark):
+        docs = [
+            (i, " ".join(["training data pipeline scale"] * (1 + i % 3)))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        # 4 distinct words << 512: the head IS the full vocab
+        full = learn_bpe_merges(df, num_merges=12, vocab_limit=None)
+        head = learn_bpe_merges(df, num_merges=12, head_k=512)
+        assert full == head and len(full) == 12
+
+    def test_prefix_consistency_where_ranks_agree(self, spark):
+        # head = 4 heavy words; tail = disjoint-alphabet words with
+        # weight 1 that can never beat a head pair (weights >= 20), so
+        # every argmax agrees and head-trained == full-trained exactly
+        head_docs = [(i, "banana bandana cabana canada") for i in range(20)]
+        tail_docs = [(100 + i, f"xyz{i % 7}qrst") for i in range(10)]
+        df = spark.createDataFrame(head_docs + tail_docs, ["doc_id", "text"])
+        full = learn_bpe_merges(df, num_merges=8, vocab_limit=None)
+        head = learn_bpe_merges(df, num_merges=8, vocab_limit=4)
+        assert full == head
+
+    def test_divergence_only_where_tail_outweighs_head(self, spark):
+        # the tail word dominates: full-vocab training must pick its
+        # pair first while head-bounded (top-1) training cannot see it
+        docs = [(0, "zz " * 50)] + [(i, "ab") for i in range(1, 40)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        full = learn_bpe_merges(df, num_merges=1, vocab_limit=None)
+        head = learn_bpe_merges(df, num_merges=1, vocab_limit=1)
+        assert full == [("z", "z")]  # 50 instances of zz beat 39 of ab
+        assert head == [("z", "z")] or head == [("a", "b")]
+        # and full-trained == reference-trained on the collected vocab
+        from pyspark.sql import functions as F
+
+        toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        vocab = [
+            (r.w, r.c)
+            for r in df.select(F.explode(toks).alias("w"))
+            .where(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        assert full == bpe_train_merges(vocab, 1)
+
+    def test_full_vocab_trains_past_512_rules_and_applies_arrow(self, spark):
+        import random
+
+        from pramen_spark.operators.text import bpe_train_merges_fast
+
+        rng = random.Random(3)
+        vocab = [
+            (
+                "".join(
+                    rng.choice("abcdefghij") for _ in range(rng.randint(3, 12))
+                ),
+                rng.randint(1, 30),
+            )
+            for _ in range(3000)
+        ]
+        merges = bpe_train_merges_fast(vocab, 600)
+        assert len(merges) == 600
+        # creation-order validation passes and auto routes to arrow
+        df = spark.createDataFrame(
+            [(w,) for w, _ in vocab[:50]], ["w"]
+        ).distinct()
+        got = {
+            r.w: list(r.tokens)
+            for r in bpe_encode_vocab(df, merges, engine="arrow").collect()
+        }
+        for w, toks in got.items():
+            assert "".join(toks) == w
+
+
 class TestEncodeVocab:
     WORDS = ["hello", "aaaa", "aaa", "ab", "x", "banana", "bananas"]
 
