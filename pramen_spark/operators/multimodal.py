@@ -828,19 +828,32 @@ def _gif_lzw_decode(data: bytes, min_code_size: int):
     return None  # ran out of bytes before the end code
 
 
+def _gif_interlace_order(h: int) -> list:
+    """GIF89a appendix-E 4-pass interlace row sequence for an h-row
+    image: rows 0,8,16,… then 4,12,… then 2,6,10,… then 1,3,5,…
+    Stream row j holds natural row order[j]."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def decode_gif(content: Optional[bytes]):
-    """Decode the first frame of a non-interlaced GIF87a/89a to an
-    (H, W, 3) uint8 RGB array via the global or local color table, or
-    None when the payload is not such a GIF (wrong magic, interlaced,
-    missing color table, or corrupt LZW stream).
+    """Decode the first frame of a GIF87a/89a to an (H, W, 3) uint8 RGB
+    array via the global or local color table, or None when the payload
+    is not such a GIF (wrong magic, missing color table, or corrupt LZW
+    stream).
 
     Pure stdlib: walks the logical screen descriptor, skips extension
     blocks (sub-block chains), concatenates the image data sub-blocks
     and LZW-decompresses them (:func:`_gif_lzw_decode`). Interlaced
-    images are a documented descope (return None): pixel SUMS are
-    permutation-invariant, so the moment oracles could never catch a
-    row-reorder bug — better to quarantine than to claim untestable
-    support."""
+    frames (descriptor flag 0x40) are de-interlaced via the 4-pass row
+    sequence (:func:`_gif_interlace_order`); the order-sensitive
+    adjacent-row-delta statistic in :func:`image_pixel_stats` pins the
+    reorder in the oracle — pixel SUMS alone are permutation-invariant
+    and could never catch a row-reorder bug."""
     b = content or b""
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
         return None
@@ -875,7 +888,7 @@ def decode_gif(content: Optional[bytes]):
                     b[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
                 pos += 3 * n
-            if iflags & 0x40 or table is None or w == 0 or h == 0:
+            if table is None or w == 0 or h == 0:
                 return None
             mcs = b[pos]
             pos += 1
@@ -894,6 +907,10 @@ def decode_gif(content: Optional[bytes]):
             a = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
             if int(a.max()) >= len(table):
                 return None
+            if iflags & 0x40:  # 4-pass interlace: stream row j is
+                nat = np.empty_like(a)  # natural row order[j]
+                nat[np.asarray(_gif_interlace_order(h))] = a
+                a = nat
             return table[a]
     except (struct.error, IndexError):
         return None
@@ -960,13 +977,16 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(bits)
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
     """Independent GIF89a writer for fixtures (spec-packed, shares no
     logic with :func:`decode_gif`): (H, W) palette indices + (N, 3)
-    power-of-two palette -> a complete single-frame non-interlaced GIF
-    with a global color table, a graphic-control extension (so the
-    decoder's extension-skipping path is always exercised) and 255-byte
-    LZW data sub-blocks."""
+    power-of-two palette -> a complete single-frame GIF with a global
+    color table, a graphic-control extension (so the decoder's
+    extension-skipping path is always exercised) and 255-byte LZW data
+    sub-blocks. With ``interlace=True`` the rows are written in the
+    4-pass GIF89a interlace sequence and the descriptor flag set."""
     idx = np.asarray(indices, dtype=np.uint8)
     h, w = idx.shape
     pal = np.asarray(palette, dtype=np.uint8)
@@ -981,8 +1001,14 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
         + pal.tobytes()
     )
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    desc = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0x00])
+    )
     mcs = max(2, s + 1)
+    if interlace:
+        idx = idx[np.asarray(_gif_interlace_order(h))]
     lzw = _gif_lzw_encode(idx.reshape(-1).tolist(), mcs)
     blocks = b"".join(
         bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
@@ -1015,6 +1041,11 @@ PIXEL_STATS_SCHEMA = T.StructType(
         T.StructField("sum_b", T.LongType(), True),
         T.StructField("sum_luma3", T.LongType(), True),
         T.StructField("sum_luma3_sq", T.LongType(), True),
+        # order-sensitive: sum over y>=1, x of |luma3[y,x]-luma3[y-1,x]|
+        # — pixel sums are permutation-invariant, this is the statistic
+        # that breaks if rows come back reordered (e.g. a de-interlace
+        # bug); 0 for single-row images
+        T.StructField("sum_row_delta", T.LongType(), True),
     ]
 )
 
@@ -1040,7 +1071,7 @@ def image_pixel_stats(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 px = decode_image(content)
                 if px is None:
-                    rows.append((int(mid),) + (None,) * 8)
+                    rows.append((int(mid),) + (None,) * 9)
                     continue
                 h, w, ch = px.shape
                 p = px.astype(np.int64)
@@ -1060,6 +1091,7 @@ def image_pixel_stats(
                         int(b.sum()),
                         int(luma3.sum()),
                         int((luma3 * luma3).sum()),
+                        int(np.abs(np.diff(luma3, axis=0)).sum()),
                     )
                 )
             yield pd.DataFrame(
@@ -1074,6 +1106,7 @@ def image_pixel_stats(
                     "sum_b",
                     "sum_luma3",
                     "sum_luma3_sq",
+                    "sum_row_delta",
                 ],
             ).astype(
                 {
@@ -1085,6 +1118,7 @@ def image_pixel_stats(
                     "sum_b": "Int64",
                     "sum_luma3": "Int64",
                     "sum_luma3_sq": "Int64",
+                    "sum_row_delta": "Int64",
                 }
             )
 

@@ -2154,11 +2154,27 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(r + g + b) AS BIGINT) AS sum_luma3,
                CAST(SUM((r + g + b) * (r + g + b)) AS BIGINT) AS sum_luma3_sq
         FROM px GROUP BY doc_id, w, h
+    ),
+    delta AS (
+        SELECT doc_id,
+               CAST(SUM(ABS(
+                   ((7 * v1 + 1) % 256 + (11 * v1 + 3) % 256
+                    + (13 * v1 + 5) % 256)
+                 - ((7 * v0 + 1) % 256 + (11 * v0 + 3) % 256
+                    + (13 * v0 + 5) % 256))) AS BIGINT) AS sum_row_delta
+        FROM (
+            SELECT i.doc_id,
+                   (i.doc_id + 3 * tx.x + 7 * ty.y) % 256 AS v1,
+                   (i.doc_id + 3 * tx.x + 7 * (ty.y - 1)) % 256 AS v0
+            FROM imgs i,
+                 unnest(range(i.w)) AS tx(x),
+                 unnest(range(1, i.h)) AS ty(y)
+        ) GROUP BY doc_id
     )
     SELECT doc_id,
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
-           n_pixels, sum_r, sum_g, sum_b,
+           n_pixels, sum_r, sum_g, sum_b, sum_row_delta,
            ROUND(CAST(sum_r AS DOUBLE) / n_pixels, 6) AS mean_r,
            ROUND(CAST(sum_g AS DOUBLE) / n_pixels, 6) AS mean_g,
            ROUND(CAST(sum_b AS DOUBLE) / n_pixels, 6) AS mean_b,
@@ -2170,11 +2186,12 @@ def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels)), 0)), 6)
                AS std_brightness,
            ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect_ratio
-    FROM agg
+    FROM agg JOIN delta USING (doc_id)
     """,
-    "REAL GIF pixel decode: complete LZW-compressed GIF89a files written "
-    "by the independent encoder, decompressed and palette-mapped back "
-    "pixel-exact and reduced to channel/brightness moments",
+    "REAL GIF pixel decode incl. 4-pass INTERLACED frames (odd ids): "
+    "complete LZW-compressed GIF89a files written by the independent "
+    "encoder, decompressed, de-interlaced and palette-mapped back "
+    "pixel-exact; the adjacent-row-delta statistic pins row ORDER",
     tags=("multimodal",),
 )
 def q_image_pixel_stats_gif(spark, sf_dir):
@@ -2222,7 +2239,10 @@ def q_image_pixel_stats_gif(spark, sf_dir):
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
                 idx = ((i + 3 * x + 7 * y) % 256).astype(np.uint8)
-                blobs.append(encode_gif(idx, pal))
+                # odd ids write INTERLACED frames (4-pass row order +
+                # descriptor flag): the decoder must de-interlace or the
+                # order-sensitive sum_row_delta below breaks the hash
+                blobs.append(encode_gif(idx, pal, interlace=(i % 2 == 1)))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     media = d.mapInPandas(encode, enc_schema)
@@ -2239,6 +2259,7 @@ def q_image_pixel_stats_gif(spark, sf_dir):
         "sum_r",
         "sum_g",
         "sum_b",
+        "sum_row_delta",
         F.round(F.col("sum_r").cast("double") / n, 6).alias("mean_r"),
         F.round(F.col("sum_g").cast("double") / n, 6).alias("mean_g"),
         F.round(F.col("sum_b").cast("double") / n, 6).alias("mean_b"),

@@ -113,12 +113,37 @@ class TestGifContainer:
         assert decode_gif(b"\x89PNG junk") is None
         assert decode_gif(b"\xff\xd8\xff\xe0 jpeg-ish") is None
 
-    def test_interlaced_flag_is_quarantined(self):
-        blob = bytearray(encode_gif(np.zeros((4, 4), dtype=np.uint8), PAL256))
-        pos = 13 + 768 + 8  # header + 256-entry GCT + GCE
-        assert blob[pos] == 0x2C  # image descriptor
-        blob[pos + 9] |= 0x40  # set the interlace flag
-        assert decode_gif(bytes(blob)) is None
+    @pytest.mark.parametrize("h", [1, 2, 4, 7, 8, 9, 16, 33])
+    def test_interlaced_round_trip(self, h):
+        rng = np.random.RandomState(h)
+        idx = rng.randint(0, 256, size=(h, 11)).astype(np.uint8)
+        px = decode_gif(encode_gif(idx, PAL256, interlace=True))
+        assert np.array_equal(px, PAL256[idx.astype(int)])
+
+    def test_interlace_order_is_4_pass_spec(self):
+        from pramen_spark.operators.multimodal import _gif_interlace_order
+
+        assert _gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+        for h in range(1, 50):
+            o = _gif_interlace_order(h)
+            assert sorted(o) == list(range(h))
+
+    def test_deinterlace_is_order_sensitive(self):
+        # clearing the flag on an interlaced payload must change the
+        # row-delta statistic (sums alone are permutation-invariant)
+        idx = (np.arange(80, dtype=np.uint8).reshape(16, 5) * 3) % 256
+        blob = bytearray(encode_gif(idx, PAL256, interlace=True))
+        pos = 13 + 768 + 8
+        assert blob[pos] == 0x2C and blob[pos + 9] & 0x40
+        right = decode_gif(bytes(blob))
+        blob[pos + 9] &= ~0x40
+        wrong = decode_gif(bytes(blob))
+        assert np.array_equal(right, PAL256[idx.astype(int)])
+        luma_r = right.astype(np.int64).sum(axis=2)
+        luma_w = wrong.astype(np.int64).sum(axis=2)
+        assert luma_r.sum() == luma_w.sum()  # sums can't tell them apart
+        d = lambda m: int(np.abs(np.diff(m, axis=0)).sum())  # noqa: E731
+        assert d(luma_r) != d(luma_w)  # the row-delta statistic can
 
     def test_decode_image_dispatch(self):
         idx = np.arange(64, dtype=np.uint8).reshape(8, 8)
