@@ -2593,3 +2593,238 @@ def q_bpe_encode_large_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("tokens", " ").alias("toks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG pixel decode (round 11): the last media-pixel descope
+# closed. The fixture defines each file by its QUANTIZED DCT coefficient
+# levels (5 nonzero positions per block, small moduli arithmetic on
+# doc_id/block/component), encode_jpeg writes a complete baseline JPEG
+# (canonical Huffman, zigzag, DC prediction, restart markers for ids
+# divisible by 3), and decode_jpeg recovers the samples exactly as
+# clamp(floor(idct(level*q) + 128.5)). Because only 5 coefficients are
+# nonzero, DuckDB can replay the IDCT as an explicit 5-term cosine sum
+# in double precision — a pytest guard sweeps the full fixture period
+# (693 bases x 64 positions x both quant tables) and proves every
+# pre-round value sits >= 8.8e-6 from a .5 boundary, five orders of
+# magnitude above cross-engine double noise, so FLOOR(x+0.5) rounds
+# identically on both engines and the moment oracle is EXACT.
+# ---------------------------------------------------------------------------
+
+_JPEG_FIX_QY = [[2 + (3 * i + 5 * j) % 7 for j in range(8)] for i in range(8)]
+_JPEG_FIX_QC = [[3 + (2 * i + 3 * j) % 5 for j in range(8)] for i in range(8)]
+
+
+def _jpeg_fixture_blocks(doc_id: int, mx: int, my: int, c: int):
+    """Quantized-level blocks for one component of one fixture image:
+    5 nonzero natural-order positions driven by base = id + 2bx + 3by
+    + 5c (coprime multipliers; full period lcm(11,9,7) = 693)."""
+    import numpy as np
+
+    a = np.zeros((my, mx, 8, 8), dtype=np.int64)
+    for by in range(my):
+        for bx in range(mx):
+            base = doc_id + 2 * bx + 3 * by + 5 * c
+            a[by, bx, 0, 0] = (base % 11) - 5
+            a[by, bx, 0, 1] = ((2 * base + 1) % 9) - 4
+            a[by, bx, 1, 0] = ((4 * base + 2) % 9) - 4
+            a[by, bx, 2, 2] = ((5 * base + 3) % 7) - 3
+            a[by, bx, 6, 3] = ((4 * base + 5) % 7) - 3
+    return a
+
+
+def _jpeg_sample_sql(c: int, q: list) -> str:
+    """The 5-term IDCT replay for one component: sample =
+    clamp(floor(128 + sum of alpha(i)alpha(j)/4 * q(i,j) * L(i,j) *
+    cos((2y+1)i pi/16) cos((2x+1)j pi/16) + 0.5)). ``q`` lists the quant
+    values at the five fixture positions (0,0),(0,1),(1,0),(2,2),(6,3)."""
+    base = f"(i.doc_id + 2 * (tx.x // 8) + 3 * (ty.y // 8) + {5 * c})"
+    xr, yr = "(tx.x % 8)", "(ty.y % 8)"
+    t00 = f"0.125 * {q[0]} * (({base} % 11) - 5)"
+    t01 = (
+        f"(1.0 / (4.0 * SQRT(2.0))) * {q[1]} * (((2 * {base} + 1) % 9) - 4)"
+        f" * COS((2 * {xr} + 1) * PI() / 16.0)"
+    )
+    t10 = (
+        f"(1.0 / (4.0 * SQRT(2.0))) * {q[2]} * (((4 * {base} + 2) % 9) - 4)"
+        f" * COS((2 * {yr} + 1) * PI() / 16.0)"
+    )
+    t22 = (
+        f"0.25 * {q[3]} * (((5 * {base} + 3) % 7) - 3)"
+        f" * COS((2 * {yr} + 1) * 2 * PI() / 16.0)"
+        f" * COS((2 * {xr} + 1) * 2 * PI() / 16.0)"
+    )
+    t63 = (
+        f"0.25 * {q[4]} * (((4 * {base} + 5) % 7) - 3)"
+        f" * COS((2 * {yr} + 1) * 6 * PI() / 16.0)"
+        f" * COS((2 * {xr} + 1) * 3 * PI() / 16.0)"
+    )
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(128.0 + {t00} + {t01} + {t10} + {t22}"
+        f" + {t63} + 0.5) AS BIGINT), 0), 255)"
+    )
+
+
+def _jpeg_oracle_sql() -> str:
+    qy = [2, 7, 5, 4, 7]  # _JPEG_FIX_QY at the five positions
+    qc = [3, 6, 5, 3, 4]  # _JPEG_FIX_QC at the five positions
+    s0, s1, s2 = (
+        _jpeg_sample_sql(0, qy),
+        _jpeg_sample_sql(1, qc),
+        _jpeg_sample_sql(2, qc),
+    )
+
+    def conv(expr: str) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(FLOOR({expr} + 0.5) AS BIGINT), 0), 255)"
+        )
+
+    r = conv("s0 + 1.402 * (s2 - 128)")
+    g = conv("s0 - 0.344136 * (s1 - 128) - 0.714136 * (s2 - 128)")
+    b = conv("s0 + 1.772 * (s1 - 128)")
+    return f"""
+    WITH imgs AS (
+        SELECT doc_id, 9 + (doc_id * 5) % 20 AS w, 9 + (doc_id * 7) % 20 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT i.doc_id, i.w, i.h, tx.x, ty.y,
+               {s0} AS s0, {s1} AS s1, {s2} AS s2
+        FROM imgs i,
+             unnest(range(i.w)) AS tx(x),
+             unnest(range(i.h)) AS ty(y)
+    ),
+    rgbpx AS (
+        SELECT doc_id, w, h, x, y,
+               CASE WHEN doc_id % 2 = 0 THEN s0 ELSE {r} END AS r,
+               CASE WHEN doc_id % 2 = 0 THEN s0 ELSE {g} END AS g,
+               CASE WHEN doc_id % 2 = 0 THEN s0 ELSE {b} END AS b
+        FROM px
+    ),
+    agg AS (
+        SELECT doc_id, w, h,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(SUM(r + g + b) AS BIGINT) AS sum_luma3,
+               CAST(SUM((r + g + b) * (r + g + b)) AS BIGINT) AS sum_luma3_sq
+        FROM rgbpx GROUP BY doc_id, w, h
+    ),
+    delta AS (
+        SELECT doc_id,
+               CAST(SUM(ABS(l - lp)) AS BIGINT) AS sum_row_delta
+        FROM (
+            SELECT doc_id, r + g + b AS l,
+                   LAG(r + g + b) OVER (
+                       PARTITION BY doc_id, x ORDER BY y) AS lp
+            FROM rgbpx
+        ) WHERE lp IS NOT NULL GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           n_pixels, sum_r, sum_g, sum_b, sum_row_delta,
+           ROUND(CAST(sum_r AS DOUBLE) / n_pixels, 6) AS mean_r,
+           ROUND(CAST(sum_g AS DOUBLE) / n_pixels, 6) AS mean_g,
+           ROUND(CAST(sum_b AS DOUBLE) / n_pixels, 6) AS mean_b,
+           ROUND(CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels), 6)
+               AS mean_brightness,
+           ROUND(SQRT(GREATEST(
+               CAST(sum_luma3_sq AS DOUBLE) / (9 * n_pixels)
+               - (CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels))
+                 * (CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels)), 0)), 6)
+               AS std_brightness,
+           ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect_ratio
+    FROM agg JOIN delta USING (doc_id)
+    """
+
+
+@query(
+    "image_pixel_stats_jpeg",
+    _jpeg_oracle_sql(),
+    "REAL baseline JPEG decode: complete SOF0 files (canonical Huffman "
+    "entropy coding, zigzag, DC prediction, restart markers, gray AND "
+    "4:4:4 color) written by the independent encoder from quantized DCT "
+    "levels, decoded back sample-exact; the oracle replays the IDCT as "
+    "an explicit 5-term cosine sum per pixel",
+    tags=("multimodal",),
+)
+def q_image_pixel_stats_jpeg(spark, sf_dir):
+    """The round-11 close of the LAST media-pixel descope (operators/
+    multimodal.py::decode_jpeg + encode_jpeg): each document id derives
+    a baseline JPEG — w=9+5*id%20, h=9+7*id%20, grayscale for even ids,
+    YCbCr 4:4:4 for odd, restart interval 2 for ids divisible by 3 —
+    whose quantized coefficient levels come from small-moduli arithmetic
+    on (id, block, component), so the decoded samples are exactly
+    clamp(floor(idct(level*q) + 128.5)) with a 5-term IDCT that DuckDB
+    replays in closed form. Any Huffman, zigzag, predictor, restart,
+    dequantize or YCbCr-conversion disagreement breaks the integer sums;
+    the adjacent-row-delta statistic additionally pins row ORDER.
+
+    Scale: both stages are pure maps (no shuffle); moments reduce inside
+    the decode task — the bounded CPU-tier pixel pass that gates what a
+    100 TB multimodal pipeline ships to GPU decoders."""
+    from pramen_spark.operators.multimodal import (
+        encode_jpeg,
+        image_pixel_stats,
+    )
+    from pyspark.sql import types as T
+    import numpy as np
+    import pandas as pd
+
+    d = load_documents_spread(spark, sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    qy = np.array(_JPEG_FIX_QY, dtype=np.int64)
+    qc = np.array(_JPEG_FIX_QC, dtype=np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h = 9 + (i * 5) % 20, 9 + (i * 7) % 20
+                mx, my = -(-w // 8), -(-h // 8)
+                ncomp = 1 if i % 2 == 0 else 3
+                lv = [
+                    _jpeg_fixture_blocks(i, mx, my, c) for c in range(ncomp)
+                ]
+                qts = [qy] if ncomp == 1 else [qy, qc]
+                blobs.append(
+                    encode_jpeg(
+                        lv, w, h, qts,
+                        restart_interval=2 if i % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = d.mapInPandas(encode, enc_schema)
+    s = image_pixel_stats(media)
+    n = F.col("n_pixels")
+    sl = F.col("sum_luma3").cast("double")
+    mean_b3 = sl / (F.lit(3) * n)
+    var = F.col("sum_luma3_sq").cast("double") / (F.lit(9) * n) - mean_b3 * mean_b3
+    return s.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "n_pixels",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "sum_row_delta",
+        F.round(F.col("sum_r").cast("double") / n, 6).alias("mean_r"),
+        F.round(F.col("sum_g").cast("double") / n, 6).alias("mean_g"),
+        F.round(F.col("sum_b").cast("double") / n, 6).alias("mean_b"),
+        F.round(mean_b3, 6).alias("mean_brightness"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_brightness"),
+        F.round(F.col("width").cast("double") / F.col("height"), 6).alias(
+            "aspect_ratio"
+        ),
+    )

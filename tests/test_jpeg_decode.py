@@ -1,0 +1,316 @@
+"""Baseline JPEG codec (operators/multimodal.py): the decoder must
+invert the independent spec-packed encoder exactly — canonical Huffman
+entropy coding, zigzag, DC prediction, run-length ZRL/EOB, restart
+markers, dequantize + IDCT rounding, YCbCr conversion — as pinned by an
+einsum-form numpy reference that shares no code with either side, and
+plug into the shared image_pixel_stats / extract_features /
+resize_images Arrow paths via decode_image dispatch. The rounding-margin
+sweep is the guard the SQL oracle of image_pixel_stats_jpeg depends on:
+every fixture pre-round value must sit far enough from a .5 boundary
+that numpy and DuckDB doubles round identically."""
+
+import numpy as np
+import pytest
+
+from pramen_spark.operators.multimodal import (
+    _JPEG_ENC_ZIGZAG,
+    _JPEG_IDCT_B,
+    _JPEG_ZIGZAG,
+    _jpeg_enc_huff,
+    _JPEG_ENC_AC_CHROMA,
+    _JPEG_ENC_AC_LUMA,
+    _JPEG_ENC_DC_CHROMA,
+    _JPEG_ENC_DC_LUMA,
+    decode_image,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_reference_pixels,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pramen_spark.session import build_session
+
+    return build_session(
+        master="local[4]", extra_conf={"spark.sql.shuffle.partitions": "4"}
+    )
+
+
+def _random_fixture(rng, w, h, ncomp, density=0.15, lo=-40, hi=41):
+    mx, my = -(-w // 8), -(-h // 8)
+    lv = []
+    for _ in range(ncomp):
+        a = np.zeros((my, mx, 8, 8), np.int64)
+        mask = rng.rand(my, mx, 8, 8) < density
+        a[mask] = rng.randint(lo, hi, size=int(mask.sum()))
+        lv.append(a)
+    qts = [rng.randint(1, 30, size=(8, 8)) for _ in range(1 if ncomp == 1 else 2)]
+    return lv, qts
+
+
+class TestTables:
+    def test_zigzag_derivations_agree(self):
+        # decoder walks the diagonal, encoder sorts by (anti-diagonal,
+        # direction); both must land on the one spec constant
+        assert _JPEG_ENC_ZIGZAG == _JPEG_ZIGZAG
+        assert sorted(_JPEG_ZIGZAG) == list(range(64))
+
+    @pytest.mark.parametrize(
+        "spec,nsyms",
+        [
+            (_JPEG_ENC_DC_LUMA, 12),
+            (_JPEG_ENC_DC_CHROMA, 12),
+            (_JPEG_ENC_AC_LUMA, 162),
+            (_JPEG_ENC_AC_CHROMA, 162),
+        ],
+    )
+    def test_huffman_specs_are_prefix_valid(self, spec, nsyms):
+        codes, dht = _jpeg_enc_huff(spec)
+        assert len(codes) == nsyms
+        # Kraft strictly < 1 => prefix-decodable AND the all-ones padding
+        # code can never decode as a symbol
+        kraft = sum(2.0 ** -ln for _, ln in codes.values())
+        assert kraft < 1.0
+        for sym, (code, ln) in codes.items():
+            assert code != (1 << ln) - 1, f"all-ones code for {sym:#x}"
+        # codes must be prefix-free
+        as_bits = {format(c, f"0{ln}b") for c, ln in codes.values()}
+        assert len(as_bits) == nsyms
+        for a in as_bits:
+            for b in as_bits:
+                assert a == b or not b.startswith(a)
+
+    def test_idct_basis_is_orthonormal(self):
+        # the alpha/2 scaling makes the basis orthonormal: B @ B.T = I,
+        # so the IDCT B.T @ F @ B exactly inverts the matching DCT
+        assert np.allclose(_JPEG_IDCT_B @ _JPEG_IDCT_B.T, np.eye(8))
+
+
+class TestRoundTrip:
+    def test_fuzz_gray_and_color_vs_reference(self):
+        rng = np.random.RandomState(11)
+        for trial in range(120):
+            w, h = rng.randint(1, 30), rng.randint(1, 30)
+            ncomp = int(rng.choice([1, 3]))
+            ri = int(rng.choice([0, 0, 1, 2, 5]))
+            lv, qts = _random_fixture(rng, w, h, ncomp)
+            blob = encode_jpeg(lv, w, h, qts, restart_interval=ri)
+            got = decode_jpeg(blob)
+            ref = jpeg_reference_pixels(lv, qts, w, h)
+            assert got is not None, (trial, w, h, ncomp, ri)
+            assert got.shape == ref.shape
+            assert np.array_equal(got, ref), (trial, w, h, ncomp, ri)
+
+    def test_extreme_levels_hit_both_clamps(self):
+        # a huge positive DC saturates at 255, a huge negative at 0
+        q = np.full((8, 8), 255, np.int64)
+        for dc, want in ((1000, 255), (-1000, 0)):
+            lv = np.zeros((1, 1, 8, 8), np.int64)
+            lv[0, 0, 0, 0] = dc
+            px = decode_jpeg(encode_jpeg([lv], 8, 8, [q]))
+            assert px is not None and (px == want).all()
+
+    def test_zrl_and_eob_paths_fire(self):
+        # nonzero at zigzag scan positions 1 and then >17 apart forces a
+        # ZRL (16-zero run) symbol; trailing zeros force EOB
+        lv = np.zeros((1, 1, 8, 8), np.int64)
+        lv.reshape(-1)[_JPEG_ZIGZAG[1]] = 3
+        lv.reshape(-1)[_JPEG_ZIGZAG[20]] = -2
+        q = np.full((8, 8), 16, np.int64)
+        blob = encode_jpeg([lv], 8, 8, [q])
+        ref = jpeg_reference_pixels([lv], [q], 8, 8)
+        assert np.array_equal(decode_jpeg(blob), ref)
+
+    def test_dc_prediction_across_blocks_and_restarts(self):
+        # DC levels vary per block; with restart_interval=1 every MCU
+        # resets the predictor — both paths must agree with the reference
+        rng = np.random.RandomState(5)
+        w = h = 24
+        lv, qts = _random_fixture(rng, w, h, 3, density=0.05)
+        for ri in (0, 1, 3):
+            blob = encode_jpeg(lv, w, h, qts, restart_interval=ri)
+            assert np.array_equal(
+                decode_jpeg(blob), jpeg_reference_pixels(lv, qts, w, h)
+            )
+
+    def test_restart_marker_count_scales_with_interval(self):
+        rng = np.random.RandomState(6)
+        lv, qts = _random_fixture(rng, 32, 32, 1)  # 16 MCUs
+        blob = encode_jpeg(lv, 32, 32, qts, restart_interval=2)
+        rst = sum(
+            1
+            for i in range(len(blob) - 1)
+            if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+        )
+        assert rst == 7  # 16 MCUs / 2 per chunk -> 8 chunks -> 7 markers
+
+
+class TestQuarantine:
+    """Out-of-scope or corrupt payloads decode to None, never raise."""
+
+    def _blob(self):
+        lv = np.zeros((1, 1, 8, 8), np.int64)
+        lv[0, 0, 0, 0] = 4
+        return encode_jpeg([lv], 8, 8, [np.full((8, 8), 10, np.int64)])
+
+    def test_truncations_never_raise(self):
+        blob = self._blob()
+        for cut in range(0, len(blob), 7):
+            out = decode_jpeg(blob[:cut])
+            assert out is None or isinstance(out, np.ndarray)
+
+    def test_progressive_sof_rejected(self):
+        blob = bytearray(self._blob())
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # SOF2: progressive
+        assert decode_jpeg(bytes(blob)) is None
+
+    def test_subsampled_rejected(self):
+        blob = bytearray(self._blob())
+        i = blob.find(b"\xff\xc0")
+        # sampling byte of component 1 sits 9 bytes into the SOF payload
+        blob[i + 4 + 6 + 1] = 0x22  # 2x2 -> 4:2:0
+        assert decode_jpeg(bytes(blob)) is None
+
+    def test_sixteen_bit_quant_table_rejected(self):
+        blob = bytearray(self._blob())
+        i = blob.find(b"\xff\xdb")
+        blob[i + 4] |= 0x10  # Pq=1
+        assert decode_jpeg(bytes(blob)) is None
+
+    def test_garbage_and_header_only(self):
+        assert decode_jpeg(None) is None
+        assert decode_jpeg(b"") is None
+        assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+        assert decode_jpeg(b"not a jpeg at all") is None
+
+
+class TestOracleRoundingMargin:
+    """The guard the image_pixel_stats_jpeg SQL oracle stands on: over
+    the FULL fixture period (base = id + 2bx + 3by + 5c is consumed mod
+    lcm(11,9,7) = 693), every pre-round IDCT output and every pre-round
+    RGB-conversion value keeps a safe distance from the .5 boundary, so
+    floor(x+0.5) in numpy float64 and DuckDB double cannot disagree
+    (cross-engine noise is ~1e-13)."""
+
+    def test_full_period_margin(self):
+        from pramen_spark.queries.curation_advanced import (
+            _JPEG_FIX_QC,
+            _JPEG_FIX_QY,
+            _jpeg_fixture_blocks,
+        )
+
+        qy = np.array(_JPEG_FIX_QY, np.float64)
+        qc = np.array(_JPEG_FIX_QC, np.float64)
+
+        def plane(base, q):
+            f = _jpeg_fixture_blocks(base, 1, 1, 0)[0, 0].astype(np.float64)
+            return _JPEG_IDCT_B.T @ (f * q) @ _JPEG_IDCT_B + 128.0
+
+        def margin(v):
+            return float(np.abs((v + 0.5) - np.round(v + 0.5)).min())
+
+        m_idct = 1.0
+        m_rgb = 1.0
+        for b in range(693):
+            m_idct = min(m_idct, margin(plane(b, qy)), margin(plane(b, qc)))
+            y = np.clip(np.floor(plane(b, qy) + 0.5), 0, 255)
+            cb = np.clip(np.floor(plane(b + 5, qc) + 0.5), 0, 255) - 128.0
+            cr = np.clip(np.floor(plane(b + 10, qc) + 0.5), 0, 255) - 128.0
+            for e in (
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ):
+                m_rgb = min(m_rgb, margin(e))
+        assert m_idct > 1e-6, f"IDCT rounding margin too tight: {m_idct}"
+        assert m_rgb > 1e-5, f"RGB rounding margin too tight: {m_rgb}"
+
+    def test_fixture_levels_fit_huffman_categories(self):
+        for b in range(693):
+            blocks = _fixture_all_levels(b)
+            assert abs(int(blocks[0, 0, 0, 0])) <= 2047  # DC cat <= 11
+            ac = blocks.copy()
+            ac[:, :, 0, 0] = 0
+            assert np.abs(ac).max() <= 1023  # AC cat <= 10
+
+
+def _fixture_all_levels(base):
+    from pramen_spark.queries.curation_advanced import _jpeg_fixture_blocks
+
+    return _jpeg_fixture_blocks(base, 1, 1, 0)
+
+
+class TestSparkIntegration:
+    def test_image_pixel_stats_over_mixed_formats(self, spark):
+        """JPEG blobs flow through the same Arrow decode pass as PNG, and
+        an out-of-scope payload quarantines as NULL stats."""
+        from pramen_spark.operators.multimodal import (
+            encode_png,
+            image_pixel_stats,
+        )
+
+        rng = np.random.RandomState(3)
+        lv, qts = _random_fixture(rng, 12, 9, 3)
+        jpeg = encode_jpeg(lv, 12, 9, qts)
+        ref = jpeg_reference_pixels(lv, qts, 12, 9)
+        png_px = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+        rows = [
+            (1, bytearray(jpeg)),
+            (2, bytearray(encode_png(png_px))),
+            (3, bytearray(b"\xff\xd8\xff\xd9garbage")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {
+            r["media_id"]: r for r in image_pixel_stats(df).collect()
+        }
+        assert got[1]["sum_r"] == int(ref[:, :, 0].astype(np.int64).sum())
+        assert got[1]["width"] == 12 and got[1]["height"] == 9
+        assert got[2]["sum_g"] == int(png_px[:, :, 1].astype(np.int64).sum())
+        assert got[3]["sum_r"] is None  # quarantined, not failed
+
+    def test_extract_features_jpeg_is_real_not_fallback(self, spark):
+        """A decodable JPEG must produce the brightness-histogram feature
+        (identical to the one computed from its reference pixels), NOT
+        the content-hash placeholder."""
+        from pramen_spark.operators.multimodal import (
+            _png_histogram_feature,
+            extract_features,
+        )
+
+        rng = np.random.RandomState(4)
+        lv, qts = _random_fixture(rng, 16, 16, 3)
+        jpeg = encode_jpeg(lv, 16, 16, qts)
+        ref = jpeg_reference_pixels(lv, qts, 16, 16)
+        df = spark.createDataFrame(
+            [(1, bytearray(jpeg))], "media_id long, content binary"
+        )
+        row = extract_features(df, dim=16).collect()[0]
+        want = _png_histogram_feature(ref, 16)
+        assert np.allclose(np.array(row["feature"], np.float32), want)
+
+    def test_resize_consumes_jpeg(self, spark):
+        from pramen_spark.operators.multimodal import (
+            decode_png,
+            resize_images,
+        )
+
+        rng = np.random.RandomState(8)
+        lv, qts = _random_fixture(rng, 10, 10, 1)
+        jpeg = encode_jpeg(lv, 10, 10, qts)
+        ref = jpeg_reference_pixels(lv, qts, 10, 10)
+        df = spark.createDataFrame(
+            [(1, bytearray(jpeg))], "media_id long, content binary"
+        )
+        out = resize_images(df, 5, 5).collect()[0]
+        got = decode_png(bytes(out["content"]))
+        ys = (np.arange(5) * 10) // 5
+        assert np.array_equal(got, ref[ys][:, ys])
+
+    def test_decode_image_dispatch(self):
+        rng = np.random.RandomState(9)
+        lv, qts = _random_fixture(rng, 8, 8, 1)
+        blob = encode_jpeg(lv, 8, 8, qts)
+        assert decode_image(blob) is not None
+        assert decode_image(b"RIFFxxxxWEBP") is None
