@@ -48,12 +48,14 @@ two tiers:
   Huffman entropy decode (spec F.2.2.3 tables), DC-prediction + AC
   run-length with ZRL/EOB, de-zigzag, dequantize, float64 IDCT with
   floor(x+0.5) rounding, JFIF YCbCr->RGB on integer samples, restart
-  intervals — and :func:`encode_jpeg` is the independent writer (its own
-  zigzag derivation and encode-direction canonical code assignment) that
-  turns QUANTIZED coefficient blocks into complete JPEGs, which is what
-  makes decodes exactly replayable by a SQL oracle. Progressive (SOF2)
-  and subsampled (4:2:0/4:2:2) scans are documented descopes that decode
-  to None (quarantine).
+  intervals, and 1x/2x sampling factors (4:4:4, 4:2:2 and the dominant
+  real-world 4:2:0 layout, nearest-neighbor chroma upsample) — and
+  :func:`encode_jpeg` is the independent writer (its own zigzag
+  derivation and encode-direction canonical code assignment) that turns
+  QUANTIZED coefficient blocks into complete JPEGs, which is what makes
+  decodes exactly replayable by a SQL oracle. Progressive (SOF2) and
+  3x/4x-sampled scans are documented descopes that decode to None
+  (quarantine).
 - **Compressed audio/video stay stubbed**: inter-frame codecs need
   toolchains not present in this environment.
   ``extract_features(hash_fallback=True)`` substitutes a documented
@@ -1268,9 +1270,12 @@ def decode_jpeg(content: Optional[bytes]):
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                    if hv != 0x11:
-                        return None  # subsampling out of scope
-                    comps.append({"id": cid, "tq": tq})
+                    hs, vs = hv >> 4, hv & 0x0F
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return None  # 3x/4x sampling out of scope
+                    if nc == 1:
+                        hs = vs = 1  # single-component scans are 1x1
+                    comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 frame = (width, height, comps)
             elif m in _JPEG_SOF:
                 return None  # progressive / lossless / differential
@@ -1299,10 +1304,13 @@ def decode_jpeg(content: Optional[bytes]):
                     comp["ac"] = huff[(1, ta)]
                     comp["q"] = qt[comp["tq"]]
                 chunks = _jpeg_split_entropy(b, p + 2 + seg_len)
-                mx = -(-width // 8)
-                my = -(-height // 8)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mx = -(-width // (8 * hmax))
+                my = -(-height // (8 * vmax))
                 planes = [
-                    np.zeros((my * 8, mx * 8), dtype=np.uint8) for _ in comps
+                    np.zeros((my * c["v"] * 8, mx * c["h"] * 8), dtype=np.uint8)
+                    for c in comps
                 ]
                 preds = [0] * len(comps)
                 reader = _JpegBitReader(chunks[0])
@@ -1314,21 +1322,33 @@ def decode_jpeg(content: Optional[bytes]):
                             return None
                         reader = _JpegBitReader(chunks[chunk_i])
                         preds = [0] * len(comps)
-                    yb, xb = divmod(mcu, mx)
+                    ym, xm = divmod(mcu, mx)
                     for ci, comp in enumerate(comps):
-                        coef, preds[ci] = _jpeg_decode_block(
-                            reader, comp["dc"], comp["ac"], preds[ci]
-                        )
-                        f = (
-                            _JPEG_IDCT_B.T
-                            @ (coef.astype(np.float64) * comp["q"])
-                            @ _JPEG_IDCT_B
-                        )
-                        px = np.clip(np.floor(f + 128.0 + 0.5), 0, 255)
-                        planes[ci][
-                            yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8
-                        ] = px.astype(np.uint8)
-                planes = [pl[:height, :width] for pl in planes]
+                        # hi*vi data units per MCU, raster order (B.2.3)
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                coef, preds[ci] = _jpeg_decode_block(
+                                    reader, comp["dc"], comp["ac"], preds[ci]
+                                )
+                                f = (
+                                    _JPEG_IDCT_B.T
+                                    @ (coef.astype(np.float64) * comp["q"])
+                                    @ _JPEG_IDCT_B
+                                )
+                                px = np.clip(np.floor(f + 128.0 + 0.5), 0, 255)
+                                yo = (ym * comp["v"] + by) * 8
+                                xo = (xm * comp["h"] + bx) * 8
+                                planes[ci][yo : yo + 8, xo : xo + 8] = (
+                                    px.astype(np.uint8)
+                                )
+                # nearest-neighbor chroma upsample to frame resolution
+                # (index replication: full[y,x] = plane[y*v//vmax, x*h//hmax])
+                up = []
+                for ci, comp in enumerate(comps):
+                    ys = (np.arange(height) * comp["v"]) // vmax
+                    xs = (np.arange(width) * comp["h"]) // hmax
+                    up.append(planes[ci][ys][:, xs])
+                planes = up
                 if len(planes) == 1:
                     return planes[0][:, :, None]
                 y = planes[0].astype(np.float64)
@@ -1499,28 +1519,46 @@ def _jpeg_enc_block(bw, block, zz_codes, pred: int) -> int:
 
 
 def encode_jpeg(
-    levels, width: int, height: int, qtables, restart_interval: int = 0
+    levels,
+    width: int,
+    height: int,
+    qtables,
+    restart_interval: int = 0,
+    sampling=None,
 ) -> bytes:
     """Independent baseline-JPEG writer for fixtures: QUANTIZED
     coefficient blocks in (natural order) -> a complete SOF0 JPEG.
 
-    ``levels``: list of 1 (grayscale) or 3 (YCbCr 4:4:4) arrays shaped
-    (blocks_y, blocks_x, 8, 8) of integer levels; ``qtables``: 1 or 2
-    natural-order 8x8 tables (luma, chroma), values 1..255. Defining the
-    file by its LEVELS (not source pixels) is what makes the decode
-    exactly replayable: decoded sample = floor(idct(level*q)+128.5).
-    With ``restart_interval`` > 0 a DRI segment and FFD0-7 markers are
+    ``levels``: list of 1 (grayscale) or 3 (YCbCr) arrays shaped
+    (mcus_y * v_i, mcus_x * h_i, 8, 8) of integer levels; ``qtables``:
+    1 or 2 natural-order 8x8 tables (luma, chroma), values 1..255;
+    ``sampling``: per-component (h, v) factors — None means all (1,1)
+    (4:4:4); [(2,2),(1,1),(1,1)] writes 4:2:0. Defining the file by its
+    LEVELS (not source pixels) is what makes the decode exactly
+    replayable: decoded sample = floor(idct(level*q)+128.5). With
+    ``restart_interval`` > 0 a DRI segment and FFD0-7 markers are
     emitted every that many MCUs (predictors reset, bits padded)."""
     ncomp = len(levels)
     if ncomp not in (1, 3):
         raise ValueError("levels must hold 1 or 3 component block arrays")
     if len(qtables) != (1 if ncomp == 1 else 2):
         raise ValueError("qtables must hold 1 (gray) or 2 (color) tables")
-    mx, my = -(-width // 8), -(-height // 8)
+    sampling = list(sampling) if sampling else [(1, 1)] * ncomp
+    if len(sampling) != ncomp or any(
+        hs not in (1, 2) or vs not in (1, 2) for hs, vs in sampling
+    ):
+        raise ValueError("sampling must give (h, v) in {1,2} per component")
+    if ncomp == 1 and sampling != [(1, 1)]:
+        raise ValueError("grayscale must be 1x1 sampled")
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mx, my = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     lv = [np.asarray(a, dtype=np.int64) for a in levels]
-    for a in lv:
-        if a.shape != (my, mx, 8, 8):
-            raise ValueError(f"component blocks must be {(my, mx, 8, 8)}")
+    for a, (hs, vs) in zip(lv, sampling):
+        if a.shape != (my * vs, mx * hs, 8, 8):
+            raise ValueError(
+                f"component blocks must be {(my * vs, mx * hs, 8, 8)}"
+            )
     qts = [np.asarray(q, dtype=np.int64) for q in qtables]
     for q in qts:
         if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
@@ -1539,7 +1577,8 @@ def encode_jpeg(
         )
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        hs, vs = sampling[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
     out += seg(0xC0, sof)
     dc_l, dht_dc_l = _jpeg_enc_huff(_JPEG_ENC_DC_LUMA)
     ac_l, dht_ac_l = _jpeg_enc_huff(_JPEG_ENC_AC_LUMA)
@@ -1570,18 +1609,24 @@ def encode_jpeg(
             rst += 1
             bw = _JpegBitWriter()
             preds = [0] * ncomp
-        yb, xb = divmod(mcu, mx)
+        ym, xm = divmod(mcu, mx)
         for ci in range(ncomp):
-            preds[ci] = _jpeg_enc_block(
-                bw, lv[ci][yb, xb], tables[ci], preds[ci]
-            )
+            hs, vs = sampling[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    preds[ci] = _jpeg_enc_block(
+                        bw,
+                        lv[ci][ym * vs + by, xm * hs + bx],
+                        tables[ci],
+                        preds[ci],
+                    )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def jpeg_reference_pixels(levels, qtables, width: int, height: int):
+def jpeg_reference_pixels(levels, qtables, width: int, height: int, sampling=None):
     """Independent numpy reference for what :func:`decode_jpeg` must
     return for a file written by :func:`encode_jpeg` — computed straight
     from the levels with an einsum-form IDCT (no shared basis matrix, no
@@ -1591,21 +1636,26 @@ def jpeg_reference_pixels(levels, qtables, width: int, height: int):
     )  # [y, i]
     alpha = np.array([1.0 / np.sqrt(2.0)] + [1.0] * 7)
     ncomp = len(levels)
-    mx, my = -(-width // 8), -(-height // 8)
+    sampling = list(sampling) if sampling else [(1, 1)] * ncomp
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    mx, my = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     planes = []
     for ci in range(ncomp):
+        hs, vs = sampling[ci]
         q = np.asarray(qtables[0 if ci == 0 else 1], dtype=np.float64)
-        plane = np.zeros((my * 8, mx * 8))
-        for yb in range(my):
-            for xb in range(mx):
+        plane = np.zeros((my * vs * 8, mx * hs * 8))
+        for yb in range(my * vs):
+            for xb in range(mx * hs):
                 fq = np.asarray(levels[ci][yb, xb], dtype=np.float64) * q
                 f = 0.25 * np.einsum(
                     "ij,i,j,yi,xj->yx", fq, alpha, alpha, cos, cos
                 )
                 plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = f
-        planes.append(
-            np.clip(np.floor(plane + 128.5), 0, 255)[:height, :width]
-        )
+        samples = np.clip(np.floor(plane + 128.5), 0, 255)
+        ys = (np.arange(height) * vs) // vmax
+        xs = (np.arange(width) * hs) // hmax
+        planes.append(samples[ys][:, xs])
     if ncomp == 1:
         return planes[0][:, :, None].astype(np.uint8)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0

@@ -78,6 +78,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "incremental_dedup_batch", "upsample_epoch_mix", "shard_assignment",
     "value_drift_psi", "lsh_recall_audit", "ndcg_lsh_audit",
     "hll_accuracy_events", "stream_dedup_events",
+    # round-11 debut operators (same discipline: a debut flagship gets
+    # its driver row the round it ships): real baseline-JPEG pixel
+    # decode and the production-size Arrow BPE oracle
+    "image_pixel_stats_jpeg", "bpe_encode_large_ruleset",
 ]
 
 

@@ -2633,13 +2633,21 @@ def _jpeg_fixture_blocks(doc_id: int, mx: int, my: int, c: int):
     return a
 
 
-def _jpeg_sample_sql(c: int, q: list) -> str:
+def _jpeg_sample_sql(c: int, q: list, sub: bool = False) -> str:
     """The 5-term IDCT replay for one component: sample =
     clamp(floor(128 + sum of alpha(i)alpha(j)/4 * q(i,j) * L(i,j) *
     cos((2y+1)i pi/16) cos((2x+1)j pi/16) + 0.5)). ``q`` lists the quant
-    values at the five fixture positions (0,0),(0,1),(1,0),(2,2),(6,3)."""
-    base = f"(i.doc_id + 2 * (tx.x // 8) + 3 * (ty.y // 8) + {5 * c})"
-    xr, yr = "(tx.x % 8)", "(ty.y % 8)"
+    values at the five fixture positions (0,0),(0,1),(1,0),(2,2),(6,3).
+    ``sub=True`` replays a 2x2-subsampled chroma plane: the sample for
+    frame pixel (x,y) lives at chroma-plane coords (x//2, y//2) — block
+    (x//16, y//16), offset ((x//2)%8, (y//2)%8) — which is exactly the
+    nearest-neighbor upsample the decoder applies."""
+    if sub:
+        base = f"(i.doc_id + 2 * (tx.x // 16) + 3 * (ty.y // 16) + {5 * c})"
+        xr, yr = "((tx.x // 2) % 8)", "((ty.y // 2) % 8)"
+    else:
+        base = f"(i.doc_id + 2 * (tx.x // 8) + 3 * (ty.y // 8) + {5 * c})"
+        xr, yr = "(tx.x % 8)", "(ty.y % 8)"
     t00 = f"0.125 * {q[0]} * (({base} % 11) - 5)"
     t01 = (
         f"(1.0 / (4.0 * SQRT(2.0))) * {q[1]} * (((2 * {base} + 1) % 9) - 4)"
@@ -2668,10 +2676,12 @@ def _jpeg_sample_sql(c: int, q: list) -> str:
 def _jpeg_oracle_sql() -> str:
     qy = [2, 7, 5, 4, 7]  # _JPEG_FIX_QY at the five positions
     qc = [3, 6, 5, 3, 4]  # _JPEG_FIX_QC at the five positions
-    s0, s1, s2 = (
-        _jpeg_sample_sql(0, qy),
-        _jpeg_sample_sql(1, qc),
-        _jpeg_sample_sql(2, qc),
+    s0 = _jpeg_sample_sql(0, qy)
+    s1, s2 = _jpeg_sample_sql(1, qc), _jpeg_sample_sql(2, qc)
+    # 4:2:0 fixtures (doc_id % 4 = 3): chroma planes on the half grid
+    s1s, s2s = (
+        _jpeg_sample_sql(1, qc, sub=True),
+        _jpeg_sample_sql(2, qc, sub=True),
     )
 
     def conv(expr: str) -> str:
@@ -2679,9 +2689,19 @@ def _jpeg_oracle_sql() -> str:
             f"LEAST(GREATEST(CAST(FLOOR({expr} + 0.5) AS BIGINT), 0), 255)"
         )
 
-    r = conv("s0 + 1.402 * (s2 - 128)")
-    g = conv("s0 - 0.344136 * (s1 - 128) - 0.714136 * (s2 - 128)")
-    b = conv("s0 + 1.772 * (s1 - 128)")
+    def rgb(col: str) -> str:
+        e444 = {
+            "r": "s0 + 1.402 * (s2 - 128)",
+            "g": "s0 - 0.344136 * (s1 - 128) - 0.714136 * (s2 - 128)",
+            "b": "s0 + 1.772 * (s1 - 128)",
+        }[col]
+        e420 = e444.replace("s1", "s1s").replace("s2", "s2s")
+        return (
+            f"CASE WHEN doc_id % 2 = 0 THEN s0"
+            f" WHEN doc_id % 4 = 1 THEN {conv(e444)}"
+            f" ELSE {conv(e420)} END"
+        )
+
     return f"""
     WITH imgs AS (
         SELECT doc_id, 9 + (doc_id * 5) % 20 AS w, 9 + (doc_id * 7) % 20 AS h
@@ -2689,16 +2709,17 @@ def _jpeg_oracle_sql() -> str:
     ),
     px AS (
         SELECT i.doc_id, i.w, i.h, tx.x, ty.y,
-               {s0} AS s0, {s1} AS s1, {s2} AS s2
+               {s0} AS s0, {s1} AS s1, {s2} AS s2,
+               {s1s} AS s1s, {s2s} AS s2s
         FROM imgs i,
              unnest(range(i.w)) AS tx(x),
              unnest(range(i.h)) AS ty(y)
     ),
     rgbpx AS (
         SELECT doc_id, w, h, x, y,
-               CASE WHEN doc_id % 2 = 0 THEN s0 ELSE {r} END AS r,
-               CASE WHEN doc_id % 2 = 0 THEN s0 ELSE {g} END AS g,
-               CASE WHEN doc_id % 2 = 0 THEN s0 ELSE {b} END AS b
+               {rgb("r")} AS r,
+               {rgb("g")} AS g,
+               {rgb("b")} AS b
         FROM px
     ),
     agg AS (
@@ -2744,23 +2765,28 @@ def _jpeg_oracle_sql() -> str:
     "image_pixel_stats_jpeg",
     _jpeg_oracle_sql(),
     "REAL baseline JPEG decode: complete SOF0 files (canonical Huffman "
-    "entropy coding, zigzag, DC prediction, restart markers, gray AND "
-    "4:4:4 color) written by the independent encoder from quantized DCT "
-    "levels, decoded back sample-exact; the oracle replays the IDCT as "
-    "an explicit 5-term cosine sum per pixel",
+    "entropy coding, zigzag, DC prediction, restart markers, gray, "
+    "4:4:4 AND subsampled 4:2:0 color) written by the independent "
+    "encoder from quantized DCT levels, decoded back sample-exact; the "
+    "oracle replays the IDCT as an explicit 5-term cosine sum per pixel "
+    "and the chroma upsample as half-grid coordinate arithmetic",
     tags=("multimodal",),
 )
 def q_image_pixel_stats_jpeg(spark, sf_dir):
     """The round-11 close of the LAST media-pixel descope (operators/
     multimodal.py::decode_jpeg + encode_jpeg): each document id derives
     a baseline JPEG — w=9+5*id%20, h=9+7*id%20, grayscale for even ids,
-    YCbCr 4:4:4 for odd, restart interval 2 for ids divisible by 3 —
-    whose quantized coefficient levels come from small-moduli arithmetic
-    on (id, block, component), so the decoded samples are exactly
+    YCbCr 4:4:4 for id%4==1, YCbCr 4:2:0 (the dominant real-world
+    layout: Y 2x2, chroma on the half grid, nearest-neighbor upsample)
+    for id%4==3, restart interval 2 for ids divisible by 3 — whose
+    quantized coefficient levels come from small-moduli arithmetic on
+    (id, block, component), so the decoded samples are exactly
     clamp(floor(idct(level*q) + 128.5)) with a 5-term IDCT that DuckDB
-    replays in closed form. Any Huffman, zigzag, predictor, restart,
-    dequantize or YCbCr-conversion disagreement breaks the integer sums;
-    the adjacent-row-delta statistic additionally pins row ORDER.
+    replays in closed form (the 4:2:0 chroma sample via half-grid
+    coordinate arithmetic). Any Huffman, zigzag, predictor, restart,
+    MCU-interleave, upsample, dequantize or YCbCr-conversion
+    disagreement breaks the integer sums; the adjacent-row-delta
+    statistic additionally pins row ORDER.
 
     Scale: both stages are pure maps (no shuffle); moments reduce inside
     the decode task — the bounded CPU-tier pixel pass that gates what a
@@ -2790,18 +2816,30 @@ def q_image_pixel_stats_jpeg(spark, sf_dir):
             for i in ids:
                 i = int(i)
                 w, h = 9 + (i * 5) % 20, 9 + (i * 7) % 20
-                mx, my = -(-w // 8), -(-h // 8)
-                ncomp = 1 if i % 2 == 0 else 3
-                lv = [
-                    _jpeg_fixture_blocks(i, mx, my, c) for c in range(ncomp)
-                ]
-                qts = [qy] if ncomp == 1 else [qy, qc]
-                blobs.append(
-                    encode_jpeg(
-                        lv, w, h, qts,
-                        restart_interval=2 if i % 3 == 0 else 0,
+                ri = 2 if i % 3 == 0 else 0
+                if i % 2 == 0:  # grayscale, single-component scan
+                    mx, my = -(-w // 8), -(-h // 8)
+                    lv = [_jpeg_fixture_blocks(i, mx, my, 0)]
+                    blobs.append(
+                        encode_jpeg(lv, w, h, [qy], restart_interval=ri)
                     )
-                )
+                elif i % 4 == 1:  # YCbCr 4:4:4
+                    mx, my = -(-w // 8), -(-h // 8)
+                    lv = [_jpeg_fixture_blocks(i, mx, my, c) for c in range(3)]
+                    blobs.append(
+                        encode_jpeg(lv, w, h, [qy, qc], restart_interval=ri)
+                    )
+                else:  # YCbCr 4:2:0 — Y on the full grid, chroma halved
+                    mx, my = -(-w // 16), -(-h // 16)
+                    lv = [_jpeg_fixture_blocks(i, 2 * mx, 2 * my, 0)] + [
+                        _jpeg_fixture_blocks(i, mx, my, c) for c in (1, 2)
+                    ]
+                    blobs.append(
+                        encode_jpeg(
+                            lv, w, h, [qy, qc], restart_interval=ri,
+                            sampling=[(2, 2), (1, 1), (1, 1)],
+                        )
+                    )
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     media = d.mapInPandas(encode, enc_schema)

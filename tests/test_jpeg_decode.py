@@ -37,12 +37,17 @@ def spark():
     )
 
 
-def _random_fixture(rng, w, h, ncomp, density=0.15, lo=-40, hi=41):
-    mx, my = -(-w // 8), -(-h // 8)
+def _random_fixture(
+    rng, w, h, ncomp, density=0.15, lo=-40, hi=41, sampling=None
+):
+    s = list(sampling) if sampling else [(1, 1)] * ncomp
+    hmax = max(a for a, _ in s)
+    vmax = max(b for _, b in s)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     lv = []
-    for _ in range(ncomp):
-        a = np.zeros((my, mx, 8, 8), np.int64)
-        mask = rng.rand(my, mx, 8, 8) < density
+    for hs, vs in s:
+        a = np.zeros((my * vs, mx * hs, 8, 8), np.int64)
+        mask = rng.rand(*a.shape) < density
         a[mask] = rng.randint(lo, hi, size=int(mask.sum()))
         lv.append(a)
     qts = [rng.randint(1, 30, size=(8, 8)) for _ in range(1 if ncomp == 1 else 2)]
@@ -134,6 +139,47 @@ class TestRoundTrip:
                 decode_jpeg(blob), jpeg_reference_pixels(lv, qts, w, h)
             )
 
+    @pytest.mark.parametrize(
+        "sampling",
+        [
+            [(2, 2), (1, 1), (1, 1)],  # 4:2:0 — the real-world default
+            [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+            [(1, 2), (1, 1), (1, 1)],
+            [(2, 2), (2, 1), (1, 1)],  # mixed factors per component
+        ],
+    )
+    def test_fuzz_subsampled_vs_reference(self, sampling):
+        rng = np.random.RandomState(sum(h * 4 + v for h, v in sampling))
+        for trial in range(30):
+            w, h = rng.randint(1, 40), rng.randint(1, 40)
+            ri = int(rng.choice([0, 1, 3]))
+            lv, qts = _random_fixture(rng, w, h, 3, sampling=sampling)
+            blob = encode_jpeg(lv, w, h, qts, restart_interval=ri, sampling=sampling)
+            got = decode_jpeg(blob)
+            ref = jpeg_reference_pixels(lv, qts, w, h, sampling=sampling)
+            assert got is not None and np.array_equal(got, ref), (
+                trial, w, h, sampling, ri,
+            )
+
+    def test_chroma_upsample_is_nearest_replication(self):
+        # one nonzero chroma block: every 2x2 frame cell must share its
+        # chroma sample with the half-grid source pixel
+        lv = [
+            np.zeros((2, 2, 8, 8), np.int64),
+            np.zeros((1, 1, 8, 8), np.int64),
+            np.zeros((1, 1, 8, 8), np.int64),
+        ]
+        lv[2][0, 0, 0, 1] = 9  # horizontal-frequency Cr ripple
+        q = np.full((8, 8), 20, np.int64)
+        blob = encode_jpeg(
+            lv, 16, 16, [q, q], sampling=[(2, 2), (1, 1), (1, 1)]
+        )
+        px = decode_jpeg(blob).astype(np.int64)
+        for y in range(0, 16, 2):
+            for x in range(0, 16, 2):
+                cell = px[y : y + 2, x : x + 2]
+                assert (cell == cell[0, 0]).all()
+
     def test_restart_marker_count_scales_with_interval(self):
         rng = np.random.RandomState(6)
         lv, qts = _random_fixture(rng, 32, 32, 1)  # 16 MCUs
@@ -166,11 +212,12 @@ class TestQuarantine:
         blob[i + 1] = 0xC2  # SOF2: progressive
         assert decode_jpeg(bytes(blob)) is None
 
-    def test_subsampled_rejected(self):
+    def test_oversampled_rejected(self):
+        # 1x/2x factors are in scope (4:4:4/4:2:0/4:2:2); 3x+ is not
         blob = bytearray(self._blob())
         i = blob.find(b"\xff\xc0")
         # sampling byte of component 1 sits 9 bytes into the SOF payload
-        blob[i + 4 + 6 + 1] = 0x22  # 2x2 -> 4:2:0
+        blob[i + 4 + 6 + 1] = 0x31  # 3x1
         assert decode_jpeg(bytes(blob)) is None
 
     def test_sixteen_bit_quant_table_rejected(self):
@@ -212,20 +259,26 @@ class TestOracleRoundingMargin:
             return float(np.abs((v + 0.5) - np.round(v + 0.5)).min())
 
         m_idct = 1.0
-        m_rgb = 1.0
+        chroma_vals: set = set()
         for b in range(693):
             m_idct = min(m_idct, margin(plane(b, qy)), margin(plane(b, qc)))
-            y = np.clip(np.floor(plane(b, qy) + 0.5), 0, 255)
-            cb = np.clip(np.floor(plane(b + 5, qc) + 0.5), 0, 255) - 128.0
-            cr = np.clip(np.floor(plane(b + 10, qc) + 0.5), 0, 255) - 128.0
-            for e in (
-                y + 1.402 * cr,
-                y - 0.344136 * cb - 0.714136 * cr,
-                y + 1.772 * cb,
-            ):
-                m_rgb = min(m_rgb, margin(e))
+            cplane = np.clip(np.floor(plane(b, qc) + 0.5), 0, 255)
+            chroma_vals.update(np.unique(cplane).astype(int).tolist())
         assert m_idct > 1e-6, f"IDCT rounding margin too tight: {m_idct}"
-        assert m_rgb > 1e-5, f"RGB rounding margin too tight: {m_rgb}"
+        # RGB conversion: Y is an integer, so the pre-round fraction of
+        # each channel depends only on the chroma value(s). Sweeping the
+        # full REACHABLE chroma set covers every (Y, Cb, Cr) pairing any
+        # sampling layout (4:4:4 same-position OR 4:2:0 half-grid,
+        # where Y and chroma bases decouple) can produce.
+        s = np.array(sorted(chroma_vals), np.float64) - 128.0
+        cb, cr = np.meshgrid(s, s)
+        m_r = margin(1.402 * s)
+        m_b = margin(1.772 * s)
+        m_g = margin(-0.344136 * cb - 0.714136 * cr)
+        assert min(m_r, m_b, m_g) > 1e-5, (
+            f"RGB rounding margins too tight: r={m_r} g={m_g} b={m_b} "
+            f"over {len(s)} reachable chroma values"
+        )
 
     def test_fixture_levels_fit_huffman_categories(self):
         for b in range(693):

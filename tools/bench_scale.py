@@ -82,6 +82,13 @@ SCALE_SET = [
     # cheap TPC-H reference points
     "q1_pricing_summary",
     "q9_product_type_profit",
+    # round-11 debut operators (VERDICT r10 ask #6: the three unmeasured
+    # round-10 debuts; plus the two round-11 debuts)
+    "bpe_encode_documents",
+    "video_frame_stats",
+    "audio_sample_stats",
+    "image_pixel_stats_jpeg",
+    "bpe_encode_large_ruleset",
 ]
 
 
@@ -113,15 +120,25 @@ def main() -> None:
     )
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     factor = 10.0  # big is a 10-fold derived union of small
+    # SPARK_GRAFT_SCALE_ONLY=a,b,c restricts the run to a named subset
+    # (incremental rounds measure only their debut queries; the full set
+    # re-runs when the trendline is refreshed wholesale)
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    names = (
+        [n for n in only.split(",") if n] if only else SCALE_SET
+    )
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries in SPARK_GRAFT_SCALE_ONLY: {unknown}")
     spark = build_session(app_name="bench_scale")
     # warm-up
     QUERIES["record_count"].build(spark, small).write.mode("overwrite").format(
         "noop"
     ).save()
-    t_small = bench(spark, small, SCALE_SET, reps)
-    t_big = bench(spark, big, SCALE_SET, reps)
+    t_small = bench(spark, small, names, reps)
+    t_big = bench(spark, big, names, reps)
     rows = {}
-    for name in SCALE_SET:
+    for name in names:
         a, b = t_small[name]["median"], t_big[name]["median"]
         rows[name] = {
             "t_small": a,
