@@ -10,10 +10,13 @@ two tiers:
   screen descriptors with pure Python over the first KB of bytes — no
   media library needed; :func:`encode_image_header` is the independent
   writer used to build test/fixture bytes.
-- **PNG pixel decoding is REAL** (round 9): :func:`decode_png` is a
-  stdlib-only decoder — zlib-inflated IDAT, per-scanline unfilter of all
-  five PNG filter types (None/Sub/Up/Average/Paeth) for 8-bit gray, RGB
-  and RGBA, no interlace — and :func:`encode_png` is the independent
+- **PNG pixel decoding is REAL** (round 9; interlace + palette round
+  11): :func:`decode_png` is a stdlib-only decoder — zlib-inflated
+  IDAT, per-scanline unfilter of all five PNG filter types
+  (None/Sub/Up/Average/Paeth) for 8-bit gray, RGB, RGBA and PLTE
+  palette images, in both sequential and Adam7 interlaced storage
+  (each pass an independently-filtered sub-image scattered at its
+  offsets/strides) — and :func:`encode_png` is the independent
   spec-packed writer (forward filtering, shares no code with the
   decoder) used for fixtures. :func:`image_pixel_stats`,
   :func:`extract_features` and :func:`resize_images` compute real pixel
@@ -625,23 +628,40 @@ def encode_image_header(fmt: str, width: int, height: int) -> bytes:
 # ---------------------------------------------------------------------------
 # Real PNG pixel codec (stdlib only — zlib + struct + numpy).
 #
-# Scope: 8-bit grayscale (color type 0), RGB (2) and RGBA (6), no
-# interlace — the shapes a curation pipeline actually materializes as
-# intermediate tensors. Reference behavior parity: the reference treats
-# media as opaque payloads handed to external toolchains; here the decode
-# itself is in-engine so pixel-level curation metrics stay distributed.
+# Scope: 8-bit grayscale (color type 0), RGB (2), palette (3, PLTE
+# lookup) and RGBA (6), both storage layouts (sequential and Adam7
+# interlaced) — the shapes a curation pipeline actually materializes as
+# intermediate tensors plus the palette/interlace variants found in web
+# crawls. Reference behavior parity: the reference treats media as
+# opaque payloads handed to external toolchains; here the decode itself
+# is in-engine so pixel-level curation metrics stay distributed.
 # ---------------------------------------------------------------------------
 
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+
+# Adam7: per pass (x0, y0, dx, dy); each pass is an independently
+# filtered sub-image, scattered into the frame at those offsets/strides
+_PNG_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
-    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG to a (H, W, C)
-    uint8 array, or None when the payload is not such a PNG (wrong magic,
-    unsupported bit depth/color type/interlace, or corrupt stream).
+    """Decode an 8-bit gray/RGB/palette/RGBA PNG — sequential or Adam7
+    interlaced — to a (H, W, C) uint8 array (palette images come out as
+    RGB), or None when the payload is not such a PNG (wrong magic,
+    unsupported bit depth, or corrupt stream).
 
     Pure stdlib: walks chunks, zlib-inflates the concatenated IDAT
-    stream, then unfilters each scanline (PNG filters 0-4). The two
+    stream, then unfilters each scanline (PNG filters 0-4) — per
+    interlace PASS for Adam7, each pass an independently filtered
+    sub-image scattered into the frame at its (offset, stride). The two
     sequential filters (Average, Paeth) run a per-byte Python loop —
     bounded by row width; None/Up are vectorized and Sub uses the
     cumsum-mod-256 identity, so typical streams stay numpy-speed."""
@@ -652,6 +672,7 @@ def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     try:
         while pos + 8 <= n:
             clen = int.from_bytes(b[pos : pos + 4], "big")
@@ -663,6 +684,10 @@ def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
                 width, height = struct.unpack(">II", data[:8])
                 bit_depth, color_type = data[8], data[9]
                 interlace = data[12]
+            elif ctype == b"PLTE":
+                if clen % 3 or clen == 0:
+                    return None
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -672,14 +697,49 @@ def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
             width is None
             or bit_depth != 8
             or color_type not in _PNG_CHANNELS
-            or interlace != 0
+            or interlace not in (0, 1)
             or not idat
+            or (color_type == 3 and plte is None)
         ):
             return None
         ch = _PNG_CHANNELS[color_type]
         raw = zlib.decompress(bytes(idat))
     except (zlib.error, struct.error):
         return None
+    if interlace == 0:
+        out = _png_unfilter(raw, height, width, ch)
+    else:
+        out = np.zeros((height, width * ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            block_len = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[off : off + block_len], ph, pw, ch)
+            if sub is None:
+                return None
+            off += block_len
+            frame = out.reshape(height, width, ch)
+            frame[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            return None
+    if out is None:
+        return None
+    px = out.reshape(height, width, ch)
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            return None
+        px = plte[idx]
+    return px
+
+
+def _png_unfilter(raw: bytes, height: int, width: int, ch: int):
+    """Inverse the per-scanline PNG filters over one (sub-)image block:
+    height rows of (filter byte + width*ch sample bytes). Returns
+    (height, width*ch) uint8 or None on a length/filter mismatch."""
     stride = width * ch
     if len(raw) != height * (stride + 1):
         return None
@@ -725,56 +785,96 @@ def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
             return None
         out[y] = recon.astype(np.uint8)
         prior = recon
-    return out.reshape(height, width, ch)
+    return out
 
 
-def encode_png(pixels: np.ndarray, filter_for_row=None) -> bytes:
+def encode_png(
+    pixels: np.ndarray,
+    filter_for_row=None,
+    interlace: bool = False,
+    palette: Optional[np.ndarray] = None,
+) -> bytes:
     """Independent PNG writer for fixtures (spec-packed, shares no logic
     with :func:`decode_png` — forward filtering here, inverse filtering
     there, so a round-trip proves both). ``pixels`` is (H, W) gray or
-    (H, W, C) with C in {1, 3, 4}; ``filter_for_row(y) -> 0..4`` picks
-    the per-scanline filter (default cycles y % 5 to exercise all
-    five)."""
+    (H, W, C) with C in {1, 3, 4} — or, with ``palette`` given as an
+    (N, 3) table, (H, W) palette indices written as color type 3 + PLTE.
+    ``filter_for_row(y) -> 0..4`` picks the per-scanline filter (default
+    cycles y % 5 to exercise all five; under interlace ``y`` is the
+    running scanline counter across passes). ``interlace=True`` writes
+    the Adam7 layout: the 7 passes as independently-filtered sub-images
+    in pass order, descriptor flag set."""
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if px.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError("palette mode wants (H, W) indices + (N, 3)")
+        if int(px.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
         px = px[:, :, None]
+        color_type = 3
+    else:
+        if px.ndim == 2:
+            px = px[:, :, None]
+        color_type = {1: 0, 3: 2, 4: 6}[px.shape[2]]
     h, w, ch = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
     if filter_for_row is None:
         filter_for_row = lambda y: y % 5  # noqa: E731
-    flat = px.reshape(h, w * ch).astype(np.int16)
-    zeros = np.zeros(w * ch, dtype=np.int16)
-    lines = bytearray()
-    prior = zeros
-    for y in range(h):
-        raw = flat[y]
-        left = np.concatenate([np.zeros(ch, dtype=np.int16), raw[:-ch]])
-        up_left = np.concatenate([np.zeros(ch, dtype=np.int16), prior[:-ch]])
-        f = int(filter_for_row(y))
-        if f == 0:
-            filt = raw
-        elif f == 1:
-            filt = raw - left
-        elif f == 2:
-            filt = raw - prior
-        elif f == 3:
-            filt = raw - ((left + prior) >> 1)
-        elif f == 4:
-            p = left + prior - up_left
-            pa, pb, pc = (
-                np.abs(p - left),
-                np.abs(p - prior),
-                np.abs(p - up_left),
+
+    def filter_block(block: np.ndarray, y_base: int) -> bytes:
+        """Forward-filter one (sub-)image: rows are independent of any
+        other block (each Adam7 pass restarts its prior row at zero)."""
+        bh, bw = block.shape[0], block.shape[1]
+        flat = block.reshape(bh, bw * ch).astype(np.int16)
+        lines = bytearray()
+        prior = np.zeros(bw * ch, dtype=np.int16)
+        for y in range(bh):
+            raw = flat[y]
+            left = np.concatenate([np.zeros(ch, dtype=np.int16), raw[:-ch]])
+            up_left = np.concatenate(
+                [np.zeros(ch, dtype=np.int16), prior[:-ch]]
             )
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
-            )
-            filt = raw - pred
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        lines.append(f)
-        lines += (filt % 256).astype(np.uint8).tobytes()
-        prior = raw
+            f = int(filter_for_row(y_base + y))
+            if f == 0:
+                filt = raw
+            elif f == 1:
+                filt = raw - left
+            elif f == 2:
+                filt = raw - prior
+            elif f == 3:
+                filt = raw - ((left + prior) >> 1)
+            elif f == 4:
+                p = left + prior - up_left
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - prior),
+                    np.abs(p - up_left),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prior, up_left),
+                )
+                filt = raw - pred
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            lines.append(f)
+            lines += (filt % 256).astype(np.uint8).tobytes()
+            prior = raw
+        return bytes(lines)
+
+    if not interlace:
+        lines = filter_block(px, 0)
+    else:
+        parts = []
+        y_base = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(filter_block(sub, y_base))
+            y_base += sub.shape[0]
+        lines = b"".join(parts)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -784,13 +884,13 @@ def encode_png(pixels: np.ndarray, filter_for_row=None) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", pal.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(lines), 6)) + chunk(b"IEND", b"")
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int):

@@ -1898,13 +1898,20 @@ def q_vocab_truncate_documents(spark, sf_dir):
         FROM documents
     ),
     px AS (
-        SELECT i.doc_id, i.w, i.h,
-               (i.doc_id + 3 * tx.x + 7 * ty.y) % 256 AS r,
-               (2 * i.doc_id + 5 * tx.x + ty.y) % 256 AS g,
-               (3 * i.doc_id + tx.x + 2 * ty.y) % 256 AS b
-        FROM imgs i,
-             unnest(range(i.w)) AS tx(x),
-             unnest(range(i.h)) AS ty(y)
+        SELECT doc_id, w, h, x, y,
+               CASE WHEN doc_id % 3 = 0 THEN (5 * v + 7) % 256
+                    ELSE v END AS r,
+               CASE WHEN doc_id % 3 = 0 THEN (9 * v + 1) % 256
+                    ELSE (2 * doc_id + 5 * x + y) % 256 END AS g,
+               CASE WHEN doc_id % 3 = 0 THEN (11 * v + 4) % 256
+                    ELSE (3 * doc_id + x + 2 * y) % 256 END AS b
+        FROM (
+            SELECT i.doc_id, i.w, i.h, tx.x, ty.y,
+                   (i.doc_id + 3 * tx.x + 7 * ty.y) % 256 AS v
+            FROM imgs i,
+                 unnest(range(i.w)) AS tx(x),
+                 unnest(range(i.h)) AS ty(y)
+        )
     ),
     agg AS (
         SELECT doc_id, w, h,
@@ -1915,11 +1922,21 @@ def q_vocab_truncate_documents(spark, sf_dir):
                CAST(SUM(r + g + b) AS BIGINT) AS sum_luma3,
                CAST(SUM((r + g + b) * (r + g + b)) AS BIGINT) AS sum_luma3_sq
         FROM px GROUP BY doc_id, w, h
+    ),
+    delta AS (
+        SELECT doc_id,
+               CAST(SUM(ABS(l - lp)) AS BIGINT) AS sum_row_delta
+        FROM (
+            SELECT doc_id, r + g + b AS l,
+                   LAG(r + g + b) OVER (
+                       PARTITION BY doc_id, x ORDER BY y) AS lp
+            FROM px
+        ) WHERE lp IS NOT NULL GROUP BY doc_id
     )
     SELECT doc_id,
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
-           n_pixels, sum_r, sum_g, sum_b,
+           n_pixels, sum_r, sum_g, sum_b, sum_row_delta,
            ROUND(CAST(sum_r AS DOUBLE) / n_pixels, 6) AS mean_r,
            ROUND(CAST(sum_g AS DOUBLE) / n_pixels, 6) AS mean_g,
            ROUND(CAST(sum_b AS DOUBLE) / n_pixels, 6) AS mean_b,
@@ -1931,26 +1948,34 @@ def q_vocab_truncate_documents(spark, sf_dir):
                  * (CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels)), 0)), 6)
                AS std_brightness,
            ROUND(CAST(w AS DOUBLE) / h, 6) AS aspect_ratio
-    FROM agg
+    FROM agg JOIN delta USING (doc_id)
     """,
-    "REAL pixel decode: full PNGs (zlib IDAT, all five scanline filters) "
-    "written by the independent encoder, decoded back pixel-exact and "
-    "reduced to channel/brightness moments",
+    "REAL pixel decode: full PNGs (zlib IDAT, all five scanline filters, "
+    "Adam7 INTERLACED storage for odd ids, PLTE palette images for ids "
+    "divisible by 3) written by the independent encoder, decoded back "
+    "pixel-exact and reduced to channel/brightness moments; the "
+    "adjacent-row-delta statistic pins row order through de-interlacing",
     tags=("multimodal",),
 )
 def q_image_pixel_stats(spark, sf_dir):
     """The round-9 close of the last decode stub (operators/multimodal.py::
     decode_png + image_pixel_stats): each document id deterministically
     derives an RGB image — w=9+id%24, h=9+3*id%24, r=(id+3x+7y)%256,
-    g=(2id+5x+y)%256, b=(3id+x+2y)%256 — which encode_png writes as a
-    complete PNG (zlib-compressed IDAT, per-row filter cycling through
-    None/Sub/Up/Average/Paeth so every unfilter path is exercised), and
-    decode_png recovers pixel-exactly inside Arrow-batched mapInPandas.
-    The oracle regenerates the pixels from the id arithmetic alone and
-    aggregates in SQL: any encoder/decoder disagreement — a wrong Paeth
-    predictor, an off-by-one stride, a bad average floor — breaks the
-    integer sums. Means/std derive from exact integer sums in identical
-    double expressions on both engines.
+    g=(2id+5x+y)%256, b=(3id+x+2y)%256; ids divisible by 3 store the
+    SAME v=(id+3x+7y)%256 plane as a PLTE palette image through
+    pal[j]=((5j+7)%256,(9j+1)%256,(11j+4)%256) — which encode_png
+    writes as a complete PNG (zlib-compressed IDAT, per-row filter
+    cycling through None/Sub/Up/Average/Paeth so every unfilter path is
+    exercised, and for ODD ids the Adam7 interlaced layout: 7
+    independently-filtered passes, round 11), and decode_png recovers
+    pixel-exactly inside Arrow-batched mapInPandas. The oracle
+    regenerates the pixels from the id arithmetic alone and aggregates
+    in SQL: any encoder/decoder disagreement — a wrong Paeth predictor,
+    an off-by-one stride, a bad average floor, a palette miss, a pass
+    scattered to wrong offsets — breaks the integer sums, and the
+    adjacent-row-delta statistic pins row ORDER through de-interlacing.
+    Means/std derive from exact integer sums in identical double
+    expressions on both engines.
 
     Scale: both stages are pure maps (no shuffle); blobs never leave
     their partition, and the decode is the bounded CPU-tier pass that
@@ -1971,6 +1996,11 @@ def q_image_pixel_stats(spark, sf_dir):
         ]
     )
 
+    j = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [(5 * j + 7) % 256, (9 * j + 1) % 256, (11 * j + 4) % 256], axis=1
+    ).astype(np.uint8)
+
     def encode(batches):
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
@@ -1980,16 +2010,28 @@ def q_image_pixel_stats(spark, sf_dir):
                 w, h = 9 + i % 24, 9 + (i * 3) % 24
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
+                v = (i + 3 * x + 7 * y) % 256
+                ffr = lambda yy, base=i: (base + yy) % 5  # noqa: E731
+                if i % 3 == 0:  # palette storage of the v plane
+                    blobs.append(
+                        encode_png(
+                            v.astype(np.uint8),
+                            filter_for_row=ffr,
+                            interlace=(i % 2 == 1),
+                            palette=pal,
+                        )
+                    )
+                    continue
                 px = np.stack(
                     [
-                        (i + 3 * x + 7 * y) % 256,
+                        v,
                         (2 * i + 5 * x + y) % 256,
                         (3 * i + x + 2 * y) % 256,
                     ],
                     axis=2,
                 ).astype(np.uint8)
                 blobs.append(
-                    encode_png(px, filter_for_row=lambda yy, base=i: (base + yy) % 5)
+                    encode_png(px, filter_for_row=ffr, interlace=(i % 2 == 1))
                 )
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
@@ -2007,6 +2049,7 @@ def q_image_pixel_stats(spark, sf_dir):
         "sum_r",
         "sum_g",
         "sum_b",
+        "sum_row_delta",
         F.round(F.col("sum_r").cast("double") / n, 6).alias("mean_r"),
         F.round(F.col("sum_g").cast("double") / n, 6).alias("mean_g"),
         F.round(F.col("sum_b").cast("double") / n, 6).alias("mean_b"),

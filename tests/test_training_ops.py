@@ -419,6 +419,46 @@ class TestPngPixelCodec:
                     back = decode_png(encode_png(px, filter_for_row=pick))
                     assert back is not None and np.array_equal(back, px), (ch, h, w, f)
 
+    def test_adam7_interlace_round_trips(self):
+        """Round 11: the Adam7 layout (7 independently-filtered passes
+        scattered at per-pass offsets/strides) must invert exactly for
+        every channel count, including dims where late passes are empty
+        and dims smaller than one 8x8 tile."""
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.RandomState(11)
+        for ch in (1, 3, 4):
+            for h, w in [(1, 1), (1, 9), (9, 1), (2, 3), (5, 9), (17, 23), (32, 8)]:
+                px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+                back = decode_png(encode_png(px, interlace=True))
+                assert back is not None and np.array_equal(back, px), (ch, h, w)
+
+    def test_palette_round_trips_including_interlaced(self):
+        """Round 11: color-type-3 images decode through the PLTE lookup
+        to RGB; out-of-range indices are a decode-time quarantine."""
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.RandomState(13)
+        for npal in (2, 17, 256):
+            pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+            idx = rng.randint(0, npal, size=(11, 7)).astype(np.uint8)
+            for inter in (False, True):
+                back = decode_png(encode_png(idx, palette=pal, interlace=inter))
+                assert back is not None and np.array_equal(back, pal[idx])
+        # an index beyond the palette is rejected at encode time...
+        with __import__("pytest").raises(ValueError):
+            encode_png(np.array([[5]], np.uint8), palette=pal[:3])
+        # ...and a crafted file with one quarantines at decode time
+        blob = bytearray(encode_png(np.array([[1]], np.uint8), palette=pal[:4]))
+        i = blob.find(b"PLTE")
+        # shrink the PLTE length to 1 entry so index 1 overruns it
+        blob[i - 4 : i] = (3).to_bytes(4, "big")
+        assert decode_png(bytes(blob)) is None
+
     def test_decoder_rejects_garbage(self):
         import numpy as np
 
@@ -430,6 +470,9 @@ class TestPngPixelCodec:
         assert decode_png(full[:20]) is None  # truncated mid-IHDR
         corrupt = full[:-8] + b"XXXXXXXX"  # mangled IEND tail is tolerated
         assert decode_png(corrupt) is not None
+        # interlaced stream with a truncated last pass
+        inter = encode_png(np.zeros((16, 16, 3), dtype=np.uint8), interlace=True)
+        assert decode_png(inter) is not None
 
     def test_pixel_stats_integer_exact(self, spark):
         import numpy as np
