@@ -56,9 +56,15 @@ two tiers:
   :func:`encode_jpeg` is the independent writer (its own zigzag
   derivation and encode-direction canonical code assignment) that turns
   QUANTIZED coefficient blocks into complete JPEGs, which is what makes
-  decodes exactly replayable by a SQL oracle. Progressive (SOF2) and
-  3x/4x-sampled scans are documented descopes that decode to None
-  (quarantine).
+  decodes exactly replayable by a SQL oracle. Progressive (SOF2)
+  streams decode for REAL too, for 1x1-sampled frames: spectral
+  selection, successive approximation (DC and AC first + refinement
+  scans, EOB-run batching with buffered correction bits — the G.1.2.x
+  algorithm), accumulated across scans and reconstructed with the same
+  rounding contract; :func:`encode_jpeg_progressive` is the matching
+  independent writer. Lossless/arithmetic/hierarchical modes,
+  3x/4x-sampled frames and subsampled progressive are documented
+  descopes that decode to None (quarantine).
 - **Compressed audio/video stay stubbed**: inter-frame codecs need
   toolchains not present in this environment.
   ``extract_features(hash_fallback=True)`` substitutes a documented
@@ -1257,7 +1263,9 @@ def _jpeg_extend(v: int, t: int) -> int:
 def _jpeg_split_entropy(data: bytes, pos: int):
     """Slice the entropy-coded segment starting at ``pos`` into restart
     chunks: 0xFF00 byte stuffing removed, FFD0-FFD7 restart markers split
-    chunks, any other marker ends the scan."""
+    chunks, any other marker ends the scan. Returns (chunks, end) where
+    ``end`` is the offset of the terminating marker (progressive streams
+    continue parsing the next scan from there)."""
     chunks, cur, i, n = [], bytearray(), pos, len(data)
     while i < n:
         b = data[i]
@@ -1276,7 +1284,7 @@ def _jpeg_split_entropy(data: bytes, pos: int):
         cur.append(b)
         i += 1
     chunks.append(bytes(cur))
-    return chunks
+    return chunks, i
 
 
 def _jpeg_decode_block(reader, dc_tab, ac_tab, pred: int):
@@ -1306,15 +1314,182 @@ def _jpeg_decode_block(reader, dc_tab, ac_tab, pred: int):
     return coef.reshape(8, 8), pred
 
 
+def _jpeg_prog_ac_first(reader, ac_tab, row, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah=0) for one block: spectral band
+    ss..se at point transform al, with end-of-band run batching (EOBn).
+    ``row`` is the block's 64-entry zigzag-order coefficient view."""
+    if eobrun > 0:
+        return eobrun - 1  # this block is inside an end-of-band run
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r) + ext end-of-band blocks
+                return (1 << r) + (reader.read(r) if r else 0) - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg progressive AC run overruns the band")
+        row[k] = _jpeg_extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_prog_ac_refine(reader, ac_tab, row, ss, se, al, eobrun):
+    """Progressive AC refinement scan (Ah=al+1) for one block: newly
+    significant coefficients arrive as (run, 1) + sign; already-coded
+    coefficients absorb correction bits as the runs pass over them;
+    EOBn runs consume correction bits for every remaining nonzero
+    coefficient of each covered block (G.1.2.3 / the libjpeg refine
+    algorithm)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.read(r) if r else 0)
+                    break
+                # r == 15: ZRL — pass over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg refinement magnitude must be 1")
+                val = p1 if reader.read(1) else -p1
+            while k <= se:
+                c = int(row[k])
+                if c != 0:
+                    # history coefficient: correction bit
+                    if reader.read(1) and (c & p1) == 0:
+                        row[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # trailing correction bits inside the EOB run
+            c = int(row[k])
+            if c != 0:
+                if reader.read(1) and (c & p1) == 0:
+                    row[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_prog_scan(b, pos, scan_comps, ss, se, ah, al, coefs, mx, my, ri):
+    """Decode one progressive scan (1x1-sampled frames only — the MCU
+    grid equals every component's block grid). ``scan_comps`` is a list
+    of (ci, dc_tab, ac_tab); DC scans may interleave several components,
+    AC scans carry exactly one. Mutates ``coefs[ci]`` ((my, mx, 64)
+    int32, zigzag order) and returns the stream offset after the scan's
+    entropy data."""
+    chunks, end = _jpeg_split_entropy(b, pos)
+    reader = _JpegBitReader(chunks[0])
+    chunk_i = 0
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+    if ss == 0:  # DC scan, possibly interleaved
+        if se != 0:
+            raise ValueError("jpeg DC scan must have Se=0")
+        for mcu in range(mx * my):
+            if ri and mcu and mcu % ri == 0:
+                chunk_i += 1
+                if chunk_i >= len(chunks):
+                    raise ValueError("jpeg missing restart chunk")
+                reader = _JpegBitReader(chunks[chunk_i])
+                preds = [0] * len(scan_comps)
+            yb, xb = divmod(mcu, mx)
+            for si, (ci, dc_tab, _) in enumerate(scan_comps):
+                if ah == 0:
+                    t = _jpeg_huff_decode(reader, dc_tab)
+                    if t > 11:
+                        raise ValueError("jpeg DC category out of range")
+                    preds[si] += _jpeg_extend(reader.read(t), t) if t else 0
+                    coefs[ci][yb, xb, 0] = preds[si] << al
+                else:  # refinement: one bit per block
+                    coefs[ci][yb, xb, 0] = int(coefs[ci][yb, xb, 0]) | (
+                        reader.read(1) << al
+                    )
+    else:  # AC scan: single component over its block grid
+        if len(scan_comps) != 1 or se > 63 or ss > se:
+            raise ValueError("jpeg AC scan shape invalid")
+        ci, _, ac_tab = scan_comps[0]
+        fn = _jpeg_prog_ac_first if ah == 0 else _jpeg_prog_ac_refine
+        for blk in range(mx * my):
+            if ri and blk and blk % ri == 0:
+                chunk_i += 1
+                if chunk_i >= len(chunks):
+                    raise ValueError("jpeg missing restart chunk")
+                reader = _JpegBitReader(chunks[chunk_i])
+                eobrun = 0
+            yb, xb = divmod(blk, mx)
+            eobrun = fn(reader, ac_tab, coefs[ci][yb, xb], ss, se, al, eobrun)
+    return end
+
+
+def _jpeg_prog_reconstruct(comps, coefs, width: int, height: int, qt):
+    """Turn accumulated progressive coefficients into pixels: de-zigzag,
+    dequantize, IDCT per block (same floor(x+0.5) contract as the
+    baseline path), then the shared gray/YCbCr finish. 1x1 sampling
+    only, so no upsample is needed."""
+    mx, my = -(-width // 8), -(-height // 8)
+    planes = []
+    for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise ValueError("jpeg progressive frame missing quant table")
+        q = qt[comp["tq"]]
+        plane = np.zeros((my * 8, mx * 8), dtype=np.uint8)
+        nat = np.zeros(64, dtype=np.int32)
+        for yb in range(my):
+            for xb in range(mx):
+                nat[_JPEG_ZIGZAG] = coefs[ci][yb, xb]
+                f = (
+                    _JPEG_IDCT_B.T
+                    @ (nat.reshape(8, 8).astype(np.float64) * q)
+                    @ _JPEG_IDCT_B
+                )
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = np.clip(
+                    np.floor(f + 128.0 + 0.5), 0, 255
+                ).astype(np.uint8)
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(content: Optional[bytes]):
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, grayscale or
-    4:4:4 YCbCr, optional restart intervals) to (H, W, 1) or (H, W, 3)
-    uint8, or None for anything outside that scope (progressive,
-    subsampled, 16-bit quant tables, truncated/corrupt streams) —
-    quarantine semantics, never fail the task.
+    """Decode a baseline sequential (SOF0) or progressive (SOF2) JPEG —
+    8-bit, grayscale or YCbCr (1x/2x sampling factors for baseline;
+    progressive is supported for 1x1-sampled frames), optional restart
+    intervals — to (H, W, 1) or (H, W, 3) uint8, or None for anything
+    outside that scope (lossless/arithmetic/hierarchical, 3x+ sampling,
+    subsampled progressive, 16-bit quant tables, truncated/corrupt
+    streams) — quarantine semantics, never fail the task.
 
     Full entropy pipeline: DHT canonical Huffman decode (F.2.2.3),
-    DC-predictor diff + AC run-length with ZRL/EOB, de-zigzag,
+    DC-predictor diff + AC run-length with ZRL/EOB, progressive
+    spectral-selection + successive-approximation scan accumulation
+    (EOB-run batching, refinement correction bits), de-zigzag,
     dequantize, float64 8x8 IDCT, floor(x+0.5) rounding, and the JFIF
     YCbCr->RGB conversion on integer samples."""
     b = content or b""
@@ -1325,14 +1500,23 @@ def decode_jpeg(content: Optional[bytes]):
         huff: dict = {}  # (tc, th) -> decode table
         frame = None
         ri = 0
+        progressive = False
+        coefs = None  # progressive: per-component (my, mx, 64) zigzag
+        scans_done = 0
         p = 2
         n = len(b)
-        while p + 4 <= n:
+        while p + 2 <= n:
             if b[p] != 0xFF:
                 return None
             m = b[p + 1]
-            if m == 0xD9:
-                return None  # EOI before any scan
+            if m == 0xD9:  # EOI: progressive streams reconstruct here
+                if progressive and scans_done:
+                    return _jpeg_prog_reconstruct(
+                        frame[2], coefs, frame[0], frame[1], qt
+                    )
+                return None
+            if p + 4 > n:
+                return None
             seg_len = int.from_bytes(b[p + 2 : p + 4], "big")
             if seg_len < 2 or p + 2 + seg_len > n:
                 return None
@@ -1360,7 +1544,7 @@ def decode_jpeg(content: Optional[bytes]):
                         return None
                     huff[(tc, th)] = _jpeg_decode_tables(bits, vals)
                     q += 17 + nv
-            elif m == 0xC0:  # baseline SOF
+            elif m == 0xC0 or m == 0xC2:  # baseline / progressive SOF
                 prec = seg[0]
                 height = int.from_bytes(seg[1:3], "big")
                 width = int.from_bytes(seg[3:5], "big")
@@ -1375,13 +1559,48 @@ def decode_jpeg(content: Optional[bytes]):
                         return None  # 3x/4x sampling out of scope
                     if nc == 1:
                         hs = vs = 1  # single-component scans are 1x1
+                    if m == 0xC2 and (hs, vs) != (1, 1):
+                        return None  # subsampled progressive descope
                     comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
                 frame = (width, height, comps)
+                if m == 0xC2:
+                    progressive = True
+                    mx0, my0 = -(-width // 8), -(-height // 8)
+                    coefs = [
+                        np.zeros((my0, mx0, 64), dtype=np.int32)
+                        for _ in comps
+                    ]
             elif m in _JPEG_SOF:
-                return None  # progressive / lossless / differential
+                return None  # lossless / arithmetic / differential
             elif m == 0xDD:  # DRI
                 ri = int.from_bytes(seg[:2], "big")
-            elif m == 0xDA:  # SOS: decode the scan and return
+            elif m == 0xDA and progressive:  # one scan of many
+                width, height, comps = frame
+                ns = seg[0]
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                ids = {comp["id"]: ci for ci, comp in enumerate(comps)}
+                scan_comps = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                    if cs not in ids:
+                        return None
+                    td, ta = tt >> 4, tt & 0x0F
+                    dc_tab = huff.get((0, td)) if ss == 0 else None
+                    ac_tab = huff.get((1, ta)) if se > 0 else None
+                    if ss == 0 and ah == 0 and dc_tab is None:
+                        return None
+                    if se > 0 and ac_tab is None:
+                        return None
+                    scan_comps.append((ids[cs], dc_tab, ac_tab))
+                mx0, my0 = -(-width // 8), -(-height // 8)
+                p = _jpeg_prog_scan(
+                    b, p + 2 + seg_len, scan_comps, ss, se, ah, al,
+                    coefs, mx0, my0, ri,
+                )
+                scans_done += 1
+                continue
+            elif m == 0xDA:  # baseline SOS: decode the scan and return
                 if frame is None:
                     return None
                 width, height, comps = frame
@@ -1403,7 +1622,7 @@ def decode_jpeg(content: Optional[bytes]):
                     comp["dc"] = huff[(0, td)]
                     comp["ac"] = huff[(1, ta)]
                     comp["q"] = qt[comp["tq"]]
-                chunks = _jpeg_split_entropy(b, p + 2 + seg_len)
+                chunks, _ = _jpeg_split_entropy(b, p + 2 + seg_len)
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
                 mx = -(-width // (8 * hmax))
@@ -1503,9 +1722,14 @@ _JPEG_ENC_DC_LUMA = [
 _JPEG_ENC_DC_CHROMA = [(2, [0, 1, 2])] + [
     (ln, [ln]) for ln in range(3, 12)
 ]
-_JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+_JPEG_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    # EOBn symbols (r<<4, r=1..14): end-of-band run lengths for
+    # progressive scans; never emitted in baseline streams but carried
+    # in the table so one table spec serves both modes
+    + [r << 4 for r in range(1, 15)]
+)
 
 
 def _jpeg_ac_spec(short: list) -> list:
@@ -1722,6 +1946,229 @@ def encode_jpeg(
                     )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    levels, width: int, height: int, qtables, al: int = 1
+) -> bytes:
+    """Independent progressive (SOF2) writer for fixtures: the same
+    QUANTIZED coefficient blocks :func:`encode_jpeg` takes, stored as a
+    spectral-selection + successive-approximation scan script —
+
+    1. DC first scan, interleaved over all components, point transform
+       ``al``; then ``al`` DC refinement scans (one raw bit per block).
+    2. Per component: AC first scans for bands 1-5 and 6-63 at ``al``,
+       then ``al`` refinement passes over both bands (newly-significant
+       coefficients as (run, 1) + sign, correction bits for history
+       coefficients, EOB-run batching with buffered correction bits —
+       the G.1.2.x algorithm).
+
+    1x1 sampling only (the progressive scope of :func:`decode_jpeg`);
+    pixels decode IDENTICALLY to the baseline encoding of the same
+    levels, which is why the SQL oracle needs no storage-mode term."""
+    ncomp = len(levels)
+    if ncomp not in (1, 3):
+        raise ValueError("levels must hold 1 or 3 component block arrays")
+    if len(qtables) != (1 if ncomp == 1 else 2):
+        raise ValueError("qtables must hold 1 (gray) or 2 (color) tables")
+    if not 1 <= al <= 10:
+        raise ValueError("al must be in 1..10")
+    mx, my = -(-width // 8), -(-height // 8)
+    lv = [np.asarray(a, dtype=np.int64) for a in levels]
+    for a in lv:
+        if a.shape != (my, mx, 8, 8):
+            raise ValueError(f"component blocks must be {(my, mx, 8, 8)}")
+    qts = [np.asarray(q, dtype=np.int64) for q in qtables]
+    for q in qts:
+        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
+            raise ValueError("quant tables must be 8x8 with values 1..255")
+    # zigzag views: zz[ci][blk][k] for k in 0..63
+    zz = [
+        a.reshape(my * mx, 64)[:, _JPEG_ENC_ZIGZAG] for a in lv
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qts):
+        flat = q.reshape(-1)
+        out += seg(
+            0xDB, bytes([tq]) + bytes(int(flat[t]) for t in _JPEG_ENC_ZIGZAG)
+        )
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)
+    dc_l, dht_dc_l = _jpeg_enc_huff(_JPEG_ENC_DC_LUMA)
+    ac_l, dht_ac_l = _jpeg_enc_huff(_JPEG_ENC_AC_LUMA)
+    out += seg(0xC4, bytes([0x00]) + dht_dc_l)
+    out += seg(0xC4, bytes([0x10]) + dht_ac_l)
+    dc_tabs, ac_tabs, tids = [dc_l], [ac_l], [(0, 0)]
+    if ncomp == 3:
+        dc_c, dht_dc_c = _jpeg_enc_huff(_JPEG_ENC_DC_CHROMA)
+        ac_c, dht_ac_c = _jpeg_enc_huff(_JPEG_ENC_AC_CHROMA)
+        out += seg(0xC4, bytes([0x01]) + dht_dc_c)
+        out += seg(0xC4, bytes([0x11]) + dht_ac_c)
+        dc_tabs += [dc_c, dc_c]
+        ac_tabs += [ac_c, ac_c]
+        tids += [(1, 1), (1, 1)]
+
+    def sos_header(cids, ss, se, ah, a_l) -> bytes:
+        hdr = bytes([len(cids)])
+        for ci in cids:
+            td, ta = tids[ci]
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        return seg(0xDA, hdr + bytes([ss, se, (ah << 4) | a_l]))
+
+    def put_coded(bw, codes, sym, v, s):
+        c, ln = codes[sym]
+        bw.put(c, ln)
+        if s:
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+
+    # --- scan 1: DC first, interleaved, point transform al ---
+    out += sos_header(list(range(ncomp)), 0, 0, 0, al)
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    for blk in range(my * mx):
+        for ci in range(ncomp):
+            v = int(zz[ci][blk][0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = abs(diff).bit_length()
+            if s > 11:
+                raise ValueError("DC level out of range")
+            put_coded(bw, dc_tabs[ci], s, diff, s)
+    bw.flush()
+    out += bw.out
+
+    # --- DC refinement scans: one raw bit per block, al-1 .. 0 ---
+    for lvl in range(al - 1, -1, -1):
+        out += sos_header(list(range(ncomp)), 0, 0, lvl + 1, lvl)
+        bw = _JpegBitWriter()
+        for blk in range(my * mx):
+            for ci in range(ncomp):
+                bw.put((int(zz[ci][blk][0]) >> lvl) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    bands = [(1, 5), (6, 63)]
+
+    def ac_first(bw, codes, blocks, ss, se, a_l):
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            put_coded(bw, codes, r << 4, 0, 0)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for row in blocks:
+            vals = [
+                (int(v) >> a_l) if v >= 0 else -((-int(v)) >> a_l)
+                for v in row[ss : se + 1]
+            ]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for v in vals[: last_nz + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put_coded(bw, codes, 0xF0, 0, 0)
+                    run -= 16
+                s = abs(v).bit_length()
+                if s > 10:
+                    raise ValueError("AC level out of range")
+                put_coded(bw, codes, (run << 4) | s, v, s)
+                run = 0
+            if last_nz < se - ss:  # trailing zeros open a new EOB run
+                eobrun = 1
+        flush()
+
+    def ac_refine(bw, codes, blocks, ss, se, lvl):
+        eobrun = 0
+        ebits: list = []
+
+        def flush():
+            nonlocal eobrun, ebits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                put_coded(bw, codes, r << 4, 0, 0)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+            for bit in ebits:
+                bw.put(bit, 1)
+            ebits = []
+
+        for row in blocks:
+            mags = [abs(int(v)) >> lvl for v in row[ss : se + 1]]
+            new_idx = [i for i, a in enumerate(mags) if a == 1]
+            if not new_idx:
+                eobrun += 1
+                ebits += [a & 1 for a in mags if a > 1]
+                if eobrun == 0x7FFF or len(ebits) >= 930:
+                    flush()
+                continue
+            flush()
+            run = 0
+            pend: list = []
+            ke = new_idx[-1]
+            for i in range(ke + 1):
+                a = mags[i]
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put_coded(bw, codes, 0xF0, 0, 0)
+                    run -= 16
+                    for bit in pend:
+                        bw.put(bit, 1)
+                    pend = []
+                if a > 1:  # history coefficient: buffer correction bit
+                    pend.append(a & 1)
+                    continue
+                put_coded(bw, codes, (run << 4) | 1, 0, 0)
+                bw.put(1 if row[ss + i] > 0 else 0, 1)
+                for bit in pend:
+                    bw.put(bit, 1)
+                pend = []
+                run = 0
+            tail = [a & 1 for a in mags[ke + 1 :] if a > 1]
+            if ke < se - ss:
+                eobrun = 1
+                ebits = tail
+        flush()
+
+    for lvl in [al] + list(range(al - 1, -1, -1)):
+        first = lvl == al
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header(
+                    [ci], ss, se, 0 if first else lvl + 1, lvl
+                )
+                bw = _JpegBitWriter()
+                if first:
+                    ac_first(bw, ac_tabs[ci], zz[ci], ss, se, lvl)
+                else:
+                    ac_refine(bw, ac_tabs[ci], zz[ci], ss, se, lvl)
+                bw.flush()
+                out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 

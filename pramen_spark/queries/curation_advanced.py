@@ -2807,7 +2807,8 @@ def _jpeg_oracle_sql() -> str:
 @query(
     "image_pixel_stats_jpeg",
     _jpeg_oracle_sql(),
-    "REAL baseline JPEG decode: complete SOF0 files (canonical Huffman "
+    "REAL JPEG decode: complete SOF0 AND progressive SOF2 files "
+    "(canonical Huffman "
     "entropy coding, zigzag, DC prediction, restart markers, gray, "
     "4:4:4 AND subsampled 4:2:0 color) written by the independent "
     "encoder from quantized DCT levels, decoded back sample-exact; the "
@@ -2821,7 +2822,10 @@ def q_image_pixel_stats_jpeg(spark, sf_dir):
     a baseline JPEG — w=9+5*id%20, h=9+7*id%20, grayscale for even ids,
     YCbCr 4:4:4 for id%4==1, YCbCr 4:2:0 (the dominant real-world
     layout: Y 2x2, chroma on the half grid, nearest-neighbor upsample)
-    for id%4==3, restart interval 2 for ids divisible by 3 — whose
+    for id%4==3, restart interval 2 for ids divisible by 3, and
+    PROGRESSIVE (SOF2) storage for gray/4:4:4 ids with id%5==2 (the
+    spectral-selection + successive-approximation scan script — same
+    levels, same pixels, so the oracle is storage-invariant) — whose
     quantized coefficient levels come from small-moduli arithmetic on
     (id, block, component), so the decoded samples are exactly
     clamp(floor(idct(level*q) + 128.5)) with a 5-term IDCT that DuckDB
@@ -2836,6 +2840,7 @@ def q_image_pixel_stats_jpeg(spark, sf_dir):
     100 TB multimodal pipeline ships to GPU decoders."""
     from pramen_spark.operators.multimodal import (
         encode_jpeg,
+        encode_jpeg_progressive,
         image_pixel_stats,
     )
     from pyspark.sql import types as T
@@ -2860,17 +2865,28 @@ def q_image_pixel_stats_jpeg(spark, sf_dir):
                 i = int(i)
                 w, h = 9 + (i * 5) % 20, 9 + (i * 7) % 20
                 ri = 2 if i % 3 == 0 else 0
+                # storage mode is an independent axis: ids with i%5==2
+                # store their gray/4:4:4 levels PROGRESSIVELY (SOF2
+                # spectral selection + successive approximation) — the
+                # pixels, and therefore the oracle, are identical
+                prog = i % 5 == 2
                 if i % 2 == 0:  # grayscale, single-component scan
                     mx, my = -(-w // 8), -(-h // 8)
                     lv = [_jpeg_fixture_blocks(i, mx, my, 0)]
                     blobs.append(
-                        encode_jpeg(lv, w, h, [qy], restart_interval=ri)
+                        encode_jpeg_progressive(lv, w, h, [qy])
+                        if prog
+                        else encode_jpeg(lv, w, h, [qy], restart_interval=ri)
                     )
                 elif i % 4 == 1:  # YCbCr 4:4:4
                     mx, my = -(-w // 8), -(-h // 8)
                     lv = [_jpeg_fixture_blocks(i, mx, my, c) for c in range(3)]
                     blobs.append(
-                        encode_jpeg(lv, w, h, [qy, qc], restart_interval=ri)
+                        encode_jpeg_progressive(lv, w, h, [qy, qc])
+                        if prog
+                        else encode_jpeg(
+                            lv, w, h, [qy, qc], restart_interval=ri
+                        )
                     )
                 else:  # YCbCr 4:2:0 — Y on the full grid, chroma halved
                     mx, my = -(-w // 16), -(-h // 16)

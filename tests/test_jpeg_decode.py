@@ -66,8 +66,9 @@ class TestTables:
         [
             (_JPEG_ENC_DC_LUMA, 12),
             (_JPEG_ENC_DC_CHROMA, 12),
-            (_JPEG_ENC_AC_LUMA, 162),
-            (_JPEG_ENC_AC_CHROMA, 162),
+            # 162 baseline AC symbols + 14 progressive EOBn symbols
+            (_JPEG_ENC_AC_LUMA, 176),
+            (_JPEG_ENC_AC_CHROMA, 176),
         ],
     )
     def test_huffman_specs_are_prefix_valid(self, spec, nsyms):
@@ -192,6 +193,83 @@ class TestRoundTrip:
         assert rst == 7  # 16 MCUs / 2 per chunk -> 8 chunks -> 7 markers
 
 
+class TestProgressive:
+    """SOF2 scans (round 11): spectral selection + successive
+    approximation must accumulate to EXACTLY the pixels the baseline
+    encoding of the same levels produces — the decisive property that
+    lets one SQL oracle cover both storage modes."""
+
+    def test_fuzz_vs_reference_and_vs_baseline(self):
+        from pramen_spark.operators.multimodal import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(41)
+        for trial in range(60):
+            w, h = rng.randint(1, 36), rng.randint(1, 36)
+            ncomp = int(rng.choice([1, 3]))
+            al = int(rng.choice([1, 1, 2]))
+            lv, qts = _random_fixture(
+                rng, w, h, ncomp, density=float(rng.choice([0.05, 0.3]))
+            )
+            prog = decode_jpeg(encode_jpeg_progressive(lv, w, h, qts, al=al))
+            base = decode_jpeg(encode_jpeg(lv, w, h, qts))
+            ref = jpeg_reference_pixels(lv, qts, w, h)
+            assert prog is not None and np.array_equal(prog, ref), (
+                trial, w, h, ncomp, al,
+            )
+            assert np.array_equal(base, prog)
+
+    def test_eob_run_batching_exercised(self):
+        """A mostly-empty coefficient field forces EOBn symbols with
+        run length > 1 (the batched end-of-band path on both sides)."""
+        from pramen_spark.operators.multimodal import (
+            encode_jpeg_progressive,
+        )
+
+        lv = [np.zeros((4, 4, 8, 8), np.int64)]
+        lv[0][0, 0, 0, 0] = 9
+        lv[0][3, 3, 2, 2] = -7  # one late AC so band scans aren't all-EOB
+        q = np.full((8, 8), 16, np.int64)
+        blob = encode_jpeg_progressive(lv, 32, 32, [q])
+        ref = jpeg_reference_pixels(lv, [q], 32, 32)
+        assert np.array_equal(decode_jpeg(blob), ref)
+
+    def test_refinement_correction_bits_across_eob_runs(self):
+        """History coefficients inside EOB-covered blocks receive their
+        correction bits in block order — odd magnitudes everywhere make
+        every correction bit 1-valued and position-sensitive."""
+        from pramen_spark.operators.multimodal import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(43)
+        lv = [np.zeros((3, 3, 8, 8), np.int64)]
+        # odd values >= 3: history in the al=1 first scan, correction
+        # bit 1 in the refinement; scattered zeros exercise runs
+        mask = rng.rand(3, 3, 8, 8) < 0.4
+        lv[0][mask] = rng.choice([-9, -5, -3, 3, 5, 7], size=int(mask.sum()))
+        q = np.full((8, 8), 11, np.int64)
+        blob = encode_jpeg_progressive(lv, 24, 24, [q])
+        assert np.array_equal(
+            decode_jpeg(blob), jpeg_reference_pixels(lv, [q], 24, 24)
+        )
+
+    def test_progressive_subsampled_frame_rejected(self):
+        # progressive scope is 1x1 sampling; a crafted SOF2 with 2x2
+        # factors quarantines
+        from pramen_spark.operators.multimodal import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(44)
+        lv, qts = _random_fixture(rng, 16, 16, 3)
+        blob = bytearray(encode_jpeg_progressive(lv, 16, 16, qts))
+        i = blob.find(b"\xff\xc2")
+        blob[i + 4 + 6 + 1] = 0x22
+        assert decode_jpeg(bytes(blob)) is None
+
+
 class TestQuarantine:
     """Out-of-scope or corrupt payloads decode to None, never raise."""
 
@@ -206,10 +284,18 @@ class TestQuarantine:
             out = decode_jpeg(blob[:cut])
             assert out is None or isinstance(out, np.ndarray)
 
-    def test_progressive_sof_rejected(self):
+    def test_progressive_marker_with_baseline_scan_rejected(self):
+        # flipping SOF0 -> SOF2 without rewriting the scan script leaves
+        # a full-band (Ss=0, Se=63) scan that is invalid progressive
         blob = bytearray(self._blob())
         i = blob.find(b"\xff\xc0")
         blob[i + 1] = 0xC2  # SOF2: progressive
+        assert decode_jpeg(bytes(blob)) is None
+
+    def test_lossless_sof_rejected(self):
+        blob = bytearray(self._blob())
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC3  # SOF3: lossless
         assert decode_jpeg(bytes(blob)) is None
 
     def test_oversampled_rejected(self):
