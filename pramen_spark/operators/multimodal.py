@@ -709,7 +709,30 @@ def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
         ):
             return None
         ch = _PNG_CHANNELS[color_type]
-        raw = zlib.decompress(bytes(idat))
+        # expected inflated size follows from the header alone — compute
+        # it BEFORE decompressing or allocating, so a crafted header
+        # (2^30 x 2^30 dims) or a zlib bomb quarantines as None instead
+        # of raising MemoryError inside a Spark task
+        if interlace == 0:
+            expected = height * (width * ch + 1)
+            passes = None
+        else:
+            passes = []
+            expected = 0
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                pw = -(-(width - x0) // dx) if width > x0 else 0
+                ph = -(-(height - y0) // dy) if height > y0 else 0
+                if pw and ph:
+                    passes.append((x0, y0, dx, dy, pw, ph))
+                    expected += ph * (pw * ch + 1)
+        if expected > (1 << 31):
+            return None  # >2 GiB of samples is not a curation thumbnail
+        # max_length = expected + 1: a valid stream inflates to exactly
+        # `expected`; anything longer (a bomb) yields expected + 1 and
+        # is rejected without materializing the excess
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        if len(raw) != expected:
+            return None  # stream inflates to the wrong size
     except (zlib.error, struct.error):
         return None
     if interlace == 0:
@@ -717,11 +740,7 @@ def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
     else:
         out = np.zeros((height, width * ch), dtype=np.uint8)
         off = 0
-        for x0, y0, dx, dy in _PNG_ADAM7:
-            pw = -(-(width - x0) // dx) if width > x0 else 0
-            ph = -(-(height - y0) // dy) if height > y0 else 0
-            if pw == 0 or ph == 0:
-                continue
+        for x0, y0, dx, dy, pw, ph in passes:
             block_len = ph * (pw * ch + 1)
             sub = _png_unfilter(raw[off : off + block_len], ph, pw, ch)
             if sub is None:
@@ -729,8 +748,6 @@ def decode_png(content: Optional[bytes]) -> Optional[np.ndarray]:
             off += block_len
             frame = out.reshape(height, width, ch)
             frame[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
-        if off != len(raw):
-            return None
     if out is None:
         return None
     px = out.reshape(height, width, ch)
@@ -1436,31 +1453,18 @@ def _jpeg_prog_scan(b, pos, scan_comps, ss, se, ah, al, coefs, mx, my, ri):
     return end
 
 
-def _jpeg_prog_reconstruct(comps, coefs, width: int, height: int, qt):
-    """Turn accumulated progressive coefficients into pixels: de-zigzag,
-    dequantize, IDCT per block (same floor(x+0.5) contract as the
-    baseline path), then the shared gray/YCbCr finish. 1x1 sampling
-    only, so no upsample is needed."""
-    mx, my = -(-width // 8), -(-height // 8)
-    planes = []
-    for ci, comp in enumerate(comps):
-        if comp["tq"] not in qt:
-            raise ValueError("jpeg progressive frame missing quant table")
-        q = qt[comp["tq"]]
-        plane = np.zeros((my * 8, mx * 8), dtype=np.uint8)
-        nat = np.zeros(64, dtype=np.int32)
-        for yb in range(my):
-            for xb in range(mx):
-                nat[_JPEG_ZIGZAG] = coefs[ci][yb, xb]
-                f = (
-                    _JPEG_IDCT_B.T
-                    @ (nat.reshape(8, 8).astype(np.float64) * q)
-                    @ _JPEG_IDCT_B
-                )
-                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = np.clip(
-                    np.floor(f + 128.0 + 0.5), 0, 255
-                ).astype(np.uint8)
-        planes.append(plane[:height, :width])
+def _jpeg_idct_block(coef_nat, q) -> np.ndarray:
+    """THE decoder rounding contract, in one place for both storage
+    modes: sample = clamp(floor(idct(coef*q) + 128 + 0.5)) — floor(x+.5)
+    rounding, not banker's, so DuckDB doubles round identically."""
+    f = _JPEG_IDCT_B.T @ (coef_nat.astype(np.float64) * q) @ _JPEG_IDCT_B
+    return np.clip(np.floor(f + 128.0 + 0.5), 0, 255).astype(np.uint8)
+
+
+def _jpeg_finish(planes):
+    """Gray/YCbCr finish shared by the baseline and progressive paths:
+    integer component samples -> (H, W, 1) gray or JFIF-converted
+    (H, W, 3) RGB with the same floor(x+0.5) contract."""
     if len(planes) == 1:
         return planes[0][:, :, None]
     y = planes[0].astype(np.float64)
@@ -1475,6 +1479,28 @@ def _jpeg_prog_reconstruct(comps, coefs, width: int, height: int, qt):
         axis=2,
     )
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _jpeg_prog_reconstruct(comps, coefs, width: int, height: int, qt):
+    """Turn accumulated progressive coefficients into pixels: de-zigzag,
+    dequantize, IDCT per block, then the shared gray/YCbCr finish.
+    1x1 sampling only, so no upsample is needed."""
+    mx, my = -(-width // 8), -(-height // 8)
+    planes = []
+    for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise ValueError("jpeg progressive frame missing quant table")
+        q = qt[comp["tq"]]
+        plane = np.zeros((my * 8, mx * 8), dtype=np.uint8)
+        nat = np.zeros(64, dtype=np.int32)
+        for yb in range(my):
+            for xb in range(mx):
+                nat[_JPEG_ZIGZAG] = coefs[ci][yb, xb]
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    _jpeg_idct_block(nat.reshape(8, 8), q)
+                )
+        planes.append(plane[:height, :width])
+    return _jpeg_finish(planes)
 
 
 def decode_jpeg(content: Optional[bytes]):
@@ -1509,6 +1535,9 @@ def decode_jpeg(content: Optional[bytes]):
             if b[p] != 0xFF:
                 return None
             m = b[p + 1]
+            if m == 0xFF:  # fill byte (B.1.1.2): FF padding before markers
+                p += 1
+                continue
             if m == 0xD9:  # EOI: progressive streams reconstruct here
                 if progressive and scans_done:
                     return _jpeg_prog_reconstruct(
@@ -1649,16 +1678,10 @@ def decode_jpeg(content: Optional[bytes]):
                                 coef, preds[ci] = _jpeg_decode_block(
                                     reader, comp["dc"], comp["ac"], preds[ci]
                                 )
-                                f = (
-                                    _JPEG_IDCT_B.T
-                                    @ (coef.astype(np.float64) * comp["q"])
-                                    @ _JPEG_IDCT_B
-                                )
-                                px = np.clip(np.floor(f + 128.0 + 0.5), 0, 255)
                                 yo = (ym * comp["v"] + by) * 8
                                 xo = (xm * comp["h"] + bx) * 8
                                 planes[ci][yo : yo + 8, xo : xo + 8] = (
-                                    px.astype(np.uint8)
+                                    _jpeg_idct_block(coef, comp["q"])
                                 )
                 # nearest-neighbor chroma upsample to frame resolution
                 # (index replication: full[y,x] = plane[y*v//vmax, x*h//hmax])
@@ -1667,21 +1690,7 @@ def decode_jpeg(content: Optional[bytes]):
                     ys = (np.arange(height) * comp["v"]) // vmax
                     xs = (np.arange(width) * comp["h"]) // hmax
                     up.append(planes[ci][ys][:, xs])
-                planes = up
-                if len(planes) == 1:
-                    return planes[0][:, :, None]
-                y = planes[0].astype(np.float64)
-                cb = planes[1].astype(np.float64) - 128.0
-                cr = planes[2].astype(np.float64) - 128.0
-                rgb = np.stack(
-                    [
-                        y + 1.402 * cr,
-                        y - 0.344136 * cb - 0.714136 * cr,
-                        y + 1.772 * cb,
-                    ],
-                    axis=2,
-                )
-                return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+                return _jpeg_finish(up)
             p += 2 + seg_len
         return None
     except (ValueError, IndexError):
@@ -1781,6 +1790,61 @@ def _jpeg_enc_huff(spec: list):
     return codes, bytes(bits) + bytes(vals)
 
 
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jpeg_writer_prologue(
+    qts, ncomp: int, sof_marker: int, width: int, height: int, sampling
+):
+    """Shared writer prologue for both storage modes: SOI + JFIF APP0 +
+    DQTs (zigzag order) + SOF + DHTs. Returns (bytearray, per-component
+    (dc_codes, ac_codes) list)."""
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qts):
+        flat = q.reshape(-1)
+        out += _jpeg_seg(
+            0xDB, bytes([tq]) + bytes(int(flat[t]) for t in _JPEG_ENC_ZIGZAG)
+        )
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        hs, vs = sampling[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
+    out += _jpeg_seg(sof_marker, sof)
+    dc_l, dht_dc_l = _jpeg_enc_huff(_JPEG_ENC_DC_LUMA)
+    ac_l, dht_ac_l = _jpeg_enc_huff(_JPEG_ENC_AC_LUMA)
+    out += _jpeg_seg(0xC4, bytes([0x00]) + dht_dc_l)
+    out += _jpeg_seg(0xC4, bytes([0x10]) + dht_ac_l)
+    tables = [(dc_l, ac_l)]
+    if ncomp == 3:
+        dc_c, dht_dc_c = _jpeg_enc_huff(_JPEG_ENC_DC_CHROMA)
+        ac_c, dht_ac_c = _jpeg_enc_huff(_JPEG_ENC_AC_CHROMA)
+        out += _jpeg_seg(0xC4, bytes([0x01]) + dht_dc_c)
+        out += _jpeg_seg(0xC4, bytes([0x11]) + dht_ac_c)
+        tables += [(dc_c, ac_c), (dc_c, ac_c)]
+    return out, tables
+
+
+def _jpeg_validate_levels(levels, qtables, shapes):
+    """Shared writer validation: component count, per-component block
+    grids, quant-table count and value range. Returns (lv, qts)."""
+    ncomp = len(levels)
+    if ncomp not in (1, 3):
+        raise ValueError("levels must hold 1 or 3 component block arrays")
+    if len(qtables) != (1 if ncomp == 1 else 2):
+        raise ValueError("qtables must hold 1 (gray) or 2 (color) tables")
+    lv = [np.asarray(a, dtype=np.int64) for a in levels]
+    for a, shape in zip(lv, shapes):
+        if a.shape != shape:
+            raise ValueError(f"component blocks must be {shape}")
+    qts = [np.asarray(q, dtype=np.int64) for q in qtables]
+    for q in qts:
+        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
+            raise ValueError("quant tables must be 8x8 with values 1..255")
+    return lv, qts
+
+
 class _JpegBitWriter:
     """MSB-first bit packer with 0xFF00 byte stuffing; flush pads the
     final byte with 1-bits (stuffed too if it lands on 0xFF)."""
@@ -1863,10 +1927,6 @@ def encode_jpeg(
     ``restart_interval`` > 0 a DRI segment and FFD0-7 markers are
     emitted every that many MCUs (predictors reset, bits padded)."""
     ncomp = len(levels)
-    if ncomp not in (1, 3):
-        raise ValueError("levels must hold 1 or 3 component block arrays")
-    if len(qtables) != (1 if ncomp == 1 else 2):
-        raise ValueError("qtables must hold 1 (gray) or 2 (color) tables")
     sampling = list(sampling) if sampling else [(1, 1)] * ncomp
     if len(sampling) != ncomp or any(
         hs not in (1, 2) or vs not in (1, 2) for hs, vs in sampling
@@ -1877,51 +1937,18 @@ def encode_jpeg(
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)
     mx, my = -(-width // (8 * hmax)), -(-height // (8 * vmax))
-    lv = [np.asarray(a, dtype=np.int64) for a in levels]
-    for a, (hs, vs) in zip(lv, sampling):
-        if a.shape != (my * vs, mx * hs, 8, 8):
-            raise ValueError(
-                f"component blocks must be {(my * vs, mx * hs, 8, 8)}"
-            )
-    qts = [np.asarray(q, dtype=np.int64) for q in qtables]
-    for q in qts:
-        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
-            raise ValueError("quant tables must be 8x8 with values 1..255")
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    for tq, q in enumerate(qts):
-        flat = q.reshape(-1)
-        out += seg(
-            0xDB,
-            bytes([tq]) + bytes(int(flat[t]) for t in _JPEG_ENC_ZIGZAG),
-        )
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for c in range(ncomp):
-        hs, vs = sampling[c]
-        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
-    out += seg(0xC0, sof)
-    dc_l, dht_dc_l = _jpeg_enc_huff(_JPEG_ENC_DC_LUMA)
-    ac_l, dht_ac_l = _jpeg_enc_huff(_JPEG_ENC_AC_LUMA)
-    out += seg(0xC4, bytes([0x00]) + dht_dc_l)
-    out += seg(0xC4, bytes([0x10]) + dht_ac_l)
-    tables = [(dc_l, ac_l)]
-    if ncomp == 3:
-        dc_c, dht_dc_c = _jpeg_enc_huff(_JPEG_ENC_DC_CHROMA)
-        ac_c, dht_ac_c = _jpeg_enc_huff(_JPEG_ENC_AC_CHROMA)
-        out += seg(0xC4, bytes([0x01]) + dht_dc_c)
-        out += seg(0xC4, bytes([0x11]) + dht_ac_c)
-        tables += [(dc_c, ac_c), (dc_c, ac_c)]
+    lv, qts = _jpeg_validate_levels(
+        levels, qtables,
+        [(my * vs, mx * hs, 8, 8) for hs, vs in sampling],
+    )
+    out, tables = _jpeg_writer_prologue(qts, ncomp, 0xC0, width, height, sampling)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _jpeg_seg(0xDA, sos)
     bw = _JpegBitWriter()
     preds = [0] * ncomp
     rst = 0
@@ -1969,60 +1996,29 @@ def encode_jpeg_progressive(
     pixels decode IDENTICALLY to the baseline encoding of the same
     levels, which is why the SQL oracle needs no storage-mode term."""
     ncomp = len(levels)
-    if ncomp not in (1, 3):
-        raise ValueError("levels must hold 1 or 3 component block arrays")
-    if len(qtables) != (1 if ncomp == 1 else 2):
-        raise ValueError("qtables must hold 1 (gray) or 2 (color) tables")
     if not 1 <= al <= 10:
         raise ValueError("al must be in 1..10")
     mx, my = -(-width // 8), -(-height // 8)
-    lv = [np.asarray(a, dtype=np.int64) for a in levels]
-    for a in lv:
-        if a.shape != (my, mx, 8, 8):
-            raise ValueError(f"component blocks must be {(my, mx, 8, 8)}")
-    qts = [np.asarray(q, dtype=np.int64) for q in qtables]
-    for q in qts:
-        if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
-            raise ValueError("quant tables must be 8x8 with values 1..255")
+    lv, qts = _jpeg_validate_levels(
+        levels, qtables, [(my, mx, 8, 8)] * ncomp
+    )
     # zigzag views: zz[ci][blk][k] for k in 0..63
     zz = [
         a.reshape(my * mx, 64)[:, _JPEG_ENC_ZIGZAG] for a in lv
     ]
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    for tq, q in enumerate(qts):
-        flat = q.reshape(-1)
-        out += seg(
-            0xDB, bytes([tq]) + bytes(int(flat[t]) for t in _JPEG_ENC_ZIGZAG)
-        )
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    out += seg(0xC2, sof)
-    dc_l, dht_dc_l = _jpeg_enc_huff(_JPEG_ENC_DC_LUMA)
-    ac_l, dht_ac_l = _jpeg_enc_huff(_JPEG_ENC_AC_LUMA)
-    out += seg(0xC4, bytes([0x00]) + dht_dc_l)
-    out += seg(0xC4, bytes([0x10]) + dht_ac_l)
-    dc_tabs, ac_tabs, tids = [dc_l], [ac_l], [(0, 0)]
-    if ncomp == 3:
-        dc_c, dht_dc_c = _jpeg_enc_huff(_JPEG_ENC_DC_CHROMA)
-        ac_c, dht_ac_c = _jpeg_enc_huff(_JPEG_ENC_AC_CHROMA)
-        out += seg(0xC4, bytes([0x01]) + dht_dc_c)
-        out += seg(0xC4, bytes([0x11]) + dht_ac_c)
-        dc_tabs += [dc_c, dc_c]
-        ac_tabs += [ac_c, ac_c]
-        tids += [(1, 1), (1, 1)]
+    out, tables = _jpeg_writer_prologue(
+        qts, ncomp, 0xC2, width, height, [(1, 1)] * ncomp
+    )
+    dc_tabs = [t[0] for t in tables]
+    ac_tabs = [t[1] for t in tables]
+    tids = [(0, 0)] + [(1, 1)] * (ncomp - 1)
 
     def sos_header(cids, ss, se, ah, a_l) -> bytes:
         hdr = bytes([len(cids)])
         for ci in cids:
             td, ta = tids[ci]
             hdr += bytes([ci + 1, (td << 4) | ta])
-        return seg(0xDA, hdr + bytes([ss, se, (ah << 4) | a_l]))
+        return _jpeg_seg(0xDA, hdr + bytes([ss, se, (ah << 4) | a_l]))
 
     def put_coded(bw, codes, sym, v, s):
         c, ln = codes[sym]

@@ -1407,12 +1407,15 @@ def bpe_train_merges_fast(
     return merges
 
 
+_VOCAB_LIMIT_UNSET = object()  # distinct sentinel: callers may pass None
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 40,
     head_k: Optional[int] = 512,
-    vocab_limit: Optional[int] = -1,
+    vocab_limit=_VOCAB_LIMIT_UNSET,
 ) -> list:
     """Learn BPE merges from a corpus: distinct-word counts (the only
     corpus-volume stage, one map-side-combined aggregation), then
@@ -1430,8 +1433,14 @@ def learn_bpe_merges(
     to affected words. Both trainers produce identical merge lists on
     identical vocabularies; the head-bounded form remains for the SQL
     oracle replay, whose unrolled training stages need a small head."""
-    if vocab_limit == -1:
+    if vocab_limit is _VOCAB_LIMIT_UNSET:
         vocab_limit = head_k
+    if vocab_limit is not None and (
+        not isinstance(vocab_limit, int) or vocab_limit < 1
+    ):
+        raise ValueError(
+            "vocab_limit must be a positive int or None (full vocabulary)"
+        )
     toks = F.expr(
         f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
     )

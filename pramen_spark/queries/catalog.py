@@ -71,6 +71,17 @@ _DRIVER_WINDOW_PRIORITY = [
     # oracle-checked every round by tools/check_oracle.py + pytest's
     # out-of-window sweep. ~166 queries still await a first driver row;
     # the next rotation should keep draining the never-checked set.
+    #
+    # Round-12 rotation queue (in this order): the two ROUND-11 debut
+    # operators lead — image_pixel_stats_jpeg (real baseline+progressive
+    # JPEG decode) and bpe_encode_large_ruleset (Arrow BPE at production
+    # table size) — exactly the precedent the r10 debuts set (shipped
+    # r10, driver-checked r11). They do NOT fit this round: the driver
+    # checks the FIRST 50 catalog entries, tiers 0+1 hold 33 and the
+    # seventeen names below were all explicitly demanded by VERDICT r10
+    # ask #1, filling the window to exactly 50. Both debuts are
+    # oracle-checked every round by tools/check_oracle.py + the pytest
+    # out-of-window sweep in the meantime.
     "bpe_encode_documents", "image_pixel_stats_gif",
     "video_frame_stats", "audio_sample_stats",
     "sequence_packing", "mixture_weights", "materialize_mixture_corpus",
@@ -78,10 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "incremental_dedup_batch", "upsample_epoch_mix", "shard_assignment",
     "value_drift_psi", "lsh_recall_audit", "ndcg_lsh_audit",
     "hll_accuracy_events", "stream_dedup_events",
-    # round-11 debut operators (same discipline: a debut flagship gets
-    # its driver row the round it ships): real baseline-JPEG pixel
-    # decode and the production-size Arrow BPE oracle
-    "image_pixel_stats_jpeg", "bpe_encode_large_ruleset",
 ]
 
 

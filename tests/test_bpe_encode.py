@@ -81,6 +81,18 @@ class TestFullVocabTrainer:
     on the same vocabulary, and prefix-consistent with head-bounded
     training wherever the head's argmax agrees with the full one."""
 
+    def test_vocab_limit_rejects_non_positive_values(self, spark):
+        """Review r11: -1 used to be the internal 'not passed' sentinel,
+        so a caller passing vocab_limit=-1 meaning 'unlimited' silently
+        got head-bounded training. Non-positive limits now raise; None
+        remains the full-vocabulary spelling."""
+        import pytest
+
+        df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+        for bad in (-1, 0, -5):
+            with pytest.raises(ValueError, match="vocab_limit"):
+                learn_bpe_merges(df, num_merges=2, vocab_limit=bad)
+
     def test_fast_trainer_equals_reference_on_random_corpora(self):
         import random
 

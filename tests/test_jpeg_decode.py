@@ -312,6 +312,17 @@ class TestQuarantine:
         blob[i + 4] |= 0x10  # Pq=1
         assert decode_jpeg(bytes(blob)) is None
 
+    def test_fill_bytes_before_markers_accepted(self):
+        # B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes; real encoders emit them, so they must not quarantine
+        blob = bytearray(self._blob())
+        i = blob.find(b"\xff\xc4")
+        blob[i:i] = b"\xff\xff\xff"
+        got = decode_jpeg(bytes(blob))
+        assert got is not None and np.array_equal(
+            got, decode_jpeg(self._blob())
+        )
+
     def test_garbage_and_header_only(self):
         assert decode_jpeg(None) is None
         assert decode_jpeg(b"") is None

@@ -474,6 +474,44 @@ class TestPngPixelCodec:
         inter = encode_png(np.zeros((16, 16, 3), dtype=np.uint8), interlace=True)
         assert decode_png(inter) is not None
 
+    def test_crafted_headers_quarantine_without_allocation(self):
+        """Review r11: a tiny PNG claiming 2^30 x 2^30 dims (or a zlib
+        bomb) must return None — the expected inflated size is derived
+        from the header and bounded BEFORE decompressing or allocating,
+        so one malformed web-crawl blob cannot OOM a Spark task."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import _PNG_SIG, decode_png
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        for interlace in (0, 1):
+            ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 6, 0, 0, interlace)
+            evil = (
+                _PNG_SIG
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\0" * 100))
+                + chunk(b"IEND", b"")
+            )
+            assert decode_png(evil) is None
+        # zlib bomb: small IDAT inflating far past the declared 4x4 size
+        bomb = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\0" * (1 << 26)))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png(bomb) is None
+
     def test_pixel_stats_integer_exact(self, spark):
         import numpy as np
 
