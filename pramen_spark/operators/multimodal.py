@@ -33,11 +33,14 @@ two tiers:
   :func:`decode_image` dispatches PNG/GIF by magic bytes for
   :func:`image_pixel_stats`, :func:`extract_features` and
   :func:`resize_images`.
-- **Uncompressed-AVI video frame decoding is REAL** (round 10):
-  :func:`decode_avi_frames` walks the RIFF container (avih geometry and
-  rate, per-stream strf gating on BI_RGB 24bpp, movi DIB frames —
-  bottom-up BGR rows, 4-byte stride) so frame extraction is byte
-  slicing; :func:`encode_avi` is the independent writer.
+- **AVI video frame decoding is REAL** (round 10; Motion JPEG round
+  11): :func:`decode_avi_frames` walks the RIFF container (avih
+  geometry and rate, per-stream strf codec gating). BI_RGB 24bpp
+  frames are byte slicing (movi DIB frames — bottom-up BGR rows,
+  4-byte stride); 'MJPG' frames are complete JPEGs handed to
+  :func:`decode_jpeg`, so Motion JPEG — baseline or progressive frames
+  — decodes to real pixels too. :func:`encode_avi` /
+  :func:`encode_avi_mjpeg` are the independent writers.
   :func:`sample_frames` decodes real AVIs at the stream's own frame
   rate (PNG frames out) and :func:`video_frame_stats` reduces exact
   per-video moments inside the decode task.
@@ -65,8 +68,9 @@ two tiers:
   independent writer. Lossless/arithmetic/hierarchical modes,
   3x/4x-sampled frames and subsampled progressive are documented
   descopes that decode to None (quarantine).
-- **Compressed audio/video stay stubbed**: inter-frame codecs need
-  toolchains not present in this environment.
+- **Inter-frame video codecs and compressed audio stay stubbed**
+  (H.26x, MP3/AAC): they need toolchains not present in this
+  environment.
   ``extract_features(hash_fallback=True)`` substitutes a documented
   content-hash pseudo-feature for undecodable payloads so mixed corpora
   can still run the plumbing; ``sample_frames(deterministic_fake=True)``
@@ -262,19 +266,21 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_avi_frames(content: Optional[bytes]):
-    """Decode an uncompressed 24-bit BI_RGB AVI to a list of (H, W, 3)
-    uint8 RGB frames plus the microseconds-per-frame rate:
-    ``(frames, us_per_frame)``, or None when the payload is not such an
-    AVI (wrong magic, compressed stream, depth != 24, or corrupt chunk
-    walk).
+    """Decode an uncompressed 24-bit BI_RGB or Motion-JPEG AVI to a
+    list of (H, W, 3) uint8 RGB frames plus the microseconds-per-frame
+    rate: ``(frames, us_per_frame)``, or None when the payload is not
+    such an AVI (wrong magic, unsupported codec, depth != 24, or
+    corrupt chunk walk).
 
     Pure stdlib RIFF walk: the ``hdrl`` list's ``avih`` gives frame
-    geometry/rate, ``strf``'s BITMAPINFOHEADER must say BI_RGB 24bpp,
-    and every ``00db``/``00dc`` chunk in the ``movi`` list is one DIB
-    frame — bottom-up rows, BGR byte order, stride padded to 4 bytes —
-    so frame extraction is byte slicing, no codec. Compressed AVIs
-    (MJPEG, etc.) return None: entropy decode is out of stdlib scope,
-    quarantine downstream."""
+    geometry/rate and ``strf``'s BITMAPINFOHEADER gates the codec. For
+    BI_RGB 24bpp every ``00db``/``00dc`` chunk in the ``movi`` list is
+    one DIB frame — bottom-up rows, BGR byte order, stride padded to 4
+    bytes — so frame extraction is byte slicing. For 'MJPG'
+    (round 11) every frame chunk is a complete JPEG handed to
+    :func:`decode_jpeg` (baseline incl. subsampled, or progressive), so
+    Motion JPEG decodes for REAL; inter-frame codecs (H.26x etc.)
+    return None — quarantine downstream."""
     b = content or b""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
@@ -334,7 +340,22 @@ def decode_avi_frames(content: Optional[bytes]):
 
     if not walk(12, len(b)):
         return None
-    if not width or not height or bit_count != 24 or compression != 0:
+    if not width or not height:
+        return None
+    if compression == int.from_bytes(b"MJPG", "little"):
+        # Motion JPEG (round 11): every frame chunk is a complete JPEG
+        # — the real baseline/progressive decoder does the work, so the
+        # 'compressed video' descope narrows to inter-frame codecs
+        out = []
+        for raw in frames_raw:
+            px = decode_jpeg(bytes(raw))
+            if px is None or px.shape[:2] != (height, width):
+                return None  # undecodable / header-mismatched frame
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            out.append(px)
+        return out, (us_per_frame or 0)
+    if bit_count != 24 or compression != 0:
         return None
     stride = (3 * width + 3) & ~3
     out = []
@@ -394,18 +415,65 @@ def encode_avi(frames, us_per_frame: int = 40000) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def encode_avi_mjpeg(
+    jpeg_frames, width: int, height: int, us_per_frame: int = 40000
+) -> bytes:
+    """Independent Motion-JPEG AVI writer for fixtures: a list of
+    complete JPEG byte strings (each ``width`` x ``height``, e.g. from
+    :func:`encode_jpeg`) -> a RIFF/AVI whose vids strf declares
+    biCompression 'MJPG' and whose ``00dc`` movi chunks carry the JPEGs
+    verbatim. Same spec-packed structure as :func:`encode_avi`, no
+    logic shared with the decoder."""
+    if not jpeg_frames:
+        raise ValueError("frames must be non-empty")
+    rate = 1000000 // us_per_frame if us_per_frame else 1
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + len(data).to_bytes(4, "little") + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, len(jpeg_frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, rate or 1, 0,
+                      len(jpeg_frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24,
+        int.from_bytes(b"MJPG", "little"),
+        max(len(f) for f in jpeg_frames), 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", bytes(f)) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def sample_frames(
     df: DataFrame, every_n_ms: int = 1000, deterministic_fake: bool = False
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame — a
-    flatMap-shaped mapInPandas. Uncompressed-AVI payloads decode for
-    REAL (:func:`decode_avi_frames`): the stream's own frame rate picks
-    the frame nearest each ``every_n_ms`` tick and the sampled frames
-    come out PNG-encoded (ready for the image operators). Other formats
-    need ``deterministic_fake=True`` (documented stand-in: content-hash
-    pseudo-frames sized by ``duration_ms``) or raise
-    ``NotImplementedError`` — compressed video codecs are not in this
-    environment."""
+    flatMap-shaped mapInPandas. Uncompressed-AVI AND Motion-JPEG AVI
+    payloads decode for REAL (:func:`decode_avi_frames`): the stream's
+    own frame rate picks the frame nearest each ``every_n_ms`` tick and
+    the sampled frames come out PNG-encoded (ready for the image
+    operators). Other formats need ``deterministic_fake=True``
+    (documented stand-in: content-hash pseudo-frames sized by
+    ``duration_ms``) or raise ``NotImplementedError`` — inter-frame
+    video codecs are not in this environment."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

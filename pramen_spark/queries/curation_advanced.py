@@ -2314,9 +2314,88 @@ def q_image_pixel_stats_gif(spark, sf_dir):
     )
 
 
-@query(
-    "video_frame_stats",
-    """
+# JPEG fixture arithmetic shared by the image AND video (MJPEG) oracles
+# (defined ahead of both queries; full rationale in the round-11 section
+# further down this file).
+_JPEG_FIX_QY = [[2 + (3 * i + 5 * j) % 7 for j in range(8)] for i in range(8)]
+_JPEG_FIX_QC = [[3 + (2 * i + 3 * j) % 5 for j in range(8)] for i in range(8)]
+
+
+def _jpeg_fixture_blocks(doc_id: int, mx: int, my: int, c: int):
+    """Quantized-level blocks for one component of one fixture image:
+    5 nonzero natural-order positions driven by base = id + 2bx + 3by
+    + 5c (coprime multipliers; full period lcm(11,9,7) = 693)."""
+    import numpy as np
+
+    a = np.zeros((my, mx, 8, 8), dtype=np.int64)
+    for by in range(my):
+        for bx in range(mx):
+            base = doc_id + 2 * bx + 3 * by + 5 * c
+            a[by, bx, 0, 0] = (base % 11) - 5
+            a[by, bx, 0, 1] = ((2 * base + 1) % 9) - 4
+            a[by, bx, 1, 0] = ((4 * base + 2) % 9) - 4
+            a[by, bx, 2, 2] = ((5 * base + 3) % 7) - 3
+            a[by, bx, 6, 3] = ((4 * base + 5) % 7) - 3
+    return a
+
+
+def _jpeg_sample_sql(c: int, q: list, sub: bool = False, base: str = None) -> str:
+    """The 5-term IDCT replay for one component: sample =
+    clamp(floor(128 + sum of alpha(i)alpha(j)/4 * q(i,j) * L(i,j) *
+    cos((2y+1)i pi/16) cos((2x+1)j pi/16) + 0.5)). ``q`` lists the quant
+    values at the five fixture positions (0,0),(0,1),(1,0),(2,2),(6,3).
+    ``sub=True`` replays a 2x2-subsampled chroma plane: the sample for
+    frame pixel (x,y) lives at chroma-plane coords (x//2, y//2) — block
+    (x//16, y//16), offset ((x//2)%8, (y//2)%8) — which is exactly the
+    nearest-neighbor upsample the decoder applies. ``base`` overrides
+    the level-arithmetic base expression (the MJPEG video oracle adds a
+    per-frame term); the rounding-margin guard covers ANY integer base
+    because it sweeps the full lcm(11,9,7)=693 period."""
+    if base is not None:
+        xr, yr = "(tx.x % 8)", "(ty.y % 8)"
+    elif sub:
+        base = f"(i.doc_id + 2 * (tx.x // 16) + 3 * (ty.y // 16) + {5 * c})"
+        xr, yr = "((tx.x // 2) % 8)", "((ty.y // 2) % 8)"
+    else:
+        base = f"(i.doc_id + 2 * (tx.x // 8) + 3 * (ty.y // 8) + {5 * c})"
+        xr, yr = "(tx.x % 8)", "(ty.y % 8)"
+    t00 = f"0.125 * {q[0]} * (({base} % 11) - 5)"
+    t01 = (
+        f"(1.0 / (4.0 * SQRT(2.0))) * {q[1]} * (((2 * {base} + 1) % 9) - 4)"
+        f" * COS((2 * {xr} + 1) * PI() / 16.0)"
+    )
+    t10 = (
+        f"(1.0 / (4.0 * SQRT(2.0))) * {q[2]} * (((4 * {base} + 2) % 9) - 4)"
+        f" * COS((2 * {yr} + 1) * PI() / 16.0)"
+    )
+    t22 = (
+        f"0.25 * {q[3]} * (((5 * {base} + 3) % 7) - 3)"
+        f" * COS((2 * {yr} + 1) * 2 * PI() / 16.0)"
+        f" * COS((2 * {xr} + 1) * 2 * PI() / 16.0)"
+    )
+    t63 = (
+        f"0.25 * {q[4]} * (((4 * {base} + 5) % 7) - 3)"
+        f" * COS((2 * {yr} + 1) * 6 * PI() / 16.0)"
+        f" * COS((2 * {xr} + 1) * 3 * PI() / 16.0)"
+    )
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(128.0 + {t00} + {t01} + {t10} + {t22}"
+        f" + {t63} + 0.5) AS BIGINT), 0), 255)"
+    )
+
+
+
+def _video_oracle_sql() -> str:
+    # MJPEG videos (doc_id % 3 = 1): every frame is a grayscale JPEG
+    # whose levels derive from base = doc_id + 11f + 2bx + 3by, so the
+    # decoded sample is the same 5-term IDCT replay the image oracle
+    # uses (luma quant values), r = g = b
+    mj = _jpeg_sample_sql(
+        0,
+        [2, 7, 5, 4, 7],
+        base="(v.doc_id + 11 * tf.f + 2 * (tx.x // 8) + 3 * (ty.y // 8))",
+    )
+    return f"""
     WITH vids AS (
         SELECT doc_id,
                6 + doc_id % 10 AS w,
@@ -2326,9 +2405,15 @@ def q_image_pixel_stats_gif(spark, sf_dir):
     ),
     px AS (
         SELECT v.doc_id, v.w, v.h, v.nf,
-               (v.doc_id + 3 * tx.x + 7 * ty.y + 11 * tf.f) % 256 AS r,
-               (2 * v.doc_id + 5 * tx.x + ty.y + 13 * tf.f) % 256 AS g,
-               (3 * v.doc_id + tx.x + 2 * ty.y + 17 * tf.f) % 256 AS b
+               CASE WHEN v.doc_id % 3 = 1 THEN {mj}
+                    ELSE (v.doc_id + 3 * tx.x + 7 * ty.y + 11 * tf.f) % 256
+               END AS r,
+               CASE WHEN v.doc_id % 3 = 1 THEN {mj}
+                    ELSE (2 * v.doc_id + 5 * tx.x + ty.y + 13 * tf.f) % 256
+               END AS g,
+               CASE WHEN v.doc_id % 3 = 1 THEN {mj}
+                    ELSE (3 * v.doc_id + tx.x + 2 * ty.y + 17 * tf.f) % 256
+               END AS b
         FROM vids v,
              unnest(range(v.nf)) AS tf(f),
              unnest(range(v.w)) AS tx(x),
@@ -2357,30 +2442,44 @@ def q_image_pixel_stats_gif(spark, sf_dir):
                  * (CAST(sum_luma3 AS DOUBLE) / (3 * n_pixels)), 0)), 6)
                AS std_brightness
     FROM agg
-    """,
-    "REAL video frame decode: complete uncompressed BI_RGB AVIs written "
-    "by the independent RIFF writer, frame-walked and byte-sliced back "
-    "pixel-exact and reduced to per-video channel/brightness moments",
+    """
+
+
+@query(
+    "video_frame_stats",
+    _video_oracle_sql(),
+    "REAL video frame decode: uncompressed BI_RGB AVIs byte-sliced back "
+    "pixel-exact AND Motion-JPEG AVIs (ids % 3 = 1) whose frames decode "
+    "through the real JPEG codec, reduced to per-video moments; the "
+    "oracle replays MJPEG pixels as the 5-term IDCT cosine sum",
     tags=("multimodal",),
 )
 def q_video_frame_stats(spark, sf_dir):
-    """The round-10 close of the video-frame stub (operators/multimodal.py::
-    decode_avi_frames + video_frame_stats): each document id derives a
-    short uncompressed video — w=6+id%10, h=6+3*id%10, nf=2+id%4 frames,
-    r=(id+3x+7y+11f)%256, g=(2id+5x+y+13f)%256, b=(3id+x+2y+17f)%256 —
-    which encode_avi writes as a complete RIFF/AVI (hdrl with avih + a
-    'vids' strl, movi list of bottom-up BGR 4-byte-stride 00db DIB
-    frames), and decode_avi_frames recovers pixel-exactly inside
-    Arrow-batched mapInPandas. The oracle regenerates every frame's
-    pixels from the id arithmetic alone and aggregates in SQL: any RIFF
-    walk, stride, row-flip or BGR-order disagreement breaks the integer
-    sums. Compressed video (MJPEG etc.) is the documented remaining
-    descope — entropy decode is out of stdlib scope.
+    """The round-10 close of the video-frame stub, upgraded round 11
+    with Motion JPEG (operators/multimodal.py::decode_avi_frames +
+    video_frame_stats): each document id derives a short video —
+    w=6+id%10, h=6+3*id%10, nf=2+id%4 frames. Ids with id%3==1 are
+    MJPEG: every frame is a grayscale JPEG (levels from the shared
+    small-moduli arithmetic at base id+11f+2bx+3by, alternating
+    baseline/progressive storage per frame) carried in 00dc chunks
+    behind a 'MJPG' strf, decoded frame-by-frame through the real JPEG
+    codec; the rest are uncompressed BI_RGB — r=(id+3x+7y+11f)%256,
+    g=(2id+5x+y+13f)%256, b=(3id+x+2y+17f)%256 — written by encode_avi
+    (hdrl with avih + a 'vids' strl, movi list of bottom-up BGR
+    4-byte-stride 00db DIB frames) and recovered by byte slicing. The
+    oracle regenerates every frame's pixels from the id arithmetic
+    alone (the MJPEG branch as the image oracle's 5-term IDCT replay)
+    and aggregates in SQL: any RIFF walk, stride, row-flip, BGR-order,
+    Huffman or IDCT disagreement breaks the integer sums. Inter-frame
+    codecs (H.26x) are the remaining documented descope.
 
     Scale: both stages are pure maps (no shuffle); frames aggregate
     inside the decode task, so one moments row per video leaves it."""
     from pramen_spark.operators.multimodal import (
         encode_avi,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
         video_frame_stats,
     )
     from pyspark.sql import types as T
@@ -2395,6 +2494,8 @@ def q_video_frame_stats(spark, sf_dir):
         ]
     )
 
+    qy = np.array(_JPEG_FIX_QY, dtype=np.int64)
+
     def encode(batches):
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
@@ -2402,6 +2503,19 @@ def q_video_frame_stats(spark, sf_dir):
             for i in ids:
                 i = int(i)
                 w, h, nf = 6 + i % 10, 6 + (i * 3) % 10, 2 + i % 4
+                if i % 3 == 1:  # Motion JPEG: one gray JPEG per frame
+                    mx, my = -(-w // 8), -(-h // 8)
+                    jfs = []
+                    for f in range(nf):
+                        lv = [_jpeg_fixture_blocks(i + 11 * f, mx, my, 0)]
+                        enc = (
+                            encode_jpeg_progressive
+                            if f % 2
+                            else encode_jpeg
+                        )
+                        jfs.append(enc(lv, w, h, [qy]))
+                    blobs.append(encode_avi_mjpeg(jfs, w, h))
+                    continue
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
                 frames = [
@@ -2653,68 +2767,6 @@ def q_bpe_encode_large_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # magnitude above cross-engine double noise, so FLOOR(x+0.5) rounds
 # identically on both engines and the moment oracle is EXACT.
 # ---------------------------------------------------------------------------
-
-_JPEG_FIX_QY = [[2 + (3 * i + 5 * j) % 7 for j in range(8)] for i in range(8)]
-_JPEG_FIX_QC = [[3 + (2 * i + 3 * j) % 5 for j in range(8)] for i in range(8)]
-
-
-def _jpeg_fixture_blocks(doc_id: int, mx: int, my: int, c: int):
-    """Quantized-level blocks for one component of one fixture image:
-    5 nonzero natural-order positions driven by base = id + 2bx + 3by
-    + 5c (coprime multipliers; full period lcm(11,9,7) = 693)."""
-    import numpy as np
-
-    a = np.zeros((my, mx, 8, 8), dtype=np.int64)
-    for by in range(my):
-        for bx in range(mx):
-            base = doc_id + 2 * bx + 3 * by + 5 * c
-            a[by, bx, 0, 0] = (base % 11) - 5
-            a[by, bx, 0, 1] = ((2 * base + 1) % 9) - 4
-            a[by, bx, 1, 0] = ((4 * base + 2) % 9) - 4
-            a[by, bx, 2, 2] = ((5 * base + 3) % 7) - 3
-            a[by, bx, 6, 3] = ((4 * base + 5) % 7) - 3
-    return a
-
-
-def _jpeg_sample_sql(c: int, q: list, sub: bool = False) -> str:
-    """The 5-term IDCT replay for one component: sample =
-    clamp(floor(128 + sum of alpha(i)alpha(j)/4 * q(i,j) * L(i,j) *
-    cos((2y+1)i pi/16) cos((2x+1)j pi/16) + 0.5)). ``q`` lists the quant
-    values at the five fixture positions (0,0),(0,1),(1,0),(2,2),(6,3).
-    ``sub=True`` replays a 2x2-subsampled chroma plane: the sample for
-    frame pixel (x,y) lives at chroma-plane coords (x//2, y//2) — block
-    (x//16, y//16), offset ((x//2)%8, (y//2)%8) — which is exactly the
-    nearest-neighbor upsample the decoder applies."""
-    if sub:
-        base = f"(i.doc_id + 2 * (tx.x // 16) + 3 * (ty.y // 16) + {5 * c})"
-        xr, yr = "((tx.x // 2) % 8)", "((ty.y // 2) % 8)"
-    else:
-        base = f"(i.doc_id + 2 * (tx.x // 8) + 3 * (ty.y // 8) + {5 * c})"
-        xr, yr = "(tx.x % 8)", "(ty.y % 8)"
-    t00 = f"0.125 * {q[0]} * (({base} % 11) - 5)"
-    t01 = (
-        f"(1.0 / (4.0 * SQRT(2.0))) * {q[1]} * (((2 * {base} + 1) % 9) - 4)"
-        f" * COS((2 * {xr} + 1) * PI() / 16.0)"
-    )
-    t10 = (
-        f"(1.0 / (4.0 * SQRT(2.0))) * {q[2]} * (((4 * {base} + 2) % 9) - 4)"
-        f" * COS((2 * {yr} + 1) * PI() / 16.0)"
-    )
-    t22 = (
-        f"0.25 * {q[3]} * (((5 * {base} + 3) % 7) - 3)"
-        f" * COS((2 * {yr} + 1) * 2 * PI() / 16.0)"
-        f" * COS((2 * {xr} + 1) * 2 * PI() / 16.0)"
-    )
-    t63 = (
-        f"0.25 * {q[4]} * (((4 * {base} + 5) % 7) - 3)"
-        f" * COS((2 * {yr} + 1) * 6 * PI() / 16.0)"
-        f" * COS((2 * {xr} + 1) * 3 * PI() / 16.0)"
-    )
-    return (
-        f"LEAST(GREATEST(CAST(FLOOR(128.0 + {t00} + {t01} + {t10} + {t22}"
-        f" + {t63} + 0.5) AS BIGINT), 0), 255)"
-    )
-
 
 def _jpeg_oracle_sql() -> str:
     qy = [2, 7, 5, 4, 7]  # _JPEG_FIX_QY at the five positions

@@ -186,3 +186,95 @@ class TestHardenedWalk:
         df = spark.createDataFrame([(0, bytearray(blob))], schema)
         out = sample_frames(df, every_n_ms=1000).collect()
         assert out == []  # zero rows, no task failure
+
+
+class TestMotionJpeg:
+    """Round 11: 'MJPG' AVIs decode frame-by-frame through the real
+    JPEG codec — the compressed-video descope narrows to inter-frame
+    codecs."""
+
+    def _mjpeg(self, rng, w, h, nf, progressive_odd=True):
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import (
+            encode_avi_mjpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+            jpeg_reference_pixels,
+        )
+
+        mx, my = -(-w // 8), -(-h // 8)
+        q = rng.randint(1, 25, size=(8, 8))
+        blobs, refs = [], []
+        for f in range(nf):
+            lv = [np.zeros((my, mx, 8, 8), np.int64)]
+            mask = rng.rand(*lv[0].shape) < 0.2
+            lv[0][mask] = rng.randint(-25, 26, size=int(mask.sum()))
+            enc = (
+                encode_jpeg_progressive
+                if (progressive_odd and f % 2)
+                else encode_jpeg
+            )
+            blobs.append(enc(lv, w, h, [q]))
+            refs.append(
+                np.repeat(jpeg_reference_pixels(lv, [q], w, h), 3, axis=2)
+            )
+        return encode_avi_mjpeg(blobs, w, h, us_per_frame=33333), refs
+
+    def test_round_trips_mixed_storage_modes(self):
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import decode_avi_frames
+
+        rng = np.random.RandomState(71)
+        for w, h, nf in [(8, 8, 1), (13, 9, 3), (24, 17, 4)]:
+            avi, refs = self._mjpeg(rng, w, h, nf)
+            got = decode_avi_frames(avi)
+            assert got is not None and got[1] == 33333
+            assert len(got[0]) == nf
+            for a, b in zip(got[0], refs):
+                assert np.array_equal(a, b)
+
+    def test_corrupt_or_mismatched_frames_quarantine(self):
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import (
+            decode_avi_frames,
+            encode_avi_mjpeg,
+        )
+
+        rng = np.random.RandomState(72)
+        avi, _ = self._mjpeg(rng, 16, 16, 2)
+        # re-wrap the first frame's JPEG truncated: whole AVI quarantines
+        from pramen_spark.operators.multimodal import encode_jpeg
+
+        lv = [np.zeros((2, 2, 8, 8), np.int64)]
+        good = encode_jpeg(lv, 16, 16, [np.full((8, 8), 10, np.int64)])
+        assert decode_avi_frames(encode_avi_mjpeg([good[:12]], 16, 16)) is None
+        # header/frame dimension mismatch quarantines too
+        assert decode_avi_frames(encode_avi_mjpeg([good], 17, 16)) is None
+
+    def test_sample_frames_consumes_mjpeg(self, spark):
+        """sample_frames needs no MJPEG-specific code: decode_avi_frames
+        hands it real frames, which come out PNG-encoded."""
+        import numpy as np
+
+        from pramen_spark.operators.multimodal import (
+            decode_png,
+            sample_frames,
+        )
+        from pyspark.sql import types as T
+
+        rng = np.random.RandomState(73)
+        avi, refs = self._mjpeg(rng, 16, 8, 2)
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        )
+        df = spark.createDataFrame([(1, bytearray(avi))], schema)
+        rows = sample_frames(df, every_n_ms=33).collect()
+        assert rows, "no frames sampled from the MJPEG stream"
+        got = decode_png(bytes(rows[0]["frame"]))
+        assert np.array_equal(got, refs[rows[0]["frame_idx"]])
