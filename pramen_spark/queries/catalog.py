@@ -69,8 +69,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # (sequence_packing .. stream_dedup_events below); out = the round-10
     # window entries, all green in CORRECTNESS_r10 and still
     # oracle-checked every round by tools/check_oracle.py + pytest's
-    # out-of-window sweep. ~166 queries still await a first driver row;
-    # the next rotation should keep draining the never-checked set.
+    # out-of-window sweep. 185 of the 314 catalog queries still await a
+    # first driver row (counted from the CORRECTNESS_r* records); the
+    # next rotation should keep draining the never-checked set.
     #
     # Round-12 rotation queue (in this order): the two ROUND-11 debut
     # operators lead — image_pixel_stats_jpeg (real baseline+progressive
