@@ -1456,7 +1456,9 @@ def _jpeg_prog_ac_refine(reader, ac_tab, row, ss, se, al, eobrun):
                         break
                     r -= 1
                 k += 1
-            if val and k <= se:
+            if val:
+                if k > se:  # newly-significant coefficient past the band
+                    raise ValueError("jpeg refinement run overruns the band")
                 row[k] = val
             k += 1
     if eobrun > 0:
@@ -1648,6 +1650,13 @@ def decode_jpeg(content: Optional[bytes]):
                 nc = seg[5]
                 if prec != 8 or nc not in (1, 3) or not width or not height:
                     return None
+                # header-declared output bound (mirrors decode_png): a
+                # ~30-byte crafted SOF claiming 65535x65535x3 would
+                # demand ~50 GB of planes/coefficients — quarantine
+                # BEFORE any allocation. (width+15)/(height+15) covers
+                # the worst-case MCU padding of the baseline planes.
+                if (width + 15) * (height + 15) * nc > (1 << 31):
+                    return None
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -1710,6 +1719,8 @@ def decode_jpeg(content: Optional[bytes]):
                     sel[cs] = (tt >> 4, tt & 0x0F)
                 if seg[1 + 2 * ns] != 0 or seg[2 + 2 * ns] != 63:
                     return None  # not a full baseline spectral scan
+                if seg[3 + 2 * ns] != 0:
+                    return None  # baseline requires Ah = Al = 0 (B.2.3)
                 for comp in comps:
                     if comp["id"] not in sel or comp["tq"] not in qt:
                         return None
@@ -1761,7 +1772,9 @@ def decode_jpeg(content: Optional[bytes]):
                 return _jpeg_finish(up)
             p += 2 + seg_len
         return None
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, MemoryError):
+        # MemoryError is a backstop behind the SOF size guard above: the
+        # decoder's contract is quarantine-to-None, never fail the task
         return None
 
 

@@ -1410,12 +1410,24 @@ def bpe_train_merges_fast(
 _VOCAB_LIMIT_UNSET = object()  # distinct sentinel: callers may pass None
 
 
+def _check_pos_int(name: str, value, allow_none: bool) -> None:
+    """Positive-int parameter guard. ``bool`` is rejected explicitly —
+    it subclasses ``int``, so ``True`` would otherwise pass as 1."""
+    if value is None and allow_none:
+        return
+    if not isinstance(value, int) or isinstance(value, bool) or value < 1:
+        suffix = " or None" if allow_none else ""
+        raise ValueError(f"{name} must be a positive int{suffix}")
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 40,
     head_k: Optional[int] = 512,
-    vocab_limit=_VOCAB_LIMIT_UNSET,
+    vocab_limit: Optional[int] = _VOCAB_LIMIT_UNSET,
+    min_count: int = 1,
+    max_vocab: Optional[int] = 2_000_000,
 ) -> list:
     """Learn BPE merges from a corpus: distinct-word counts (the only
     corpus-volume stage, one map-side-combined aggregation), then
@@ -1426,21 +1438,42 @@ def learn_bpe_merges(
     training vocabulary to the top-K head by (count desc, word asc) — a
     TakeOrderedAndProject. ``vocab_limit=None`` trains on the FULL
     weighted distinct-word vocabulary, the shape a production tokenizer
-    uses (~50k merges over every distinct word): the Zipf collapse has
-    already shrunk the corpus to its vocabulary, so even a 1M-word
-    vocab is tens of MB driver-side, and the incremental trainer
-    (:func:`bpe_train_merges_fast`) keeps per-merge cost proportional
-    to affected words. Both trainers produce identical merge lists on
-    identical vocabularies; the head-bounded form remains for the SQL
-    oracle replay, whose unrolled training stages need a small head."""
+    uses (~50k merges over every distinct word), via the incremental
+    trainer (:func:`bpe_train_merges_fast`). Both trainers produce
+    identical merge lists on identical vocabularies; the head-bounded
+    form remains for the SQL oracle replay, whose unrolled training
+    stages need a small head.
+
+    Driver-memory contract for the full-vocabulary path (the one
+    ``.collect()`` in the engine whose size is data-dependent): 100 TB
+    of noisy web text can hold hundreds of millions of distinct
+    ``[a-z0-9]+`` strings (hashes, URL fragments), so the collect is
+    bounded by DESIGN, not data luck —
+
+    - ``min_count`` (the SentencePiece-standard frequency floor,
+      ``--minloglevel``-era knob spelled ``min_count``/
+      ``vocabulary_threshold``) filters the vocabulary BEFORE the
+      collect, executor-side. Hapax noise cannot win a merge against
+      real vocabulary, so floors like 2-5 change nothing on clean
+      corpora while collapsing the noise tail.
+    - ``max_vocab`` is a hard cap: the plan collects at most
+      ``max_vocab + 1`` rows (a ``limit`` above the collect, so the
+      excess never reaches the driver) and raises with a clear message
+      asking for a higher ``min_count`` when the floored vocabulary
+      still exceeds it. The 2M default is ~100 MB driver-side worst
+      case. ``max_vocab=None`` removes the cap explicitly."""
     if vocab_limit is _VOCAB_LIMIT_UNSET:
         vocab_limit = head_k
     if vocab_limit is not None and (
-        not isinstance(vocab_limit, int) or vocab_limit < 1
+        not isinstance(vocab_limit, int)
+        or isinstance(vocab_limit, bool)
+        or vocab_limit < 1
     ):
         raise ValueError(
             "vocab_limit must be a positive int or None (full vocabulary)"
         )
+    _check_pos_int("min_count", min_count, allow_none=False)
+    _check_pos_int("max_vocab", max_vocab, allow_none=True)
     toks = F.expr(
         f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
     )
@@ -1455,7 +1488,19 @@ def learn_bpe_merges(
             vocab.orderBy(F.desc("c"), F.asc("w")).limit(vocab_limit).collect()
         )
         return bpe_train_merges([(r.w, r.c) for r in head], num_merges)
-    rows = vocab.collect()
+    if min_count > 1:
+        vocab = vocab.where(F.col("c") >= min_count)
+    if max_vocab is not None:
+        rows = vocab.limit(max_vocab + 1).collect()
+        if len(rows) > max_vocab:
+            raise ValueError(
+                f"full-vocabulary BPE training: floored vocabulary exceeds "
+                f"max_vocab={max_vocab} (min_count={min_count}); raise "
+                f"min_count to collapse the noise tail, or raise/disable "
+                f"max_vocab if the driver has the memory"
+            )
+    else:
+        rows = vocab.collect()
     return bpe_train_merges_fast([(r.w, r.c) for r in rows], num_merges)
 
 

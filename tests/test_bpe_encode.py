@@ -93,6 +93,67 @@ class TestFullVocabTrainer:
             with pytest.raises(ValueError, match="vocab_limit"):
                 learn_bpe_merges(df, num_merges=2, vocab_limit=bad)
 
+    def test_vocab_limit_rejects_bool(self, spark):
+        """Advice r11: bool subclasses int, so True used to pass as
+        limit 1 — heavily head-bounded training from a flag typo."""
+        import pytest
+
+        df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+        for bad in (True, False):
+            with pytest.raises(ValueError, match="vocab_limit"):
+                learn_bpe_merges(df, num_merges=2, vocab_limit=bad)
+        with pytest.raises(ValueError, match="min_count"):
+            learn_bpe_merges(
+                df, num_merges=2, vocab_limit=None, min_count=True
+            )
+        with pytest.raises(ValueError, match="max_vocab"):
+            learn_bpe_merges(
+                df, num_merges=2, vocab_limit=None, max_vocab=True
+            )
+
+    def test_min_count_floor_engages_on_heavy_tail(self, spark):
+        """Verdict r11 task 2: the full-vocabulary collect must be
+        bounded by design. Synthetic heavy-tail corpus: 4 real words
+        (weight >= 20) plus 60 hapax noise strings (URL-fragment
+        shape). min_count=2 collapses the tail BEFORE the collect, and
+        the trained merges equal training on the clean head alone —
+        hapax noise cannot win a merge against real vocabulary."""
+        head_docs = [(i, "banana bandana cabana canada") for i in range(20)]
+        noise_docs = [
+            (100 + i, f"x{i:02d}h{i * 7919 % 97:02d}q") for i in range(60)
+        ]
+        df = spark.createDataFrame(head_docs + noise_docs, ["doc_id", "text"])
+        floored = learn_bpe_merges(
+            df, num_merges=8, vocab_limit=None, min_count=2
+        )
+        clean = learn_bpe_merges(
+            spark.createDataFrame(head_docs, ["doc_id", "text"]),
+            num_merges=8,
+            vocab_limit=None,
+        )
+        assert floored == clean
+        # and the floor actually engaged: the unfloored vocabulary is
+        # larger than max_vocab=4, so the cap trips without the floor
+        with pytest.raises(ValueError, match="max_vocab"):
+            learn_bpe_merges(df, num_merges=8, vocab_limit=None, max_vocab=4)
+        # with the floor, the same cap of 4 admits the 4 real words
+        capped = learn_bpe_merges(
+            df, num_merges=8, vocab_limit=None, min_count=2, max_vocab=4
+        )
+        assert capped == clean
+
+    def test_min_count_vacuous_floor_changes_nothing(self, spark):
+        docs = [(i, "training data pipeline scale") for i in range(10)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        base = learn_bpe_merges(df, num_merges=10, vocab_limit=None)
+        floored = learn_bpe_merges(
+            df, num_merges=10, vocab_limit=None, min_count=5
+        )
+        uncapped = learn_bpe_merges(
+            df, num_merges=10, vocab_limit=None, max_vocab=None
+        )
+        assert base == floored == uncapped
+
     def test_fast_trainer_equals_reference_on_random_corpora(self):
         import random
 

@@ -9,6 +9,8 @@ sweep is the guard the SQL oracle of image_pixel_stats_jpeg depends on:
 every fixture pre-round value must sit far enough from a .5 boundary
 that numpy and DuckDB doubles round identically."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -328,6 +330,75 @@ class TestQuarantine:
         assert decode_jpeg(b"") is None
         assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
         assert decode_jpeg(b"not a jpeg at all") is None
+
+    @pytest.mark.parametrize("sof", [0xC0, 0xC2])
+    def test_crafted_giant_sof_quarantines_before_allocation(self, sof):
+        """Advice r11: a ~30-byte crafted SOF claiming 65535x65535x3
+        demands ~50 GB of planes (baseline) / coefficient arrays
+        (progressive, allocated AT the SOF) — the header-size guard
+        must quarantine to None BEFORE any allocation, same contract
+        commit 218f08a pinned for decode_png."""
+        payload = bytes([8]) + (65535).to_bytes(2, "big") * 2 + bytes([3])
+        for cid in (1, 2, 3):
+            payload += bytes([cid, 0x11, 0])
+        blob = (
+            b"\xff\xd8"
+            + bytes([0xFF, sof])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+        t0 = time.monotonic()
+        assert decode_jpeg(blob) is None
+        # the guard fires at header parse: decode returns immediately,
+        # long before a ~50 GB zero-fill (or swap thrash) could finish
+        assert time.monotonic() - t0 < 1.0
+
+    def test_memory_error_is_quarantined_not_raised(self, monkeypatch):
+        """Backstop behind the SOF guard: if an allocation still blows
+        up, the decoder's never-fail-the-task contract holds."""
+        import pramen_spark.operators.multimodal as mm
+
+        blob = self._blob()
+
+        def boom(*a, **k):
+            raise MemoryError("simulated executor OOM")
+
+        monkeypatch.setattr(mm.np, "zeros", boom)
+        assert decode_jpeg(blob) is None
+
+    def test_baseline_nonzero_successive_approx_rejected(self):
+        """Advice r11: baseline SOS must carry Ah = Al = 0 (B.2.3); a
+        stream with a nonzero approximation byte decodes to WRONG
+        pixels if the byte is ignored, so it must quarantine."""
+        base = self._blob()
+        i = base.find(b"\xff\xda")
+        ns = base[i + 4]
+        approx_at = i + 5 + 2 * ns + 2  # after Ss, Se
+        assert base[approx_at] == 0  # encoder writes a true baseline scan
+        for bad in (0x10, 0x01, 0x21):  # Ah=1 / Al=1 / both
+            blob = bytearray(base)
+            blob[approx_at] = bad
+            assert decode_jpeg(bytes(blob)) is None
+
+    def test_refinement_run_past_band_quarantines(self):
+        """Advice r11: a newly-significant AC refinement coefficient
+        whose zero-run passes the band end is a data error (libjpeg
+        rejects it) — it must raise so the stream quarantines, not
+        silently drop the coefficient and decode garbage."""
+        from pramen_spark.operators.multimodal import (
+            _JpegBitReader,
+            _jpeg_decode_tables,
+            _jpeg_prog_ac_refine,
+        )
+
+        # single 1-bit code '0' -> symbol 0xF1: run 15, magnitude 1
+        tab = _jpeg_decode_tables([1] + [0] * 15, bytes([0xF1]))
+        reader = _JpegBitReader(b"\x40")  # code bit 0, then sign bit 1
+        row = np.zeros(64, dtype=np.int32)
+        with pytest.raises(ValueError, match="overruns the band"):
+            # band 1..2 is narrower than the 15-zero run: k walks past
+            # se with the new coefficient still unplaced
+            _jpeg_prog_ac_refine(reader, tab, row, 1, 2, 0, 0)
 
 
 class TestOracleRoundingMargin:
