@@ -33,24 +33,44 @@ from pramen_spark.queries import kpi as _kpi  # noqa: F401,E402
 # Driver correctness-window ordering.
 #
 # The driver's per-round correctness gate checks the FIRST 50 entries of
-# ``QUERIES`` in iteration order. Registration order above is historical
-# (operators were added round by round), which left 17 of the 22 TPC-H
-# adaptations and several extension operators outside the audited window.
-# Rebuild the dict in priority order: SURVEY.md §2 operator queries, the
-# full TPC-H set, the strongest oracle-checked extension operators, then
-# the remaining oracle-checked queries, with rows-only (no DuckDB oracle)
-# queries last. Stable within each tier by registration order, and any
-# query not named below falls into its tier automatically — adding a new
-# query never silently drops an audited one out of order.
+# ``QUERIES`` in iteration order. Restructured in round 12 (VERDICT r11
+# ask #1): the old fixed tiers (11 §2 gates + 22 TPC-H) had been green in
+# EVERY driver window since round 6 while holding 33 of the 50 slots, so
+# at 17 first-time rows per round the never-driver-checked backlog
+# (168 of 314 after r11) would have taken ~10 more rounds to drain. The
+# window is now:
+#
+#   tier S — a 10-slot ROTATING SENTINEL (4 §2 gates + 6 TPC-H), sliced
+#     round-robin from the fixed orders below so every gate re-audits
+#     every ~3 rounds (ceil(11/4)) and every TPC-H shape every ~4
+#     (ceil(22/6)). Round 12 takes slice 0 of each (gates[0:4],
+#     tpch[0:6]); round 13 takes gates[4:8] + tpch[6:12]; and so on,
+#     wrapping. Out-of-sentinel gates/TPC-H stay oracle-checked every
+#     round by tools/check_oracle.py + pytest's full-catalog sweep.
+#
+#   tier B — 40 slots of NEVER-driver-checked queries (no row in any
+#     committed CORRECTNESS_r* record), led by the round-11 debut
+#     operators image_pixel_stats_jpeg and bpe_encode_large_ruleset,
+#     then draining the backlog oldest-registration-first. After the
+#     CORRECTNESS_r12 record lands, the backlog drops 168 -> 128; keep
+#     refilling tier B from the remaining never-checked set each round
+#     (~4 more rounds to zero).
+#
+# Everything below the 50-entry window keeps the prior ordering rule:
+# oracle-checked queries before rows-only ones, stable by registration
+# order, and any query not named falls into its tier automatically —
+# adding a new query never silently drops an audited one out of order.
 # ---------------------------------------------------------------------------
 
-_DRIVER_WINDOW_PRIORITY = [
-    # tier 0: SURVEY.md §2 operator queries (11)
+# Fixed rotation orders for the sentinel (do not reorder; the round-robin
+# slice arithmetic above depends on these being stable).
+_SENTINEL_S2_GATES = [
     "projection", "schema_transform", "filter_macro", "infodate_injection",
     "batchid_injection", "column_sanitation", "record_count",
     "date_range_read", "latest_partition", "incremental_offset",
     "offset_minmax",
-    # tier 1: full TPC-H set (22)
+]
+_SENTINEL_TPCH = [
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_forecast",
     "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
@@ -60,36 +80,34 @@ _DRIVER_WINDOW_PRIORITY = [
     "q18_large_volume_customers", "q19_disjunctive_revenue",
     "q20_promotable_suppliers", "q21_waiting_suppliers",
     "q22_dormant_customers",
-    # tier 2: flagship + strongest oracle-checked extension operators (17).
-    # Rotated each round so every family gets driver CORRECTNESS rows over
-    # time. Round 11 (VERDICT r10 ask #1): in = the four round-10 debut
-    # operators that led the rotation queue (bpe_encode_documents,
-    # image_pixel_stats_gif, video_frame_stats, audio_sample_stats) plus
-    # the thirteen never-driver-checked flagships the judge named
-    # (sequence_packing .. stream_dedup_events below); out = the round-10
-    # window entries, all green in CORRECTNESS_r10 and still
-    # oracle-checked every round by tools/check_oracle.py + pytest's
-    # out-of-window sweep. 185 of the 314 catalog queries still await a
-    # first driver row (counted from the CORRECTNESS_r* records); the
-    # next rotation should keep draining the never-checked set.
-    #
-    # Round-12 rotation queue (in this order): the two ROUND-11 debut
-    # operators lead — image_pixel_stats_jpeg (real baseline+progressive
-    # JPEG decode) and bpe_encode_large_ruleset (Arrow BPE at production
-    # table size) — exactly the precedent the r10 debuts set (shipped
-    # r10, driver-checked r11). They do NOT fit this round: the driver
-    # checks the FIRST 50 catalog entries, tiers 0+1 hold 33 and the
-    # seventeen names below were all explicitly demanded by VERDICT r10
-    # ask #1, filling the window to exactly 50. Both debuts are
-    # oracle-checked every round by tools/check_oracle.py + the pytest
-    # out-of-window sweep in the meantime.
-    "bpe_encode_documents", "image_pixel_stats_gif",
-    "video_frame_stats", "audio_sample_stats",
-    "sequence_packing", "mixture_weights", "materialize_mixture_corpus",
-    "redact_pii_documents", "canonical_url_dedup",
-    "incremental_dedup_batch", "upsample_epoch_mix", "shard_assignment",
-    "value_drift_psi", "lsh_recall_audit", "ndcg_lsh_audit",
-    "hll_accuracy_events", "stream_dedup_events",
+]
+
+_DRIVER_WINDOW_PRIORITY = [
+    # tier S (10): round-12 sentinel = gates[0:4] + tpch[0:6]
+    *_SENTINEL_S2_GATES[0:4],
+    *_SENTINEL_TPCH[0:6],
+    # tier B (40): never-driver-checked, r11 debuts first, then
+    # oldest-registration-first from the 168-query backlog
+    "image_pixel_stats_jpeg", "bpe_encode_large_ruleset",
+    "dedup_representatives", "doc_length_histogram",
+    "cube_events_type_day", "moving_avg_user_value",
+    "daily_revenue_running_total", "heavy_hitter_tokens",
+    "tfidf_top_terms", "domain_histogram_documents",
+    "chunk_documents", "ngram_novelty_documents",
+    "snapshot_diff_documents", "bucket_gapfill_hourly",
+    "rollup_orders_priority_status", "approx_aggregates_selfcheck",
+    "customer_value_ranks", "profile_documents_table",
+    "cohort_retention_events", "funnel_events",
+    "incremental_agg_lineitem", "quantize_embeddings_int8",
+    "stream_sliding_counts", "incremental_distinct_hll",
+    "value_percentiles_daily", "trend_slope_daily",
+    "event_transitions_markov", "curriculum_buckets_documents",
+    "json_props_events", "grouping_sets_revenue",
+    "twap_events", "cusum_changepoint_daily",
+    "zorder_cluster_lineitem", "orders_pivot_status",
+    "lineitem_unpivot_charges", "burst_dedup_events",
+    "label_centroid_cohesion", "hard_negatives_embeddings",
+    "stream_session_counts", "winsorize_lineitem",
 ]
 
 
