@@ -2653,6 +2653,157 @@ def q_audio_sample_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IMA ADPCM audio decode (round 12): the compressed-audio descope closed
+# with the one compressed codec that is exactly integer. Each document id
+# derives a deterministic 4-bit code stream — n = 96 + 4*(id%64) nibbles,
+# nib_t = (7*id + 5*t^2 + 3*t) mod 16 — seeded at predictor
+# ((13*id) mod 4001) - 2000 and step index id mod 89, which
+# pack_wav_adpcm writes as a single-block format-0x11 RIFF/WAVE.
+# decode_wav replays the published step-table predictor recurrence, and
+# the DuckDB oracle replays the SAME recurrence as a recursive CTE over
+# the SQL-regenerated nibble stream (89-row step table inlined, the
+# index walk and +-32768 clamps in integer CASE arithmetic) — the JPEG
+# IDCT-replay trick transplanted to audio. The zero-crossing statistic
+# pins sample ORDER as usual.
+# ---------------------------------------------------------------------------
+
+
+def _adpcm_oracle_sql() -> str:
+    from pramen_spark.operators.multimodal import _ADPCM_STEP
+
+    step_vals = ", ".join(f"({i}, {s})" for i, s in enumerate(_ADPCM_STEP))
+    return f"""WITH RECURSIVE stp(i, s) AS (
+    SELECT * FROM (VALUES {step_vals}) t(i, s)
+),
+clips AS (
+    SELECT doc_id, 96 + (doc_id % 64) * 4 AS n FROM documents
+),
+walk(doc_id, t, n, pred, idx) AS (
+    SELECT doc_id, 0, n,
+           CAST(((doc_id * 13) % 4001) - 2000 AS INTEGER),
+           CAST(doc_id % 89 AS INTEGER)
+    FROM clips
+    UNION ALL
+    SELECT q.doc_id, q.t + 1, q.n,
+           CAST(GREATEST(-32768, LEAST(32767,
+               q.pred + CASE WHEN q.nib >= 8 THEN -q.d ELSE q.d END))
+               AS INTEGER),
+           CAST(GREATEST(0, LEAST(88, q.idx
+               + CASE q.nib % 8
+                     WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                     ELSE -1 END)) AS INTEGER)
+    FROM (
+        SELECT w.doc_id, w.t, w.n, w.pred, w.idx,
+               (w.doc_id * 7 + (w.t + 1) * (w.t + 1) * 5 + (w.t + 1) * 3)
+                   % 16 AS nib,
+               st.s // 8
+               + CASE WHEN nib % 2 = 1 THEN st.s // 4 ELSE 0 END
+               + CASE WHEN (nib // 2) % 2 = 1 THEN st.s // 2 ELSE 0 END
+               + CASE WHEN (nib // 4) % 2 = 1 THEN st.s ELSE 0 END AS d
+        FROM walk w JOIN stp st ON st.i = w.idx
+        WHERE w.t < w.n
+    ) q
+),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(pred) AS BIGINT) AS sum_amp,
+           CAST(SUM(pred * pred) AS BIGINT) AS sum_amp_sq,
+           CAST(MAX(ABS(pred)) AS INTEGER) AS peak_amp
+    FROM walk GROUP BY doc_id
+),
+zc AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN (pred < 0) <> (nxt < 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM (
+        SELECT doc_id, pred,
+               LEAD(pred) OVER (PARTITION BY doc_id ORDER BY t) AS nxt
+        FROM walk
+    ) WHERE nxt IS NOT NULL
+    GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       a.n_frames, a.sum_amp, a.sum_amp_sq, a.peak_amp,
+       z.zero_crossings
+FROM agg a JOIN zc z USING (doc_id)"""
+
+
+@query(
+    "audio_sample_stats_adpcm",
+    _adpcm_oracle_sql(),
+    "REAL IMA ADPCM decode: format-0x11 WAV clips written by the "
+    "independent nibble packer, decoded through the exact integer "
+    "step-table predictor recurrence and reduced to amplitude moments; "
+    "the oracle replays the recurrence as a recursive CTE",
+    tags=("multimodal",),
+)
+def q_audio_sample_stats_adpcm(spark, sf_dir):
+    """Round-12 compressed-audio member of the media family
+    (operators/multimodal.py::decode_wav format tag 0x11 +
+    audio_sample_stats; reference parity note: the reference framework's
+    format breadth stops at uncompressed payloads, so this extends the
+    training-data curation surface beyond it). The fixture codes are
+    regenerated from doc_id arithmetic on BOTH engines, so any
+    disagreement in the step table walk, the per-fraction truncation
+    (step>>3 + selected step>>2/step>>1/step fractions, each truncated
+    separately), the +-32768 predictor clamp or the 0..88 index clamp
+    breaks the integer sums; zero crossings pin sample order.
+
+    Scale: both stages are pure maps (no shuffle); the sequential
+    recurrence is per-clip work inside the Arrow-batched decode task,
+    one moments row per clip leaves it."""
+    from pramen_spark.operators.multimodal import (
+        audio_sample_stats,
+        pack_wav_adpcm,
+    )
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    d = load_documents_spread(spark, sf_dir).select("doc_id")
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                n = 96 + (i % 64) * 4
+                nibs = [
+                    (i * 7 + t * t * 5 + t * 3) % 16 for t in range(1, n + 1)
+                ]
+                blobs.append(
+                    pack_wav_adpcm(
+                        nibs,
+                        predictor=((i * 13) % 4001) - 2000,
+                        step_index=i % 89,
+                        sample_rate=8000,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = d.mapInPandas(encode, enc_schema)
+    return audio_sample_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "sum_amp",
+        "sum_amp_sq",
+        "peak_amp",
+        "zero_crossings",
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE encode under a production-SIZED (>512 rule) merge table (round 11):
 # the Arrow greedy kernel is the engine a real ~50k-rule tokenizer table
 # routes through (engine auto > 256), but until now only the 40-rule

@@ -10,8 +10,53 @@ from pramen_spark.operators.multimodal import (
     audio_sample_stats,
     decode_wav,
     encode_wav,
+    encode_wav_adpcm,
     make_fake_media_df,
+    pack_wav_adpcm,
 )
+
+
+def _ref_ima_decode(data: bytes, block_align: int):
+    """Reference IMA ADPCM decoder written from the published algorithm
+    independently of the implementation under test: bit-3 sign, bits
+    2..0 select step fractions via the equivalent multiply-accumulate
+    form diff = ((2*code+1) * step) >> 3 with the exact truncation
+    pattern expanded manually."""
+    STEP = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ]
+    ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = []
+    for off in range(0, len(data), block_align):
+        blk = data[off : off + block_align]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        index = blk[2]
+        out.append(pred)
+        nibbles = []
+        for byte in blk[4:]:
+            nibbles += [byte & 15, byte >> 4]
+        for code in nibbles:
+            step = STEP[index]
+            mag = code & 7
+            # sum of selected step fractions, each truncated separately
+            delta = (
+                step // 8
+                + (step // 4 if mag & 1 else 0)
+                + (step // 2 if mag & 2 else 0)
+                + (step if mag & 4 else 0)
+            )
+            pred += -delta if code & 8 else delta
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + ADJ[mag]))
+            out.append(pred)
+    return out
 
 
 @pytest.fixture(scope="module")
@@ -62,6 +107,112 @@ class TestWavRoundTrip:
         blob[4:8] = (len(blob) - 8).to_bytes(4, "little")
         got, _ = decode_wav(bytes(blob))
         assert np.array_equal(got, s)
+
+
+class TestAdpcm:
+    """IMA ADPCM (format tag 0x11), round-12 close of the
+    compressed-audio descope: the exactly-integer predictor recurrence
+    must match an independently-written reference decoder bit-for-bit,
+    the quantizing encoder must round-trip within the codec's step
+    error, and corrupt streams must quarantine."""
+
+    def _wave(self, n=3000, seed=7):
+        rng = np.random.RandomState(seed)
+        t = np.arange(n)
+        x = 11000 * np.sin(t / 19.0) + 2500 * np.sin(t / 6.0)
+        return (x + rng.randint(-200, 200, n)).astype(np.int64)
+
+    def test_decode_matches_independent_reference(self):
+        x = self._wave()
+        blob = encode_wav_adpcm(x, sample_rate=8000, block_align=64)
+        got, rate = decode_wav(blob)
+        data_pos = blob.index(b"data")
+        size = int.from_bytes(blob[data_pos + 4 : data_pos + 8], "little")
+        ref = _ref_ima_decode(blob[data_pos + 8 : data_pos + 8 + size], 64)
+        assert rate == 8000
+        assert got[:, 0].tolist() == ref
+
+    def test_pack_decode_is_the_seeded_recurrence(self):
+        nibs = [(7 * i * i + 3 * i) % 16 for i in range(1, 201)]
+        blob = pack_wav_adpcm(nibs, predictor=-1234, step_index=30)
+        got, rate = decode_wav(blob)
+        assert rate == 16000 and got.shape == (201, 1)
+        data_pos = blob.index(b"data")
+        size = int.from_bytes(blob[data_pos + 4 : data_pos + 8], "little")
+        ref = _ref_ima_decode(blob[data_pos + 8 : data_pos + 8 + size], size)
+        assert got[:, 0].tolist() == ref
+
+    def test_roundtrip_error_is_codec_bounded(self):
+        x = self._wave(n=4000, seed=11)
+        dec, _ = decode_wav(encode_wav_adpcm(x, block_align=256))
+        d = dec[: len(x), 0].astype(np.int64)
+        err = np.abs(d - x)
+        # IMA ADPCM tracks within the current step size; transients can
+        # overshoot a few steps while the index adapts
+        assert err.max() < 8000
+        assert float(np.sqrt((err.astype(float) ** 2).mean())) < 800.0
+
+    def test_multiblock_headers_restate_samples_verbatim(self):
+        x = self._wave(n=1000, seed=3)
+        block_align = 36
+        spb = (block_align - 4) * 2 + 1
+        dec, _ = decode_wav(encode_wav_adpcm(x, block_align=block_align))
+        d = dec[:, 0]
+        for k in range(0, len(x), spb):
+            assert d[k] == x[k]  # block-leading sample stored verbatim
+
+    def test_corrupt_step_index_quarantines(self):
+        blob = bytearray(encode_wav_adpcm(self._wave(n=100)))
+        i = blob.index(b"data") + 8 + 2  # first block's step index
+        blob[i] = 89  # outside the 0..88 table
+        assert decode_wav(bytes(blob)) is None
+
+    def test_truncated_block_header_quarantines(self):
+        # shrink the data chunk so the walk leaves a 2-byte header tail
+        x = self._wave(n=200)
+        blob = encode_wav_adpcm(x, block_align=52)
+        data_pos = blob.index(b"data")
+        size = int.from_bytes(blob[data_pos + 4 : data_pos + 8], "little")
+        cut = (size // 52) * 52 + 2  # one full block + header fragment
+        out = bytearray(blob[: data_pos + 8 + cut])
+        out[data_pos + 4 : data_pos + 8] = cut.to_bytes(4, "little")
+        out[4:8] = (len(out) - 8).to_bytes(4, "little")
+        assert decode_wav(bytes(out)) is None
+
+    def test_stereo_adpcm_is_out_of_scope(self):
+        blob = bytearray(encode_wav_adpcm(self._wave(n=64)))
+        pos = blob.index(b"fmt ") + 8 + 2
+        blob[pos : pos + 2] = (2).to_bytes(2, "little")
+        assert decode_wav(bytes(blob)) is None
+
+    def test_pack_rejects_bad_streams(self):
+        with pytest.raises(ValueError, match="even"):
+            pack_wav_adpcm([1, 2, 3], 0, 0)
+        with pytest.raises(ValueError, match="4-bit"):
+            pack_wav_adpcm([1, 16], 0, 0)
+        with pytest.raises(ValueError, match="seed state"):
+            pack_wav_adpcm([1, 2], 0, 89)
+
+    def test_audio_stats_consumes_adpcm(self, spark):
+        from pyspark.sql import types as T
+
+        x = self._wave(n=500, seed=5)
+        blob = encode_wav_adpcm(x, sample_rate=8000)
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))],
+            T.StructType(
+                [
+                    T.StructField("media_id", T.LongType(), False),
+                    T.StructField("content", T.BinaryType(), True),
+                ]
+            ),
+        )
+        row = audio_sample_stats(df).collect()[0]
+        dec, _ = decode_wav(blob)
+        ch0 = dec[:, 0].astype(np.int64)
+        assert row.sample_rate == 8000 and row.n_frames == len(ch0)
+        assert row.sum_amp == int(ch0.sum())
+        assert row.peak_amp == int(np.abs(ch0).max())
 
 
 class TestSparkPath:
