@@ -60,11 +60,92 @@ class TestHoconParser:
         conf = hocon.loads('a: 1\nb { c: "two" }')
         assert conf == {"a": 1, "b": {"c": "two"}}
 
-    def test_unsupported_features_rejected(self):
+    def test_loud_failure_modes(self):
+        # include needs a directory to resolve against (file-based load)
         with pytest.raises(ValueError, match="include"):
             hocon.loads('include "other.conf"')
+        # a non-optional substitution with no definition anywhere
         with pytest.raises(ValueError, match="substitution"):
             hocon.loads("a = ${b}")
+        # still-unsupported spec features fail loudly, never misparse
+        with pytest.raises(ValueError, match="file"):
+            hocon.loads('include url("http://x/c.conf")', base_dir="/tmp")
+        with pytest.raises(ValueError, match="Triple"):
+            hocon.loads('a = """x"""')
+
+
+class TestHoconIncludesAndSubstitutions:
+    """Round-12 parser additions: include file(...) chains and ${path}
+    substitutions (the reference example layouts use both)."""
+
+    def test_include_merges_at_include_point(self, tmp_path):
+        (tmp_path / "common.conf").write_text(
+            'pramen { x = 1\n name = "base" }\nmail { smtp.host = "h" }'
+        )
+        (tmp_path / "main.conf").write_text(
+            'include file("common.conf")\npramen { name = "override" }'
+        )
+        conf = hocon.load(str(tmp_path / "main.conf"))
+        assert conf == {
+            "pramen": {"x": 1, "name": "override"},
+            "mail": {"smtp": {"host": "h"}},
+        }
+
+    def test_include_relative_to_including_file_and_nested(self, tmp_path):
+        sub = tmp_path / "sub"
+        sub.mkdir()
+        (sub / "inner.conf").write_text("deep = true")
+        (sub / "mid.conf").write_text('include file("inner.conf")\nmid = 1')
+        (tmp_path / "main.conf").write_text('include file("sub/mid.conf")')
+        assert hocon.load(str(tmp_path / "main.conf")) == {
+            "deep": True,
+            "mid": 1,
+        }
+
+    def test_missing_plain_include_skipped_required_raises(self, tmp_path):
+        (tmp_path / "a.conf").write_text('include "gone.conf"\nk = 1')
+        assert hocon.load(str(tmp_path / "a.conf")) == {"k": 1}
+        (tmp_path / "b.conf").write_text('include required(file("gone.conf"))')
+        with pytest.raises(ValueError, match="required include"):
+            hocon.load(str(tmp_path / "b.conf"))
+
+    def test_include_cycle_detected(self, tmp_path):
+        (tmp_path / "c1.conf").write_text('include file("c2.conf")')
+        (tmp_path / "c2.conf").write_text('include file("c1.conf")')
+        with pytest.raises(ValueError, match="cycle"):
+            hocon.load(str(tmp_path / "c1.conf"))
+
+    def test_substitution_and_concatenation(self):
+        conf = hocon.loads(
+            'run.type = "(Prod)"\nenv = "MyEnv "${run.type}\nn = ${port}\nport = 25',
+            base_dir="/tmp",
+        )
+        assert conf["env"] == "MyEnv (Prod)"
+        assert conf["n"] == 25  # sole-token subst keeps the value type
+
+    def test_optional_substitution_drops_key(self):
+        conf = hocon.loads(
+            'a = ${?not.defined}\nb = "x"${?not.defined}', base_dir="/tmp"
+        )
+        assert "a" not in conf
+        assert conf["b"] == "x"  # in concat: contributes empty string
+
+    def test_overrides_act_like_system_properties(self, tmp_path):
+        (tmp_path / "w.conf").write_text('env = "MyEnv "${pramen.run.type}')
+        conf = hocon.load(
+            str(tmp_path / "w.conf"), overrides={"pramen.run.type": "(dev)"}
+        )
+        assert conf["env"] == "MyEnv (dev)"
+        # overrides also beat file values (JVM -D precedence)
+        (tmp_path / "v.conf").write_text("pramen { parallel.tasks = 4 }")
+        conf2 = hocon.load(
+            str(tmp_path / "v.conf"), overrides={"pramen.parallel.tasks": 8}
+        )
+        assert conf2["pramen"]["parallel"]["tasks"] == 8
+
+    def test_substitution_cycle_detected(self):
+        with pytest.raises(ValueError, match="cycle"):
+            hocon.loads("a = ${b}\nb = ${a}", base_dir="/tmp")
 
 
 class TestTableConfigParsing:
