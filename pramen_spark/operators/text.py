@@ -1450,12 +1450,12 @@ def learn_bpe_merges(
     ``[a-z0-9]+`` strings (hashes, URL fragments), so the collect is
     bounded by DESIGN, not data luck —
 
-    - ``min_count`` (the SentencePiece-standard frequency floor,
-      ``--minloglevel``-era knob spelled ``min_count``/
-      ``vocabulary_threshold``) filters the vocabulary BEFORE the
-      collect, executor-side. Hapax noise cannot win a merge against
-      real vocabulary, so floors like 2-5 change nothing on clean
-      corpora while collapsing the noise tail.
+    - ``min_count`` (the standard tokenizer-training frequency floor —
+      subword-nmt's ``--min-frequency``, fastText/word2vec's
+      ``minCount``) filters the vocabulary BEFORE the collect,
+      executor-side. Hapax noise cannot win a merge against real
+      vocabulary, so floors like 2-5 change nothing on clean corpora
+      while collapsing the noise tail.
     - ``max_vocab`` is a hard cap: the plan collects at most
       ``max_vocab + 1`` rows (a ``limit`` above the collect, so the
       excess never reaches the driver) and raises with a clear message

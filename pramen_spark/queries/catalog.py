@@ -52,9 +52,11 @@ from pramen_spark.queries import kpi as _kpi  # noqa: F401,E402
 #     committed CORRECTNESS_r* record), led by the round-11 debut
 #     operators image_pixel_stats_jpeg and bpe_encode_large_ruleset,
 #     then draining the backlog oldest-registration-first. After the
-#     CORRECTNESS_r12 record lands, the backlog drops 168 -> 128; keep
-#     refilling tier B from the remaining never-checked set each round
-#     (~4 more rounds to zero).
+#     CORRECTNESS_r12 record lands, the backlog drops 168 -> 129
+#     (40 drained, +1 for the round-12 debut audio_sample_stats_adpcm);
+#     round 13 takes sentinel slice 2 (gates[4:8] + tpch[6:12]) and
+#     refills tier B led by audio_sample_stats_adpcm, then the next 39
+#     never-checked in registration order (~3 more rounds to zero).
 #
 # Everything below the 50-entry window keeps the prior ordering rule:
 # oracle-checked queries before rows-only ones, stable by registration
