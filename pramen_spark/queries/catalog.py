@@ -30,33 +30,35 @@ from pramen_spark.queries import stats_quality as _stats  # noqa: F401,E402
 from pramen_spark.queries import kpi as _kpi  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
-# Driver correctness-window ordering.
+# Driver correctness-window ordering — SELF-ROTATING from round 12.
 #
 # The driver's per-round correctness gate checks the FIRST 50 entries of
 # ``QUERIES`` in iteration order. Restructured in round 12 (VERDICT r11
 # ask #1): the old fixed tiers (11 §2 gates + 22 TPC-H) had been green in
 # EVERY driver window since round 6 while holding 33 of the 50 slots, so
 # at 17 first-time rows per round the never-driver-checked backlog
-# (168 of 314 after r11) would have taken ~10 more rounds to drain. The
-# window is now:
+# (168 of 314 after r11) would have taken ~10 more rounds to drain.
 #
-#   tier S — a 10-slot ROTATING SENTINEL (4 §2 gates + 6 TPC-H), sliced
-#     round-robin from the fixed orders below so every gate re-audits
+# The window is now COMPUTED at import time from the committed
+# CORRECTNESS_r*.json records (the drain state is already in the repo —
+# no manual rotation edits, no stale-count comments):
+#
+#   tier S — a 10-slot ROTATING SENTINEL (4 §2 gates + 6 TPC-H), cyclic
+#     slices of the fixed orders below advanced by the number of rounds
+#     completed since the restructure epoch, so every gate re-audits
 #     every ~3 rounds (ceil(11/4)) and every TPC-H shape every ~4
-#     (ceil(22/6)). Round 12 takes slice 0 of each (gates[0:4],
-#     tpch[0:6]); round 13 takes gates[4:8] + tpch[6:12]; and so on,
-#     wrapping. Out-of-sentinel gates/TPC-H stay oracle-checked every
-#     round by tools/check_oracle.py + pytest's full-catalog sweep.
+#     (ceil(22/6)). Round 12 (11 committed records) takes gates[0:4] +
+#     tpch[0:6]; round 13 takes gates[4:8] + tpch[6:12]; wrapping.
+#     Out-of-sentinel gates/TPC-H stay oracle-checked every round by
+#     tools/check_oracle.py + pytest's full-catalog sweep.
 #
-#   tier B — 40 slots of NEVER-driver-checked queries (no row in any
-#     committed CORRECTNESS_r* record), led by the round-11 debut
-#     operators image_pixel_stats_jpeg and bpe_encode_large_ruleset,
-#     then draining the backlog oldest-registration-first. After the
-#     CORRECTNESS_r12 record lands, the backlog drops 168 -> 129
-#     (40 drained, +1 for the round-12 debut audio_sample_stats_adpcm);
-#     round 13 takes sentinel slice 2 (gates[4:8] + tpch[6:12]) and
-#     refills tier B led by audio_sample_stats_adpcm, then the next 39
-#     never-checked in registration order (~3 more rounds to zero).
+#   tier B — 40 slots ordered by LEAST-RECENTLY-DRIVER-CHECKED first
+#     (never-checked sorts before everything; ties broken by
+#     registration order), with ``DEBUT_QUEUE`` names leading while they
+#     are still unchecked. This drains the never-checked backlog at
+#     40/round (~168 at r12 -> zero in ~4 rounds) and then degrades
+#     gracefully into a full re-audit rotation: once everything has a
+#     row, the window cycles through the whole catalog oldest-row-first.
 #
 # Everything below the 50-entry window keeps the prior ordering rule:
 # oracle-checked queries before rows-only ones, stable by registration
@@ -64,8 +66,13 @@ from pramen_spark.queries import kpi as _kpi  # noqa: F401,E402
 # adding a new query never silently drops an audited one out of order.
 # ---------------------------------------------------------------------------
 
-# Fixed rotation orders for the sentinel (do not reorder; the round-robin
-# slice arithmetic above depends on these being stable).
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
+
+# Fixed rotation orders for the sentinel (do not reorder; the cyclic
+# slice arithmetic depends on these being stable).
 _SENTINEL_S2_GATES = [
     "projection", "schema_transform", "filter_macro", "infodate_injection",
     "batchid_injection", "column_sanitation", "record_count",
@@ -84,33 +91,103 @@ _SENTINEL_TPCH = [
     "q22_dormant_customers",
 ]
 
-_DRIVER_WINDOW_PRIORITY = [
-    # tier S (10): round-12 sentinel = gates[0:4] + tpch[0:6]
-    *_SENTINEL_S2_GATES[0:4],
-    *_SENTINEL_TPCH[0:6],
-    # tier B (40): never-driver-checked, r11 debuts first, then
-    # oldest-registration-first from the 168-query backlog
-    "image_pixel_stats_jpeg", "bpe_encode_large_ruleset",
-    "dedup_representatives", "doc_length_histogram",
-    "cube_events_type_day", "moving_avg_user_value",
-    "daily_revenue_running_total", "heavy_hitter_tokens",
-    "tfidf_top_terms", "domain_histogram_documents",
-    "chunk_documents", "ngram_novelty_documents",
-    "snapshot_diff_documents", "bucket_gapfill_hourly",
-    "rollup_orders_priority_status", "approx_aggregates_selfcheck",
-    "customer_value_ranks", "profile_documents_table",
-    "cohort_retention_events", "funnel_events",
-    "incremental_agg_lineitem", "quantize_embeddings_int8",
-    "stream_sliding_counts", "incremental_distinct_hll",
-    "value_percentiles_daily", "trend_slope_daily",
-    "event_transitions_markov", "curriculum_buckets_documents",
-    "json_props_events", "grouping_sets_revenue",
-    "twap_events", "cusum_changepoint_daily",
-    "zorder_cluster_lineitem", "orders_pivot_status",
-    "lineitem_unpivot_charges", "burst_dedup_events",
-    "label_centroid_cohesion", "hard_negatives_embeddings",
-    "stream_session_counts", "winsorize_lineitem",
+# Newly-shipped operators jump the tier-B queue until their first driver
+# row lands (the r10->r11 debut precedent, now automatic): append a new
+# query's name here when adding it to the catalog; it silently drops out
+# of the window once any CORRECTNESS record contains it.
+DEBUT_QUEUE = [
+    "image_pixel_stats_jpeg",
+    "bpe_encode_large_ruleset",
+    "audio_sample_stats_adpcm",
 ]
+
+_ROTATION_EPOCH = 11  # committed records when the self-rotating window shipped
+_WINDOW_SIZE = 50
+_SENTINEL_GATES_PER_ROUND = 4
+_SENTINEL_TPCH_PER_ROUND = 6
+
+_REPO_DIR = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def driver_check_history(repo_dir: str = _REPO_DIR):
+    """Read the committed CORRECTNESS_r*.json records: returns
+    ``(rounds_completed, {query_name: latest_round_with_a_row})``.
+    Unreadable records are skipped — the window degrades to treating
+    their queries as unchecked, which only re-audits them sooner."""
+    last: dict = {}
+    rounds = [0]
+    for path in sorted(
+        _glob.glob(_os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+    ):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        queries = data.get("queries", data)
+        if not isinstance(queries, dict):
+            continue
+        rounds.append(n)
+        for name in queries:
+            last[name] = max(last.get(name, 0), n)
+    return max(rounds), last
+
+
+def build_driver_window(
+    registration_order,
+    specs,
+    rounds_completed: int,
+    last_checked: dict,
+):
+    """The 50-name driver window for the NEXT gate run (pure function of
+    the committed check history — unit-tested for future rotations)."""
+
+    def cyc(lst, start, k):
+        return [lst[(start + j) % len(lst)] for j in range(k)]
+
+    i = max(0, rounds_completed - _ROTATION_EPOCH)
+    window = cyc(
+        _SENTINEL_S2_GATES,
+        (_SENTINEL_GATES_PER_ROUND * i) % len(_SENTINEL_S2_GATES),
+        _SENTINEL_GATES_PER_ROUND,
+    ) + cyc(
+        _SENTINEL_TPCH,
+        (_SENTINEL_TPCH_PER_ROUND * i) % len(_SENTINEL_TPCH),
+        _SENTINEL_TPCH_PER_ROUND,
+    )
+    taken = set(window)
+    reg_index = {n: j for j, n in enumerate(registration_order)}
+    for name in DEBUT_QUEUE:
+        if len(window) >= _WINDOW_SIZE:
+            break
+        if name in taken or name in last_checked or name not in reg_index:
+            continue
+        if specs[name].oracle is None:
+            continue
+        window.append(name)
+        taken.add(name)
+    remaining = sorted(
+        (
+            n
+            for n in registration_order
+            if n not in taken and specs[n].oracle is not None
+        ),
+        key=lambda n: (last_checked.get(n, 0), reg_index[n]),
+    )
+    window += remaining[: _WINDOW_SIZE - len(window)]
+    return window
+
+
+_ROUNDS_COMPLETED, _LAST_CHECKED = driver_check_history()
+_DRIVER_WINDOW_PRIORITY = build_driver_window(
+    list(QUERIES), QUERIES, _ROUNDS_COMPLETED, _LAST_CHECKED
+)
 
 
 def _query_order(item):

@@ -73,6 +73,84 @@ class TestCatalogSplit:
         for name in list(QUERIES)[:50]:
             assert QUERIES[name].oracle is not None, name
 
+
+class TestSelfRotatingWindow:
+    """The window is computed from committed CORRECTNESS records
+    (catalog.py::build_driver_window) — pin the FUTURE rotation behavior
+    now with synthetic histories so a silent arithmetic change fails
+    here, not in a driver round."""
+
+    def _reg(self):
+        from pramen_spark.queries import catalog as C
+
+        return list(QUERIES), QUERIES, C
+
+    def test_round12_shape(self):
+        reg, specs, C = self._reg()
+        _, last = C.driver_check_history()
+        w = C.build_driver_window(reg, specs, 11, last)
+        assert len(w) == 50 and len(set(w)) == 50
+        assert w[:10] == DRIVER_SENTINEL_R12
+        # debuts lead tier B while unchecked
+        assert w[10:13] == [
+            "image_pixel_stats_jpeg",
+            "bpe_encode_large_ruleset",
+            "audio_sample_stats_adpcm",
+        ]
+
+    def test_round13_advances_sentinel_and_drains_backlog(self):
+        reg, specs, C = self._reg()
+        _, last = C.driver_check_history()
+        r12w = C.build_driver_window(reg, specs, 11, last)
+        last13 = dict(last)
+        for n in r12w[10:]:
+            last13[n] = 12  # this round's gate drained them
+        w = C.build_driver_window(reg, specs, 12, last13)
+        assert w[:4] == [
+            "batchid_injection", "column_sanitation", "record_count",
+            "date_range_read",
+        ]
+        assert w[4:10] == [
+            "q7_volume_shipping", "q8_market_share",
+            "q9_product_type_profit", "q10_returned_items",
+            "q11_important_parts", "q12_priority_by_linestatus",
+        ]
+        # tier B keeps draining never-checked queries, no repeats of the
+        # freshly-drained ones
+        assert not (set(w[10:]) & set(r12w[10:]))
+        assert all(n not in last13 for n in w[10:])
+
+    def test_sentinel_slices_wrap_and_cover_everything(self):
+        reg, specs, C = self._reg()
+        gates_seen, tpch_seen = set(), set()
+        for r in range(11, 11 + 12):
+            w = C.build_driver_window(reg, specs, r, {})
+            gates_seen.update(w[:4])
+            tpch_seen.update(w[4:10])
+        from pramen_spark.queries.catalog import (
+            _SENTINEL_S2_GATES,
+            _SENTINEL_TPCH,
+        )
+        assert gates_seen == set(_SENTINEL_S2_GATES)
+        assert tpch_seen == set(_SENTINEL_TPCH)
+
+    def test_steady_state_reaudits_oldest_rows_first(self):
+        reg, specs, C = self._reg()
+        last = {n: 7 for n in reg}
+        stale = [n for n in reg if specs[n].oracle is not None][:45]
+        for n in stale:
+            last[n] = 3  # oldest driver rows
+        w = C.build_driver_window(reg, specs, 20, last)
+        # tier B = exactly the 40 stalest non-sentinel queries
+        assert all(last[n] == 3 for n in w[10:])
+
+    def test_checked_debut_drops_out_of_the_queue(self):
+        reg, specs, C = self._reg()
+        last = {"image_pixel_stats_jpeg": 12, "bpe_encode_large_ruleset": 12}
+        w = C.build_driver_window(reg, specs, 12, last)
+        assert "image_pixel_stats_jpeg" not in w[10:12]
+        assert w[10] == "audio_sample_stats_adpcm"  # still unchecked: leads
+
     def test_submodules_register_disjoint_sets(self):
         # each query is registered exactly once (the registry would silently
         # keep the last registration on a duplicate name)
