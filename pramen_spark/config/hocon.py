@@ -26,11 +26,14 @@ implements the subset those workflow files actually use:
   the key (or contributes "" inside a concatenation). ``overrides`` to
   :func:`load`/:func:`loads` is the ``-Dkey=value`` system-property
   equivalent the JVM reference resolves ``pramen.run.type`` from.
+- triple-quoted multi-line strings (round 12; verbatim content, spec
+  excess-quote closing rule — the reference's Hive DDL templates in
+  examples/enceladus_single_config use them).
 
 NOT supported (rejected loudly rather than misparsed): ``url()``/
-``classpath()`` includes, triple-quoted strings, ``+=``, ``$`` inside
-unquoted scalars. When pyhocon IS available it is preferred (full spec)
-unless ``overrides`` are passed (pyhocon has no system-property hook).
+``classpath()`` includes, ``+=``, ``$`` inside unquoted scalars. When
+pyhocon IS available it is preferred (full spec) unless ``overrides``
+are passed (pyhocon has no system-property hook).
 """
 
 from __future__ import annotations
@@ -267,10 +270,9 @@ class _Parser:
             c = self._peek()
             if c == '"':
                 if self.text.startswith('"""', self.pos):
-                    raise self._err(
-                        "Triple-quoted strings are not supported by the built-in parser"
-                    )
-                tokens.append(("q", self.parse_quoted()))
+                    tokens.append(("q", self._parse_triple_quoted()))
+                else:
+                    tokens.append(("q", self.parse_quoted()))
             elif c == "$":
                 tokens.append(("s", self._parse_subst()))
             else:
@@ -293,6 +295,22 @@ class _Parser:
             kind, v = tokens[0]
             return _coerce(v) if kind == "u" else v
         return _Concat(v for _, v in tokens)
+
+    def _parse_triple_quoted(self) -> str:
+        """HOCON multi-line string: content between \"\"\" pairs taken
+        verbatim (no escape processing); per the spec, when the closing
+        run has more than three quotes the excess quotes belong to the
+        string content (the reference's Hive DDL templates in
+        examples/enceladus_single_config use this form)."""
+        assert self.text.startswith('"""', self.pos)
+        end = self.text.find('"""', self.pos + 3)
+        if end < 0:
+            raise self._err("Unterminated triple-quoted string")
+        while end + 3 < self.n and self.text[end + 3] == '"':
+            end += 1
+        s = self.text[self.pos + 3 : end]
+        self.pos = end + 3
+        return s
 
     def _parse_subst(self) -> "_Subst":
         assert self._peek() == "$"

@@ -70,8 +70,8 @@ class TestHoconParser:
         # still-unsupported spec features fail loudly, never misparse
         with pytest.raises(ValueError, match="file"):
             hocon.loads('include url("http://x/c.conf")', base_dir="/tmp")
-        with pytest.raises(ValueError, match="Triple"):
-            hocon.loads('a = """x"""')
+        with pytest.raises(ValueError, match="'\\+='"):
+            hocon.loads("a += 1")
 
 
 class TestHoconIncludesAndSubstitutions:

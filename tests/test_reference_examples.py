@@ -184,3 +184,49 @@ class TestEnceladusSourcingExample:
         tbl2 = op["tables"][1]
         assert tbl2["input"]["db"]["table"] == "db.my_table2"
         assert tbl2["output"]["info"]["version"] == 1
+
+
+class TestEnceladusSingleConfigExample:
+    """examples/enceladus_single_config/daily_ingestion.conf — the
+    self-contained DCE pipeline whose EnceladusSink carries a
+    triple-quoted multi-line Hive DDL template (the round-12 parser
+    addition) and a transfer op with date-range expressions."""
+
+    @pytest.fixture(scope="class")
+    def wf(self):
+        return load_workflow(
+            hocon.load(
+                f"{EXAMPLES}/enceladus_single_config/daily_ingestion.conf"
+            )
+        )
+
+    def test_header(self, wf):
+        assert wf.pipeline_name == "My DCE pipeline"
+        assert wf.environment == "(Prod) MyEnvName"
+        assert wf.tables == []  # transfer-only pipeline, by design
+
+    def test_triple_quoted_hive_template_is_verbatim(self, wf):
+        dce = wf.sinks["dce"]
+        tmpl = dce.options["hive.conf.create.table.template"]
+        assert tmpl.startswith("CREATE EXTERNAL TABLE IF NOT EXISTS")
+        assert tmpl.count("\n") == 6  # multi-line DDL survives verbatim
+        assert "@fullTableName ( @schema )" in tmpl
+        assert tmpl.endswith("LOCATION '@path'")
+        # the @-macro command-line template (single-line) parses too
+        assert dce.options["enceladus.command.line.template"].startswith(
+            "--autoclean-std-folder true --dataset-name @datasetName"
+        )
+        assert dce.options["cleanup.api.trust.all.ssl.certificates"] is False
+
+    def test_transfer_op_with_date_range(self, wf):
+        (op,) = wf.operations
+        tbl = op["tables"][0]
+        odef = _operation_def(
+            op, "transfer", ":my_table1->dce", "my_table1->dce", (), tbl
+        )
+        assert odef.schedule.kind == ScheduleKind.DAILY
+        assert odef.info_date_expression == "@runDate"
+        # date.from/date.to expressions are forwarded into options
+        assert odef.options["date.from"] == "@infoDate"
+        assert odef.options["date.to"] == "@infoDate"
+        assert tbl["output"]["hive"]["table"] == "my_hive_database.my_hive_table"
