@@ -2501,34 +2501,51 @@ def _adpcm_step_nibble(nib: int, pred: int, idx: int):
     return pred, idx
 
 
-def _adpcm_decode_mono(data: bytes, block_align: int):
-    """Decode a mono IMA ADPCM ``data`` chunk to an int32 sample vector,
-    or None on a corrupt stream (truncated block header, step index out
-    of the 0..88 table). Standard block layout: a 4-byte header (int16
-    LE predictor — emitted verbatim as the block's first sample — then
-    the uint8 step index and a reserved byte), then nibble pairs low
-    nibble first. The final block may be short (data chunk ends early);
-    its available nibbles still decode.
+def _adpcm_decode(data: bytes, block_align: int, channels: int):
+    """Decode an IMA ADPCM ``data`` chunk to an (n_frames, channels)
+    int32 array, or None on a corrupt stream (truncated block header,
+    step index out of the 0..88 table). Standard block layout: one
+    4-byte header per channel (int16 LE predictor — emitted verbatim as
+    the channel's first sample of the block — then the uint8 step index
+    and a reserved byte), then the body in 4-byte words (8 nibbles, low
+    nibble first) alternating channels: ch0 word, ch1 word, ... The
+    final block may be short (data chunk ends early); its available
+    nibbles still decode, and a ragged channel tail trims to the
+    shortest channel.
 
     The recurrence is inherently sequential, so this is a Python loop
     over nibbles — fine for curation-tier clips (10^2..10^5 samples);
     the per-clip work is bounded by the payload, and the loop runs
     inside the Arrow-batched decode task like every other codec here."""
-    out = []
+    chans = [[] for _ in range(channels)]
+    preds = [0] * channels
+    idxs = [0] * channels
     for off in range(0, len(data), block_align):
         blk = data[off : off + block_align]
-        if len(blk) < 4:
-            return None  # block header cannot be truncated
-        pred = int.from_bytes(blk[0:2], "little", signed=True)
-        idx = blk[2]
-        if idx > 88:
-            return None
-        out.append(pred)
-        for byte in blk[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                pred, idx = _adpcm_step_nibble(nib, pred, idx)
-                out.append(pred)
-    return np.array(out, dtype=np.int32)
+        if len(blk) < 4 * channels:
+            return None  # block headers cannot be truncated
+        for c in range(channels):
+            preds[c] = int.from_bytes(
+                blk[4 * c : 4 * c + 2], "little", signed=True
+            )
+            idxs[c] = blk[4 * c + 2]
+            if idxs[c] > 88:
+                return None
+            chans[c].append(preds[c])
+        body = blk[4 * channels :]
+        for w in range(0, len(body), 4):
+            c = (w // 4) % channels
+            for byte in body[w : w + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _adpcm_step_nibble(
+                        nib, preds[c], idxs[c]
+                    )
+                    chans[c].append(preds[c])
+    n = min(len(ch) for ch in chans)
+    out = np.empty((n, channels), dtype=np.int32)
+    for c in range(channels):
+        out[:, c] = chans[c][:n]
+    return out
 
 
 def decode_wav(content: Optional[bytes]):
@@ -2572,12 +2589,17 @@ def decode_wav(content: Optional[bytes]):
     if data is None or not channels:
         return None
     if fmt_tag == 0x11:  # DVI/IMA ADPCM
-        if bits != 4 or channels != 1 or not block_align or block_align < 5:
+        if (
+            bits != 4
+            or channels not in (1, 2)
+            or not block_align
+            or block_align < 4 * channels + 1
+        ):
             return None
-        samples = _adpcm_decode_mono(data, block_align)
+        samples = _adpcm_decode(data, block_align, channels)
         if samples is None:
             return None
-        return samples.reshape(-1, 1), (sample_rate or 0)
+        return samples, (sample_rate or 0)
     if fmt_tag != 1 or bits not in (8, 16):
         return None
     width = bits // 8
@@ -2632,15 +2654,19 @@ def _wav_chunk(fourcc: bytes, d: bytes) -> bytes:
 
 
 def _adpcm_wav_wrap(
-    data: bytes, sample_rate: int, block_align: int, n_samples: int
+    data: bytes,
+    sample_rate: int,
+    block_align: int,
+    n_samples: int,
+    channels: int = 1,
 ) -> bytes:
-    """RIFF/WAVE wrapper for a mono IMA ADPCM ``data`` chunk: 20-byte
-    fmt (tag 0x11, 4 bits, cbSize=2 with wSamplesPerBlock) + the
-    spec-required ``fact`` chunk carrying the total sample count."""
-    samples_per_block = (block_align - 4) * 2 + 1
+    """RIFF/WAVE wrapper for an IMA ADPCM ``data`` chunk: 20-byte fmt
+    (tag 0x11, 4 bits, cbSize=2 with wSamplesPerBlock) + the
+    spec-required ``fact`` chunk carrying the per-channel frame count."""
+    samples_per_block = (block_align - 4 * channels) * 2 // channels + 1
     avg_bytes = (sample_rate * block_align) // max(1, samples_per_block)
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, sample_rate, avg_bytes, block_align, 4,
+        "<HHIIHHHH", 0x11, channels, sample_rate, avg_bytes, block_align, 4,
         2, samples_per_block,
     )
     body = (
@@ -2684,58 +2710,86 @@ def pack_wav_adpcm(
     )
 
 
+def _adpcm_encode_channel(targets, pred: int, idx: int):
+    """Error-feedback nibble search for one channel's run of samples:
+    pick each 4-bit code by greedy magnitude fitting against the current
+    step, then advance through the DECODER recurrence so encoder and
+    decoder states stay in lockstep. Returns (nibbles, final index)."""
+    nibs = []
+    for target in targets:
+        step = _ADPCM_STEP[idx]
+        diff = int(target) - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, idx = _adpcm_step_nibble(nib, pred, idx)
+        nibs.append(nib)
+    return nibs, idx
+
+
 def encode_wav_adpcm(
     samples: np.ndarray, sample_rate: int = 16000, block_align: int = 256
 ) -> bytes:
     """Independent quantizing IMA ADPCM encoder for round-trip tests
     (shares only the published constant tables with the decoder; the
     encode direction — error-feedback nibble search — is its own
-    logic): mono int16-range samples -> multi-block mono format-0x11
-    RIFF/WAVE. Standard block layout: each block stores its first input
-    sample verbatim in the header (the decoder emits it as the block's
-    first output sample) and nibble-encodes the following
-    ``(block_align - 4) * 2`` samples; the step index carries across
-    blocks. The final block may be short; an odd tail nibble pads with
-    code 0 (decoders emit one low-magnitude phantom sample, the
+    logic): mono or stereo int16-range samples -> multi-block
+    format-0x11 RIFF/WAVE. Standard block layout: each block stores
+    each channel's first input sample verbatim in a per-channel header
+    (the decoder emits it as that channel's first output sample of the
+    block) and nibble-encodes the following samples in 4-byte words
+    alternating channels; step indices carry across blocks. The final
+    block may be short; tail nibbles pad with code 0 to the word
+    boundary (decoders emit a few low-magnitude phantom samples, the
     standard behavior — round-trip tests compare the input-length
     prefix)."""
-    s = np.asarray(samples).reshape(-1).astype(np.int64)
-    if s.size == 0:
-        return _adpcm_wav_wrap(b"", sample_rate, block_align, 0)
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if ch not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    if (block_align - 4 * ch) <= 0 or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(
+            "block_align must leave whole 4-byte words per channel"
+        )
+    s = s.astype(np.int64)
+    if n == 0:
+        return _adpcm_wav_wrap(b"", sample_rate, block_align, 0, ch)
     if s.min() < -32768 or s.max() > 32767:
         raise ValueError("samples must be int16-range")
-    spb = (block_align - 4) * 2 + 1
-    idx = 0
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    idxs = [0] * ch
     data = bytearray()
-    for b0 in range(0, s.size, spb):
+    word_pad = 8 if ch > 1 else 2  # stereo interleaves whole words
+    for b0 in range(0, n, spb):
         blk = s[b0 : b0 + spb]
-        pred = int(blk[0])
-        data += struct.pack("<hBB", pred, idx, 0)
+        for c in range(ch):
+            data += struct.pack("<hBB", int(blk[0, c]), idxs[c], 0)
         nibs = []
-        for target in blk[1:]:
-            step = _ADPCM_STEP[idx]
-            diff = int(target) - pred
-            nib = 0
-            if diff < 0:
-                nib = 8
-                diff = -diff
-            if diff >= step:
-                nib |= 4
-                diff -= step
-            if diff >= step >> 1:
-                nib |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                nib |= 1
-            # advance encoder state with the DECODER recurrence so the
-            # two stay in lockstep (error feedback)
-            pred, idx = _adpcm_step_nibble(nib, pred, idx)
-            nibs.append(nib)
-        if len(nibs) % 2:
-            nibs.append(0)  # pad tail half-byte with code 0
-        for lo, hi in zip(nibs[0::2], nibs[1::2]):
-            data.append(lo | (hi << 4))
-    return _adpcm_wav_wrap(bytes(data), sample_rate, block_align, s.size)
+        for c in range(ch):
+            cn, idxs[c] = _adpcm_encode_channel(
+                blk[1:, c], int(blk[0, c]), idxs[c]
+            )
+            while len(cn) % word_pad:
+                cn.append(0)  # pad tail to the channel word boundary
+            nibs.append(cn)
+        words = len(nibs[0]) // word_pad
+        for w in range(words):
+            for c in range(ch):
+                chunk = nibs[c][w * word_pad : (w + 1) * word_pad]
+                for lo, hi in zip(chunk[0::2], chunk[1::2]):
+                    data.append(lo | (hi << 4))
+    return _adpcm_wav_wrap(bytes(data), sample_rate, block_align, n, ch)
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

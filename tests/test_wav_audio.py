@@ -16,12 +16,14 @@ from pramen_spark.operators.multimodal import (
 )
 
 
-def _ref_ima_decode(data: bytes, block_align: int):
+def _ref_ima_decode(data: bytes, block_align: int, channels: int = 1):
     """Reference IMA ADPCM decoder written from the published algorithm
     independently of the implementation under test: bit-3 sign, bits
     2..0 select step fractions via the equivalent multiply-accumulate
     form diff = ((2*code+1) * step) >> 3 with the exact truncation
-    pattern expanded manually."""
+    pattern expanded manually. Stereo follows the standard MS layout:
+    per-channel 4-byte headers, then 4-byte words alternating
+    channels. Returns a list of per-channel sample lists."""
     STEP = [
         7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
         37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
@@ -33,29 +35,37 @@ def _ref_ima_decode(data: bytes, block_align: int):
         29794, 32767,
     ]
     ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
-    out = []
+    out = [[] for _ in range(channels)]
+    pred = [0] * channels
+    index = [0] * channels
     for off in range(0, len(data), block_align):
         blk = data[off : off + block_align]
-        pred = int.from_bytes(blk[0:2], "little", signed=True)
-        index = blk[2]
-        out.append(pred)
-        nibbles = []
-        for byte in blk[4:]:
-            nibbles += [byte & 15, byte >> 4]
-        for code in nibbles:
-            step = STEP[index]
-            mag = code & 7
-            # sum of selected step fractions, each truncated separately
-            delta = (
-                step // 8
-                + (step // 4 if mag & 1 else 0)
-                + (step // 2 if mag & 2 else 0)
-                + (step if mag & 4 else 0)
+        for c in range(channels):
+            pred[c] = int.from_bytes(
+                blk[4 * c : 4 * c + 2], "little", signed=True
             )
-            pred += -delta if code & 8 else delta
-            pred = max(-32768, min(32767, pred))
-            index = max(0, min(88, index + ADJ[mag]))
-            out.append(pred)
+            index[c] = blk[4 * c + 2]
+            out[c].append(pred[c])
+        body = blk[4 * channels :]
+        for w in range(0, len(body), 4):
+            c = (w // 4) % channels
+            nibbles = []
+            for byte in body[w : w + 4]:
+                nibbles += [byte & 15, byte >> 4]
+            for code in nibbles:
+                step = STEP[index[c]]
+                mag = code & 7
+                # selected step fractions, each truncated separately
+                delta = (
+                    step // 8
+                    + (step // 4 if mag & 1 else 0)
+                    + (step // 2 if mag & 2 else 0)
+                    + (step if mag & 4 else 0)
+                )
+                pred[c] += -delta if code & 8 else delta
+                pred[c] = max(-32768, min(32767, pred[c]))
+                index[c] = max(0, min(88, index[c] + ADJ[mag]))
+                out[c].append(pred[c])
     return out
 
 
@@ -130,7 +140,7 @@ class TestAdpcm:
         size = int.from_bytes(blob[data_pos + 4 : data_pos + 8], "little")
         ref = _ref_ima_decode(blob[data_pos + 8 : data_pos + 8 + size], 64)
         assert rate == 8000
-        assert got[:, 0].tolist() == ref
+        assert got[:, 0].tolist() == ref[0]
 
     def test_pack_decode_is_the_seeded_recurrence(self):
         nibs = [(7 * i * i + 3 * i) % 16 for i in range(1, 201)]
@@ -140,7 +150,7 @@ class TestAdpcm:
         data_pos = blob.index(b"data")
         size = int.from_bytes(blob[data_pos + 4 : data_pos + 8], "little")
         ref = _ref_ima_decode(blob[data_pos + 8 : data_pos + 8 + size], size)
-        assert got[:, 0].tolist() == ref
+        assert got[:, 0].tolist() == ref[0]
 
     def test_roundtrip_error_is_codec_bounded(self):
         x = self._wave(n=4000, seed=11)
@@ -179,11 +189,47 @@ class TestAdpcm:
         out[4:8] = (len(out) - 8).to_bytes(4, "little")
         assert decode_wav(bytes(out)) is None
 
-    def test_stereo_adpcm_is_out_of_scope(self):
+    def test_stereo_decode_matches_independent_reference(self):
+        left = self._wave(n=2000, seed=21)
+        right = self._wave(n=2000, seed=22) // 2
+        x = np.stack([left, right], axis=1)
+        blob = encode_wav_adpcm(x, sample_rate=22050, block_align=72)
+        got, rate = decode_wav(blob)
+        assert rate == 22050 and got.shape[1] == 2
+        data_pos = blob.index(b"data")
+        size = int.from_bytes(blob[data_pos + 4 : data_pos + 8], "little")
+        ref = _ref_ima_decode(
+            blob[data_pos + 8 : data_pos + 8 + size], 72, channels=2
+        )
+        n = got.shape[0]
+        assert got[:, 0].tolist() == ref[0][:n]
+        assert got[:, 1].tolist() == ref[1][:n]
+
+    def test_stereo_roundtrip_per_channel(self):
+        left = self._wave(n=1500, seed=31)
+        right = -self._wave(n=1500, seed=32)
+        x = np.stack([left, right], axis=1)
+        dec, _ = decode_wav(encode_wav_adpcm(x, block_align=136))
+        d = dec[: len(x)].astype(np.int64)
+        for c in range(2):
+            err = np.abs(d[:, c] - x[:, c])
+            assert err.max() < 8000
+            assert float(np.sqrt((err.astype(float) ** 2).mean())) < 800.0
+        # block-leading samples stored verbatim per channel
+        spb = (136 - 8) * 2 // 2 + 1
+        for k in range(0, len(x), spb):
+            assert d[k, 0] == x[k, 0] and d[k, 1] == x[k, 1]
+
+    def test_three_channel_adpcm_is_out_of_scope(self):
         blob = bytearray(encode_wav_adpcm(self._wave(n=64)))
         pos = blob.index(b"fmt ") + 8 + 2
-        blob[pos : pos + 2] = (2).to_bytes(2, "little")
+        blob[pos : pos + 2] = (3).to_bytes(2, "little")
         assert decode_wav(bytes(blob)) is None
+
+    def test_encoder_rejects_bad_block_align(self):
+        x = np.stack([self._wave(n=64), self._wave(n=64)], axis=1)
+        with pytest.raises(ValueError, match="block_align"):
+            encode_wav_adpcm(x, block_align=70)  # (70-8) % 8 != 0
 
     def test_pack_rejects_bad_streams(self):
         with pytest.raises(ValueError, match="even"):
