@@ -2566,6 +2566,7 @@ def decode_wav(content: Optional[bytes]):
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     fmt_tag = channels = sample_rate = bits = block_align = None
+    fact_frames = None
     data = None
     pos = 12
     while pos + 8 <= len(b):
@@ -2583,6 +2584,10 @@ def decode_wav(content: Optional[bytes]):
             sample_rate = int.from_bytes(b[start + 4 : start + 8], "little")
             block_align = int.from_bytes(b[start + 12 : start + 14], "little")
             bits = int.from_bytes(b[start + 14 : start + 16], "little")
+        elif fourcc == b"fact" and size >= 4 and fact_frames is None:
+            # spec-required for compressed formats: the true per-channel
+            # frame count (the data chunk may carry block tail padding)
+            fact_frames = int.from_bytes(b[start : start + 4], "little")
         elif fourcc == b"data" and data is None:
             data = b[start : start + size]
         pos = start + size + (size & 1)  # chunks pad to even
@@ -2599,6 +2604,9 @@ def decode_wav(content: Optional[bytes]):
         samples = _adpcm_decode(data, block_align, channels)
         if samples is None:
             return None
+        if fact_frames is not None and fact_frames < samples.shape[0]:
+            # trim encoder word/byte padding to the true length
+            samples = samples[:fact_frames]
         return samples, (sample_rate or 0)
     if fmt_tag != 1 or bits not in (8, 16):
         return None

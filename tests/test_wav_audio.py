@@ -140,7 +140,10 @@ class TestAdpcm:
         size = int.from_bytes(blob[data_pos + 4 : data_pos + 8], "little")
         ref = _ref_ima_decode(blob[data_pos + 8 : data_pos + 8 + size], 64)
         assert rate == 8000
-        assert got[:, 0].tolist() == ref[0]
+        # the raw reference decode includes the encoder's tail-padding
+        # phantom sample; the fact chunk trims it to the true length
+        assert got.shape == (len(x), 1)
+        assert got[:, 0].tolist() == ref[0][: len(x)]
 
     def test_pack_decode_is_the_seeded_recurrence(self):
         nibs = [(7 * i * i + 3 * i) % 16 for i in range(1, 201)]
@@ -155,6 +158,8 @@ class TestAdpcm:
     def test_roundtrip_error_is_codec_bounded(self):
         x = self._wave(n=4000, seed=11)
         dec, _ = decode_wav(encode_wav_adpcm(x, block_align=256))
+        # the fact chunk trims encoder tail padding: length-EXACT
+        assert dec.shape == (len(x), 1)
         d = dec[: len(x), 0].astype(np.int64)
         err = np.abs(d - x)
         # IMA ADPCM tracks within the current step size; transients can
@@ -210,6 +215,7 @@ class TestAdpcm:
         right = -self._wave(n=1500, seed=32)
         x = np.stack([left, right], axis=1)
         dec, _ = decode_wav(encode_wav_adpcm(x, block_align=136))
+        assert dec.shape == x.shape  # fact chunk trims tail padding
         d = dec[: len(x)].astype(np.int64)
         for c in range(2):
             err = np.abs(d[:, c] - x[:, c])
@@ -225,6 +231,20 @@ class TestAdpcm:
         pos = blob.index(b"fmt ") + 8 + 2
         blob[pos : pos + 2] = (3).to_bytes(2, "little")
         assert decode_wav(bytes(blob)) is None
+
+    def test_fact_chunk_trims_only_padding(self):
+        # odd length forces final-byte padding; fact restores exactness
+        x = self._wave(n=777, seed=41)
+        blob = encode_wav_adpcm(x, block_align=64)
+        dec, _ = decode_wav(blob)
+        assert dec.shape == (777, 1)
+        # a clip whose fact exceeds the decoded length is left alone
+        # (truncated data chunk: decode what exists)
+        mut = bytearray(blob)
+        fpos = mut.index(b"fact") + 8
+        mut[fpos : fpos + 4] = (10_000).to_bytes(4, "little")
+        dec2, _ = decode_wav(bytes(mut))
+        assert dec2.shape[0] >= 777  # untrimmed, not padded
 
     def test_encoder_rejects_bad_block_align(self):
         x = np.stack([self._wave(n=64), self._wave(n=64)], axis=1)
