@@ -29,6 +29,23 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+class TestEveryExampleConfigParses:
+    def test_full_examples_tree(self):
+        """Breadth guard: EVERY .conf in the reference examples tree —
+        including the dynamodb_bookkeeping and enceladus_single_config
+        families not golden-tested individually — parses through the
+        built-in HOCON parser (includes, substitutions, triple-quoted
+        strings) and round-trips load_workflow without raising."""
+        import glob
+
+        paths = sorted(glob.glob(f"{EXAMPLES}/**/*.conf", recursive=True))
+        assert len(paths) >= 16
+        for p in paths:
+            conf = hocon.load(p)
+            assert isinstance(conf, dict) and conf, p
+            load_workflow(conf)  # key mapping must not raise either
+
+
 class TestIngestionPipelineExample:
     """examples/ingestion_pipeline/ingestion_pipeline.conf — single
     file: 2 metastore tables, 2 JDBC sources, mail config, 2 daily
