@@ -339,3 +339,79 @@ class TestSparkPath:
         float_first += pcm_fmt
         float_first[4:8] = (len(float_first) - 8).to_bytes(4, "little")
         assert decode_wav(bytes(float_first)) is None
+
+
+class TestAdpcmProperties:
+    """Property-based cross-checks: the implementation must agree with
+    the independently-written reference decoder on ARBITRARY streams,
+    not just the sine fixtures."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.binary(min_size=4, max_size=400),
+        st.sampled_from([8, 12, 36, 64]),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_mono_decode_matches_reference_on_random_bytes(
+        self, data, block_align
+    ):
+        from pramen_spark.operators.multimodal import _adpcm_decode
+
+        # clamp every block header's step index into the table so the
+        # stream is valid (invalid indices are the quarantine test's job)
+        buf = bytearray(data)
+        for off in range(0, len(buf), block_align):
+            if off + 3 <= len(buf):
+                buf[off + 2] %= 89
+        # drop a truncated final header (decode quarantines those)
+        if len(buf) % block_align and len(buf) % block_align < 4:
+            buf = buf[: len(buf) - (len(buf) % block_align)]
+        if not buf:
+            return
+        got = _adpcm_decode(bytes(buf), block_align, 1)
+        ref = _ref_ima_decode(bytes(buf), block_align)
+        assert got is not None
+        assert got[:, 0].tolist() == ref[0]
+
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=600,
+        ),
+        st.sampled_from([12, 64, 256]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_mono_roundtrip_is_step_bounded(self, xs, block_align):
+        import numpy as np
+
+        x = np.array(xs, dtype=np.int64)
+        dec, _ = decode_wav(encode_wav_adpcm(x, block_align=block_align))
+        assert dec.shape == (len(x), 1)
+        # every block-leading sample is verbatim; in between, the
+        # decoder tracks within the codec's worst-case step envelope
+        spb = (block_align - 4) * 2 + 1
+        for k in range(0, len(x), spb):
+            assert dec[k, 0] == x[k]
+        # reconstruction always stays in int16 range (clamped recurrence)
+        assert int(np.abs(dec).max()) <= 32768
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=15), min_size=2,
+                 max_size=300).filter(lambda v: len(v) % 2 == 0),
+        st.integers(min_value=-32768, max_value=32767),
+        st.integers(min_value=0, max_value=88),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_pack_decode_replays_seeded_recurrence(self, nibs, pred0, idx0):
+        from pramen_spark.operators.multimodal import _adpcm_step_nibble
+
+        got, _ = decode_wav(pack_wav_adpcm(nibs, pred0, idx0))
+        pred, idx = pred0, idx0
+        ref = [pred]
+        for nb in nibs:
+            pred, idx = _adpcm_step_nibble(nb, pred, idx)
+            ref.append(pred)
+        assert got[:, 0].tolist() == ref
