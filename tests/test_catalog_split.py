@@ -144,6 +144,24 @@ class TestSelfRotatingWindow:
         # tier B = exactly the 40 stalest non-sentinel queries
         assert all(last[n] == 3 for n in w[10:])
 
+    def test_history_reader_skips_corrupt_records(self, tmp_path):
+        from pramen_spark.queries import catalog as C
+
+        (tmp_path / "CORRECTNESS_r01.json").write_text(
+            json.dumps({"queries": {"projection": {"ok": True}}})
+        )
+        (tmp_path / "CORRECTNESS_r02.json").write_text("{ not json")
+        (tmp_path / "CORRECTNESS_r03.json").write_text(
+            json.dumps({"queries": {"q1_pricing_summary": {"ok": True}}})
+        )
+        rounds, last = C.driver_check_history(str(tmp_path))
+        # the corrupt r02 is skipped; its round number never counts
+        assert rounds == 3
+        assert last == {"projection": 1, "q1_pricing_summary": 3}
+        # empty dir: zero rounds, no history — window degrades to slice 0
+        rounds0, last0 = C.driver_check_history(str(tmp_path / "nope"))
+        assert rounds0 == 0 and last0 == {}
+
     def test_checked_debut_drops_out_of_the_queue(self):
         reg, specs, C = self._reg()
         last = {"image_pixel_stats_jpeg": 12, "bpe_encode_large_ruleset": 12}
