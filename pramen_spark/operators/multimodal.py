@@ -1320,25 +1320,61 @@ class _JpegBitReader:
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
+    def peek8(self):
+        """Next 8 bits WITHOUT consuming, plus how many of them are
+        real: at end of stream the low positions pad with zeros and
+        ``avail`` < 8 tells the caller the padding boundary. Never
+        raises — truncation surfaces on the consuming read instead."""
+        while self.nbits < 8 and self.i < len(self.d):
+            self.acc = (self.acc << 8) | self.d[self.i]
+            self.i += 1
+            self.nbits += 8
+        if self.nbits >= 8:
+            return (self.acc >> (self.nbits - 8)) & 0xFF, 8
+        return (self.acc << (8 - self.nbits)) & 0xFF, self.nbits
+
 
 def _jpeg_decode_tables(bits: list, vals: bytes):
     """Spec F.2.2.3 decode tables from a DHT payload: per code length
-    1..16, (mincode, maxcode, valptr) for the canonical code walk."""
+    1..16, (mincode, maxcode, valptr) for the canonical code walk, plus
+    a 256-entry first-level LUT mapping every 8-bit prefix whose
+    leading code is <= 8 bits long to (symbol, code length) — the
+    classic fast path (F.2.2.3 leaves the lookup strategy open; this is
+    the one libjpeg uses). Codes longer than 8 bits leave None and fall
+    back to the canonical walk. Profiling round 12: the per-bit walk
+    was ~55% of baseline decode time; short codes dominate real streams
+    because canonical tables put frequent symbols first."""
     mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    lut = [None] * 256
     code, k = 0, 0
     for ln in range(1, 17):
         if bits[ln - 1]:
             valptr[ln] = k
             mincode[ln] = code
-            code += bits[ln - 1]
-            k += bits[ln - 1]
+            if ln <= 8:
+                for _ in range(bits[ln - 1]):
+                    base = code << (8 - ln)
+                    entry = (vals[k], ln)
+                    for fill in range(1 << (8 - ln)):
+                        lut[base + fill] = entry
+                    code += 1
+                    k += 1
+            else:
+                code += bits[ln - 1]
+                k += bits[ln - 1]
             maxcode[ln] = code - 1
         code <<= 1
-    return mincode, maxcode, valptr, vals
+    return mincode, maxcode, valptr, vals, lut
 
 
 def _jpeg_huff_decode(reader: _JpegBitReader, table) -> int:
-    mincode, maxcode, valptr, vals = table
+    mincode, maxcode, valptr, vals, lut = table
+    b8, avail = reader.peek8()
+    ent = lut[b8]
+    if ent is not None and ent[1] <= avail:
+        reader.nbits -= ent[1]  # consume: peek8 ensured acc holds them
+        return ent[0]
+    # long code (or stream tail shorter than the code): canonical walk
     code = reader.read(1)
     ln = 1
     while maxcode[ln] < 0 or code > maxcode[ln]:
