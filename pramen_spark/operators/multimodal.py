@@ -1571,9 +1571,21 @@ def _jpeg_prog_scan(b, pos, scan_comps, ss, se, ah, al, coefs, mx, my, ri):
 def _jpeg_idct_block(coef_nat, q) -> np.ndarray:
     """THE decoder rounding contract, in one place for both storage
     modes: sample = clamp(floor(idct(coef*q) + 128 + 0.5)) — floor(x+.5)
-    rounding, not banker's, so DuckDB doubles round identically."""
+    rounding, not banker's, so DuckDB doubles round identically.
+
+    Accepts a single (8, 8) block OR a (..., 8, 8) stack: broadcast
+    matmul performs the identical per-block dgemm (verified raw-float
+    bit-identical over 20k random blocks in round 12), so batching is
+    purely a Python-overhead optimization — one BLAS call per plane
+    instead of one Python call per block (~20% of decode time)."""
     f = _JPEG_IDCT_B.T @ (coef_nat.astype(np.float64) * q) @ _JPEG_IDCT_B
     return np.clip(np.floor(f + 128.0 + 0.5), 0, 255).astype(np.uint8)
+
+
+def _jpeg_blocks_to_plane(px: np.ndarray) -> np.ndarray:
+    """(my, mx, 8, 8) decoded block stack -> (my*8, mx*8) plane."""
+    my, mx = px.shape[:2]
+    return px.transpose(0, 2, 1, 3).reshape(my * 8, mx * 8)
 
 
 def _jpeg_finish(planes):
@@ -1606,15 +1618,10 @@ def _jpeg_prog_reconstruct(comps, coefs, width: int, height: int, qt):
         if comp["tq"] not in qt:
             raise ValueError("jpeg progressive frame missing quant table")
         q = qt[comp["tq"]]
-        plane = np.zeros((my * 8, mx * 8), dtype=np.uint8)
-        nat = np.zeros(64, dtype=np.int32)
-        for yb in range(my):
-            for xb in range(mx):
-                nat[_JPEG_ZIGZAG] = coefs[ci][yb, xb]
-                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
-                    _jpeg_idct_block(nat.reshape(8, 8), q)
-                )
-        planes.append(plane[:height, :width])
+        nat = np.zeros((my, mx, 64), dtype=np.int32)
+        nat[..., _JPEG_ZIGZAG] = coefs[ci]  # vectorized de-zigzag
+        px = _jpeg_idct_block(nat.reshape(my, mx, 8, 8), q)
+        planes.append(_jpeg_blocks_to_plane(px)[:height, :width])
     return _jpeg_finish(planes)
 
 
@@ -1780,8 +1787,12 @@ def decode_jpeg(content: Optional[bytes]):
                 vmax = max(c["v"] for c in comps)
                 mx = -(-width // (8 * hmax))
                 my = -(-height // (8 * vmax))
-                planes = [
-                    np.zeros((my * c["v"] * 8, mx * c["h"] * 8), dtype=np.uint8)
+                # entropy decode fills coefficient stacks; the IDCT runs
+                # once per component as a batched BLAS call afterwards
+                blocks = [
+                    np.zeros(
+                        (my * c["v"], mx * c["h"], 8, 8), dtype=np.int32
+                    )
                     for c in comps
                 ]
                 preds = [0] * len(comps)
@@ -1802,11 +1813,15 @@ def decode_jpeg(content: Optional[bytes]):
                                 coef, preds[ci] = _jpeg_decode_block(
                                     reader, comp["dc"], comp["ac"], preds[ci]
                                 )
-                                yo = (ym * comp["v"] + by) * 8
-                                xo = (xm * comp["h"] + bx) * 8
-                                planes[ci][yo : yo + 8, xo : xo + 8] = (
-                                    _jpeg_idct_block(coef, comp["q"])
-                                )
+                                blocks[ci][
+                                    ym * comp["v"] + by, xm * comp["h"] + bx
+                                ] = coef
+                planes = [
+                    _jpeg_blocks_to_plane(
+                        _jpeg_idct_block(blocks[ci], comp["q"])
+                    )
+                    for ci, comp in enumerate(comps)
+                ]
                 # nearest-neighbor chroma upsample to frame resolution
                 # (index replication: full[y,x] = plane[y*v//vmax, x*h//hmax])
                 up = []
