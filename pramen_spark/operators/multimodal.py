@@ -1852,6 +1852,7 @@ _JPEG_ENC_ZIGZAG = sorted(
         (t // 8) if (t // 8 + t % 8) % 2 else -(t // 8),
     ),
 )
+_JPEG_ENC_ZIGZAG_NP = np.array(_JPEG_ENC_ZIGZAG)  # fancy-index form
 
 # canonical Huffman length specs: any prefix-valid table works (the DHT
 # segment carries it to the decoder); these mix short and long codes so
@@ -2016,7 +2017,9 @@ def _jpeg_enc_block(bw, block, zz_codes, pred: int) -> int:
     category + ACs as (run, size) with ZRL/EOB. zz_codes = (dc, ac)."""
     dc_codes, ac_codes = zz_codes
     flat = block.reshape(-1)
-    zz = [int(flat[t]) for t in _JPEG_ENC_ZIGZAG]
+    # fancy-index + tolist instead of 64 scalar int() pulls (same
+    # values; ~27% of encode time in the per-element form)
+    zz = flat[_JPEG_ENC_ZIGZAG_NP].tolist()
 
     def put_coded(codes, sym, v, s):
         c, ln = codes[sym]
