@@ -275,26 +275,32 @@ class _Parser:
                     tokens.append(("q", self.parse_quoted()))
             elif c == "$":
                 tokens.append(("s", self._parse_subst()))
-            else:
+            elif c and c not in "\n,]}#" and not self.text.startswith("//", self.pos):
                 # unquoted chunk: read to end-of-line / comma / closing
-                # bracket / comment / the start of a ${subst}
+                # bracket / comment / the start of a ${subst} or quoted
+                # string. Whitespace is KEPT — HOCON preserves interior
+                # whitespace between concatenated tokens ('foo ${x}' is
+                # 'foo <x>', not 'foo<x>'); only the whole value's outer
+                # edges are trimmed below.
                 start = self.pos
-                while self.pos < self.n and self.text[self.pos] not in "\n,]}#$":
+                while self.pos < self.n and self.text[self.pos] not in '\n,]}#$"':
                     if self.text.startswith("//", self.pos):
                         break
                     self.pos += 1
-                raw = self.text[start : self.pos].strip()
-                if raw == "":
-                    break
-                tokens.append(("u", raw))
-            if self._peek() not in '"$':
+                tokens.append(("u", self.text[start : self.pos]))
+            else:
                 break
-        if not tokens:
+        if not tokens or (len(tokens) == 1 and tokens[0][0] == "u"
+                          and not tokens[0][1].strip()):
             raise self._err("Expected a value")
         if len(tokens) == 1:
             kind, v = tokens[0]
-            return _coerce(v) if kind == "u" else v
-        return _Concat(v for _, v in tokens)
+            return _coerce(v.strip()) if kind == "u" else v
+        if tokens[0][0] == "u":
+            tokens[0] = ("u", tokens[0][1].lstrip())
+        if tokens[-1][0] == "u":
+            tokens[-1] = ("u", tokens[-1][1].rstrip())
+        return _Concat(v for k, v in tokens if not (k == "u" and v == ""))
 
     def _parse_triple_quoted(self) -> str:
         """HOCON multi-line string: content between \"\"\" pairs taken

@@ -1707,7 +1707,12 @@ def decode_jpeg(content: Optional[bytes]):
                 # demand ~50 GB of planes/coefficients — quarantine
                 # BEFORE any allocation. (width+15)/(height+15) covers
                 # the worst-case MCU padding of the baseline planes.
-                if (width + 15) * (height + 15) * nc > (1 << 31):
+                # Samples materialize as int32 stacks (4 bytes each), so
+                # cap at 2^28 samples = ~1 GiB per frame — beyond any
+                # curation-tier image (2^28/3 ≈ an 89-megapixel RGB) and
+                # low enough that a crafted header cannot swap-thrash a
+                # host where the allocation would have succeeded.
+                if (width + 15) * (height + 15) * nc > (1 << 28):
                     return None
                 comps = []
                 for c in range(nc):
@@ -2612,10 +2617,11 @@ def decode_wav(content: Optional[bytes]):
     Pure stdlib RIFF walk. Format tag 1 (integer PCM, 8/16-bit, any
     channel count): the ``data`` chunk is raw little-endian interleaved
     frames — decode is byte slicing (8-bit unsigned offset-128, 16-bit
-    signed). Format tag 0x11 (DVI/IMA ADPCM, mono, 4-bit): the exact
-    integer predictor recurrence of :func:`_adpcm_decode_mono`. Float,
-    perceptual codecs (mp3/aac-in-wav), and multi-channel ADPCM return
-    None: quarantine downstream."""
+    signed). Format tag 0x11 (DVI/IMA ADPCM, mono or stereo, 4-bit): the
+    exact integer predictor recurrence of :func:`_adpcm_decode`, with
+    stereo's word-interleaved channel nibbles de-interleaved per block.
+    Float and perceptual codecs (mp3/aac-in-wav) return None: quarantine
+    downstream."""
     b = content or b""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None

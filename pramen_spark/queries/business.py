@@ -1570,7 +1570,7 @@ def q_woe_iv_events(spark, sf_dir):
         FROM documents WHERE trim(text) <> ''
     )
     SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           list_sort(list(doc_id))[1:1000] AS postings
+           array_to_string(list_sort(list(doc_id))[1:1000], ',') AS postings
     FROM tok WHERE token <> ''
     GROUP BY token HAVING COUNT(*) >= 5
     """,
@@ -1585,11 +1585,19 @@ def q_posting_lists_documents(spark, sf_dir):
     min_df pruning, and DETERMINISTIC truncation to the 1000 smallest
     doc ids per token so stopword lists cannot hold gigabytes in one
     reducer. Posting lists shard naturally by token — the layout a
-    distributed index wants."""
+    distributed index wants.
+
+    The operator keeps ``postings`` as array<long>; the QUERY serializes
+    it to a comma-joined scalar so the driver's pandas canonicalizer can
+    hash the column (VERDICT r12 #2 — the latent twin of the
+    quantize_embeddings_int8 list-cell crash)."""
     from pramen_spark.operators.text import posting_lists
 
     d = load_table(spark, sf_dir, "documents")
-    return posting_lists(d, "doc_id", "text", min_df=5, max_postings=1000)
+    p = posting_lists(d, "doc_id", "text", min_df=5, max_postings=1000)
+    return p.withColumn(
+        "postings", F.concat_ws(",", F.col("postings").cast("array<string>"))
+    )
 
 
 @query(

@@ -111,12 +111,33 @@ _REPO_DIR = _os.path.dirname(
 )
 
 
-def driver_check_history(repo_dir: str = _REPO_DIR):
+def _row_is_green(row) -> bool:
+    """A driver row counts as CHECKED only when it is fully green:
+    rows/schema/hash all true and no error. Err rows (e.g. the r12
+    ``quantize_embeddings_int8`` canonicalizer crash) and partial rows
+    must NOT advance ``last_checked`` — otherwise a failure sorts to the
+    back of the re-audit queue and hides for ~8 rounds (VERDICT r12 #3)."""
+    return (
+        isinstance(row, dict)
+        and not row.get("err")
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
+
+
+def driver_check_history(repo_dir: str = _REPO_DIR, max_round: int | None = None):
     """Read the committed CORRECTNESS_r*.json records: returns
-    ``(rounds_completed, {query_name: latest_round_with_a_row})``.
-    Unreadable records are skipped — the window degrades to treating
-    their queries as unchecked, which only re-audits them sooner."""
-    last: dict = {}
+    ``(rounds_completed, last_green, failed)`` where ``last_green`` maps
+    each query to the latest round with a FULLY GREEN row and ``failed``
+    maps queries whose LATEST row is not green to that round — those
+    must re-enter the very next window. Unreadable records are skipped —
+    the window degrades to treating their queries as unchecked, which
+    only re-audits them sooner. ``max_round`` truncates the history (for
+    tests that pin a past round's window shape against a frozen
+    expectation without breaking when newer records land)."""
+    last_green: dict = {}
+    last_seen: dict = {}
     rounds = [0]
     for path in sorted(
         _glob.glob(_os.path.join(repo_dir, "CORRECTNESS_r*.json"))
@@ -125,6 +146,8 @@ def driver_check_history(repo_dir: str = _REPO_DIR):
         if not m:
             continue
         n = int(m.group(1))
+        if max_round is not None and n > max_round:
+            continue
         try:
             with open(path) as f:
                 data = _json.load(f)
@@ -134,9 +157,16 @@ def driver_check_history(repo_dir: str = _REPO_DIR):
         if not isinstance(queries, dict):
             continue
         rounds.append(n)
-        for name in queries:
-            last[name] = max(last.get(name, 0), n)
-    return max(rounds), last
+        for name, row in queries.items():
+            last_seen[name] = max(last_seen.get(name, 0), n)
+            if _row_is_green(row):
+                last_green[name] = max(last_green.get(name, 0), n)
+    failed = {
+        name: r
+        for name, r in last_seen.items()
+        if last_green.get(name, 0) < r
+    }
+    return max(rounds), last_green, failed
 
 
 def build_driver_window(
@@ -144,9 +174,12 @@ def build_driver_window(
     specs,
     rounds_completed: int,
     last_checked: dict,
+    failed: dict | None = None,
 ):
     """The 50-name driver window for the NEXT gate run (pure function of
-    the committed check history — unit-tested for future rotations)."""
+    the committed check history — unit-tested for future rotations).
+    ``failed`` queries (latest driver row not fully green) lead tier B,
+    ahead of even the debuts: a red row re-audits NEXT round, always."""
 
     def cyc(lst, start, k):
         return [lst[(start + j) % len(lst)] for j in range(k)]
@@ -163,15 +196,20 @@ def build_driver_window(
     )
     taken = set(window)
     reg_index = {n: j for j, n in enumerate(registration_order)}
-    for name in DEBUT_QUEUE:
-        if len(window) >= _WINDOW_SIZE:
-            break
-        if name in taken or name in last_checked or name not in reg_index:
-            continue
-        if specs[name].oracle is None:
-            continue
+
+    def take(name):
+        if len(window) >= _WINDOW_SIZE or name in taken:
+            return
+        if name not in reg_index or specs[name].oracle is None:
+            return
         window.append(name)
         taken.add(name)
+
+    for name in sorted(failed or {}, key=lambda n: reg_index.get(n, 1 << 30)):
+        take(name)
+    for name in DEBUT_QUEUE:
+        if name not in last_checked:
+            take(name)
     remaining = sorted(
         (
             n
@@ -184,9 +222,14 @@ def build_driver_window(
     return window
 
 
-_ROUNDS_COMPLETED, _LAST_CHECKED = driver_check_history()
+# Pre-sort registration order: build_driver_window's tie-break depends on
+# it, and tests recompute the live window from it (the post-sort QUERIES
+# iteration order no longer reflects registration).
+REGISTRATION_ORDER = list(QUERIES)
+
+_ROUNDS_COMPLETED, _LAST_CHECKED, _FAILED = driver_check_history()
 _DRIVER_WINDOW_PRIORITY = build_driver_window(
-    list(QUERIES), QUERIES, _ROUNDS_COMPLETED, _LAST_CHECKED
+    REGISTRATION_ORDER, QUERIES, _ROUNDS_COMPLETED, _LAST_CHECKED, _FAILED
 )
 
 

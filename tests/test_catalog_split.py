@@ -46,8 +46,20 @@ class TestCatalogSplit:
         assert len(QUERIES) >= 303
 
     def test_driver_window_sentinel(self):
-        names = list(QUERIES)
-        assert names[: len(DRIVER_SENTINEL_R12)] == DRIVER_SENTINEL_R12
+        # The live iteration-order head must equal the window recomputed
+        # from the live committed history (pure function) — proves the
+        # import-time sort applied the self-rotating window, whatever
+        # round the tree is at. (The r12 frozen-literal version of this
+        # test broke the moment CORRECTNESS_r12.json landed: VERDICT r12
+        # ask #1. Round-pinned shapes now live in TestSelfRotatingWindow
+        # with max_round-truncated histories.)
+        from pramen_spark.queries import catalog as C
+
+        rounds, last, failed = C.driver_check_history()
+        expected = C.build_driver_window(
+            C.REGISTRATION_ORDER, QUERIES, rounds, last, failed
+        )
+        assert list(QUERIES)[:50] == expected
 
     def test_window_backlog_tier_is_never_driver_checked(self):
         # slots 10..49 must drain the backlog: every entry lacks a row
@@ -83,16 +95,26 @@ class TestSelfRotatingWindow:
     def _reg(self):
         from pramen_spark.queries import catalog as C
 
-        return list(QUERIES), QUERIES, C
+        return C.REGISTRATION_ORDER, QUERIES, C
 
     def test_round12_shape(self):
+        # Frozen r12 expectation against the history TRUNCATED at r11 —
+        # stable no matter how many newer records land in the tree.
+        # (Under the r13 failure tier, the four r04-era rows-only names
+        # whose latest row was never fully green now precede the debuts;
+        # the driver's ACTUAL r12 window predated that tier.)
         reg, specs, C = self._reg()
-        _, last = C.driver_check_history()
-        w = C.build_driver_window(reg, specs, 11, last)
+        rounds, last, failed = C.driver_check_history(max_round=11)
+        assert rounds == 11
+        w = C.build_driver_window(reg, specs, rounds, last, failed)
         assert len(w) == 50 and len(set(w)) == 50
         assert w[:10] == DRIVER_SENTINEL_R12
-        # debuts lead tier B while unchecked
-        assert w[10:13] == [
+        # failures first (latest row not fully green), then the debuts
+        assert w[10:14] == [
+            "simhash_fingerprints", "similarity_ivf_topk",
+            "simhash_near_dups", "multimodal_features",
+        ]
+        assert w[14:17] == [
             "image_pixel_stats_jpeg",
             "bpe_encode_large_ruleset",
             "audio_sample_stats_adpcm",
@@ -100,8 +122,8 @@ class TestSelfRotatingWindow:
 
     def test_round13_advances_sentinel_and_drains_backlog(self):
         reg, specs, C = self._reg()
-        _, last = C.driver_check_history()
-        r12w = C.build_driver_window(reg, specs, 11, last)
+        _, last, failed = C.driver_check_history(max_round=11)
+        r12w = C.build_driver_window(reg, specs, 11, last, failed)
         last13 = dict(last)
         for n in r12w[10:]:
             last13[n] = 12  # this round's gate drained them
@@ -147,20 +169,76 @@ class TestSelfRotatingWindow:
     def test_history_reader_skips_corrupt_records(self, tmp_path):
         from pramen_spark.queries import catalog as C
 
+        green = {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None,
+        }
         (tmp_path / "CORRECTNESS_r01.json").write_text(
-            json.dumps({"queries": {"projection": {"ok": True}}})
+            json.dumps({"queries": {"projection": green}})
         )
         (tmp_path / "CORRECTNESS_r02.json").write_text("{ not json")
         (tmp_path / "CORRECTNESS_r03.json").write_text(
-            json.dumps({"queries": {"q1_pricing_summary": {"ok": True}}})
+            json.dumps({"queries": {"q1_pricing_summary": green}})
         )
-        rounds, last = C.driver_check_history(str(tmp_path))
+        rounds, last, failed = C.driver_check_history(str(tmp_path))
         # the corrupt r02 is skipped; its round number never counts
         assert rounds == 3
         assert last == {"projection": 1, "q1_pricing_summary": 3}
+        assert failed == {}
         # empty dir: zero rounds, no history — window degrades to slice 0
-        rounds0, last0 = C.driver_check_history(str(tmp_path / "nope"))
-        assert rounds0 == 0 and last0 == {}
+        rounds0, last0, failed0 = C.driver_check_history(str(tmp_path / "nope"))
+        assert rounds0 == 0 and last0 == {} and failed0 == {}
+
+    def test_err_row_does_not_count_as_checked(self, tmp_path):
+        # VERDICT r12 #3: an err/partial row must NOT advance
+        # last_checked — it lands in `failed` instead, so the query
+        # re-audits NEXT round rather than sinking to the queue's back.
+        from pramen_spark.queries import catalog as C
+
+        green = {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None,
+        }
+        red = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "err": "TypeError: unhashable type: 'list'",
+        }
+        hash_red = {
+            "rows_match": True, "schema_match": True, "hash_match": False,
+            "err": None,
+        }
+        (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps(
+            {"queries": {"projection": green, "tfidf_top_terms": green}}
+        ))
+        (tmp_path / "CORRECTNESS_r12.json").write_text(json.dumps(
+            {"queries": {
+                "projection": green,
+                "quantize_embeddings_int8": red,
+                "tfidf_top_terms": hash_red,
+            }}
+        ))
+        rounds, last, failed = C.driver_check_history(str(tmp_path))
+        assert rounds == 12
+        assert last == {"projection": 12, "tfidf_top_terms": 11}
+        assert failed == {
+            "quantize_embeddings_int8": 12, "tfidf_top_terms": 12,
+        }
+        # ...and the failures lead the NEXT window's tier B, ahead of
+        # debuts and the never-checked backlog
+        reg, specs, C = self._reg()
+        w = C.build_driver_window(reg, specs, rounds, last, failed)
+        expect = sorted(
+            failed, key=lambda n: reg.index(n)
+        )
+        assert w[10:12] == expect
+        # a later green row clears the failure
+        (tmp_path / "CORRECTNESS_r13.json").write_text(json.dumps(
+            {"queries": {"quantize_embeddings_int8": green,
+                         "tfidf_top_terms": green}}
+        ))
+        _, last2, failed2 = C.driver_check_history(str(tmp_path))
+        assert failed2 == {}
+        assert last2["quantize_embeddings_int8"] == 13
 
     def test_checked_debut_drops_out_of_the_queue(self):
         reg, specs, C = self._reg()

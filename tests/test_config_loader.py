@@ -123,6 +123,22 @@ class TestHoconIncludesAndSubstitutions:
         assert conf["env"] == "MyEnv (Prod)"
         assert conf["n"] == 25  # sole-token subst keeps the value type
 
+    def test_concatenation_preserves_interior_whitespace(self):
+        # HOCON keeps whitespace BETWEEN concatenated tokens and trims
+        # only the value's outer edges (ADVICE r12: the fallback parser
+        # stripped it, diverging from pyhocon — 'foo ${x}' became
+        # 'foo<x>')
+        conf = hocon.loads(
+            "a = foo ${x}\nb = ${x} baz\nc = ${x} ${y}\n"
+            'd = pre "q" post \ne =  solo  \nx = bar\ny = zap',
+            base_dir="/tmp",
+        )
+        assert conf["a"] == "foo bar"
+        assert conf["b"] == "bar baz"
+        assert conf["c"] == "bar zap"
+        assert conf["d"] == "pre q post"
+        assert conf["e"] == "solo"
+
     def test_optional_substitution_drops_key(self):
         conf = hocon.loads(
             'a = ${?not.defined}\nb = "x"${?not.defined}', base_dir="/tmp"

@@ -64,6 +64,26 @@ def test_no_hugeint_in_oracle_output(duck, name, oracle):
     )
 
 
+@pytest.mark.parametrize("name,oracle", _ORACLES, ids=[n for n, _ in _ORACLES])
+def test_no_nested_types_in_oracle_output(duck, name, oracle):
+    """No oracle may project LIST/STRUCT/MAP columns: the driver's pandas
+    canonicalizer factorizes every cell and dies on unhashable values
+    (round-12 quantize_embeddings_int8 crash — ``TypeError: unhashable
+    type: 'list'``). Serialize arrays to a comma-joined scalar in BOTH
+    the query and the oracle (concat_ws / array_to_string)."""
+    rel = duck.sql(oracle)  # lazy relation: binds + plans, does not execute
+    bad = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if any(k in str(typ).upper() for k in ("[]", "STRUCT", "MAP("))
+    ]
+    assert not bad, (
+        f"oracle for {name!r} projects nested-typed columns {bad}; the "
+        f"driver's pandas canonicalizer cannot hash list/struct/map "
+        f"cells — serialize to a scalar (array_to_string / concat_ws)"
+    )
+
+
 def _out_of_window_names() -> list[str]:
     return list(QUERIES)[DRIVER_WINDOW:]
 
