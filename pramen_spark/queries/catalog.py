@@ -99,6 +99,10 @@ DEBUT_QUEUE = [
     "image_pixel_stats_jpeg",
     "bpe_encode_large_ruleset",
     "audio_sample_stats_adpcm",
+    # r13: never driver-checked AND its output serialization changed
+    # (array postings -> comma-joined scalar, VERDICT r12 #2) — needs its
+    # first driver row now, not when the backlog drain reaches it
+    "posting_lists_documents",
 ]
 
 _ROTATION_EPOCH = 11  # committed records when the self-rotating window shipped
