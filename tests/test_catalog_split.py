@@ -26,13 +26,17 @@ DRIVER_SENTINEL_R12 = [
 ]
 
 
-def _ever_driver_checked():
+def _ever_driver_checked(max_round=None):
     """Union of query names with a row in any committed CORRECTNESS_r*
-    record — the definition of 'driver-checked' the window drains."""
+    record (up to ``max_round``) — the definition of 'driver-checked'
+    the window drains."""
     import glob
 
     checked = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if max_round is not None and m and int(m.group(1)) > max_round:
+            continue
         with open(path) as fh:
             data = json.load(fh)
         queries = data.get("queries", data)
@@ -62,23 +66,20 @@ class TestCatalogSplit:
         assert list(QUERIES)[:50] == expected
 
     def test_window_backlog_tier_is_never_driver_checked(self):
-        # slots 10..49 must drain the backlog: every entry lacks a row
-        # in every committed CORRECTNESS record at the time the window
-        # was built. Entries gain rows when THIS round's record lands,
-        # so exempt names once they appear in a record newer than the
-        # window (the rotation comment in catalog.py tracks the count).
-        names = list(QUERIES)[10:50]
-        checked = _ever_driver_checked()
-        stale = [n for n in names if n in checked]
-        # r12 window was built against records r01..r11; r12+ records
-        # legitimately add rows for these same names
-        latest = max(
-            int(m.group(1))
-            for f in os.listdir(REPO)
-            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+        # Tier B (slots 10..49) drains the backlog: against the history
+        # TRUNCATED at r11 (frozen — newer records can't invalidate the
+        # expectation, the r12 lesson), every entry either re-audits a
+        # FAILURE (had rows but never a fully-green one) or has no row
+        # in any record at all.
+        from pramen_spark.queries import catalog as C
+
+        rounds, last, failed = C.driver_check_history(max_round=11)
+        w = C.build_driver_window(
+            C.REGISTRATION_ORDER, QUERIES, rounds, last, failed
         )
-        if latest <= 11:
-            assert not stale, stale
+        checked = _ever_driver_checked(max_round=11)
+        stale = [n for n in w[10:50] if n in checked and n not in failed]
+        assert not stale, stale
 
     def test_window_is_oracle_checked(self):
         # every query in the audited 50-entry window must have an oracle
