@@ -88,21 +88,36 @@ def _out_of_window_names() -> list[str]:
     return list(QUERIES)[DRIVER_WINDOW:]
 
 
-@pytest.mark.slow
-def test_out_of_window_oracles(spark, sf_dir):
-    """Spark-vs-DuckDB value compare for every catalog query the driver's
-    50-query CORRECTNESS window does not reach (driver mechanism:
-    catalog.py::_DRIVER_WINDOW_PRIORITY)."""
+def test_driver_canonicalizable_catches_list_cells():
+    # the r12 crash shape: values equal, but a list-typed cell kills the
+    # driver's pandas factorize — the helper must flag it, and pass
+    # ordinary scalar results (incl. None/mixed-null columns)
+    ok = check_oracle.driver_canonicalizable(
+        ["a", "b"], [(1, "x"), (2, None), (3, "y")]
+    )
+    assert ok is None
+    bad = check_oracle.driver_canonicalizable(
+        ["a", "qvec"], [(1, [9, 8]), (2, [7])]
+    )
+    assert bad and "unhashable" in bad
+
+
+def _sweep(spark, sf_dir, names: list[str]) -> list[str]:
+    """Spark-vs-DuckDB value compare PLUS the driver-canonicalizer parity
+    check (pandas sort+hash over the result — the round-12 failure class
+    where values matched but the driver's canonicalizer crashed on list
+    cells). Returns failure strings."""
     con = check_oracle.duck_connect(sf_dir)
     failures: list[str] = []
-    rows_only = 0
-    for name in _out_of_window_names():
+    for name in names:
         spec = QUERIES[name]
         sdf = spec.build(spark, sf_dir)
         s_cols = list(sdf.columns)
         s_rows = [tuple(r) for r in sdf.collect()]
+        canon_err = check_oracle.driver_canonicalizable(s_cols, s_rows)
+        if canon_err:
+            failures.append(f"{name}: driver-canonicalizer: {canon_err}")
         if spec.oracle is None:
-            rows_only += 1
             assert len(s_rows) >= 0  # rows-only: mirrors the driver's weak check
             continue
         cur = con.execute(spec.oracle)
@@ -112,4 +127,24 @@ def test_out_of_window_oracles(spark, sf_dir):
         if problems:
             failures.append(f"{name}: {problems[0]}")
     con.close()
+    return failures
+
+
+@pytest.mark.slow
+def test_window_oracles(spark, sf_dir):
+    """Spark-vs-DuckDB value compare + driver-canonicalizer parity for
+    the 50 queries INSIDE the driver's CORRECTNESS window, so a window
+    query that would fail the driver's gate fails pytest first (the r12
+    quantize_embeddings_int8 red row was only discoverable at driver
+    time)."""
+    failures = _sweep(spark, sf_dir, list(QUERIES)[:DRIVER_WINDOW])
+    assert not failures, "window oracle mismatches:\n" + "\n".join(failures)
+
+
+@pytest.mark.slow
+def test_out_of_window_oracles(spark, sf_dir):
+    """Spark-vs-DuckDB value compare for every catalog query the driver's
+    50-query CORRECTNESS window does not reach (driver mechanism:
+    catalog.py::_DRIVER_WINDOW_PRIORITY)."""
+    failures = _sweep(spark, sf_dir, _out_of_window_names())
     assert not failures, "out-of-window oracle mismatches:\n" + "\n".join(failures)

@@ -57,6 +57,22 @@ def cells_equal(a, b) -> bool:
     return a == b or str(a) == str(b)
 
 
+def driver_canonicalizable(columns: list[str], rows: list[tuple]) -> str | None:
+    """Mimic the DRIVER's pandas canonicalization (sort all columns by
+    name, sort_values over every column, hash the values): returns an
+    error string when pandas cannot process the result — e.g. unhashable
+    list cells, the round-12 ``quantize_embeddings_int8`` crash class
+    that this module's python-object compare sailed past — else None."""
+    try:
+        pdf = pd.DataFrame(rows, columns=columns)
+        pdf = pdf[sorted(columns)]
+        pdf = pdf.sort_values(by=list(pdf.columns))
+        pd.util.hash_pandas_object(pdf, index=False)
+    except Exception as e:  # noqa: BLE001 — any pandas failure is the signal
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def compare(
     name: str,
     s_cols: list[str],
@@ -127,6 +143,9 @@ def main():
             n_fail += 1
             continue
         problems = compare(name, s_cols, s_rows, o_cols, o_rows)
+        canon_err = driver_canonicalizable(s_cols, s_rows)
+        if canon_err:
+            problems.append(f"driver-canonicalizer would fail: {canon_err}")
         if problems:
             print(f"FAIL {name}:")
             for p in problems:
