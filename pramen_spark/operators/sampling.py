@@ -693,9 +693,16 @@ def quota_split(
 
 def _qcont(arr, q):
     """``percentile(col, q)``'s exact interpolation over a PRE-SORTED
-    array — the formula replicated verbatim (pos = q·(n−1); linear
-    interpolation between the two straddling order statistics), so the
-    result is bit-identical to ``F.percentile`` by construction.
+    array, replicated VERBATIM from Spark's Percentile.getPercentile:
+    pos = q·(n−1), and the SYMMETRIC lerp
+    ``(ceil(pos)−pos)·v[floor] + (pos−floor(pos))·v[ceil]`` — which is
+    also bit-for-bit what DuckDB's ``quantile_cont`` computes (verified
+    empirically over awkward doubles; pinned by
+    tests/test_analytics_ops.py::TestQcontMatchesPercentile). The naive
+    one-sided form ``lo + frac·(hi−lo)`` differs from BOTH engines by an
+    ulp on some inputs — with round-6 outputs that is a ~1e-4-per-value
+    latent hash-flake, so the operand order here is a correctness
+    contract, not style.
 
     Why not F.percentile itself on corpus-scale inputs: exact Percentile
     buffers a hash-map entry per DISTINCT value, and continuous metrics
@@ -708,11 +715,16 @@ def _qcont(arr, q):
     the guard also keeps ANSI element_at from probing index 0."""
     n = F.size(arr)
     pos = (n - F.lit(1)).cast("double") * F.lit(float(q))
-    lo = F.floor(pos).cast("int")
-    frac = pos - lo.cast("double")
-    lo_v = F.element_at(arr, lo + 1)
-    hi_v = F.element_at(arr, F.least(lo + 2, n))
-    return F.when(n > 0, lo_v + frac * (hi_v - lo_v))
+    lo = F.floor(pos)
+    hi = F.ceil(pos).cast("double")
+    lo_v = F.element_at(arr, lo.cast("int") + 1)
+    hi_v = F.element_at(arr, hi.cast("int") + 1)
+    return F.when(
+        n > 0,
+        F.when(lo == hi, lo_v).otherwise(
+            (hi - pos) * lo_v + (pos - lo) * hi_v
+        ),
+    )
 
 
 def winsorize(

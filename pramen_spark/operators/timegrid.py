@@ -282,15 +282,13 @@ def theil_sen(
     pair join itself (ten years ≈ 54 MB), never by data volume.
     """
 
+    from pramen_spark.operators.sampling import _qcont
+
     def _median_cont(arr):
         # percentile(col, 0.5)'s exact interpolation over a sorted array
-        n = F.size(arr)
-        pos = (n - F.lit(1)).cast("double") * F.lit(0.5)
-        lo = F.floor(pos).cast("int")
-        frac = pos - lo.cast("double")
-        lo_v = F.element_at(arr, lo + 1)
-        hi_v = F.element_at(arr, F.least(lo + 2, n))
-        return F.when(n > 0, lo_v + frac * (hi_v - lo_v))
+        # (the shared symmetric-lerp helper — bit-identical to both
+        # F.percentile and DuckDB quantile_cont)
+        return _qcont(arr, 0.5)
 
     base = df.select(
         F.unix_date(F.col(order_col)).cast("double").alias("_x"),

@@ -534,6 +534,68 @@ class TestWinsorize:
         assert n_clip["0"] > 0 and n_clip["1"] > 0
 
 
+class TestQcontMatchesPercentile:
+    """The sorted-array interpolation helper (sampling.py::_qcont) must be
+    BIT-IDENTICAL to F.percentile — winsorize, theil_sen and the
+    bootstrap CIs all rely on that equivalence (the r13 quantile CPU
+    work swapped the aggregate, never the contract)."""
+
+    def test_bit_identical_on_awkward_values(self, spark):
+        import math
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from pramen_spark.operators.sampling import _qcont
+
+        con = duckdb.connect()
+        # deterministic irrational-ish values: interpolation lands between
+        # order statistics at full double precision, and both odd/even n.
+        # The SYMMETRIC lerp is the contract: the one-sided form
+        # lo + frac*(hi - lo) differs from both engines by an ulp on
+        # n=96/q=0.95 of exactly this data.
+        for n in (1, 2, 5, 96, 97):
+            df = spark.range(n).select(
+                (F.sin(F.col("id").cast("double")) * 1e6).alias("v")
+            )
+            vals = [r.v for r in df.collect()]
+            qs = [0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0]
+            want = df.agg(
+                *[F.percentile(F.col("v"), F.lit(q)).alias(f"p{i}")
+                  for i, q in enumerate(qs)]
+            ).collect()[0]
+            duck = con.execute(
+                "SELECT "
+                + ", ".join(f"quantile_cont(v, {q})" for q in qs)
+                + " FROM (SELECT unnest(?) AS v)",
+                [vals],
+            ).fetchone()
+            arr = F.array_sort(F.collect_list("v"))
+            got = df.agg(arr.alias("_a")).select(
+                *[_qcont(F.col("_a"), q).alias(f"p{i}")
+                  for i, q in enumerate(qs)]
+            ).collect()[0]
+            for i in range(len(qs)):
+                a, b, d = want[i], got[i], duck[i]
+                assert a == b and not math.isnan(a), (n, qs[i], a, b)
+                assert b == d, (n, qs[i], b, d)
+        con.close()
+
+    def test_empty_input_is_null_like_percentile(self, spark):
+        from pyspark.sql import functions as F
+
+        from pramen_spark.operators.sampling import _qcont
+
+        df = spark.range(1).where(F.lit(False)).select(
+            F.col("id").cast("double").alias("v")
+        )
+        want = df.agg(F.percentile(F.col("v"), F.lit(0.5)).alias("p")).collect()[0]
+        got = df.agg(F.array_sort(F.collect_list("v")).alias("_a")).select(
+            _qcont(F.col("_a"), 0.5).alias("p")
+        ).collect()[0]
+        assert want.p is None and got.p is None
+
+
 class TestOrphanAudit:
     def test_counts_all_four_quantities(self, spark):
         from pramen_spark.operators.validation import orphan_audit
