@@ -1217,24 +1217,25 @@ def q_approx_quantile_contract_lineitem(spark, sf_dir):
     dashboard. At 100 TB only the sketch side survives (exact grouped
     percentiles sort each group); the contract is what licenses that
     swap."""
+    from pramen_spark.operators.sampling import _qcont
+
     li = load_table(spark, sf_dir, "lineitem")
-    qs = F.array(*[F.lit(x) for x in (0.5, 0.9, 0.499, 0.501, 0.899, 0.901)])
+    # exact side via the shared sorted-array interpolation (bit-identical
+    # to F.percentile; one array per group instead of a per-distinct-value
+    # hash map over ~200k prices per return flag)
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile(F.col("l_extendedprice"), qs).alias("ex"),
+        F.array_sort(F.collect_list("l_extendedprice")).alias("_arr"),
         F.percentile_approx(
             F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
         ).alias("ap"),
     )
+    ex = {q: _qcont(F.col("_arr"), q) for q in (0.5, 0.9, 0.499, 0.501, 0.899, 0.901)}
     return agg.select(
         "l_returnflag",
-        F.round(F.element_at("ex", 1), 4).alias("p50_exact"),
-        F.round(F.element_at("ex", 2), 4).alias("p90_exact"),
-        F.element_at("ap", 1).between(
-            F.element_at("ex", 3), F.element_at("ex", 4)
-        ).alias("p50_within"),
-        F.element_at("ap", 2).between(
-            F.element_at("ex", 5), F.element_at("ex", 6)
-        ).alias("p90_within"),
+        F.round(ex[0.5], 4).alias("p50_exact"),
+        F.round(ex[0.9], 4).alias("p90_exact"),
+        F.element_at("ap", 1).between(ex[0.499], ex[0.501]).alias("p50_within"),
+        F.element_at("ap", 2).between(ex[0.899], ex[0.901]).alias("p90_within"),
     )
 
 
