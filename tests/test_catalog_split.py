@@ -81,6 +81,14 @@ class TestCatalogSplit:
         stale = [n for n in w[10:50] if n in checked and n not in failed]
         assert not stale, stale
 
+    def test_debut_queue_names_exist(self):
+        # build_driver_window silently skips unknown names — a typo'd
+        # debut would never get its first driver row
+        from pramen_spark.queries.catalog import DEBUT_QUEUE
+
+        unknown = [n for n in DEBUT_QUEUE if n not in QUERIES]
+        assert not unknown, unknown
+
     def test_window_is_oracle_checked(self):
         # every query in the audited 50-entry window must have an oracle
         for name in list(QUERIES)[:50]:
