@@ -293,14 +293,19 @@ class _Parser:
         if not tokens or (len(tokens) == 1 and tokens[0][0] == "u"
                           and not tokens[0][1].strip()):
             raise self._err("Expected a value")
-        if len(tokens) == 1:
-            kind, v = tokens[0]
-            return _coerce(v.strip()) if kind == "u" else v
+        # Trim the value's outer edges FIRST and drop edge tokens that
+        # become empty, so '${x} \n' (sole substitution + trailing
+        # whitespace) still resolves type-preserving instead of passing
+        # through _Concat and stringifying (ADVICE r13).
         if tokens[0][0] == "u":
             tokens[0] = ("u", tokens[0][1].lstrip())
         if tokens[-1][0] == "u":
             tokens[-1] = ("u", tokens[-1][1].rstrip())
-        return _Concat(v for k, v in tokens if not (k == "u" and v == ""))
+        tokens = [t for t in tokens if not (t[0] == "u" and t[1] == "")]
+        if len(tokens) == 1:
+            kind, v = tokens[0]
+            return _coerce(v.strip()) if kind == "u" else v
+        return _Concat(v for k, v in tokens)
 
     def _parse_triple_quoted(self) -> str:
         """HOCON multi-line string: content between \"\"\" pairs taken

@@ -1596,7 +1596,12 @@ def q_posting_lists_documents(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     p = posting_lists(d, "doc_id", "text", min_df=5, max_postings=1000)
     return p.withColumn(
-        "postings", F.concat_ws(",", F.col("postings").cast("array<string>"))
+        "postings",
+        # NULL-array guard: Spark concat_ws(null) is '' but the DuckDB
+        # oracle's array_to_string(NULL) is NULL (ADVICE r13).
+        F.when(F.col("postings").isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat_ws(",", F.col("postings").cast("array<string>"))
+        ),
     )
 
 

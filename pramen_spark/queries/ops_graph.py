@@ -1252,7 +1252,12 @@ def q_quantize_embeddings_int8(spark, sf_dir):
 
     q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
     return q.withColumn(
-        "qvec", F.concat_ws(",", F.col("qvec").cast("array<string>"))
+        "qvec",
+        # NULL-array guard: Spark concat_ws(null) is '' but the DuckDB
+        # oracle's array_to_string(NULL) is NULL (ADVICE r13).
+        F.when(F.col("qvec").isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat_ws(",", F.col("qvec").cast("array<string>"))
+        ),
     )
 
 

@@ -139,6 +139,19 @@ class TestHoconIncludesAndSubstitutions:
         assert conf["d"] == "pre q post"
         assert conf["e"] == "solo"
 
+    def test_sole_substitution_with_trailing_whitespace_keeps_type(self):
+        # ADVICE r13: 'n = ${x} \n' lexed as [subst, ' '] and went through
+        # _Concat, stringifying ints and dict-repr'ing objects. Edge
+        # whitespace must be trimmed BEFORE the single-token check.
+        conf = hocon.loads(
+            "n = ${port}   \nport = 25\nm =   ${port}\t \n"
+            "o = ${obj} \nobj = { a = 1 }",
+            base_dir="/tmp",
+        )
+        assert conf["n"] == 25
+        assert conf["m"] == 25
+        assert conf["o"] == {"a": 1}
+
     def test_optional_substitution_drops_key(self):
         conf = hocon.loads(
             'a = ${?not.defined}\nb = "x"${?not.defined}', base_dir="/tmp"

@@ -15,7 +15,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-import pandas as pd  # noqa: F401  (kept for ad-hoc debugging)
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
