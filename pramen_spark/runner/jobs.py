@@ -101,6 +101,43 @@ class IngestionJob(Job):
         self.source = source
         self.source_query = source_query
 
+    def _count_query_disabled(self) -> bool:
+        """``disable.count.query`` (README.md:713-718, IngestionJob.scala
+        :214-246): for sources where COUNT(*) is as expensive as the read
+        (e.g. map-reduce Hive), fetch the data ONCE into a temp-dir cache
+        and count the cache instead of issuing a count query. The source
+        option takes precedence; the operation may also set it."""
+        v = self.operation.options.get(
+            "disable.count.query",
+            getattr(self.source, "options", {}).get("disable.count.query", "false"),
+        )
+        return str(v).lower() == "true"
+
+    def _cached_source_data(self, date_from: _dt.date, date_to: _dt.date) -> DataFrame:
+        """Read-through cache keyed by (job, query, date range), persisted
+        to the metastore temp dir so the count and the subsequent save
+        share ONE source read (IngestionJob.scala:231-246
+        getCachedDataFrame + TransientTableManager)."""
+        import hashlib
+
+        from pramen_spark.config.models import CachePolicy
+
+        tm = self.metastore.transient
+        if not tm.temp_dir:
+            raise ValueError(
+                "disable.count.query needs 'pramen.temporary.directory' set: "
+                "the source data is cached there instead of being counted "
+                "(IngestionJob.scala:232-235)"
+            )
+        digest = hashlib.md5(
+            f"{self.source_query}|{date_from}|{date_to}".encode()
+        ).hexdigest()[:12]
+        name = f"source_cache_{self.operation.name}_{digest}"
+        if not tm.has_table(name, date_from):
+            df = self.source.get_data(self.source_query, date_from, date_to)
+            tm.add_table(name, date_from, df, CachePolicy.PERSIST)
+        return tm.get_table(name, date_from)
+
     def pre_run_check(self, info_date: _dt.date) -> JobPreRunResult:
         date_from, date_to = self.get_info_date_range(info_date)
         minimum_records = int(self.operation.options.get("minimum.records", 0))
@@ -108,7 +145,12 @@ class IngestionJob(Job):
             str(self.operation.options.get("fail.if.no.data", "false")).lower() == "true"
         )
         try:
-            count = self.source.get_record_count(self.source_query, date_from, date_to)
+            if self._count_query_disabled():
+                count = self._cached_source_data(date_from, date_to).count()
+            else:
+                count = self.source.get_record_count(
+                    self.source_query, date_from, date_to
+                )
         except NotImplementedError:
             return JobPreRunResult(JobPreRunStatus.READY)
 
@@ -131,6 +173,10 @@ class IngestionJob(Job):
 
     def run(self, info_date: _dt.date) -> DataFrame:
         date_from, date_to = self.get_info_date_range(info_date)
+        if self._count_query_disabled():
+            # reuse the pre-run cache: the source is hit exactly once
+            # (IngestionJob.scala:274-280 getSourcingResult)
+            return self._cached_source_data(date_from, date_to)
         return self.source.get_data(self.source_query, date_from, date_to)
 
 

@@ -152,11 +152,12 @@ class JdbcNativeSource(JdbcSource):
 
     # --- execution over DBAPI ---
 
-    def _fetch_all(self, sql: str) -> Tuple[List[str], List[tuple]]:
+    def _fetch_all(self, sql: str) -> Tuple[List[str], List[tuple], tuple]:
         with self._lock:
             cur = self._connect().cursor()
             cur.execute(sql)
-            names = [d[0] for d in cur.description]
+            description = tuple(cur.description)
+            names = [d[0] for d in description]
             fetch_size = int(self.options.get("fetch.size", 10_000))
             rows: List[tuple] = []
             while True:
@@ -165,7 +166,7 @@ class JdbcNativeSource(JdbcSource):
                     break
                 rows.extend(tuple(r) for r in batch)
             cur.close()
-        return names, rows
+        return names, rows, description
 
     def _fetch_scalar(self, sql: str):
         with self._lock:
@@ -175,10 +176,32 @@ class JdbcNativeSource(JdbcSource):
             cur.close()
         return value
 
-    def _run_query(self, sql: str) -> DataFrame:
-        names, rows = self._fetch_all(sql)
+    def _run_query(self, sql: str, is_data_query: bool = True) -> DataFrame:
+        from pramen_spark.sources.jdbc_type_fixes import (
+            add_metadata_from_fields,
+            field_metadata_from_description,
+        )
+
+        names, rows, description = self._fetch_all(sql)
         schema = _infer_schema(rows, names)
-        return self.spark.createDataFrame(_coerce(rows, schema), schema=schema)
+        if is_data_query and self._opt_bool("enable.schema.metadata", False):
+            # DBAPI cursor.description plays ResultSetMetaData
+            # (TableReaderJdbcNative.scala:108,142): VARCHAR(n) columns
+            # gain maxLength metadata when the driver reports sizes
+            # (sqlite3 reports None — no annotation, correctly)
+            schema = add_metadata_from_fields(
+                schema, field_metadata_from_description(description)
+            )
+        df = self.spark.createDataFrame(_coerce(rows, schema), schema=schema)
+        # sanitize.datetime is structurally a no-op here: Python datetime
+        # objects are bounded to years 1..9999 by construction, so only
+        # save.timestamps.as.dates applies (metadata handled above since
+        # the probe IS the data cursor on this path)
+        from pramen_spark.sources.jdbc_type_fixes import convert_timestamps_to_dates
+
+        if self._opt_bool("save.timestamps.as.dates", False):
+            df = convert_timestamps_to_dates(df)
+        return df
 
     @staticmethod
     def _substitute_dates(sql: str, date_from: _dt.date, date_to: _dt.date) -> str:

@@ -40,6 +40,23 @@ class JdbcSource(Source):
     - ``limit.records``: optional row limit pushdown
     - ``columns``: column projection pushed into the SELECT
     - any ``option.*``: passed to the Spark JDBC reader (fetchsize, ...)
+
+    Type-correction options (sources/jdbc_type_fixes.py; reference
+    TableReaderJdbc.scala:164-199 + README.md:636-706):
+    - ``correct.decimals.in.schema`` (default false): fix NUMBER-style
+      decimals (no-scale -> int/long, scale>18 -> decimal(38,18)) via a
+      ``customSchema`` re-read
+    - ``correct.decimals.fix.precision`` (default false): also widen
+      precision when the db reports integral digits only
+    - ``save.timestamps.as.dates`` (default false): cast timestamp
+      columns to dates
+    - ``sanitize.datetime`` (default true): clamp date/timestamp values
+      to 0001-01-01 .. 9999-12-31
+    - ``enable.schema.metadata`` (default false): annotate VARCHAR(n)
+      columns with ``maxLength`` metadata via a 0-row schema probe over
+      a DBAPI ``metadata.connection.factory``
+    - ``special.characters.in.column.names``: characters replaced by
+      '_' in column names after a decimals-corrected read
     """
 
     def __init__(self, spark: SparkSession, options: Optional[Dict[str, Any]] = None):
@@ -95,19 +112,101 @@ class JdbcSource(Source):
 
     # --- execution through the Spark JDBC reader ---
 
-    def _jdbc_read(self, sql: str) -> DataFrame:
-        reader = (
-            self.spark.read.format("jdbc")
-            .option("url", self.options["url"])
-            .option("dbtable", self.generator.get_dtable(sql))
-        )
+    def _opt_bool(self, key: str, default: bool) -> bool:
+        v = self.options.get(key)
+        if v is None:
+            return default
+        return str(v).lower() == "true"
+
+    def _jdbc_reader_options(self, sql: str) -> Dict[str, Any]:
+        opts: Dict[str, Any] = {
+            "url": self.options["url"],
+            "dbtable": self.generator.get_dtable(sql),
+        }
         for key in ("driver", "user", "password"):
             if key in self.options:
-                reader = reader.option(key, self.options[key])
+                opts[key] = self.options[key]
         for k, v in self.options.items():
             if k.startswith("option."):
-                reader = reader.option(k[len("option.") :], v)
-        return reader.load()
+                opts[k[len("option.") :]] = v
+        return opts
+
+    def _jdbc_read(self, sql: str, is_data_query: bool = True) -> DataFrame:
+        from pramen_spark.operators.rowlevel import SPECIAL_CHARACTERS, sanitize_df_columns
+        from pramen_spark.sources.jdbc_type_fixes import get_corrected_decimals_schema
+
+        opts = self._jdbc_reader_options(sql)
+        df = self.spark.read.format("jdbc").options(**opts).load()
+
+        correct_decimals = self._opt_bool("correct.decimals.in.schema", False)
+        fix_precision = self._opt_bool("correct.decimals.fix.precision", False)
+        if correct_decimals or fix_precision:
+            # TableReaderJdbc.scala:164-177: re-read with a corrected
+            # customSchema so the fix applies inside the JVM reader (the
+            # first read only fetched the schema — lazy, no data moved)
+            custom = get_corrected_decimals_schema(df.schema, fix_precision)
+            if custom is not None:
+                df = (
+                    self.spark.read.format("jdbc")
+                    .options(**opts)
+                    .option("customSchema", custom)
+                    .load()
+                )
+            if is_data_query:
+                df = sanitize_df_columns(
+                    df,
+                    self.options.get(
+                        "special.characters.in.column.names", SPECIAL_CHARACTERS
+                    ),
+                )
+        return self._post_read(df, is_data_query, sql)
+
+    def _post_read(self, df: DataFrame, is_data_query: bool, sql: str) -> DataFrame:
+        """Shared post-read decorations (also used by the DBAPI-native
+        subclass): datetime sanitation, timestamp->date conversion,
+        maxLength schema metadata."""
+        from pramen_spark.sources.jdbc_type_fixes import (
+            convert_timestamps_to_dates,
+            sanitize_datetime_columns,
+        )
+
+        if is_data_query and self._opt_bool("sanitize.datetime", True):
+            df = sanitize_datetime_columns(df)
+        if self._opt_bool("save.timestamps.as.dates", False):
+            df = convert_timestamps_to_dates(df)
+        if is_data_query and self._opt_bool("enable.schema.metadata", False):
+            df = self._apply_jdbc_schema_metadata(df, sql)
+        return df
+
+    def _apply_jdbc_schema_metadata(self, df: DataFrame, sql: str) -> DataFrame:
+        """Annotate VARCHAR(n)-backed string columns with ``maxLength``
+        metadata via a 0-row probe (TableReaderJdbc.scala:183-199). The
+        Spark JDBC reader exposes no driver metadata to Python, so the
+        probe runs over a DBAPI connection from
+        ``metadata.connection.factory``; without one this is a no-op."""
+        factory = self.options.get("metadata.connection.factory")
+        if not factory:
+            return df
+        from pramen_spark.api import load_class
+        from pramen_spark.sources.jdbc_type_fixes import (
+            add_metadata_from_fields,
+            apply_schema_metadata,
+            field_metadata_from_description,
+            get_schema_query,
+        )
+
+        conn = load_class(factory)()
+        try:
+            cur = conn.cursor()
+            cur.execute(get_schema_query(sql))
+            fields = field_metadata_from_description(cur.description)
+            cur.close()
+        finally:
+            conn.close()
+        new_schema = add_metadata_from_fields(df.schema, fields)
+        if new_schema == df.schema:
+            return df
+        return apply_schema_metadata(df, new_schema)
 
     def get_data(self, query: Any, date_from: _dt.date, date_to: _dt.date) -> DataFrame:
         table = query["table"] if isinstance(query, dict) else str(query)
@@ -115,7 +214,9 @@ class JdbcSource(Source):
 
     def get_record_count(self, query: Any, date_from: _dt.date, date_to: _dt.date) -> int:
         table = query["table"] if isinstance(query, dict) else str(query)
-        df = self._jdbc_read(self.build_count_sql(table, date_from, date_to))
+        df = self._jdbc_read(
+            self.build_count_sql(table, date_from, date_to), is_data_query=False
+        )
         return int(df.collect()[0][0])
 
     def _as_offset_value(self, v) -> Optional[OffsetValue]:

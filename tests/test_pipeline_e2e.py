@@ -559,3 +559,93 @@ class TestSkewGuardConfig:
         # every row kept its enrichment; hot key joined correctly
         assert gold.count() == df.count()
         assert gold.where(F.col("k_name").isNull()).count() == 0
+
+
+class TestDisableCountQuery:
+    """``disable.count.query`` (README.md:713-718, IngestionJob.scala:
+    214-280): for sources where COUNT(*) is as expensive as the read, the
+    pre-run check fetches the data ONCE into a temp-dir cache, counts the
+    cache, and run() reuses it — the source sees zero count queries and
+    exactly one data read."""
+
+    class CountingSource(SparkSource):
+        def __init__(self, spark, options=None):
+            super().__init__(spark, options)
+            self.count_calls = 0
+            self.data_calls = 0
+
+        def get_record_count(self, query, date_from, date_to):
+            self.count_calls += 1
+            return super().get_record_count(query, date_from, date_to)
+
+        def get_data(self, query, date_from, date_to):
+            self.data_calls += 1
+            return super().get_data(query, date_from, date_to)
+
+    def _job(self, spark, ms, bk, sf_dir, options):
+        src = self.CountingSource(spark, {"format": "parquet"})
+        job = IngestionJob(
+            OperationDef(
+                name="no_count", kind="ingestion", output_table="orders_bronze",
+                options=options,
+            ),
+            ms, bk, ms.table_config("orders_bronze"),
+            src, {"path": f"{sf_dir}/orders.parquet"},
+        )
+        return job, src
+
+    def test_no_count_sql_issued_and_single_read(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        job, src = self._job(
+            spark, ms, bk, sf_dir, {"disable.count.query": "true"}
+        )
+        pre = job.pre_run_check(RUN_DATE)
+        assert src.count_calls == 0 and src.data_calls == 1
+        assert pre.input_record_count and pre.input_record_count > 0
+        df = job.run(RUN_DATE)
+        # run() reuses the persisted cache: still only one source read
+        assert src.data_calls == 1
+        assert df.count() == pre.input_record_count
+        # and the cache is real temp-dir parquet, not a live source plan
+        assert any(
+            name.startswith("source_cache_no_count")
+            for name, _ in ms.transient._tables
+        )
+
+    def test_default_still_counts_at_source(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        job, src = self._job(spark, ms, bk, sf_dir, {})
+        job.pre_run_check(RUN_DATE)
+        # the default path issues the source's count (the base Source
+        # counts via a get_data plan — the point is it is NOT cached and
+        # run() will hit the source again)
+        assert src.count_calls == 1
+        job.run(RUN_DATE)
+        assert src.data_calls >= 2
+
+    def test_requires_temp_dir(self, spark, sf_dir, tmp_path):
+        ms = Metastore(
+            spark,
+            [TableConfig(name="orders_bronze",
+                         format=DataFormat.parquet(str(tmp_path / "o")),
+                         info_date_start=D(2024, 3, 1))],
+        )
+        job, src = self._job(
+            spark, ms, Bookkeeper(), sf_dir, {"disable.count.query": "true"}
+        )
+        with pytest.raises(ValueError, match="temporary.directory"):
+            job.pre_run_check(RUN_DATE)
+
+    def test_source_level_option_respected(self, spark, pipeline_env, sf_dir):
+        ms, bk, tmp_path = pipeline_env
+        src = self.CountingSource(
+            spark, {"format": "parquet", "disable.count.query": "true"}
+        )
+        job = IngestionJob(
+            OperationDef(name="no_count_src", kind="ingestion",
+                         output_table="orders_bronze"),
+            ms, bk, ms.table_config("orders_bronze"),
+            src, {"path": f"{sf_dir}/orders.parquet"},
+        )
+        job.pre_run_check(RUN_DATE)
+        assert src.count_calls == 0 and src.data_calls == 1
