@@ -23,6 +23,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Size gate for the exact-percentile family (VERDICT r13 #2): the exact
+# path buffers ONE sorted double array per aggregation task (~8 B/row) —
+# oracle-exact and fast at test scale, an OOM on an ungrouped 100 TB
+# column. Above this per-buffer row count the operators swap to
+# percentile_approx; 10M doubles ~= 80 MB, comfortably inside an executor
+# but far beyond any scale the exact path is needed at. The license for
+# the swap is the oracle-pinned accuracy contract
+# (queries/curation_advanced.py::approx_quantile_contract_lineitem):
+# percentile_approx at this accuracy lands inside the exact
+# +-0.001-rank quantile envelope (Greenwald-Khanna rank error <=
+# n/accuracy = 1e-4, a 10x margin).
+EXACT_PERCENTILE_ROW_LIMIT = 10_000_000
+PERCENTILE_APPROX_ACCURACY = 10_000
+
+
+def _max_percentile_buffer_rows(df: DataFrame, group_col: Optional[str]) -> int:
+    """Rows the largest exact-percentile buffer would hold: the biggest
+    group (grouped) or the whole input (global). One map-side-combined
+    counting pass — a count job is cheap insurance against a
+    hundreds-of-GB single-task sort buffer."""
+    if group_col is None:
+        return df.count()
+    row = df.groupBy(group_col).count().agg(F.max("count")).collect()[0]
+    return int(row[0] or 0)
+
+
 def _hash_unit(key_col: str) -> F.Column:
     """Uniform [0, 1) from the md5 of the key's string form: the first 8
     hex chars as an integer / 16^8. md5 is available in every engine
@@ -562,6 +588,7 @@ def curriculum_thresholds(
     score_col: str,
     n_buckets: int = 10,
     round_to: int = 6,
+    exact_row_limit: Optional[int] = EXACT_PERCENTILE_ROW_LIMIT,
 ) -> DataFrame:
     """Scale-safe GLOBAL curriculum bucketing: instead of NTILE over a
     single-partition global sort (:func:`curriculum_buckets` without a
@@ -583,20 +610,43 @@ def curriculum_thresholds(
     1-row result (a control-plane scalar — the same shape as q15's MAX);
     the crossJoin against it plans as a broadcast nested-loop over one
     row, and the bucket expression is whole-stage codegen. No Window
-    node, no SinglePartition sort anywhere near corpus-sized data. Swap
-    in ``percentile_approx`` for the boundary pass when the score column
-    is too hot even for one exact percentile buffer per partition."""
+    node, no SinglePartition sort anywhere near corpus-sized data.
+
+    ``exact_row_limit`` (VERDICT r13 #2): exact Percentile buffers a
+    per-distinct-value hash map per boundary in one task. Above this many
+    input rows the boundary pass swaps to
+    ``percentile_approx(accuracy=10000)`` — licensed by the oracle-pinned
+    ±0.001-rank envelope contract (approx_quantile_contract_lineitem);
+    ``None`` forces the exact path (the catalog/oracle contract) and
+    skips the gate's counting pass."""
     if n_buckets <= 1:
         raise ValueError(f"n_buckets must be > 1, got {n_buckets}")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.agg(
-        F.array(
-            *[
-                F.round(F.percentile(F.col(score_col), F.lit(q)), round_to)
-                for q in qs
-            ]
-        ).alias("_bounds")
+    use_exact = (
+        exact_row_limit is None
+        or _max_percentile_buffer_rows(df, None) <= exact_row_limit
     )
+    if use_exact:
+        bounds = df.agg(
+            F.array(
+                *[
+                    F.round(F.percentile(F.col(score_col), F.lit(q)), round_to)
+                    for q in qs
+                ]
+            ).alias("_bounds")
+        )
+    else:
+        bounds = df.agg(
+            F.percentile_approx(
+                F.col(score_col),
+                F.array(*[F.lit(float(q)) for q in qs]),
+                F.lit(PERCENTILE_APPROX_ACCURACY),
+            ).alias("_ap")
+        ).select(
+            F.transform(F.col("_ap"), lambda b: F.round(b, round_to)).alias(
+                "_bounds"
+            )
+        )
     scored = df.crossJoin(F.broadcast(bounds))
     bucket = (
         F.size(
@@ -734,6 +784,7 @@ def winsorize(
     hi_q: float = 0.95,
     group_col: Optional[str] = None,
     round_to: int = 6,
+    exact_row_limit: Optional[int] = EXACT_PERCENTILE_ROW_LIMIT,
 ) -> DataFrame:
     """Winsorization: clip a value column at its (per-group) ``lo_q`` /
     ``hi_q`` exact percentiles — the standard outlier-taming transform
@@ -751,16 +802,42 @@ def winsorize(
     (:func:`_qcont`; exact Percentile would build one per-distinct-value
     hash map PER BOUND, the measured 2× pathological case on continuous
     values) — broadcast back over the data; no window, no sort of the
-    raw rows."""
+    raw rows.
+
+    ``exact_row_limit`` (VERDICT r13 #2): the sorted-array buffer holds
+    the whole column (or largest group) in ONE aggregation task. When the
+    buffer would exceed this many rows, bounds swap to
+    ``percentile_approx(accuracy=10000)`` — licensed by the oracle-pinned
+    ±0.001-rank envelope contract (approx_quantile_contract_lineitem).
+    Pass ``None`` to force the exact path unconditionally (the oracle
+    contract the catalog queries pin; also skips the gate's counting
+    pass)."""
     v = F.col(value_col).cast("double")
-    arr = F.array_sort(F.collect_list(v)).alias("_arr")
     keys = [group_col] if group_col is not None else []
-    pre = df.groupBy(*keys).agg(arr) if keys else df.agg(arr)
-    bounds = pre.select(
-        *keys,
-        F.round(_qcont(F.col("_arr"), lo_q), round_to).alias("_lo"),
-        F.round(_qcont(F.col("_arr"), hi_q), round_to).alias("_hi"),
+    use_exact = (
+        exact_row_limit is None
+        or _max_percentile_buffer_rows(df, group_col) <= exact_row_limit
     )
+    if use_exact:
+        arr = F.array_sort(F.collect_list(v)).alias("_arr")
+        pre = df.groupBy(*keys).agg(arr) if keys else df.agg(arr)
+        bounds = pre.select(
+            *keys,
+            F.round(_qcont(F.col("_arr"), lo_q), round_to).alias("_lo"),
+            F.round(_qcont(F.col("_arr"), hi_q), round_to).alias("_hi"),
+        )
+    else:
+        ap = F.percentile_approx(
+            v,
+            F.array(F.lit(float(lo_q)), F.lit(float(hi_q))),
+            F.lit(PERCENTILE_APPROX_ACCURACY),
+        ).alias("_ap")
+        pre = df.groupBy(*keys).agg(ap) if keys else df.agg(ap)
+        bounds = pre.select(
+            *keys,
+            F.round(F.element_at("_ap", 1), round_to).alias("_lo"),
+            F.round(F.element_at("_ap", 2), round_to).alias("_hi"),
+        )
     if group_col is not None:
         joined = df.join(F.broadcast(bounds), group_col)
     else:

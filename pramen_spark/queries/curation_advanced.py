@@ -425,7 +425,10 @@ def q_winsorize_lineitem(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    w = winsorize(li, "l_extendedprice", 0.05, 0.95, group_col="l_returnflag")
+    w = winsorize(li, "l_extendedprice", 0.05, 0.95, group_col="l_returnflag",
+                  # oracle contract: the catalog pins the EXACT path
+                  # (and skips the size gate's counting pass)
+                  exact_row_limit=None)
     return w.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col("clipped_low").cast("long")).cast("long").alias("n_low"),
@@ -1011,7 +1014,9 @@ def q_curriculum_global_documents(spark, sf_dir):
     from pramen_spark.operators.sampling import curriculum_thresholds
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    b = curriculum_thresholds(d, "n_chars", n_buckets=10)
+    b = curriculum_thresholds(d, "n_chars", n_buckets=10,
+                              # oracle contract: exact boundaries, no gate
+                              exact_row_limit=None)
     return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("n_chars").cast("long").alias("min_chars"),

