@@ -36,15 +36,25 @@ _STATUS_STYLE = {
 
 
 class PipelineNotificationBuilder:
+    # suppression floors (PipelineNotificationBuilderHtml.scala:39-40):
+    # sub-minute or sub-1000-record tasks give noisy rates, so the report
+    # shows a blank throughput cell for them
+    MIN_RPS_JOB_DURATION_SECONDS = 60
+    MIN_RPS_RECORDS = 1000
+
     def __init__(self, config: NotificationConfig | None = None):
         self.config = config or NotificationConfig()
 
     # --- pieces ---
 
-    @staticmethod
-    def throughput_rps(result: TaskResult) -> Optional[int]:
-        """records / task-seconds (PipelineNotificationBuilderHtml:516-562)."""
-        if result.elapsed_sec <= 0 or result.records <= 0:
+    @classmethod
+    def throughput_rps(cls, result: TaskResult) -> Optional[int]:
+        """records / task-seconds, or None below the suppression floors
+        (PipelineNotificationBuilderHtml:516-540)."""
+        if (
+            result.elapsed_sec <= cls.MIN_RPS_JOB_DURATION_SECONDS
+            or result.records < cls.MIN_RPS_RECORDS
+        ):
             return None
         return int(result.records / result.elapsed_sec)
 

@@ -94,7 +94,7 @@ class TestNotificationBuilder:
     def _results(self):
         return [
             TaskResult("job_a", "table_a", D, RunStatus.SUCCEEDED,
-                       TaskRunReason.NEW, records=100000, elapsed_sec=10.0),
+                       TaskRunReason.NEW, records=1000000, elapsed_sec=100.0),
             TaskResult("job_b", "table_b", D, RunStatus.FAILED,
                        TaskRunReason.NEW, error="boom <tag>"),
         ]
@@ -109,6 +109,19 @@ class TestNotificationBuilder:
         text = b.build_text(results)
         assert "1 succeeded, 1 failed, 2 total" in text
         assert "rps=10000" in text
+
+    def test_throughput_suppressed_below_floors(self):
+        """PipelineNotificationBuilderHtml.scala:39-40,529: sub-minute or
+        sub-1000-record tasks show a blank throughput cell."""
+        from pramen_spark.notify import PipelineNotificationBuilder
+
+        b = PipelineNotificationBuilder()
+        fast = TaskResult("j", "t", D, RunStatus.SUCCEEDED,
+                          TaskRunReason.NEW, records=100000, elapsed_sec=10.0)
+        tiny = TaskResult("j", "t", D, RunStatus.SUCCEEDED,
+                          TaskRunReason.NEW, records=999, elapsed_sec=120.0)
+        assert b.throughput_rps(fast) is None
+        assert b.throughput_rps(tiny) is None
 
     def test_html_report_escapes_and_colors(self, tmp_path):
         from pramen_spark.notify import NotificationConfig, PipelineNotificationBuilder
