@@ -22,6 +22,7 @@ the read).  ``fetch.size`` bounds driver memory per batch.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import threading
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -32,10 +33,19 @@ from pramen_spark.sources.jdbc_source import JdbcSource
 
 # inference ranks: a column's type is the highest rank seen across ALL its
 # values (single pass, no transposed copy), so int-then-float promotes to
-# double and anything mixed/unknown (Decimal, uuid, time, ...) falls back
-# to string with the VALUES coerced to match — a schema the verifier
-# accepts beats a TypeError mid-ingestion
-_RANK_BOOL, _RANK_LONG, _RANK_DOUBLE, _RANK_BYTES, _RANK_TS, _RANK_DATE, _RANK_STR = range(7)
+# double, int-then-Decimal promotes to decimal, and anything mixed/unknown
+# (uuid, time, ...) falls back to string with the VALUES coerced to match —
+# a schema the verifier accepts beats a TypeError mid-ingestion
+(
+    _RANK_BOOL,
+    _RANK_LONG,
+    _RANK_DECIMAL,
+    _RANK_DOUBLE,
+    _RANK_BYTES,
+    _RANK_TS,
+    _RANK_DATE,
+    _RANK_STR,
+) = range(8)
 
 
 def _rank_of(v: Any) -> int:
@@ -45,6 +55,9 @@ def _rank_of(v: Any) -> int:
         return _RANK_LONG
     if isinstance(v, float):
         return _RANK_DOUBLE
+    if isinstance(v, _decimal.Decimal):
+        # non-finite decimals (NaN/Inf) cannot live in DecimalType
+        return _RANK_DECIMAL if v.is_finite() else _RANK_STR
     if isinstance(v, bytes):
         return _RANK_BYTES
     if isinstance(v, _dt.datetime):
@@ -57,8 +70,11 @@ def _rank_of(v: Any) -> int:
 def _merge_rank(a: Optional[int], b: int) -> int:
     if a is None or a == b:
         return b
-    if {a, b} <= {_RANK_LONG, _RANK_DOUBLE}:
+    pair = {a, b}
+    if pair <= {_RANK_LONG, _RANK_DOUBLE} or pair == {_RANK_DECIMAL, _RANK_DOUBLE}:
         return _RANK_DOUBLE  # numeric promotion
+    if pair == {_RANK_LONG, _RANK_DECIMAL}:
+        return _RANK_DECIMAL  # ints are exact decimals
     return _RANK_STR  # any other mix: stringly-typed
 
 
@@ -73,28 +89,81 @@ _RANK_TYPES = {
 }
 
 
-def _infer_schema(rows: List[tuple], names: List[str]) -> T.StructType:
+def _decimal_digits(v: _decimal.Decimal) -> Tuple[int, int]:
+    """(integral digits, scale) of one finite Decimal value."""
+    t = v.as_tuple()
+    scale = max(-t.exponent, 0)
+    int_digits = max(len(t.digits) + t.exponent, 0)
+    return int_digits, scale
+
+
+def _infer_schema(
+    rows: List[tuple],
+    names: List[str],
+    incorrect_decimals_as_string: bool = False,
+) -> T.StructType:
+    """Value-driven schema inference. DECIMAL columns get a
+    ``DecimalType`` with value-derived precision/scale (the reference
+    derives them from JDBC metadata — ResultSetToRowIterator.scala:
+    245-255 getDecimalSparkSchema); values that cannot fit decimal(38, _)
+    fall back to ``decimal(38, 18)``, or to string when
+    ``incorrect.decimals.as.string`` is set (JdbcConfig.scala:37)."""
     ranks: List[Optional[int]] = [None] * len(names)
+    dec_int_digits = [0] * len(names)
+    dec_scale = [0] * len(names)
+    int_max = [0] * len(names)
     for row in rows:
         for i, v in enumerate(row):
-            if v is not None:
-                ranks[i] = _merge_rank(ranks[i], _rank_of(v))
-    return T.StructType(
-        [
-            T.StructField(n, _RANK_TYPES[r if r is not None else _RANK_STR], True)
-            for n, r in zip(names, ranks)
-        ]
-    )
+            if v is None:
+                continue
+            ranks[i] = _merge_rank(ranks[i], _rank_of(v))
+            if isinstance(v, _decimal.Decimal) and v.is_finite():
+                d, s = _decimal_digits(v)
+                dec_int_digits[i] = max(dec_int_digits[i], d)
+                dec_scale[i] = max(dec_scale[i], s)
+            elif isinstance(v, int) and not isinstance(v, bool):
+                int_max[i] = max(int_max[i], abs(v))
+    fields = []
+    for i, (n, r) in enumerate(zip(names, ranks)):
+        r = r if r is not None else _RANK_STR
+        if r == _RANK_DECIMAL:
+            int_digits = max(dec_int_digits[i], len(str(int_max[i])) if int_max[i] else 0, 1)
+            scale = dec_scale[i]
+            if int_digits + scale <= 38:
+                dtype: T.DataType = T.DecimalType(int_digits + scale, scale)
+            elif int_digits <= 20 and not incorrect_decimals_as_string:
+                dtype = T.DecimalType(38, 18)
+            else:
+                # cannot fit decimal(38, _): stringly-typed, like the
+                # reference's incorrectDecimalsAsString escape hatch
+                dtype = T.StringType()
+        else:
+            dtype = _RANK_TYPES[r]
+        fields.append(T.StructField(n, dtype, True))
+    return T.StructType(fields)
 
 
 def _coerce(rows: List[tuple], schema: T.StructType) -> List[tuple]:
-    """Convert values to their column's inferred type (Decimal -> str,
-    int -> float under numeric promotion, ...) so createDataFrame's
-    verifier accepts every row."""
+    """Convert values to their column's inferred type (int -> Decimal
+    under decimal promotion, int -> float under numeric promotion,
+    unfittable Decimal -> str, ...) so createDataFrame's verifier
+    accepts every row."""
     casters = []
     for f in schema.fields:
         if isinstance(f.dataType, T.DoubleType):
             casters.append(lambda v: float(v) if v is not None else None)
+        elif isinstance(f.dataType, T.DecimalType):
+            exp = _decimal.Decimal(1).scaleb(-f.dataType.scale)
+            # a 38-digit context: the default 28-digit one rejects
+            # quantizations whose result needs more coefficient digits
+            ctx = _decimal.Context(prec=38, rounding=_decimal.ROUND_HALF_UP)
+
+            def _to_dec(v, exp=exp, ctx=ctx):
+                if v is None:
+                    return None
+                return _decimal.Decimal(v).quantize(exp, context=ctx)
+
+            casters.append(_to_dec)
         elif isinstance(f.dataType, T.StringType):
             casters.append(lambda v: str(v) if v is not None and not isinstance(v, str) else v)
         else:
@@ -183,7 +252,11 @@ class JdbcNativeSource(JdbcSource):
         )
 
         names, rows, description = self._fetch_all(sql)
-        schema = _infer_schema(rows, names)
+        schema = _infer_schema(
+            rows,
+            names,
+            self._opt_bool("incorrect.decimals.as.string", False),
+        )
         if is_data_query and self._opt_bool("enable.schema.metadata", False):
             # DBAPI cursor.description plays ResultSetMetaData
             # (TableReaderJdbcNative.scala:108,142): VARCHAR(n) columns

@@ -171,3 +171,107 @@ _FACTORY_DB = None
 
 def open_test_db():
     return sqlite3.connect(_FACTORY_DB)
+
+
+class TestDecimalInference:
+    """DECIMAL columns from a DBAPI driver become real DecimalType columns
+    with value-derived precision/scale (the reference derives them from
+    JDBC metadata, ResultSetToRowIterator.scala:245-255); the
+    incorrect.decimals.as.string escape hatch survives for broken
+    drivers."""
+
+    def _fake_source(self, spark, rows, **opts):
+        import tests.test_jdbc_native as me
+
+        class FakeCursor:
+            description = tuple((f"c{i}", None, None, None, None, None, 1)
+                                for i in range(len(rows[0]))) if rows else ()
+
+            def execute(self, sql):
+                self._rows = list(rows)
+
+            def fetchmany(self, n):
+                out, self._rows = self._rows, []
+                return out
+
+            def close(self):
+                pass
+
+        class FakeConn:
+            def cursor(self):
+                return FakeCursor()
+
+            def close(self):
+                pass
+
+        me._fake_conn = lambda: FakeConn()
+        return JdbcNativeSource(
+            spark,
+            {"connection.factory": "tests.test_jdbc_native._fake_conn",
+             "vendor": "generic", "has.information.date.column": False,
+             **opts},
+        )
+
+    def test_pure_decimal_column(self, spark):
+        from decimal import Decimal
+
+        src = self._fake_source(
+            spark, [(Decimal("12.34"),), (Decimal("5.6"),), (None,)]
+        )
+        df = src._run_query("SELECT 1")
+        assert dict(df.dtypes)["c0"] == "decimal(4,2)"
+        got = sorted(v for (v,) in df.collect() if v is not None)
+        assert got == [Decimal("5.60"), Decimal("12.34")]
+
+    def test_int_decimal_promotion(self, spark):
+        from decimal import Decimal
+
+        src = self._fake_source(spark, [(100,), (Decimal("2.5"),)])
+        df = src._run_query("SELECT 1")
+        assert dict(df.dtypes)["c0"] == "decimal(4,1)"
+        assert sorted(v for (v,) in df.collect()) == [
+            Decimal("2.5"), Decimal("100.0")
+        ]
+
+    def test_decimal_float_promotes_to_double(self, spark):
+        from decimal import Decimal
+
+        src = self._fake_source(spark, [(Decimal("2.5"),), (1.25,)])
+        df = src._run_query("SELECT 1")
+        assert dict(df.dtypes)["c0"] == "double"
+
+    def test_oversized_decimal_falls_back(self, spark):
+        from decimal import Decimal
+
+        wide = Decimal("1." + "1" * 30)  # 1 + 30 digits: fits decimal(31,30)
+        src = self._fake_source(spark, [(wide,)])
+        df = src._run_query("SELECT 1")
+        assert dict(df.dtypes)["c0"] == "decimal(31,30)"
+        # 25 integral digits + scale 20 = 45 > 38, and the integral part
+        # alone exceeds decimal(38,18)'s 20 digits: unfittable -> string
+        huge = Decimal("1" * 25 + "." + "5" * 20)
+        src2 = self._fake_source(spark, [(huge,)])
+        df2 = src2._run_query("SELECT 1")
+        assert dict(df2.dtypes)["c0"] == "string"
+
+    def test_incorrect_decimals_as_string(self, spark):
+        from decimal import Decimal
+
+        # 21 integral digits + scale 18 > 38: default falls to (38,18)
+        # only when int part fits 20 digits; here it does (19 digits)
+        v = Decimal("1234567890123456789." + "9" * 25)
+        src = self._fake_source(spark, [(v,)])
+        df = src._run_query("SELECT 1")
+        assert dict(df.dtypes)["c0"] == "decimal(38,18)"
+        src2 = self._fake_source(
+            spark, [(v,)], **{"incorrect.decimals.as.string": "true"}
+        )
+        df2 = src2._run_query("SELECT 1")
+        assert dict(df2.dtypes)["c0"] == "string"
+
+    def test_nan_decimal_is_string(self, spark):
+        from decimal import Decimal
+
+        src = self._fake_source(spark, [(Decimal("NaN"),), (Decimal("1.5"),)])
+        df = src._run_query("SELECT 1")
+        assert dict(df.dtypes)["c0"] == "string"
