@@ -61,6 +61,17 @@ class JdbcSource(Source):
 
     def __init__(self, spark: SparkSession, options: Optional[Dict[str, Any]] = None):
         super().__init__(spark, options)
+        # HOCON layout parity: the reference nests connectivity under the
+        # source's jdbc{} block (JdbcConfig.scala:54-115), which the config
+        # loader flattens to 'jdbc.url', 'jdbc.driver', 'jdbc.sanitize.
+        # datetime', ... — alias the bare keys this class reads, explicit
+        # bare options winning over the prefixed form.
+        for k, v in list(self.options.items()):
+            if k.startswith("jdbc."):
+                bare = k[len("jdbc.") :]
+                if bare == "connection.primary.url":
+                    bare = "url"
+                self.options.setdefault(bare, v)
         from pramen_spark.sql.generators import OffsetInfo, OffsetType, QuotingPolicy, SqlColumnType
 
         sql_config = SqlConfig(

@@ -437,3 +437,38 @@ class TestSparkSourceMetadataProbe:
         # JVM-side check: a year-12345 date cannot exist in Python, which
         # is exactly why sanitize.datetime defaults to ON
         assert out.select(F.year("d")).collect()[0][0] == 12345
+
+
+class TestJdbcPrefixAliasing:
+    """The reference nests connectivity under the source's jdbc{} block;
+    the config loader flattens it to 'jdbc.*' keys. The source must read
+    them as if un-prefixed (JdbcConfig.scala:54-115)."""
+
+    def test_prefixed_options_aliased(self, spark):
+        from pramen_spark.sources.jdbc_source import JdbcSource
+        from pramen_spark.sql.generators import SqlGeneratorPostgreSQL
+
+        src = JdbcSource(
+            spark,
+            {
+                "jdbc.driver": "org.postgresql.Driver",
+                "jdbc.connection.primary.url": "jdbc:postgresql://h:5432/db",
+                "jdbc.user": "u",
+                "jdbc.sanitize.datetime": "false",
+            },
+        )
+        assert isinstance(src.generator, SqlGeneratorPostgreSQL)
+        assert src.options["url"] == "jdbc:postgresql://h:5432/db"
+        assert src._opt_bool("sanitize.datetime", True) is False
+        opts = src._jdbc_reader_options("SELECT 1")
+        assert opts["driver"] == "org.postgresql.Driver"
+        assert opts["user"] == "u"
+
+    def test_bare_option_wins_over_prefixed(self, spark):
+        from pramen_spark.sources.jdbc_source import JdbcSource
+
+        src = JdbcSource(
+            spark,
+            {"url": "jdbc:one", "jdbc.url": "jdbc:two", "vendor": "generic"},
+        )
+        assert src.options["url"] == "jdbc:one"
