@@ -81,6 +81,9 @@ class JdbcSource(Source):
             identifier_quoting_policy=QuotingPolicy(
                 self.options.get("identifier.quoting.policy", "auto")
             ),
+            # README:724-726: the database server's timezone, used when
+            # rendering datetime offset predicates as server wall-clock
+            server_time_zone=self.options.get("server.timezone", "UTC"),
             offset_info=(
                 OffsetInfo(
                     self.options["offset.column"],

@@ -101,8 +101,16 @@ def _format_java_date(d: _dt.date, pattern: str) -> str:
     return format_date_java(d, pattern)
 
 
-def _format_ts_millis(ts: _dt.datetime) -> str:
-    """yyyy-MM-dd HH:mm:ss.SSS (SqlGeneratorBase.scala:33)."""
+def _format_ts_millis(ts: _dt.datetime, server_time_zone: str = "UTC") -> str:
+    """yyyy-MM-dd HH:mm:ss.SSS (SqlGeneratorBase.scala:33). A tz-aware
+    instant is rendered as the SERVER's wall-clock time (the reference's
+    ``LocalDateTime.ofInstant(ts, sqlConfig.serverTimeZone)``, e.g.
+    SqlGeneratorGeneric.scala:100 — the database compares offset
+    predicates in its own zone); naive datetimes pass through as-is."""
+    if ts.tzinfo is not None:
+        from zoneinfo import ZoneInfo
+
+        ts = ts.astimezone(ZoneInfo(server_time_zone)).replace(tzinfo=None)
     return ts.strftime("%Y-%m-%d %H:%M:%S.") + f"{ts.microsecond // 1000:03d}"
 
 
@@ -283,7 +291,10 @@ class SqlGenerator:
 
     def offset_where_condition(self, column: str, condition: str, offset: OffsetValue) -> str:
         if offset.type == OffsetType.DATETIME:
-            return f"{column} {condition} '{_format_ts_millis(offset.value)}'"
+            return (
+                f"{column} {condition} "
+                f"'{_format_ts_millis(offset.value, self.config.server_time_zone)}'"
+            )
         if offset.type == OffsetType.INTEGRAL:
             return f"{column} {condition} {offset.value}"
         if offset.type == OffsetType.STRING:
@@ -446,7 +457,10 @@ class SqlGeneratorOracle(SqlGenerator):
 
     def offset_where_condition(self, column, condition, offset):
         if offset.type == OffsetType.DATETIME:
-            return f"{column} {condition} TIMESTAMP '{_format_ts_millis(offset.value)}'"
+            return (
+                f"{column} {condition} TIMESTAMP "
+                f"'{_format_ts_millis(offset.value, self.config.server_time_zone)}'"
+            )
         return super().offset_where_condition(column, condition, offset)
 
 
@@ -525,7 +539,10 @@ class SqlGeneratorHsqlDb(SqlGenerator):
 
     def offset_where_condition(self, column, condition, offset):
         if offset.type == OffsetType.DATETIME:
-            return f"{column} {condition} TIMESTAMP '{_format_ts_millis(offset.value)}'"
+            return (
+                f"{column} {condition} TIMESTAMP "
+                f"'{_format_ts_millis(offset.value, self.config.server_time_zone)}'"
+            )
         return super().offset_where_condition(column, condition, offset)
 
 

@@ -263,3 +263,64 @@ class TestLoader:
     def test_sas_quoting(self):
         g = generator_for_vendor("sas", cfg(identifier_quoting_policy=QuotingPolicy.ALWAYS))
         assert g.quote("col name") == "'col name'n"
+
+
+class TestServerTimezone:
+    """server.timezone (README:724-726): a tz-aware datetime offset is
+    rendered as the SERVER's wall-clock time in the generated predicate
+    (the reference's LocalDateTime.ofInstant(ts, serverTimeZone),
+    SqlGeneratorGeneric.scala:100); naive datetimes pass through."""
+
+    def test_aware_offset_rendered_in_server_zone(self):
+        import datetime as dt
+
+        from pramen_spark.sql.generators import (
+            OffsetInfo,
+            OffsetType,
+            OffsetValue,
+            SqlConfig,
+            SqlGeneratorGeneric,
+        )
+
+        cfg = SqlConfig(
+            offset_info=OffsetInfo("updated_at", OffsetType.DATETIME),
+            server_time_zone="Africa/Johannesburg",  # UTC+2, no DST
+        )
+        gen = SqlGeneratorGeneric(cfg)
+        utc_midnight = dt.datetime(2024, 3, 10, 0, 0, 0, tzinfo=dt.timezone.utc)
+        cond = gen.offset_where_condition(
+            "updated_at", ">", OffsetValue.datetime(utc_midnight)
+        )
+        assert "'2024-03-10 02:00:00.000'" in cond
+
+    def test_naive_offset_unchanged(self):
+        import datetime as dt
+
+        from pramen_spark.sql.generators import (
+            OffsetInfo,
+            OffsetType,
+            OffsetValue,
+            SqlConfig,
+            SqlGeneratorGeneric,
+        )
+
+        cfg = SqlConfig(
+            offset_info=OffsetInfo("updated_at", OffsetType.DATETIME),
+            server_time_zone="Africa/Johannesburg",
+        )
+        gen = SqlGeneratorGeneric(cfg)
+        naive = dt.datetime(2024, 3, 10, 5, 6, 7, 123000)
+        cond = gen.offset_where_condition(
+            "updated_at", ">", OffsetValue.datetime(naive)
+        )
+        assert "'2024-03-10 05:06:07.123'" in cond
+
+    def test_source_option_wires_through(self, spark):
+        from pramen_spark.sources.jdbc_source import JdbcSource
+
+        src = JdbcSource(
+            spark,
+            {"url": "jdbc:x", "vendor": "generic",
+             "server.timezone": "Africa/Johannesburg"},
+        )
+        assert src.generator.config.server_time_zone == "Africa/Johannesburg"
