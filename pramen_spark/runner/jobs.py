@@ -71,7 +71,7 @@ class Job:
         date_to_expr = self.operation.options.get("date.to", "@infoDate")
         return ev.eval_date(date_from_expr), ev.eval_date(date_to_expr)
 
-    def pre_run_check(self, info_date: _dt.date) -> JobPreRunResult:
+    def pre_run_check(self, info_date: _dt.date, run_reason=None) -> JobPreRunResult:
         return JobPreRunResult(JobPreRunStatus.READY)
 
     def validate(self, info_date: _dt.date) -> Reason:
@@ -138,12 +138,36 @@ class IngestionJob(Job):
             tm.add_table(name, date_from, df, CachePolicy.PERSIST)
         return tm.get_table(name, date_from)
 
-    def pre_run_check(self, info_date: _dt.date) -> JobPreRunResult:
+    def _channel_flag(self, key: str) -> bool:
+        """Boolean flag read like the reference: source-level config with
+        an operation-level override allowed."""
+        v = self.operation.options.get(
+            key, getattr(self.source, "options", {}).get(key, "false")
+        )
+        return str(v).lower() == "true"
+
+    def pre_run_check(
+        self, info_date: _dt.date, run_reason=None
+    ) -> JobPreRunResult:
+        from pramen_spark.scheduling.strategies import TaskRunReason
+
         date_from, date_to = self.get_info_date_range(info_date)
         minimum_records = int(self.operation.options.get("minimum.records", 0))
+        # IngestionJob.scala:74-83: the any-data flag ORs with the
+        # late/new-specific one depending on why this task runs
         fail_if_no_data = (
-            str(self.operation.options.get("fail.if.no.data", "false")).lower() == "true"
+            str(self.operation.options.get("fail.if.no.data", "false")).lower()
+            == "true"
+            or self._channel_flag("fail.if.no.data")
         )
+        if run_reason == TaskRunReason.LATE:
+            fail_if_no_data = fail_if_no_data or self._channel_flag(
+                "fail.if.no.late.data"
+            )
+        elif run_reason is not None:
+            fail_if_no_data = fail_if_no_data or self._channel_flag(
+                "fail.if.no.new.data"
+            )
         try:
             if self._count_query_disabled():
                 count = self._cached_source_data(date_from, date_to).count()
@@ -284,7 +308,9 @@ class TransferJob(Job):
         self.source_query = source_query
         self.sink = sink
 
-    def pre_run_check(self, info_date: _dt.date) -> JobPreRunResult:
+    def pre_run_check(
+        self, info_date: _dt.date, run_reason=None
+    ) -> JobPreRunResult:
         date_from, date_to = self.get_info_date_range(info_date)
         try:
             count = self.source.get_record_count(self.source_query, date_from, date_to)

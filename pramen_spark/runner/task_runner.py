@@ -156,7 +156,7 @@ class TaskRunner:
 
         # 1. pre-run check (IngestionJob.scala:71-140)
         try:
-            pre = job.pre_run_check(info_date)
+            pre = job.pre_run_check(info_date, task.reason)
         except Exception as e:
             return result(RunStatus.FAILED, error=f"Pre-run check failed: {e}")
         if pre.status == JobPreRunStatus.ALREADY_RAN and task.reason not in (

@@ -203,9 +203,16 @@ class JdbcNativeSource(JdbcSource):
         elif "sqlite.path" in self.options:
             import sqlite3
 
+            # connection.timeout (README.md:631-632) maps to sqlite's
+            # busy-wait timeout; the reference sets the JDBC login timeout
             self._conn = sqlite3.connect(
-                self.options["sqlite.path"], check_same_thread=False
+                self.options["sqlite.path"],
+                check_same_thread=False,
+                timeout=float(self.options.get("connection.timeout", 60)),
             )
+            if self._opt_bool("autocommit", False):
+                # DBAPI autocommit (README.md:643-644; native reader only)
+                self._conn.isolation_level = None
         else:
             raise ValueError(
                 "JdbcNativeSource needs 'connection.factory' or 'sqlite.path'"

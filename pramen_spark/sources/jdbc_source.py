@@ -145,12 +145,47 @@ class JdbcSource(Source):
                 opts[k[len("option.") :]] = v
         return opts
 
+    def _url_pool(self) -> list:
+        """Primary URL + numbered ``fallback.url.N`` options, in order
+        (JdbcUrlSelectorImpl.scala:54-69; README.md:617-620)."""
+        urls = [self.options["url"]] if "url" in self.options else []
+        numbered = sorted(
+            (int(k.rsplit(".", 1)[1]), v)
+            for k, v in self.options.items()
+            if k.startswith("fallback.url.") and k.rsplit(".", 1)[1].isdigit()
+        )
+        urls += [v for _, v in numbered]
+        return urls
+
+    def _with_url_retry(self, attempt_fn):
+        """Run ``attempt_fn(url)`` rotating through the URL pool on
+        failure, up to ``retries`` total attempts (default: one per URL —
+        TableReaderJdbcBase.getWithRetry; 'retries = 1' means a single
+        attempt, per README.md:626-628)."""
+        urls = self._url_pool()
+        if not urls:
+            return attempt_fn(self.options.get("url", ""))
+        r = self.options.get("retries")
+        attempts = max(int(r), 1) if r is not None else len(urls)
+        last_err: Optional[Exception] = None
+        for i in range(attempts):
+            try:
+                return attempt_fn(urls[i % len(urls)])
+            except Exception as e:  # noqa: BLE001 — driver errors vary by vendor
+                last_err = e
+        raise last_err
+
     def _jdbc_read(self, sql: str, is_data_query: bool = True) -> DataFrame:
         from pramen_spark.operators.rowlevel import SPECIAL_CHARACTERS, sanitize_df_columns
         from pramen_spark.sources.jdbc_type_fixes import get_corrected_decimals_schema
 
         opts = self._jdbc_reader_options(sql)
-        df = self.spark.read.format("jdbc").options(**opts).load()
+
+        def _load(url):
+            o = dict(opts, url=url)
+            return self.spark.read.format("jdbc").options(**o).load(), o
+
+        df, opts = self._with_url_retry(_load)
 
         correct_decimals = self._opt_bool("correct.decimals.in.schema", False)
         fix_precision = self._opt_bool("correct.decimals.fix.precision", False)

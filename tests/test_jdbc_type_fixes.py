@@ -472,3 +472,74 @@ class TestJdbcPrefixAliasing:
             {"url": "jdbc:one", "jdbc.url": "jdbc:two", "vendor": "generic"},
         )
         assert src.options["url"] == "jdbc:one"
+
+
+class TestUrlFallbackRetry:
+    """URL pool + retries (JdbcUrlSelectorImpl.scala:54-69,
+    TableReaderJdbcBase.getWithRetry): the read rotates through primary +
+    fallback.url.N on failure, one attempt per URL by default;
+    'retries = 1' means a single attempt."""
+
+    def _source(self, spark, **opts):
+        from pramen_spark.sources.jdbc_source import JdbcSource
+
+        return JdbcSource(
+            spark,
+            {"url": "jdbc:primary", "vendor": "generic",
+             "fallback.url.2": "jdbc:fb2", "fallback.url.1": "jdbc:fb1",
+             **opts},
+        )
+
+    def test_pool_order(self, spark):
+        src = self._source(spark)
+        assert src._url_pool() == ["jdbc:primary", "jdbc:fb1", "jdbc:fb2"]
+
+    def test_rotates_until_success(self, spark):
+        src = self._source(spark)
+        tried = []
+
+        def attempt(url):
+            tried.append(url)
+            if url != "jdbc:fb2":
+                raise RuntimeError(f"down: {url}")
+            return "ok"
+
+        assert src._with_url_retry(attempt) == "ok"
+        assert tried == ["jdbc:primary", "jdbc:fb1", "jdbc:fb2"]
+
+    def test_default_attempts_one_per_url(self, spark):
+        src = self._source(spark)
+        tried = []
+
+        def attempt(url):
+            tried.append(url)
+            raise RuntimeError("always down")
+
+        with pytest.raises(RuntimeError, match="always down"):
+            src._with_url_retry(attempt)
+        assert len(tried) == 3
+
+    def test_retries_one_means_single_attempt(self, spark):
+        src = self._source(spark, retries=1)
+        tried = []
+
+        def attempt(url):
+            tried.append(url)
+            raise RuntimeError("down")
+
+        with pytest.raises(RuntimeError):
+            src._with_url_retry(attempt)
+        assert tried == ["jdbc:primary"]
+
+    def test_retries_wrap_around_pool(self, spark):
+        src = self._source(spark, retries=5)
+        tried = []
+
+        def attempt(url):
+            tried.append(url)
+            raise RuntimeError("down")
+
+        with pytest.raises(RuntimeError):
+            src._with_url_retry(attempt)
+        assert tried == ["jdbc:primary", "jdbc:fb1", "jdbc:fb2",
+                         "jdbc:primary", "jdbc:fb1"]

@@ -649,3 +649,51 @@ class TestDisableCountQuery:
         )
         job.pre_run_check(RUN_DATE)
         assert src.count_calls == 0 and src.data_calls == 1
+
+
+class TestFailIfNoLateNewData:
+    """fail.if.no.late.data / fail.if.no.new.data (IngestionJob.scala:
+    74-83): the any-data flag ORs with the reason-specific one, so an
+    empty source fails the LATE catch-up run but only skips the NEW run
+    (or vice versa), per source-level config."""
+
+    class EmptySource(SparkSource):
+        def get_record_count(self, query, date_from, date_to):
+            return 0
+
+    def _job(self, spark, ms, bk, source_opts):
+        src = self.EmptySource(spark, {"format": "parquet", **source_opts})
+        return IngestionJob(
+            OperationDef(name="e", kind="ingestion", output_table="orders_bronze"),
+            ms, bk, ms.table_config("orders_bronze"), src, {"path": "/nope"},
+        )
+
+    def test_late_flag_fails_only_late_runs(self, spark, pipeline_env):
+        from pramen_spark.runner.jobs import JobPreRunStatus
+
+        ms, bk, _ = pipeline_env
+        job = self._job(spark, ms, bk, {"fail.if.no.late.data": "true"})
+        late = job.pre_run_check(RUN_DATE, TaskRunReason.LATE)
+        new = job.pre_run_check(RUN_DATE, TaskRunReason.NEW)
+        assert late.status == JobPreRunStatus.NO_DATA
+        assert new.status == JobPreRunStatus.SKIP
+
+    def test_new_flag_fails_only_new_runs(self, spark, pipeline_env):
+        from pramen_spark.runner.jobs import JobPreRunStatus
+
+        ms, bk, _ = pipeline_env
+        job = self._job(spark, ms, bk, {"fail.if.no.new.data": "true"})
+        assert job.pre_run_check(RUN_DATE, TaskRunReason.NEW).status \
+            == JobPreRunStatus.NO_DATA
+        assert job.pre_run_check(RUN_DATE, TaskRunReason.LATE).status \
+            == JobPreRunStatus.SKIP
+
+    def test_source_level_any_data_flag(self, spark, pipeline_env):
+        from pramen_spark.runner.jobs import JobPreRunStatus
+
+        ms, bk, _ = pipeline_env
+        job = self._job(spark, ms, bk, {"fail.if.no.data": "true"})
+        # any-data flag applies regardless of reason, even with none given
+        assert job.pre_run_check(RUN_DATE).status == JobPreRunStatus.NO_DATA
+        assert job.pre_run_check(RUN_DATE, TaskRunReason.LATE).status \
+            == JobPreRunStatus.NO_DATA
