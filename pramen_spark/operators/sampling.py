@@ -45,7 +45,12 @@ def _max_percentile_buffer_rows(df: DataFrame, group_col: Optional[str]) -> int:
     hundreds-of-GB single-task sort buffer."""
     if group_col is None:
         return df.count()
-    row = df.groupBy(group_col).count().agg(F.max("count")).collect()[0]
+    row = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))  # explicit alias: a column
+        .agg(F.max("__n"))  # literally named 'count' must not collide
+        .collect()[0]
+    )
     return int(row[0] or 0)
 
 
