@@ -84,22 +84,10 @@ class Job:
         return self.metastore.save_table(self.output_table.name, df, info_date)
 
 
-class IngestionJob(Job):
-    """Source -> metastore table, with record-count pre-run checks
-    (IngestionJob.scala:71-160)."""
-
-    def __init__(
-        self,
-        operation: OperationDef,
-        metastore: Metastore,
-        bookkeeper: Bookkeeper,
-        output_table: TableConfig,
-        source: Source,
-        source_query: Any = None,
-    ):
-        super().__init__(operation, metastore, bookkeeper, output_table)
-        self.source = source
-        self.source_query = source_query
+class SourceCacheMixin:
+    """disable.count.query support shared by ingestion and transfer jobs
+    (the reference's TransferJob wraps an IngestionJob and inherits it —
+    TransferJob.scala:46-57)."""
 
     def _count_query_disabled(self) -> bool:
         """``disable.count.query`` (README.md:713-718, IngestionJob.scala
@@ -137,6 +125,24 @@ class IngestionJob(Job):
             df = self.source.get_data(self.source_query, date_from, date_to)
             tm.add_table(name, date_from, df, CachePolicy.PERSIST)
         return tm.get_table(name, date_from)
+
+
+class IngestionJob(SourceCacheMixin, Job):
+    """Source -> metastore table, with record-count pre-run checks
+    (IngestionJob.scala:71-160)."""
+
+    def __init__(
+        self,
+        operation: OperationDef,
+        metastore: Metastore,
+        bookkeeper: Bookkeeper,
+        output_table: TableConfig,
+        source: Source,
+        source_query: Any = None,
+    ):
+        super().__init__(operation, metastore, bookkeeper, output_table)
+        self.source = source
+        self.source_query = source_query
 
     def _channel_flag(self, key: str) -> bool:
         """Boolean flag read like the reference: source-level config with
@@ -288,10 +294,12 @@ class PythonFunctionJob(Job):
         return self.fn(reader, info_date)
 
 
-class TransferJob(Job):
+class TransferJob(SourceCacheMixin, Job):
     """Source -> sink directly, without persisting in the metastore
     (core/.../pipeline/TransferJob.scala). The output table is a virtual
-    name used only for bookkeeping/locking."""
+    name used only for bookkeeping/locking. disable.count.query behaves
+    as in ingestion (the reference builds TransferJob ON an IngestionJob
+    and passes the flag through — TransferJob.scala:46-57)."""
 
     def __init__(
         self,
@@ -313,7 +321,12 @@ class TransferJob(Job):
     ) -> JobPreRunResult:
         date_from, date_to = self.get_info_date_range(info_date)
         try:
-            count = self.source.get_record_count(self.source_query, date_from, date_to)
+            if self._count_query_disabled():
+                count = self._cached_source_data(date_from, date_to).count()
+            else:
+                count = self.source.get_record_count(
+                    self.source_query, date_from, date_to
+                )
         except NotImplementedError:
             return JobPreRunResult(JobPreRunStatus.READY)
         if count == 0:
@@ -326,6 +339,8 @@ class TransferJob(Job):
 
     def run(self, info_date: _dt.date) -> DataFrame:
         date_from, date_to = self.get_info_date_range(info_date)
+        if self._count_query_disabled():
+            return self._cached_source_data(date_from, date_to)
         return self.source.get_data(self.source_query, date_from, date_to)
 
     def save(self, df: DataFrame, info_date: _dt.date):

@@ -697,3 +697,29 @@ class TestFailIfNoLateNewData:
         assert job.pre_run_check(RUN_DATE).status == JobPreRunStatus.NO_DATA
         assert job.pre_run_check(RUN_DATE, TaskRunReason.LATE).status \
             == JobPreRunStatus.NO_DATA
+
+
+class TestTransferDisableCountQuery:
+    """TransferJob honors disable.count.query like ingestion (the
+    reference builds a TransferJob on an IngestionJob and passes the flag
+    through, TransferJob.scala:46-57): pre-run counts the temp-dir cache,
+    run() reuses it, the source sees one read and zero count queries."""
+
+    def test_transfer_single_read(self, spark, pipeline_env, sf_dir, tmp_path):
+        from pramen_spark.runner.jobs import TransferJob
+
+        ms, bk, env_tmp = pipeline_env
+        src = TestDisableCountQuery.CountingSource(
+            spark, {"format": "parquet", "disable.count.query": "true"}
+        )
+        job = TransferJob(
+            OperationDef(name="xfer", kind="transfer", output_table="csv_out"),
+            ms, bk, ms.table_config("csv_out"), src,
+            {"path": f"{sf_dir}/orders.parquet"},
+            LocalCsvSink(spark, {"path": str(tmp_path / "xcsv"), "csv.header": "true"}),
+        )
+        pre = job.pre_run_check(RUN_DATE)
+        assert src.count_calls == 0 and src.data_calls == 1
+        df = job.run(RUN_DATE)
+        assert src.data_calls == 1
+        assert df.count() == pre.input_record_count > 0
