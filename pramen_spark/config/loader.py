@@ -200,6 +200,13 @@ def _parse_channels(specs: Sequence[Dict[str, Any]], factories: Dict[str, str]) 
             for k, v in _flatten(spec).items()
             if k not in ("name", "factory.class")
         }
+        # use.jdbc.native (README:652-655): route the source through the
+        # DBAPI-native reader instead of the Spark JDBC connector
+        if (
+            factory == "pramen_spark.sources.jdbc_source.JdbcSource"
+            and str(options.get("use.jdbc.native", "false")).lower() == "true"
+        ):
+            factory = "pramen_spark.sources.jdbc_native_source.JdbcNativeSource"
         out[name] = ChannelDef(name=name, factory=factory, options=options)
     return out
 

@@ -74,10 +74,31 @@ class JdbcSource(Source):
                 self.options.setdefault(bare, v)
         from pramen_spark.sql.generators import OffsetInfo, OffsetType, QuotingPolicy, SqlColumnType
 
+        def first_opt(*keys, default=None):
+            for k in keys:
+                if k in self.options:
+                    return self.options[k]
+            return default
+
+        # the reference's README spells the info-date block
+        # `information.date { column, date.type, date.app.format }`
+        # (flattening to information.date.date.*), while its example
+        # configs use information.date.format — accept every spelling
         sql_config = SqlConfig(
             info_date_column=self.options.get("information.date.column", "info_date"),
-            info_date_type=SqlColumnType(self.options.get("information.date.type", "date")),
-            date_format_app=self.options.get("information.date.app.format", "yyyy-MM-dd"),
+            info_date_type=SqlColumnType(
+                first_opt(
+                    "information.date.type",
+                    "information.date.date.type",
+                    default="date",
+                )
+            ),
+            date_format_app=first_opt(
+                "information.date.app.format",
+                "information.date.date.app.format",
+                "information.date.format",
+                default="yyyy-MM-dd",
+            ),
             identifier_quoting_policy=QuotingPolicy(
                 self.options.get("identifier.quoting.policy", "auto")
             ),

@@ -413,3 +413,22 @@ pramen {
         assert op.expectations_action == "warn"
         assert [e["name"] for e in op.expectations] == ["id_ok", "n_range"]
         assert op.expectations[1]["lo"] == 0 and op.expectations[1]["hi"] == 10
+
+
+def test_use_jdbc_native_switches_factory():
+    """use.jdbc.native = true (README:652-655) routes a JDBC source
+    through the DBAPI-native reader."""
+    from pramen_spark.config.loader import load_workflow
+
+    conf = {"pramen": {
+        "pipeline": {"name": "p"},
+        "sources": [
+            {"name": "a", "factory.class": "jdbc",
+             "jdbc": {"url": "jdbc:x"}, "use.jdbc.native": True},
+            {"name": "b", "factory.class": "jdbc",
+             "jdbc": {"url": "jdbc:x"}},
+        ],
+        "operations": []}}
+    wf = load_workflow(conf)
+    assert wf.sources["a"].factory.endswith("JdbcNativeSource")
+    assert wf.sources["b"].factory.endswith("jdbc_source.JdbcSource")

@@ -543,3 +543,37 @@ class TestUrlFallbackRetry:
             src._with_url_retry(attempt)
         assert tried == ["jdbc:primary", "jdbc:fb1", "jdbc:fb2",
                          "jdbc:primary", "jdbc:fb1"]
+
+
+class TestInfoDateKeySpellings:
+    """The reference README nests the info-date block as
+    information.date { column, date.type, date.app.format } (flattening
+    to information.date.date.*), while its example configs spell
+    information.date.format — every spelling must configure the source."""
+
+    def test_readme_nested_spelling(self, spark):
+        from pramen_spark.sources.jdbc_source import JdbcSource
+        from pramen_spark.sql.generators import SqlColumnType
+
+        src = JdbcSource(
+            spark,
+            {"url": "jdbc:x", "vendor": "generic",
+             "information.date.column": "snap",
+             "information.date.date.type": "string",
+             "information.date.date.app.format": "yyyyMMdd"},
+        )
+        assert src.generator.config.info_date_type == SqlColumnType.STRING
+        assert src.generator.config.date_format_app == "yyyyMMdd"
+        assert src.generator.config.info_date_column == "snap"
+
+    def test_example_config_spelling_and_precedence(self, spark):
+        from pramen_spark.sources.jdbc_source import JdbcSource
+
+        src = JdbcSource(
+            spark,
+            {"url": "jdbc:x", "vendor": "generic",
+             "information.date.format": "MM/dd/yyyy",
+             # the canonical key wins over the alias when both exist
+             "information.date.app.format": "yyyy-MM-dd"},
+        )
+        assert src.generator.config.date_format_app == "yyyy-MM-dd"
