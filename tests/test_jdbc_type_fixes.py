@@ -577,3 +577,53 @@ class TestInfoDateKeySpellings:
              "information.date.app.format": "yyyy-MM-dd"},
         )
         assert src.generator.config.date_format_app == "yyyy-MM-dd"
+
+
+class TestCorrectedSchemaStringParses:
+    """Property: every customSchema string the corrector emits must be
+    accepted by Spark's own DDL schema parser (it is passed verbatim to
+    the JDBC reader's customSchema option), and the corrected type must
+    match the rule table for any (precision, scale) the wire can carry."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=38),
+                st.integers(min_value=0, max_value=38),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_emitted_string_is_spark_parseable(self, spark, precs, fix):
+        from pyspark.sql.types import _parse_datatype_string
+
+        fields = []
+        for i, (p, s) in enumerate(precs):
+            if s > p:  # DecimalType requires scale <= precision in PySpark;
+                p, s = s, s  # the "bogus metadata" shapes arrive pre-clamped
+            fields.append((f"c{i}", T.DecimalType(p, s)))
+        schema = _schema(*fields)
+        custom = get_corrected_decimals_schema(schema, fix_precision=fix)
+        if custom is None:
+            return
+        parsed = _parse_datatype_string(custom)
+        # each corrected column obeys the rule table
+        by_name = {f.name: f.dataType for f in parsed.fields}
+        for name, dt in by_name.items():
+            src = schema[name].dataType
+            if src.scale == 0 and src.precision <= 9:
+                assert dt == T.IntegerType()
+            elif src.scale == 0 and src.precision <= 18:
+                assert dt == T.LongType()
+            elif src.scale > 18:
+                assert dt == T.DecimalType(38, 18)
+            else:
+                assert fix and isinstance(dt, T.DecimalType)
+                assert dt.scale == src.scale
+                assert dt.precision == min(src.precision + src.scale, 38)
