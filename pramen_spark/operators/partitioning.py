@@ -33,6 +33,40 @@ def spread_input(
     target = min_partitions
     if target is None:
         target = df.sparkSession.sparkContext.defaultParallelism
+
+    # Partition COUNT alone is a misleading signal for raw file scans:
+    # Spark happily cuts a small parquet file into `target` byte-range
+    # splits (openCostInBytes), but parquet assigns each ROW GROUP to the
+    # one split holding its midpoint — a single-row-group file yields 31
+    # empty partitions and one partition carrying every row, and the
+    # count check sails past it. So for parquet-backed inputs with fewer
+    # FILES than target (the only case where this is possible — K row
+    # groups bound non-empty partitions by K), read the footers (driver
+    # metadata, bounded by len(files) < target) and spread when the row
+    # groups cannot feed `target` partitions. At real scale the file
+    # count alone short-circuits this to a no-op before any footer read.
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans fall back below
+        files = None
+    if files and len(files) < target and all(
+        f.split("?", 1)[0].endswith((".parquet", ".parq")) for f in files
+    ):
+        try:
+            import pyarrow.parquet as pq
+
+            row_groups = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else (
+                    f[5:] if f.startswith("file:") else f
+                )
+                row_groups += pq.ParquetFile(path).metadata.num_row_groups
+                if row_groups >= target:
+                    break
+            if row_groups < target:
+                return df.repartition(target, key_col)
+        except Exception:  # noqa: BLE001 — unreadable footers: count check
+            pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key_col)

@@ -900,32 +900,39 @@ def _stage_poisson_weights(df, carry_cols, id_col, seed, n_boot):
     Returns df projected to ``carry_cols`` + weight columns
     ``_w_0.._w_{n_boot-1}`` (double). ``carry_cols`` are expressions
     evaluated against ``df``; they are carried by NAME through the
-    later stages, so alias anything computed."""
+    later stages, so alias anything computed.
+
+    The repetitive per-replicate expressions are built as SQL strings
+    (one ``F.expr`` parse each) rather than chained Column operators:
+    the Column form issued ~3,500 py4j round-trips per build (~3-4 s of
+    DRIVER latency on every invocation — measured r14, dwarfing the
+    1.7 s cluster execution); the parsed trees are identical, so the
+    physical plan and results are unchanged."""
     digs = [
-        F.md5(
-            F.concat(
-                F.col(id_col).cast("string"),
-                F.lit("\x1f"),
-                F.lit(seed),
-                F.lit(str(k)),
-            )
+        F.expr(
+            f"md5(concat(cast(`{id_col}` as string), '\x1f', '{seed}', '{k}'))"
         ).alias(f"_dig_{k}")
         for k in range((n_boot + 3) // 4)
     ]
     staged = df.select(*carry_cols, *digs)
     carry_names = [staged.columns[i] for i in range(len(carry_cols))]
     uniforms = [
-        (
-            F.conv(
-                F.substring(F.col(f"_dig_{b // 4}"), 1 + (b % 4) * 8, 8), 16, 10
-            ).cast("double")
-            / F.lit(float(16 ** 8))
+        F.expr(
+            f"cast(conv(substring(_dig_{b // 4}, {1 + (b % 4) * 8}, 8), 16, 10)"
+            f" as double) / 4.294967296E9"
         ).alias(f"_u_{b}")
         for b in range(n_boot)
     ]
     staged = staged.select(*carry_names, *uniforms)
+    case_body = " ".join(
+        f"WHEN _U_ < {t}D THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
     weights = [
-        _poisson_weight(F.col(f"_u_{b}")).cast("double").alias(f"_w_{b}")
+        F.expr(
+            f"cast(CASE {case_body} ELSE 7 END as double)".replace(
+                "_U_", f"_u_{b}"
+            )
+        ).alias(f"_w_{b}")
         for b in range(n_boot)
     ]
     return staged.select(*carry_names, *weights)
@@ -957,26 +964,30 @@ def bootstrap_mean_ci(
     array inside that row. This is how you put error bars on corpus
     statistics at 100 TB without 50 scans.
     """
-    staged = _stage_poisson_weights(df, [F.col(value_col)], id_col, seed, n_boot)
+    from pramen_spark.operators.partitioning import spread_input
+
+    # The weight staging is the heavy map stage (ceil(n_boot/4) md5 + n_boot
+    # conv per row); its parallelism is inherited from the input scan, so a
+    # narrow raw read (one parquet row group) would serialize all of it on a
+    # single core (guide §2.5 input skew). spread_input is a no-op whenever
+    # the input already arrives in >= default-parallelism splits.
+    staged = _stage_poisson_weights(
+        spread_input(df, id_col), [F.col(value_col)], id_col, seed, n_boot
+    )
+    # SQL-string expression construction (see _stage_poisson_weights):
+    # identical parsed trees, ~20x fewer py4j round-trips per build.
     aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.col(value_col)).alias("_sx"),
+        F.expr("cast(count(1) as long)").alias("n_rows"),
+        F.expr(f"sum(`{value_col}`)").alias("_sx"),
     ]
     for b in range(n_boot):
-        w = F.col(f"_w_{b}")
-        aggs.append(F.sum(w * F.col(value_col)).alias(f"_swx_{b}"))
-        aggs.append(F.sum(w).alias(f"_sw_{b}"))
+        aggs.append(F.expr(f"sum(_w_{b} * `{value_col}`)").alias(f"_swx_{b}"))
+        aggs.append(F.expr(f"sum(_w_{b})").alias(f"_sw_{b}"))
     one = staged.agg(*aggs)
-    means = F.array_sort(
-        F.filter(
-            F.array(
-                *[
-                    F.try_divide(F.col(f"_swx_{b}"), F.col(f"_sw_{b}"))
-                    for b in range(n_boot)
-                ]
-            ),
-            lambda m: m.isNotNull(),
-        )
+    means = F.expr(
+        "array_sort(filter(array("
+        + ", ".join(f"try_divide(_swx_{b}, _sw_{b})" for b in range(n_boot))
+        + "), m -> m IS NOT NULL))"
     )
 
     return one.select(
@@ -1175,39 +1186,37 @@ def bootstrap_uplift_ci(
     Returns one row: (n_exp, n_unexp, uplift, ci_lo, ci_hi, n_boot),
     rounds 6.
     """
+    from pramen_spark.operators.partitioning import spread_input
+
+    # Same single-row-group spread rationale as bootstrap_mean_ci.
     staged = _stage_poisson_weights(
-        df,
+        spread_input(df, id_col),
         [exposure_expr.cast("int").alias("_t"), outcome_expr.cast("int").alias("_y")],
         id_col,
         seed,
         n_boot,
     )
-    t = F.col("_t")
-    y = F.col("_y")
+    # SQL-string expression construction (see _stage_poisson_weights):
+    # identical parsed trees, ~20x fewer py4j round-trips per build.
     aggs = [
-        F.sum(t).cast("long").alias("n_exp"),
-        F.sum(F.lit(1) - t).cast("long").alias("n_unexp"),
-        F.sum(t * y).cast("long").alias("_xt"),
-        F.sum((F.lit(1) - t) * y).cast("long").alias("_xc"),
+        F.expr("cast(sum(_t) as long)").alias("n_exp"),
+        F.expr("cast(sum(1 - _t) as long)").alias("n_unexp"),
+        F.expr("cast(sum(_t * _y) as long)").alias("_xt"),
+        F.expr("cast(sum((1 - _t) * _y) as long)").alias("_xc"),
     ]
     for b in range(n_boot):
-        w = F.col(f"_w_{b}")
-        aggs.append(F.sum(w * t * y).alias(f"_wxt_{b}"))
-        aggs.append(F.sum(w * t).alias(f"_wt_{b}"))
-        aggs.append(F.sum(w * (F.lit(1) - t) * y).alias(f"_wxc_{b}"))
-        aggs.append(F.sum(w * (F.lit(1) - t)).alias(f"_wc_{b}"))
+        aggs.append(F.expr(f"sum(_w_{b} * _t * _y)").alias(f"_wxt_{b}"))
+        aggs.append(F.expr(f"sum(_w_{b} * _t)").alias(f"_wt_{b}"))
+        aggs.append(F.expr(f"sum(_w_{b} * (1 - _t) * _y)").alias(f"_wxc_{b}"))
+        aggs.append(F.expr(f"sum(_w_{b} * (1 - _t))").alias(f"_wc_{b}"))
     one = staged.agg(*aggs)
-    diffs = F.array_sort(
-        F.filter(
-            F.array(
-                *[
-                    F.try_divide(F.col(f"_wxt_{b}"), F.col(f"_wt_{b}"))
-                    - F.try_divide(F.col(f"_wxc_{b}"), F.col(f"_wc_{b}"))
-                    for b in range(n_boot)
-                ]
-            ),
-            lambda m: m.isNotNull(),
+    diffs = F.expr(
+        "array_sort(filter(array("
+        + ", ".join(
+            f"try_divide(_wxt_{b}, _wt_{b}) - try_divide(_wxc_{b}, _wc_{b})"
+            for b in range(n_boot)
         )
+        + "), m -> m IS NOT NULL))"
     )
 
     point = F.col("_xt").cast("double") / F.col("n_exp").cast("double") - F.col(

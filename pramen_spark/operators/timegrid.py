@@ -294,7 +294,16 @@ def theil_sen(
         F.unix_date(F.col(order_col)).cast("double").alias("_x"),
         F.col(value_col).cast("double").alias("_y"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # The pair join is a broadcast-nested-loop whose parallelism equals the
+    # STREAMED side's partition count — and the pre-aggregated grid arrives
+    # as one tiny (AQE-coalesced) partition, which would serialize the
+    # O(days^2) pair generation AND the partial collect_list on one core.
+    # The grid is calendar-bounded (<= thousands of rows at ANY data scale),
+    # so round-robin spreading it to default parallelism is always a
+    # KB-scale shuffle; the build side is pinned broadcast explicitly.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(par).alias("a")
+    b = F.broadcast(base.alias("b"))
     slopes = a.join(b, F.col("a._x") < F.col("b._x")).select(
         (
             (F.col("b._y") - F.col("a._y")) / (F.col("b._x") - F.col("a._x"))
