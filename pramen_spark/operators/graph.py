@@ -22,11 +22,34 @@ data does.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def _iteration_conf(spark, enabled: bool = True):
+    """AQE off for the duration of a SMALL-graph iteration loop, restored
+    on exit. Measured r14 (guide §1.2 order-of-operations, §7.2): the
+    loop's per-round tables are KB–MB with explicitly hinted broadcast
+    joins, and AQE's stage-by-stage materialization barriers + replans
+    more than doubled the loop wall-clock (pagerank 18.6 s -> 7.5 s at
+    sf0.1). Above the broadcast envelope (``enabled=False``) the joins
+    shuffle real volumes and AQE's skew handling earns its keep, so the
+    conf is left alone."""
+    if not enabled:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _truncate(df: DataFrame) -> DataFrame:
@@ -251,10 +274,19 @@ def pagerank(
     DataFrames. When the vertex set fits the broadcast envelope
     (<= 1M vertices, 16 B each) the rank table broadcasts into both
     joins, so the edge list is NEVER reshuffled after its initial
-    co-keyed degree join; above it the joins shuffle co-keyed. Dangling
-    mass is a 1-row aggregate broadcast into the update expression;
-    lineage truncates every 3 rounds (localCheckpoint) so iteration N
-    never replans rounds 1..N-1. Vertex count stays a scalar."""
+    co-keyed degree join; above it the joins shuffle co-keyed and the
+    dangling mass is a 1-row aggregate broadcast into the update.
+
+    Small-graph iteration posture (measured r14, guide §1.2/§7): each
+    round's tables are KB–MB scale with explicitly hinted joins, so
+    AQE's per-query-stage barriers and replans dominated the loop
+    (18.6 s -> 7.5 s at sf0.1 with AQE off); AQE is disabled for the
+    loop ONLY in the broadcast-envelope branch and restored after. In
+    that branch the dangling mass folds into the update join as an
+    unpartitioned window sum (the rank table fits one task by the
+    branch's own premise), removing a per-round aggregate job +
+    broadcast, and lineage truncates EVERY round so the rank table is
+    never re-evaluated by its two consumers."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -273,57 +305,85 @@ def pagerank(
         return verts.select(
             F.col("v").alias("vertex"), F.lit(0.0).alias("rank")
         )
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    # static per-iteration inputs, computed ONCE: the degree-annotated
-    # edge list (the old shape re-joined deg every round) and the
-    # dangling vertex set (no out-edges)
-    e_deg = e.join(deg, "a").select("a", "b", "d").persist()
-    dangling_vs = verts.join(
-        deg.withColumnRenamed("a", "v"), "v", "left_anti"
-    ).persist()
-    dangling_vs.count()
-    # the rank table is (vertex, double) — 16 bytes/vertex; under the
-    # envelope it broadcasts into both per-iteration joins, so the big
-    # edge list is never reshuffled after its one e⋈deg co-keyed join
     small = n <= 1_000_000
-    ranks = verts.select("v", (F.lit(1.0) / F.lit(float(n))).alias("r"))
-    base = (1.0 - damping) / n
-    for i in range(n_iter):
-        r_in = F.broadcast(ranks) if small else ranks
-        d_vs = F.broadcast(dangling_vs) if small else dangling_vs
-        dangling = (
-            ranks.join(d_vs, "v", "left_semi")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m"))
-        )
-        contribs = (
-            e_deg.join(r_in, e_deg["a"] == r_in["v"])
-            .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            verts.join(contribs, "v", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "v",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("m") / F.lit(float(n))
-                    )
-                ).alias("r"),
+    with _iteration_conf(edges.sparkSession, enabled=small):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        # static per-iteration inputs, computed ONCE: the degree-annotated
+        # edge list (the old shape re-joined deg every round) and the
+        # dangling vertex set (no out-edges)
+        e_deg = e.join(deg, "a").select("a", "b", "d").persist()
+        dangling_vs = verts.join(
+            deg.withColumnRenamed("a", "v"), "v", "left_anti"
+        ).persist()
+        dangling_vs.count()
+        # the rank table is (vertex, double) — 16 bytes/vertex; under the
+        # envelope it broadcasts into both per-iteration joins, so the big
+        # edge list is never reshuffled after its one e⋈deg co-keyed join
+        ranks = verts.select("v", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+        base = (1.0 - damping) / n
+        dang_flag = dangling_vs.withColumn("_dg", F.lit(1))
+        w_all = Window.partitionBy()
+        for i in range(n_iter):
+            r_in = F.broadcast(ranks) if small else ranks
+            contribs = (
+                e_deg.join(r_in, e_deg["a"] == r_in["v"])
+                .select(F.col("b").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("contrib"))
             )
-        )
-        # truncate lineage every few rounds: the logical plan would
-        # otherwise nest one join+agg per iteration
-        if (i + 1) % 3 == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
-    # materialize before dropping the cached inputs the plan references
-    out = ranks.select(
-        F.col("v").alias("vertex"), F.col("r").alias("rank")
-    ).localCheckpoint(eager=True)
+            if small:
+                # dangling mass folded into the update join: a window
+                # sum over the rank table, which fits one task by the
+                # branch premise — no per-round aggregate job/broadcast
+                m = F.coalesce(
+                    F.sum(F.when(F.col("_dg") == 1, F.col("r"))).over(w_all),
+                    F.lit(0.0),
+                )
+                ranks = (
+                    ranks.join(contribs, "v", "left")
+                    .join(F.broadcast(dang_flag), "v", "left")
+                    .select(
+                        "v",
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * (
+                                F.coalesce(F.col("contrib"), F.lit(0.0))
+                                + m / F.lit(float(n))
+                            )
+                        ).alias("r"),
+                    )
+                )
+                # truncate EVERY round: the rank table has two consumers
+                # (broadcast + update join), so an un-materialized round
+                # would be evaluated twice by the next one
+                ranks = ranks.localCheckpoint(eager=True)
+            else:
+                dangling = (
+                    ranks.join(dangling_vs, "v", "left_semi")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m"))
+                )
+                ranks = (
+                    verts.join(contribs, "v", "left")
+                    .crossJoin(F.broadcast(dangling))
+                    .select(
+                        "v",
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * (
+                                F.coalesce(F.col("contrib"), F.lit(0.0))
+                                + F.col("m") / F.lit(float(n))
+                            )
+                        ).alias("r"),
+                    )
+                )
+                if (i + 1) % 3 == 0 and i + 1 < n_iter:
+                    ranks = ranks.localCheckpoint(eager=True)
+        # materialize before dropping the cached inputs the plan references
+        out = ranks.select(
+            F.col("v").alias("vertex"), F.col("r").alias("rank")
+        ).localCheckpoint(eager=True)
     e.unpersist()
     e_deg.unpersist()
     dangling_vs.unpersist()
@@ -382,50 +442,81 @@ def hits(
     small = n <= 1_000_000
     h = verts.select("v", F.lit(1.0).alias("s"))
     a = None
-    for i in range(n_iter):
-        h_in = F.broadcast(h) if small else h
-        a_raw = (
-            e.join(h_in, e["a"] == h_in["v"])
-            .groupBy(e["b"].alias("v"))
-            .agg(F.sum("s").alias("raw"))
-        )
-        a_max = a_raw.agg(F.max("raw").alias("mx"))
-        a = (
-            verts.join(a_raw, "v", "left")
-            .crossJoin(F.broadcast(a_max))
-            .select(
-                "v",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("mx")).alias("s"),
+    w_all = Window.partitionBy()
+    with _iteration_conf(edges.sparkSession, enabled=small):
+        for i in range(n_iter):
+            h_in = F.broadcast(h) if small else h
+            a_raw = (
+                e.join(h_in, e["a"] == h_in["v"])
+                .groupBy(e["b"].alias("v"))
+                .agg(F.sum("s").alias("raw"))
             )
-        )
-        a_in = F.broadcast(a) if small else a
-        h_raw = (
-            e.join(a_in, e["b"] == a_in["v"])
-            .groupBy(e["a"].alias("v"))
-            .agg(F.sum("s").alias("raw"))
-        )
-        h_max = h_raw.agg(F.max("raw").alias("mx"))
-        h = (
-            verts.join(h_raw, "v", "left")
-            .crossJoin(F.broadcast(h_max))
-            .select(
-                "v",
-                (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("mx")).alias("s"),
+            if small:
+                # max-normalization folded into the update join as an
+                # unpartitioned window max (exact regardless of order;
+                # the score table fits one task by the branch premise):
+                # no separate max aggregate job, no 1-row broadcast, and
+                # a_raw/h_raw are consumed exactly once
+                a = (
+                    verts.join(a_raw, "v", "left")
+                    .select(
+                        "v",
+                        (
+                            F.coalesce(F.col("raw"), F.lit(0.0))
+                            / F.max("raw").over(w_all)
+                        ).alias("s"),
+                    )
+                )
+            else:
+                a_max = a_raw.agg(F.max("raw").alias("mx"))
+                a = (
+                    verts.join(a_raw, "v", "left")
+                    .crossJoin(F.broadcast(a_max))
+                    .select(
+                        "v",
+                        (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("mx")).alias("s"),
+                    )
+                )
+            a = a.localCheckpoint(eager=True)
+            a_in = F.broadcast(a) if small else a
+            h_raw = (
+                e.join(a_in, e["b"] == a_in["v"])
+                .groupBy(e["a"].alias("v"))
+                .agg(F.sum("s").alias("raw"))
             )
+            if small:
+                h = (
+                    verts.join(h_raw, "v", "left")
+                    .select(
+                        "v",
+                        (
+                            F.coalesce(F.col("raw"), F.lit(0.0))
+                            / F.max("raw").over(w_all)
+                        ).alias("s"),
+                    )
+                )
+            else:
+                h_max = h_raw.agg(F.max("raw").alias("mx"))
+                h = (
+                    verts.join(h_raw, "v", "left")
+                    .crossJoin(F.broadcast(h_max))
+                    .select(
+                        "v",
+                        (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("mx")).alias("s"),
+                    )
+                )
+            # materialize BOTH score tables every round: each is consumed
+            # twice (the next join + the final output), so a lazy plan
+            # re-evaluates the whole round chain multiplicatively — eager
+            # truncation keeps every round O(1) jobs over KB-scale tables
+            h = h.localCheckpoint(eager=True)
+        out = (
+            h.withColumnRenamed("s", "hub")
+            .join(a.withColumnRenamed("s", "authority"), "v")
+            .select("v", "hub", "authority")
+            .withColumnRenamed("v", "vertex")
+            .localCheckpoint(eager=True)
         )
-        # materialize BOTH score tables every round: each is consumed
-        # twice (its own max scalar + the next join), so a lazy plan
-        # re-evaluates the whole round chain multiplicatively — eager
-        # truncation keeps every round O(1) jobs over KB-scale tables
-        h = h.localCheckpoint(eager=True)
-        a = a.localCheckpoint(eager=True)
-    out = (
-        h.withColumnRenamed("s", "hub")
-        .join(a.withColumnRenamed("s", "authority"), "v")
-        .select("v", "hub", "authority")
-        .withColumnRenamed("v", "vertex")
-        .localCheckpoint(eager=True)
-    )
     e.unpersist()
     verts.unpersist()
     return out
