@@ -1055,15 +1055,20 @@ def prefix_filter_jaccard_pairs(
     doc to build the ordered array, one explode of PREFIXES ONLY, and a
     verification join that moves candidate ids + compact hash arrays —
     raw text never shuffles."""
+    # cached: the size table and the frequency window both scan the
+    # exploded shingle stream (ngram_jaccard_pairs' discipline) —
+    # uncached, the shingle explode executes once per consumer
     base = hashed_shingles(df, id_col, text_col, shingle_size).select(
         F.col(id_col).alias("id"), "shingle_h"
-    )
+    ).cache()
     sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_full"))
     freq = base.withColumn(
         "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
     )
     if max_shingle_freq is not None:
         freq = freq.filter(F.col("freq") <= max_shingle_freq)
+    # cached: the prefix explode and both verification legs scan the
+    # per-doc ordered shingle arrays
     docs = freq.groupBy("id").agg(
         F.transform(
             F.array_sort(
@@ -1071,7 +1076,7 @@ def prefix_filter_jaccard_pairs(
             ),
             lambda s: s.shingle_h,
         ).alias("arr")
-    )
+    ).cache()
     n = F.size("arr")
     prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
     with_prefix = docs.withColumn(

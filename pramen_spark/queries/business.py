@@ -1992,9 +1992,16 @@ def q_price_elasticity_lineitem(spark, sf_dir):
     discipline), and slope/intercept/R² are scalar arithmetic on one
     row. One map-side-combined pass over lineitem."""
     from pramen_spark.operators.drift import ols_fit
+    from pramen_spark.operators.partitioning import spread_input
 
-    l = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_quantity") > 0) & (F.col("l_discount") < 1)
+    # spread: the ln + 5 decimal co-moment sums dominate per-row cost and
+    # a single-row-group local file would otherwise run them one task;
+    # decimal sums are partitioning-invariant
+    l = spread_input(
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 0) & (F.col("l_discount") < 1))
+        .select("l_quantity", "l_discount", "l_extendedprice"),
+        "l_extendedprice",
     )
     return ols_fit(
         l, F.log(F.lit(1) - F.col("l_discount")), F.log("l_quantity")

@@ -1040,7 +1040,7 @@ def q_dedup_representatives(spark, sf_dir):
         dedup_representatives,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_spread(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
         d, shingle_size=3, threshold=0.05, max_shingle_freq=1000
     )
@@ -1125,7 +1125,7 @@ def q_simhash_fingerprints(spark, sf_dir):
     the strongest check available for a hash-defined operator."""
     from pramen_spark.operators.dedup import simhash
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_spread(spark, sf_dir)
     return simhash(d, bits=60, hash_fn="md5_60")
 
 
@@ -1698,7 +1698,7 @@ def q_simhash_near_dups(spark, sf_dir):
     the oracle checks both the fingerprint math and the blocking recall."""
     from pramen_spark.operators.dedup import simhash_near_dups
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_spread(spark, sf_dir)
     # 60 bits / 4 blocks = 15-bit block values: full bit coverage and 32k
     # distinct bucket keys per block index — the pruning that keeps the
     # within-block join linear-ish at corpus scale

@@ -2354,8 +2354,17 @@ def q_ols2_price_lineitem(spark, sf_dir):
     aggregation collects 9 moments; everything after is scalar math on
     the single result row."""
     from pramen_spark.operators.drift import ols2_fit
+    from pramen_spark.operators.partitioning import spread_input
 
-    l = load_table(spark, sf_dir, "lineitem")
+    # spread: the 9 decimal co-moment sums dominate per-row cost and a
+    # single-row-group local file would otherwise run them one task;
+    # decimal sums are partitioning-invariant
+    l = spread_input(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_discount", "l_extendedprice"
+        ),
+        "l_extendedprice",
+    )
     return ols2_fit(
         l, F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     )
