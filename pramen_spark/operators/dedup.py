@@ -69,17 +69,26 @@ def shingles(
     )
 
 
-def hashed_shingles(
+def hashed_shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
 ) -> DataFrame:
-    """Distinct 64-bit shingle hashes: (id, shingle_h long).
+    """Per-document DISTINCT shingle hashes as one array row:
+    (id, shingle_arr array<long>) — the pre-explode form of
+    :func:`hashed_shingles`.
 
     Two-step construction: (1) project the per-token xxhash64 array as a
     real column, (2) build each shingle hash by hashing ``shingle_size``
     consecutive token hashes (fixed-width long hashing — no shingle string
     is ever materialized). The intermediate projection matters: inlining
     the token-hash array into the shingle lambda makes Catalyst re-evaluate
-    it per element_at (O(n^2) per document)."""
+    it per element_at (O(n^2) per document).
+
+    The array form is the scale-preferred unit: a doc's shingle SET stays
+    on its own row, so signatures (array_min over per-seed rehashes),
+    set sizes (F.size) and exact-Jaccard set intersections derive per-row
+    with NO explode and NO groupBy shuffle — only computations that truly
+    need cross-document state (boilerplate frequency counts, LSH band
+    buckets) ever explode it."""
     # Shingling amplifies each row ~|tokens|-fold, so its parallelism is
     # inherited from the INPUT partitioning. Callers feeding a narrow raw
     # scan (few file splits) should pre-spread it with
@@ -98,7 +107,17 @@ def hashed_shingles(
         lambda i: F.xxhash64(*[F.try_element_at(th, i + j + 1) for j in range(shingle_size)]),
     )
     return hashed.select(
-        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle_h")
+        F.col(id_col), F.array_distinct(sh).alias("shingle_arr")
+    )
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """Distinct 64-bit shingle hashes, exploded: (id, shingle_h long).
+    See :func:`hashed_shingle_arrays` for the construction."""
+    return hashed_shingle_arrays(df, id_col, text_col, shingle_size).select(
+        F.col(id_col), F.explode("shingle_arr").alias("shingle_h")
     )
 
 
@@ -114,36 +133,69 @@ def minhash_signatures(
 
     Hash function i is xxhash64(shingle_h, i) — a fixed-width long hash of
     the 64-bit shingle hash, so only ONE variable-length string hash per
-    token is ever computed (in ``hashed_shingles``) no matter how many
-    minhash functions are requested. The min aggregation is partially
-    applied map-side, so the shuffle volume is rows x num_hashes longs,
-    independent of document length."""
-    sh = hashed_shingles(df, id_col, text_col, shingle_size)
-    return _signatures_from_shingles(sh, id_col, num_hashes, max_shingle_freq)
+    token is ever computed (in ``hashed_shingle_arrays``) no matter how
+    many minhash functions are requested. Each signature derives per-row
+    from the document's own distinct-shingle array (array_min over the
+    per-seed rehash), so the stage is MAP-ONLY — nothing shuffles unless
+    ``max_shingle_freq`` forces the one global boilerplate count."""
+    arrs = hashed_shingle_arrays(df, id_col, text_col, shingle_size)
+    return _signatures_from_arrays(arrs, id_col, num_hashes, max_shingle_freq)
 
 
-def _signatures_from_shingles(
-    sh: DataFrame,
+def _hot_shingles(arrs: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Boilerplate shingles: hashes occurring in MORE than
+    ``max_shingle_freq`` documents — one explode + one count shuffle, the
+    only genuinely cross-document step of the minhash pipeline. The result
+    is tiny by construction (at most total_occurrences / cap hashes), the
+    same boundedness that licensed the previous broadcast anti-join."""
+    return (
+        arrs.select(F.explode("shingle_arr").alias("shingle_h"))
+        .groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > max_shingle_freq)
+        .select("shingle_h")
+    )
+
+
+def _drop_hot(arrs: DataFrame, hot: Optional[DataFrame]) -> DataFrame:
+    """Remove boilerplate shingles from each per-doc array via one
+    broadcast of the (tiny) hot list; docs whose every shingle is
+    boilerplate drop out entirely, matching the exploded form where the
+    frequency anti-join left them with zero rows (and so no group)."""
+    if hot is None:
+        return arrs
+    hot_row = hot.agg(F.collect_list("shingle_h").alias("_hot"))
+    return (
+        arrs.crossJoin(F.broadcast(hot_row))
+        .withColumn("shingle_arr", F.array_except("shingle_arr", "_hot"))
+        .drop("_hot")
+        .where(F.size("shingle_arr") > 0)
+    )
+
+
+def _signatures_from_arrays(
+    arrs: DataFrame,
     id_col: str,
     num_hashes: int,
     max_shingle_freq: Optional[int] = None,
+    hot: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Signature aggregation over a precomputed (id, shingle_h) stream —
-    split out so callers that also need the raw shingles (the exact-rescore
-    path) can cache the shingle stage ONCE and derive both consumers from
-    it instead of computing the explode twice."""
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
-        sh = (
-            sh.join(F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)), "shingle_h", "left_anti")
-        )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle_h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    """MinHash signatures from per-doc shingle arrays — map-only, plus
+    the one count shuffle when a frequency cap is requested. ``hot`` lets
+    callers that already computed the boilerplate set (possibly over a
+    different scope, e.g. batch-only) inject it instead."""
+    if hot is None and max_shingle_freq is not None:
+        hot = _hot_shingles(arrs, max_shingle_freq)
+    kept = _drop_hot(arrs, hot)
+    arr = F.col("shingle_arr")
+
+    def _minhash(i: int):
+        # NB: the rehash lambda must take exactly ONE parameter — a
+        # two-parameter transform lambda receives (element, array_index)
+        return F.array_min(F.transform(arr, lambda s: F.xxhash64(s, F.lit(i))))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return kept.select(id_col, sig.alias("signature"))
 
 
 def _ordered_pairs(ids_col) -> "F.Column":
@@ -257,8 +309,12 @@ def minhash_dedup(
 
     Signatures are cached: the LSH banding (and in estimate mode both
     sides of the verification join) re-read them; without the cache the
-    full shingle+minhash pipeline would run four times. At 100 TB the
-    cache becomes a persisted signatures table shared across runs.
+    full shingle+minhash pipeline would run per consumer. In exact mode
+    the cached unit is the per-doc shingle ARRAY frame (one row per doc)
+    from which signatures, set sizes and the verification intersections
+    all derive per-row — never the exploded shingle stream, whose
+    materialization costs more than re-deriving it. At 100 TB the cache
+    becomes a persisted signatures/shingle-set table shared across runs.
 
     ``max_bucket_size`` / ``max_shingle_freq`` are the skew guards for
     boilerplate-heavy corpora (see ``minhash_lsh_candidates``). Mirroring
@@ -269,11 +325,10 @@ def minhash_dedup(
         raise ValueError(f"verify must be estimate|exact, got {verify!r}")
     rows_per_band = num_hashes // num_bands
     if verify == "exact":
-        # cache the shingle stage ONCE; signatures and the rescore both
-        # derive from it (two separate hashed_shingles plans would not
-        # share the cache and the explode would run twice)
-        base = hashed_shingles(df, id_col, text_col, shingle_size).cache()
-        sigs = _signatures_from_shingles(
+        # cache the per-doc shingle-array stage ONCE; signatures, set
+        # sizes and both verification legs all derive from it per-row
+        base = hashed_shingle_arrays(df, id_col, text_col, shingle_size).cache()
+        sigs = _signatures_from_arrays(
             base, id_col, num_hashes, max_shingle_freq
         ).cache()
     else:
@@ -284,31 +339,27 @@ def minhash_dedup(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size
     )
     if verify == "exact":
-        sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-        kept = base
-        if max_shingle_freq is not None:
-            freq = base.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
-            kept = base.join(
-                F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)),
-                "shingle_h",
-                "left_anti",
-            )
-        sets = kept.groupBy(id_col).agg(F.collect_set("shingle_h").alias("shset"))
-        sa = (
-            sets.join(sizes, id_col)
-            .select(
-                F.col(id_col).alias("id_a"),
-                F.col("shset").alias("sh_a"),
-                F.col("n_shingles").alias("n_a"),
-            )
+        # set size from the UNFILTERED array (the exact-Jaccard convention:
+        # the boilerplate cap prunes the intersection, never the sizes);
+        # the kept set per doc is the array minus the hot list — all
+        # per-row projections, no explode, no groupBy, no join
+        hot = (
+            _hot_shingles(base, max_shingle_freq)
+            if max_shingle_freq is not None
+            else None
         )
-        sb = (
-            sets.join(sizes, id_col)
-            .select(
-                F.col(id_col).alias("id_b"),
-                F.col("shset").alias("sh_b"),
-                F.col("n_shingles").alias("n_b"),
-            )
+        sets = _drop_hot(
+            base.withColumn("n_shingles", F.size("shingle_arr")), hot
+        ).select(id_col, F.col("shingle_arr").alias("shset"), "n_shingles")
+        sa = sets.select(
+            F.col(id_col).alias("id_a"),
+            F.col("shset").alias("sh_a"),
+            F.col("n_shingles").alias("n_a"),
+        )
+        sb = sets.select(
+            F.col(id_col).alias("id_b"),
+            F.col("shset").alias("sh_b"),
+            F.col("n_shingles").alias("n_b"),
         )
         n_common = F.size(F.array_intersect("sh_a", "sh_b"))
         jac = n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
@@ -883,8 +934,10 @@ def minhash_dedup_against(
     rows_per_band = num_hashes // num_bands
 
     if verify == "exact":
-        batch_sh = hashed_shingles(df, id_col, text_col, shingle_size).cache()
-        batch_sigs = _signatures_from_shingles(
+        # cache the per-doc shingle-array stage ONCE; batch signatures and
+        # the verification set projections all derive from it per-row
+        batch_sh = hashed_shingle_arrays(df, id_col, text_col, shingle_size).cache()
+        batch_sigs = _signatures_from_arrays(
             batch_sh, id_col, num_hashes, max_shingle_freq
         ).cache()
     else:
@@ -910,21 +963,24 @@ def minhash_dedup_against(
     )
 
     if verify == "exact":
-        seen_sh = hashed_shingles(seen_text, id_col, text_col, shingle_size)
-        both_sh = batch_sh.unionByName(seen_sh)
-        sizes = both_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-        kept = both_sh
-        if max_shingle_freq is not None:
-            freq = both_sh.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
-            kept = both_sh.join(
-                F.broadcast(freq.filter(F.col("freq") > max_shingle_freq)),
-                "shingle_h",
-                "left_anti",
-            )
-        # cached: the a- and b-legs of the verification join both read it
-        sets = kept.groupBy(id_col).agg(
-            F.collect_set("shingle_h").alias("_shset")
-        ).join(sizes, id_col).cache()
+        # the seen side is shingled ONCE: this per-doc array plan is
+        # canonically identical to the one inside the caller's
+        # minhash_signatures(seen) index construction, so the CacheManager
+        # serves both from one materialization
+        seen_sh = hashed_shingle_arrays(seen_text, id_col, text_col, shingle_size).cache()
+        both = batch_sh.unionByName(seen_sh).withColumn(
+            "_n", F.size("shingle_arr")
+        )
+        hot = (
+            _hot_shingles(batch_sh.unionByName(seen_sh), max_shingle_freq)
+            if max_shingle_freq is not None
+            else None
+        )
+        # set size from the UNFILTERED array, kept set = array minus the
+        # hot list — per-row projections; no explode/groupBy/join pass
+        sets = _drop_hot(both, hot).select(
+            id_col, F.col("shingle_arr").alias("_shset"), "_n"
+        )
         a = sets.select(
             F.col(id_col).alias("id_a"),
             F.col("_shset").alias("_sh_a"),
