@@ -95,6 +95,14 @@ def hashed_shingle_arrays(
     # operators/partitioning.spread_input at the scan — the introspection
     # is cheap there; doing it here would force plan->RDD conversion on
     # every (possibly complex) upstream plan.
+    hashed, sh = _shingle_array_expr(df, id_col, text_col, shingle_size)
+    return hashed.select(F.col(id_col), sh.alias("shingle_arr"))
+
+
+def _shingle_array_expr(df, id_col: str, text_col: str, shingle_size: int):
+    """Shared construction for the shingle pipelines: returns the
+    token-hash projection and the distinct-shingle-array EXPRESSION over
+    it (not yet aliased into a column)."""
     hashed = df.where(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("th")
     )
@@ -106,19 +114,26 @@ def hashed_shingle_arrays(
         F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_size, F.lit(0))),
         lambda i: F.xxhash64(*[F.try_element_at(th, i + j + 1) for j in range(shingle_size)]),
     )
-    return hashed.select(
-        F.col(id_col), F.array_distinct(sh).alias("shingle_arr")
-    )
+    return hashed, F.array_distinct(sh)
 
 
 def hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
 ) -> DataFrame:
     """Distinct 64-bit shingle hashes, exploded: (id, shingle_h long).
-    See :func:`hashed_shingle_arrays` for the construction."""
-    return hashed_shingle_arrays(df, id_col, text_col, shingle_size).select(
-        F.col(id_col), F.explode("shingle_arr").alias("shingle_h")
-    )
+    See :func:`hashed_shingle_arrays` for the construction.
+
+    The explode is built over the array EXPRESSION, not over a projected
+    column: exploding an attribute triggers Catalyst's
+    InferFiltersFromGenerate (`size(attr) > 0`), and predicate pushdown
+    then inlines the whole shingle pipeline — token hashing included —
+    into the filter condition below the projection, re-evaluating it per
+    document with the token array inlined into every element_at (the
+    O(n^2) trap the projection split exists to avoid). With an expensive
+    expression as the generator child the rule does not fire and each
+    document is shingled exactly once."""
+    hashed, sh = _shingle_array_expr(df, id_col, text_col, shingle_size)
+    return hashed.select(F.col(id_col), F.explode(sh).alias("shingle_h"))
 
 
 def minhash_signatures(
