@@ -73,6 +73,38 @@ def _truncate(df: DataFrame) -> DataFrame:
 DRIVER_MAX_EDGES_CONF = "spark.pramen.dedup.driverMaxEdges"
 _DRIVER_MAX_EDGES_DEFAULT = 1_000_000
 
+#: Same escape hatch for the iterative score loops (pagerank / hits):
+#: below the cap the edge list collects once and the power iterations run
+#: driver-side in numpy — a KB-scale graph pays per-round scheduler
+#: latency (one job + broadcast per iteration) that dwarfs the arithmetic.
+#: Sized for the same driver envelope a broadcast-join build side uses.
+GRAPH_DRIVER_MAX_EDGES_CONF = "spark.pramen.graph.driverMaxEdges"
+
+
+def _graph_driver_cap(spark, explicit: Optional[int]) -> int:
+    if explicit is not None:
+        return explicit
+    return int(
+        spark.conf.get(GRAPH_DRIVER_MAX_EDGES_CONF, str(_DRIVER_MAX_EDGES_DEFAULT))
+    )
+
+
+def _edge_indices(e: DataFrame):
+    """Collect an (a, b) edge frame and index it for numpy iteration:
+    returns (vs, ai, bi) where ``vs`` is the SORTED distinct vertex array
+    and ai/bi the per-edge vertex indices, with edges canonically ordered
+    by (dst, src) so every accumulation below sums in one deterministic
+    order regardless of scan partitioning."""
+    import numpy as np
+
+    pdf = e.toPandas()
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    vs, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    order = np.lexsort((ai, bi))
+    return vs, ai[order], bi[order]
+
 
 def connected_components(
     edges: DataFrame,
@@ -255,6 +287,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 10,
+    driver_max_edges: Optional[int] = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: (vertex, rank) after exactly
     ``n_iter`` synchronous power iterations from the uniform start —
@@ -292,6 +325,33 @@ def pagerank(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .persist()
     )
+    cap = _graph_driver_cap(edges.sparkSession, driver_max_edges)
+    n_edges = e.count()  # also materializes the persisted edge list
+    if 0 < n_edges <= cap:
+        # driver path: the whole loop is numpy power iterations over the
+        # collected edge list — identical recurrence, one job total
+        # instead of one-plus per round (``driver_max_edges=0`` forces
+        # the distributed path). Deterministic: accumulation order is
+        # canonicalized by _edge_indices, and the float64 arithmetic is
+        # the same IEEE sequence every run.
+        import numpy as np
+
+        vs, ai, bi = _edge_indices(e)
+        e.unpersist()
+        n = len(vs)
+        deg = np.bincount(ai, minlength=n).astype(np.float64)
+        dangling = deg == 0.0
+        r = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        for _ in range(n_iter):
+            contrib = np.bincount(bi, weights=r[ai] / deg[ai], minlength=n)
+            m = float(r[dangling].sum())
+            r = base + damping * (contrib + m / n)
+        import pandas as pd
+
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"vertex": vs, "rank": r})
+        )
     verts = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
@@ -396,6 +456,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 8,
+    driver_max_edges: Optional[int] = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg) over a directed edge list:
     (vertex, hub, authority) after exactly ``n_iter`` synchronous
@@ -424,6 +485,32 @@ def hits(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .persist()
     )
+    cap = _graph_driver_cap(edges.sparkSession, driver_max_edges)
+    n_edges = e.count()
+    if 0 < n_edges <= cap:
+        # driver path, same gate and determinism posture as pagerank's:
+        # numpy power iterations over the collected edge list, with the
+        # hub accumulation re-sorted source-major so both sums run in a
+        # canonical order.
+        import numpy as np
+
+        vs, ai, bi = _edge_indices(e)
+        e.unpersist()
+        n = len(vs)
+        out_order = np.lexsort((bi, ai))
+        ai_o, bi_o = ai[out_order], bi[out_order]
+        h = np.ones(n)
+        a_s = np.zeros(n)
+        for _ in range(n_iter):
+            a_raw = np.bincount(bi, weights=h[ai], minlength=n)
+            a_s = a_raw / a_raw.max()
+            h_raw = np.bincount(ai_o, weights=a_s[bi_o], minlength=n)
+            h = h_raw / h_raw.max()
+        import pandas as pd
+
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"vertex": vs, "hub": h, "authority": a_s})
+        )
     verts = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))

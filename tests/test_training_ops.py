@@ -3362,6 +3362,41 @@ class TestPagerank:
         r10 = self._run(spark, e, n_iter=10)
         assert any(abs(r2[v] - r10[v]) > 1e-6 for v in r2)
 
+    def test_driver_and_distributed_paths_agree(self, spark):
+        # driver_max_edges=0 forces the distributed loop; the default cap
+        # takes the numpy driver path — both must produce the same ranks
+        # (to FP reassociation, absorbed well below the catalog's round(8))
+        e = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2), (5, 1)]
+        fast = self._run(spark, e)
+        dist = self._run(spark, e, driver_max_edges=0)
+        assert set(fast) == set(dist)
+        for v in fast:
+            assert abs(fast[v] - dist[v]) < 1e-12, (v, fast[v], dist[v])
+
+    def test_distributed_path_matches_reference(self, spark):
+        edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2)]
+        got = self._run(spark, edge_list, driver_max_edges=0)
+        want = _pagerank_reference(edge_list)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+class TestHitsPathParity:
+    def test_driver_and_distributed_paths_agree(self, spark):
+        from pramen_spark.operators.graph import hits
+
+        e = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (2, 10)]
+        edges = spark.createDataFrame(e, "src long, dst long")
+        fast = {r.vertex: (r.hub, r.authority) for r in hits(edges).collect()}
+        dist = {
+            r.vertex: (r.hub, r.authority)
+            for r in hits(edges, driver_max_edges=0).collect()
+        }
+        assert set(fast) == set(dist)
+        for v in fast:
+            assert abs(fast[v][0] - dist[v][0]) < 1e-12, (v, fast[v], dist[v])
+            assert abs(fast[v][1] - dist[v][1]) < 1e-12, (v, fast[v], dist[v])
+
 
 class TestMergeDistinctState:
     def test_chained_sketches_estimate_union(self, spark):
