@@ -252,10 +252,39 @@ def autocorrelation(
     )
 
 
+#: Session-conf key for the driver-side pair-median gate: at or below
+#: this many grid points the O(points²) slope stage runs in numpy on the
+#: driver. The grid is calendar-bounded by the operator contract, so the
+#: default covers a decade of daily points with ~100 MB of slope buffer;
+#: the distributed path above the cap is unchanged.
+TIMEGRID_DRIVER_MAX_POINTS_CONF = "spark.pramen.timegrid.driverMaxPoints"
+_TIMEGRID_DRIVER_MAX_POINTS_DEFAULT = 5_000
+
+
+def _qcont_py(sorted_vals, q: float):
+    """Scalar replica of operators/sampling._qcont (Spark Percentile's
+    symmetric lerp — also DuckDB quantile_cont): same operand order, so
+    the float64 result is bit-identical."""
+    import math
+
+    n = len(sorted_vals)
+    if n == 0:
+        return None
+    pos = (n - 1) * float(q)
+    lo = math.floor(pos)
+    hi = float(math.ceil(pos))
+    lo_v = float(sorted_vals[int(lo)])
+    hi_v = float(sorted_vals[int(math.ceil(pos))])
+    if lo == hi:
+        return lo_v
+    return (hi - pos) * lo_v + (pos - float(lo)) * hi_v
+
+
 def theil_sen(
     df: DataFrame,
     value_col: str,
     order_col: str,
+    driver_max_points: int | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend estimator over a bounded series grid: the
     MEDIAN of all pairwise slopes, with the median-of-residuals
@@ -294,6 +323,68 @@ def theil_sen(
         F.unix_date(F.col(order_col)).cast("double").alias("_x"),
         F.col(value_col).cast("double").alias("_y"),
     )
+    spark = df.sparkSession
+    if driver_max_points is None:
+        driver_max_points = int(
+            spark.conf.get(
+                TIMEGRID_DRIVER_MAX_POINTS_CONF,
+                str(_TIMEGRID_DRIVER_MAX_POINTS_DEFAULT),
+            )
+        )
+    # Driver gate: the grid is CALENDAR-bounded by the operator contract
+    # (callers pre-aggregate, e.g. one row per day), so collecting it is
+    # KB-scale at any corpus size, while the O(points²) pair stage pays
+    # per-task scheduling plus a single-buffer collect_list merge in the
+    # distributed form. Below the cap, run the pair/median arithmetic in
+    # numpy with Spark-identical float64 ops (slopes are the same IEEE
+    # divisions; the median lerp is _qcont's formula verbatim; rounding
+    # goes back through F.round on the result frame so even the rounding
+    # path is Spark's own). Degenerate inputs (no pair with distinct x,
+    # or any NULL x — paths whose NULL propagation the distributed plan
+    # defines) fall through to the distributed form.
+    # limit(cap+1) bounds the collect: cap+1 rows back means the grid is
+    # over the cap (distributed path), anything less IS the whole grid
+    rows = (
+        base.limit(driver_max_points + 1).collect()
+        if driver_max_points > 0
+        else None
+    )
+    if rows is not None and 2 <= len(rows) <= driver_max_points and all(
+        r["_x"] is not None for r in rows
+    ):
+        import numpy as np
+
+        xs = np.array([r["_x"] for r in rows], dtype=np.float64)
+        ys = np.array(
+            [float("nan") if r["_y"] is None else r["_y"] for r in rows],
+            dtype=np.float64,
+        )
+        y_null = np.array([r["_y"] is None for r in rows])
+        order = np.argsort(xs, kind="stable")
+        xs, ys, y_null = xs[order], ys[order], y_null[order]
+        ii, jj = np.triu_indices(len(xs), 1)
+        keep = xs[ii] != xs[jj]
+        ii, jj = ii[keep], jj[keep]
+        n_pairs = int(len(ii))
+        if n_pairs >= 1:
+            # collect_list drops NULL slopes (pairs touching a NULL y)
+            # from the median but count() still counts the pair — mirror
+            ok = ~(y_null[ii] | y_null[jj])
+            slopes = (ys[jj[ok]] - ys[ii[ok]]) / (xs[jj[ok]] - xs[ii[ok]])
+            m = _qcont_py(np.sort(slopes), 0.5)
+            if m is not None:
+                resid = np.sort(ys[~y_null] - m * xs[~y_null])
+                intercept = _qcont_py(resid, 0.5)
+                out = spark.createDataFrame(
+                    [(int(len(rows)), n_pairs, float(m), intercept)],
+                    "n_points long, n_pairs long, slope double, intercept double",
+                )
+                return out.select(
+                    "n_points",
+                    "n_pairs",
+                    F.round("slope", 6).alias("slope"),
+                    F.round("intercept", 6).alias("intercept"),
+                )
     # The pair join is a broadcast-nested-loop whose parallelism equals the
     # STREAMED side's partition count — and the pre-aggregated grid arrives
     # as one tiny (AQE-coalesced) partition, which would serialize the

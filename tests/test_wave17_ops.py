@@ -37,6 +37,24 @@ class TestTheilSen:
         r = theil_sen(df, "v", "d").collect()[0]
         assert abs(r["slope"] - 1.0) < 1.0  # OLS would be ~+199
 
+    def test_driver_and_distributed_paths_agree(self, spark):
+        from pramen_spark.operators.timegrid import theil_sen
+
+        # irregular grid with ties in y, a null value, and a gap —
+        # driver_max_points=0 forces the distributed pair join; the
+        # default takes the numpy driver path. Same rounded row.
+        rows = [
+            ("2020-01-01", 5.0), ("2020-01-02", 7.5), ("2020-01-03", 7.5),
+            ("2020-01-05", None), ("2020-01-08", 11.25), ("2020-01-09", 3.0),
+            ("2020-01-13", 19.0),
+        ]
+        df = spark.createDataFrame(rows, "d string, v double").select(
+            F.to_date("d").alias("d"), "v"
+        )
+        fast = theil_sen(df, "v", "d").collect()[0]
+        dist = theil_sen(df, "v", "d", driver_max_points=0).collect()[0]
+        assert fast.asDict() == dist.asDict()
+
 
 class TestWoeIv:
     def test_perfect_separation_nulls(self, spark):
