@@ -202,14 +202,19 @@ def _signatures_from_arrays(
     if hot is None and max_shingle_freq is not None:
         hot = _hot_shingles(arrs, max_shingle_freq)
     kept = _drop_hot(arrs, hot)
-    arr = F.col("shingle_arr")
-
-    def _minhash(i: int):
-        # NB: the rehash lambda must take exactly ONE parameter — a
-        # two-parameter transform lambda receives (element, array_index)
-        return F.array_min(F.transform(arr, lambda s: F.xxhash64(s, F.lit(i))))
-
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    # Built as ONE SQL string: the chained-Column form issues several
+    # py4j round-trips per minhash function (hundreds per signature
+    # build, seconds of driver latency per invocation — same lesson as
+    # the bootstrap weight staging). Parsed trees are identical: the
+    # rehash lambda takes exactly ONE parameter, and the seed literal is
+    # an int in both forms.
+    sig = F.expr(
+        "array(%s)"
+        % ",".join(
+            f"array_min(transform(shingle_arr, s -> xxhash64(s, {i})))"
+            for i in range(num_hashes)
+        )
+    )
     return kept.select(id_col, sig.alias("signature"))
 
 
@@ -233,24 +238,22 @@ def _band_rows(
     """(id, band_idx, band_hash) rows from a signatures frame — the LSH
     banding projection, shared by the one-shot pair generator and the
     incremental index join."""
+    # one SQL string instead of num_bands x rows_per_band chained-Column
+    # py4j round-trips; named_struct mirrors F.struct's aliased fields
+    bands_sql = ",".join(
+        "named_struct('band_idx', %d, 'band_hash', xxhash64(%s))"
+        % (
+            b,
+            ",".join(
+                f"element_at(signature, {b * rows_per_band + j + 1})"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
     return signatures.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({bands_sql}))").alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
