@@ -575,32 +575,47 @@ def simhash(
     function (DuckDB, Trino, Postgres...), which makes fingerprints
     portable for cross-engine lineage checks; requires bits <= 60."""
     if hash_fn == "xxhash64":
-        make_hash = lambda c: F.xxhash64(c)  # noqa: E731
+        h_sql = "xxhash64(token)"
     elif hash_fn == "md5_60":
         if bits > 60:
             raise ValueError("md5_60 provides 60 usable bits; pass bits <= 60")
         # 15 hex chars = 60 bits < 2^63: always fits a signed long
-        make_hash = lambda c: F.conv(  # noqa: E731
-            F.substring(F.md5(c), 1, 15), 16, 10
-        ).cast("long")
+        h_sql = "cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)"
     else:
         raise ValueError(f"hash_fn must be xxhash64|md5_60, got {hash_fn!r}")
     tok = df.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("token")
     ).where(F.col("token") != "")
-    h = make_hash(F.col("token"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    votes = tok.groupBy(id_col).agg(*aggs)
-    fingerprint = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
-        fingerprint = term if fingerprint is None else fingerprint + term
+    # per-bit vote sums and the sign fingerprint as TWO SQL strings (one
+    # array-of-sums aggregate, one weighted-sign projection): the
+    # chained-Column form issued ~10 py4j round-trips per bit — over a
+    # second of driver latency per build at 64 bits — and even one
+    # F.expr per bit still pays 64 parse round-trips. Bit arithmetic is
+    # unchanged, so the fingerprints are identical.
+    votes = tok.groupBy(id_col).agg(
+        F.expr(
+            "array(%s)"
+            % ",".join(
+                f"sum(CASE WHEN (shiftright({h_sql}, {i}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
+                for i in range(bits)
+            )
+        ).alias("_bv")
+    )
+
+    def _weight(i: int) -> str:
+        if i < 63:
+            return f"cast({1 << i} as bigint)"
+        # min-long spelled without overflowing the positive literal
+        return "cast(-9223372036854775807 as bigint) - cast(1 as bigint)"
+
+    fingerprint = F.expr(
+        " + ".join(
+            "(CASE WHEN _bv[%d] > 0 THEN cast(1 as bigint)"
+            " ELSE cast(0 as bigint) END) * (%s)" % (i, _weight(i))
+            for i in range(bits)
+        )
+    )
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
@@ -624,22 +639,15 @@ def simhash_near_dups(
     fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
     block_bits = bits // num_blocks
     mask = (1 << block_bits) - 1
+    blocks_sql = ",".join(
+        "named_struct('block_idx', %d, 'block_val',"
+        " shiftrightunsigned(simhash, %d) & %d)" % (i, i * block_bits, mask)
+        for i in range(num_blocks)
+    )
     blocks = fp.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_idx"),
-                        F.shiftrightunsigned("simhash", i * block_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("block_val"),
-                    )
-                    for i in range(num_blocks)
-                ]
-            )
-        ).alias("blk"),
+        F.expr(f"explode(array({blocks_sql}))").alias("blk"),
     ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
     a = blocks.alias("a")
     b = blocks.alias("b")
