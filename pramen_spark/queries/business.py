@@ -23,6 +23,7 @@ from pramen_spark.operators.tsutils import pin_utc, ts_instant
 from pramen_spark.queries.base import (
     QUERIES,
     QuerySpec,
+    _parquet_schema,
     load_documents_spread,
     load_events,
     load_table,
@@ -611,7 +612,7 @@ def q_stream_static_enrich_events(spark, sf_dir):
     from pramen_spark.streaming.stream import read_file_stream
 
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     glob_path = f"{sf_dir}/events.parque[t]"
     stream = read_file_stream(spark, glob_path, schema).withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -667,7 +668,7 @@ def q_stream_dedup_events(spark, sf_dir):
     )
 
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     glob_path = f"{sf_dir}/events.parque[t]"
     stream = read_file_stream(spark, glob_path, schema).withColumn(
         "ts", F.col("ts").cast("timestamp")

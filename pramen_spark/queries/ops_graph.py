@@ -23,6 +23,7 @@ from pramen_spark.operators.tsutils import pin_utc, ts_instant
 from pramen_spark.queries.base import (
     QUERIES,
     QuerySpec,
+    _parquet_schema,
     load_documents_spread,
     load_events,
     load_table,
@@ -458,7 +459,7 @@ def q_stream_windowed_counts(spark, sf_dir):
     )
 
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     # The file streaming source requires a directory or a GLOB root (a
     # bare file path makes it set basePath to the file and fail); the
     # single-character class makes this a glob matching exactly one file.
@@ -1292,7 +1293,7 @@ def q_stream_sliding_counts(spark, sf_dir):
     )
 
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     glob_path = f"{sf_dir}/events.parque[t]"
     stream = read_file_stream(spark, glob_path, schema).withColumn(
         "ts", F.col("ts").cast("timestamp")
