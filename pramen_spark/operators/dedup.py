@@ -972,19 +972,52 @@ def minhash_dedup_against(
         ).cache()
 
     bb = _band_rows(batch_sigs, id_col, num_bands, rows_per_band)
-    sb = _band_rows(seen_sigs, id_col, num_bands, rows_per_band).select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
-    )
+    sb = _band_rows(seen_sigs, id_col, num_bands, rows_per_band)
     # ONE candidate stream, oriented (earlier/indexed id_a, batch id_b):
-    # index matches and within-batch pairs verify in the same join pass.
-    # Ids must be unique across the index and every batch (the incremental
-    # contract: one global id space, same id = same document).
-    cands = (
-        bb.join(sb, ["band_idx", "band_hash"])
-        .select(F.col("id_a"), F.col(id_col).alias("id_b"))
-        .unionByName(
-            minhash_lsh_candidates(batch_sigs, id_col, num_bands, rows_per_band)
+    # index matches and within-batch pairs come out of a SINGLE grouped
+    # pass over side-tagged band rows — one exchange on the band key
+    # instead of the former three (band join left+right, plus the
+    # separate within-batch bucket groupBy), which at bench scale was
+    # pure AQE-stage scheduling and at 100 TB is two fewer shuffles of
+    # the batch's band rows. Per bucket: within-batch ordered pairs from
+    # the sorted batch-id list (exactly minhash_lsh_candidates'
+    # construction) plus the index x batch cross pairs (exactly the old
+    # band join's per-key product). Ids must be unique across the index
+    # and every batch (the incremental contract: one global id space,
+    # same id = same document).
+    tagged = bb.select(
+        F.col(id_col).alias("_id"), "band_idx", "band_hash", F.lit(True).alias("_b")
+    ).unionByName(
+        sb.select(
+            F.col(id_col).alias("_id"), "band_idx", "band_hash", F.lit(False).alias("_b")
         )
+    )
+    buckets = tagged.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("_b"), F.col("_id")))
+        ).alias("_bids"),
+        F.collect_list(F.when(~F.col("_b"), F.col("_id"))).alias("_iids"),
+    )
+    cross_pairs = F.flatten(
+        F.transform(
+            F.col("_iids"),
+            lambda a: F.transform(
+                F.col("_bids"),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    cands = (
+        buckets.filter(
+            (F.size("_bids") > 1)
+            | ((F.size("_bids") > 0) & (F.size("_iids") > 0))
+        )
+        .select(
+            F.explode(
+                F.concat(_ordered_pairs(F.col("_bids")), cross_pairs)
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
