@@ -1177,11 +1177,23 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("id"), "shingle_h"
     ).cache()
     sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n_full"))
-    freq = base.withColumn(
-        "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
-    )
+    # Global shingle frequencies as a map-side-combined AGGREGATE joined
+    # back onto the stream — not a count-over window. The window form
+    # shuffled and SORTED the whole exploded stream by shingle_h just to
+    # annotate each row with its key's count (measured ~32 executor-s of
+    # sort CPU at sf0.1); the aggregate shuffles one partial row per
+    # (map partition, shingle) and the join re-attaches it. At bench
+    # scale the freq table broadcasts (KB–MB), so the stream is never
+    # shuffled by shingle_h at all; at 100 TB AQE picks a co-keyed join
+    # — the same exchange the window needed, minus the sort. Filtering
+    # the freq TABLE before the inner join reproduces the old
+    # filter-after-window semantics: capped shingles leave the stream,
+    # docs whose every shingle is capped drop out of `docs` entirely
+    # (sizes keeps their full-set count, as before).
+    freq_tbl = base.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("freq"))
     if max_shingle_freq is not None:
-        freq = freq.filter(F.col("freq") <= max_shingle_freq)
+        freq_tbl = freq_tbl.filter(F.col("freq") <= max_shingle_freq)
+    freq = base.join(freq_tbl, "shingle_h")
     # cached: the prefix explode and both verification legs scan the
     # per-doc ordered shingle arrays
     docs = freq.groupBy("id").agg(
