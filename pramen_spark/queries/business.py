@@ -609,7 +609,10 @@ def q_stream_static_enrich_events(spark, sf_dir):
     micro-batch probes the broadcast dim and moves on, so the pattern
     holds at any stream volume; the dim refreshes per batch on a real
     cluster."""
-    from pramen_spark.streaming.stream import read_file_stream
+    from pramen_spark.streaming.stream import (
+        read_file_stream,
+        stream_state_partitions,
+    )
 
     path = f"{sf_dir}/events.parquet"
     schema = _parquet_schema(spark, path)
@@ -628,14 +631,15 @@ def q_stream_static_enrich_events(spark, sf_dir):
         F.sum("value").alias("_sv"),
     )
     sink = "stream_static_enrich_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         "c_mktsegment", "n_events", F.round("_sv", 4).alias("sum_value")
     )
@@ -664,6 +668,7 @@ def q_stream_dedup_events(spark, sf_dir):
     covered by test_streaming.py."""
     from pramen_spark.streaming.stream import (
         read_file_stream,
+        stream_state_partitions,
         streaming_dedup,
     )
 
@@ -678,14 +683,15 @@ def q_stream_dedup_events(spark, sf_dir):
         within_watermark=False,
     ).select("user_id", "event_type")
     sink = "stream_dedup_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .groupBy("event_type")

