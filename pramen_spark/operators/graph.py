@@ -349,9 +349,19 @@ def pagerank(
             r = base + damping * (contrib + m / n)
         import pandas as pd
 
+        # cast back to the src/dst coercion the distributed path's
+        # unionByName produces, so both paths return one schema no matter
+        # what dtype pandas/Arrow inferred for the collected ids
+        # (ADVICE r14)
+        vertex_type = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .schema["v"]
+            .dataType
+        )
         return edges.sparkSession.createDataFrame(
             pd.DataFrame({"vertex": vs, "rank": r})
-        )
+        ).select(F.col("vertex").cast(vertex_type).alias("vertex"), "rank")
     verts = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
@@ -508,8 +518,19 @@ def hits(
             h = h_raw / h_raw.max()
         import pandas as pd
 
+        # same schema-pinning cast as pagerank's driver path (ADVICE r14)
+        vertex_type = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .schema["v"]
+            .dataType
+        )
         return edges.sparkSession.createDataFrame(
             pd.DataFrame({"vertex": vs, "hub": h, "authority": a_s})
+        ).select(
+            F.col("vertex").cast(vertex_type).alias("vertex"),
+            "hub",
+            "authority",
         )
     verts = (
         e.select(F.col("a").alias("v"))

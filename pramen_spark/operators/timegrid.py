@@ -385,6 +385,14 @@ def theil_sen(
                     F.round("slope", 6).alias("slope"),
                     F.round("intercept", 6).alias("intercept"),
                 )
+    if rows is not None and len(rows) <= driver_max_points:
+        # The gate's limit(cap+1).collect() already evaluated the upstream
+        # aggregation and got the WHOLE grid back; degenerate fallbacks
+        # (NULL x, <2 rows, no distinct-x pair) rebuild the distributed
+        # input from those rows instead of re-running the upstream plan
+        # (ADVICE r14). Over-cap collects (cap+1 rows) are partial and
+        # keep the original plan.
+        base = spark.createDataFrame(rows, base.schema)
     # The pair join is a broadcast-nested-loop whose parallelism equals the
     # STREAMED side's partition count — and the pre-aggregated grid arrives
     # as one tiny (AQE-coalesced) partition, which would serialize the

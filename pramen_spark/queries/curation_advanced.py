@@ -540,10 +540,14 @@ def q_triangle_count_suppliers(spark, sf_dir):
         per_order.select(F.explode(_ordered_pairs(F.col("ss"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("s1"), F.col("p.id_b").alias("s2"))
         .agg(F.count(F.lit(1)).alias("c"))
-        # cached: the p95 threshold aggregate AND the edge filter both
-        # consume the pair counts — without the cache the whole
-        # per-order set explode + pair groupBy runs twice
-        .cache()
+        # materialized once: the p95 threshold aggregate AND the edge
+        # filter both consume the pair counts — without this the whole
+        # per-order set explode + pair groupBy runs twice. Eager
+        # localCheckpoint (the repo's two-consumer idiom) instead of
+        # .cache(): checkpoint blocks are freed when the frame is GC'd,
+        # while a CacheManager entry from a query build leaks until
+        # clearCache (ADVICE r14)
+        .localCheckpoint(eager=True)
     )
     thr = co.agg(F.round(F.percentile(F.col("c"), F.lit(0.95)), 6).alias("t"))
     edges = co.crossJoin(F.broadcast(thr)).filter(F.col("c") >= F.col("t"))
