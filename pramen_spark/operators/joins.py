@@ -100,7 +100,11 @@ def bloom_prune(
     positives pass (rate ``(1 - e^{-kn/m})^k``); true keys always pass.
     """
     m_bits = len(bitmap) * 64
-    arr = F.lit(list(bitmap))
+    # ONE parsed SQL array literal: F.lit(python_list) marshals the
+    # bitmap element-by-element over py4j (~0.9 s of driver latency for
+    # the default 2048 words, measured r15); the SQL string parses
+    # JVM-side in milliseconds and constant-folds to the same array
+    arr = F.expr("array(%s)" % ",".join(f"{int(w)}L" for w in bitmap))
     cond = F.lit(True)
     for pos in _positions(F.col(key), m_bits, num_hashes):
         word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + F.lit(1))
