@@ -974,16 +974,20 @@ def bootstrap_mean_ci(
     staged = _stage_poisson_weights(
         spread_input(df, id_col), [F.col(value_col)], id_col, seed, n_boot
     )
-    # SQL-string expression construction (see _stage_poisson_weights):
-    # identical parsed trees, ~20x fewer py4j round-trips per build.
-    aggs = [
-        F.expr("cast(count(1) as long)").alias("n_rows"),
-        F.expr(f"sum(`{value_col}`)").alias("_sx"),
+    # SQL-string expression construction (see _stage_poisson_weights),
+    # handed over as ONE selectExpr call: even one F.expr + .alias pair
+    # per replicate column is 2 py4j round trips, which at 2*n_boot
+    # aggregates was most of this function's plan-build latency
+    # (measured r15). selectExpr over the staged frame builds the same
+    # global Aggregate as .agg().
+    agg_sql = [
+        "cast(count(1) as long) as n_rows",
+        f"sum(`{value_col}`) as _sx",
     ]
     for b in range(n_boot):
-        aggs.append(F.expr(f"sum(_w_{b} * `{value_col}`)").alias(f"_swx_{b}"))
-        aggs.append(F.expr(f"sum(_w_{b})").alias(f"_sw_{b}"))
-    one = staged.agg(*aggs)
+        agg_sql.append(f"sum(_w_{b} * `{value_col}`) as _swx_{b}")
+        agg_sql.append(f"sum(_w_{b}) as _sw_{b}")
+    one = staged.selectExpr(*agg_sql)
     means = F.expr(
         "array_sort(filter(array("
         + ", ".join(f"try_divide(_swx_{b}, _sw_{b})" for b in range(n_boot))
@@ -1196,20 +1200,23 @@ def bootstrap_uplift_ci(
         seed,
         n_boot,
     )
-    # SQL-string expression construction (see _stage_poisson_weights):
-    # identical parsed trees, ~20x fewer py4j round-trips per build.
-    aggs = [
-        F.expr("cast(sum(_t) as long)").alias("n_exp"),
-        F.expr("cast(sum(1 - _t) as long)").alias("n_unexp"),
-        F.expr("cast(sum(_t * _y) as long)").alias("_xt"),
-        F.expr("cast(sum((1 - _t) * _y) as long)").alias("_xc"),
+    # SQL-string expression construction (see _stage_poisson_weights),
+    # handed over as ONE selectExpr call — at 4*n_boot aggregates the
+    # per-Column F.expr + .alias round trips were most of the build
+    # latency (measured r15); selectExpr builds the same global
+    # Aggregate as .agg().
+    agg_sql = [
+        "cast(sum(_t) as long) as n_exp",
+        "cast(sum(1 - _t) as long) as n_unexp",
+        "cast(sum(_t * _y) as long) as _xt",
+        "cast(sum((1 - _t) * _y) as long) as _xc",
     ]
     for b in range(n_boot):
-        aggs.append(F.expr(f"sum(_w_{b} * _t * _y)").alias(f"_wxt_{b}"))
-        aggs.append(F.expr(f"sum(_w_{b} * _t)").alias(f"_wt_{b}"))
-        aggs.append(F.expr(f"sum(_w_{b} * (1 - _t) * _y)").alias(f"_wxc_{b}"))
-        aggs.append(F.expr(f"sum(_w_{b} * (1 - _t))").alias(f"_wc_{b}"))
-    one = staged.agg(*aggs)
+        agg_sql.append(f"sum(_w_{b} * _t * _y) as _wxt_{b}")
+        agg_sql.append(f"sum(_w_{b} * _t) as _wt_{b}")
+        agg_sql.append(f"sum(_w_{b} * (1 - _t) * _y) as _wxc_{b}")
+        agg_sql.append(f"sum(_w_{b} * (1 - _t)) as _wc_{b}")
+    one = staged.selectExpr(*agg_sql)
     diffs = F.expr(
         "array_sort(filter(array("
         + ", ".join(

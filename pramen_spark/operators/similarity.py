@@ -687,21 +687,25 @@ def covariance_matrix(
     emitting X^T X partials) — this expression form is for audit-sized
     dimension subsets.
     """
-    el = lambda i: F.element_at(F.col(vec_col), i).cast("double")
     pairs = [(i, j) for i in dims for j in dims if i <= j]
-    aggs = [
-        F.covar_pop(el(i), el(j)).alias(f"c_{i}_{j}") for (i, j) in pairs
-    ]
-    one = df.agg(*aggs)
-    cells = F.array(
+    # Both expression lists build as parsed SQL strings: the chained-
+    # Column form (36 covar_pop + 36 struct Columns) costs ~0.5 s of
+    # py4j round trips per plan build — the same lesson as the minhash
+    # band / simhash bit expressions. Parsed trees identical.
+    one = df.selectExpr(
         *[
-            F.struct(
-                F.lit(i).cast("long").alias("i"),
-                F.lit(j).cast("long").alias("j"),
-                F.round(F.col(f"c_{i}_{j}"), 6).alias("cov"),
-            )
+            f"covar_pop(cast(element_at({vec_col}, {i}) as double),"
+            f" cast(element_at({vec_col}, {j}) as double)) as c_{i}_{j}"
             for (i, j) in pairs
         ]
+    )
+    cells = F.expr(
+        "array(%s)"
+        % ",".join(
+            f"named_struct('i', cast({i} as bigint), 'j', cast({j} as bigint),"
+            f" 'cov', round(c_{i}_{j}, 6))"
+            for (i, j) in pairs
+        )
     )
     return one.select(F.explode(cells).alias("cell")).select(
         "cell.i", "cell.j", "cell.cov"
