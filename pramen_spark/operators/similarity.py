@@ -234,15 +234,29 @@ def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[f
 
 
 def lsh_bucket(df: DataFrame, planes: Sequence[Sequence[float]], embedding_col: str = "embedding"):
-    """Add a ``bucket`` column: bit i = sign(v . plane_i)."""
+    """Add a ``bucket`` column: bit i = sign(v . plane_i).
+
+    The whole bucket expression builds as ONE parsed SQL string: the
+    chained-Column form issued ~65 py4j round trips PER PLANE (one
+    F.lit per plane element), ~0.5-0.8 s of driver latency per
+    lsh_bucket call at dim 64 (measured r15). Python float repr()
+    round-trips exactly through the SQL double-literal parser, and the
+    dot product keeps the same zip_with-multiply / left-fold-add float
+    sequence, so bucket values are bit-identical to the Column form."""
     base = with_double_embedding(df, embedding_col)
-    bucket = None
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (_dot(F.col("_emb_d"), plane_col) > 0).cast("long")
-        term = bit * F.lit(1 << i).cast("long")
-        bucket = term if bucket is None else bucket + term
-    return base.withColumn("bucket", bucket)
+
+    def dot_sql(plane):
+        arr = ",".join(f"{float(x)!r}D" for x in plane)
+        return (
+            f"aggregate(zip_with(_emb_d, array({arr}), (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+
+    bucket_sql = " + ".join(
+        f"cast({dot_sql(p)} > 0 as bigint) * cast({1 << i} as bigint)"
+        for i, p in enumerate(planes)
+    )
+    return base.withColumn("bucket", F.expr(bucket_sql))
 
 
 def kmeans_centroids(
